@@ -1,0 +1,281 @@
+"""Dense numpy Bloom filter with OR-merge algebra and canonical bytes.
+
+Semantics pinned by the reference (`/root/reference/src/bloomfilter/`):
+
+- bit layout: bit n lives in u64 word n>>6 under mask 1<<(n&63),
+  little-endian words (mod.rs:17-22, bitmap.rs:15-23)
+- insert/probe index expansion: Kirsch-Mitzenmacher via
+  :func:`..sketch.hashing.km_indices` (hasher.rs:48-70); probe indices
+  are computed identically to insert indices => zero false negatives
+  (mod.rs:211-228)
+- merge = bitwise OR, associative + commutative + idempotent with the
+  empty filter as identity (mod.rs:238-295; merge matrices
+  mod.rs:621-761)
+- containment: superset test `self & other == other` per word
+  (mod.rs:199-210), index variant (mod.rs:221-228)
+- estimators: estimate_n / estimate_union / estimate_intersection
+  (mod.rs:38-54,126-132)
+
+Deliberate deviations (SURVEY.md §4, each strengthens determinism):
+
+- fixed-width preallocated buffer (ceil(m/64) words) instead of the
+  reference's lazy growth (bitmap.rs:34-40) — serialized bytes are then
+  independent of insertion order, which the north rule requires
+  (bitwise-identical filters regardless of merge order).
+- cardinality popcounted lazily at read time, not rescanned per merge
+  (the reference rescans the whole buffer after every merge,
+  mod.rs:158-164,275,283).
+- sparse codec chosen by the *corrected* storage rule (Shape.is_sparse)
+  purely from content, so the wire format stays canonical.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from .hashing import hash_pair, km_indices, ngram_hashes, tokens_to_u64
+from .shape import Shape
+
+_U64 = np.uint64
+_ONE = _U64(1)
+
+# 256-entry popcount lookup (numpy 1.26 has no np.bitwise_count).
+_POPCOUNT_LUT = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+_MAGIC = b"RBSK"
+_VERSION = 1
+_KIND_BLOOM = 1
+_CODEC_DENSE = 0
+_CODEC_SPARSE = 1
+# magic, version u8, kind u8, codec u8, pad u8, m u64, k u32, n_items u64
+_HEADER = struct.Struct("<4sBBBBQIQ")
+
+
+def popcount_words(words: np.ndarray) -> int:
+    """Total set bits in a uint64 word array."""
+    if words.size == 0:
+        return 0
+    return int(_POPCOUNT_LUT[np.ascontiguousarray(words).view(np.uint8)].sum())
+
+
+def _or_indices_into(words: np.ndarray, idx: np.ndarray) -> None:
+    """Set bit positions ``idx`` (flat int64) in ``words``, vectorized.
+
+    np.bitwise_or.at is notoriously slow; instead sort word indices and
+    OR-reduce runs with np.bitwise_or.reduceat (pure C loops).
+    """
+    if idx.size == 0:
+        return
+    w = idx >> 6
+    b = _ONE << (idx & 63).astype(_U64)
+    order = np.argsort(w, kind="stable")
+    ws = w[order]
+    bs = b[order]
+    starts = np.empty(0, dtype=np.int64)
+    boundaries = np.flatnonzero(ws[1:] != ws[:-1]) + 1
+    starts = np.concatenate(([0], boundaries))
+    merged = np.bitwise_or.reduceat(bs, starts)
+    words[ws[starts]] |= merged
+
+
+class BloomFilter:
+    """Fixed-shape dense Bloom filter over a numpy uint64 word array."""
+
+    __slots__ = ("shape", "words", "n_items")
+
+    def __init__(self, shape: Shape, words: np.ndarray | None = None, n_items: int = 0):
+        self.shape = shape
+        buckets = shape.number_of_buckets()
+        if words is None:
+            words = np.zeros(buckets, dtype=_U64)
+        else:
+            words = np.ascontiguousarray(words, dtype=_U64)
+            if words.shape != (buckets,):
+                raise ValueError(f"expected {buckets} words, got {words.shape}")
+        self.words = words
+        # metadata: number of update() items folded in (additive on merge)
+        self.n_items = int(n_items)
+
+    # -- constructors ------------------------------------------------------
+
+    @classmethod
+    def empty(cls, shape: Shape) -> "BloomFilter":
+        """Merge identity (mod.rs:144-150)."""
+        return cls(shape)
+
+    @classmethod
+    def from_indices(cls, shape: Shape, indices: np.ndarray, n_items: int = 0) -> "BloomFilter":
+        f = cls(shape, n_items=n_items)
+        _or_indices_into(f.words, np.asarray(indices, dtype=np.int64))
+        return f
+
+    # -- update ------------------------------------------------------------
+
+    def add_hashes(self, h1: np.ndarray, h2: np.ndarray) -> "BloomFilter":
+        """Insert items given their (h1, h2) 64-bit hash pairs."""
+        idx = km_indices(h1, h2, self.shape).reshape(-1)
+        _or_indices_into(self.words, idx)
+        self.n_items += len(h1)
+        return self
+
+    def add_u64(self, values: np.ndarray) -> "BloomFilter":
+        h1, h2 = hash_pair(values)
+        return self.add_hashes(h1, h2)
+
+    def add_tokens(self, tokens: np.ndarray) -> "BloomFilter":
+        """Insert int32/int64 token ids."""
+        return self.add_u64(tokens_to_u64(np.asarray(tokens)))
+
+    def add_ngrams(self, tokens: np.ndarray, n: int) -> "BloomFilter":
+        """Insert all sliding n-grams of one token sequence."""
+        h = ngram_hashes(np.asarray(tokens), n)
+        if h.size:
+            self.add_u64(h)
+        return self
+
+    # -- probe ---------------------------------------------------------------
+
+    def contains_hashes(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+        """Vectorized membership: bool[N], True iff all k bits set.
+
+        Probe expansion identical to insert expansion => no false
+        negatives (reference contract, mod.rs:211-228).
+        """
+        if len(h1) == 0:
+            return np.empty(0, dtype=bool)
+        idx = km_indices(h1, h2, self.shape)
+        bits = (self.words[idx >> 6] >> (idx & 63).astype(_U64)) & _ONE
+        return bits.all(axis=1)
+
+    def contains_u64(self, values: np.ndarray) -> np.ndarray:
+        h1, h2 = hash_pair(values)
+        return self.contains_hashes(h1, h2)
+
+    def contains_tokens(self, tokens: np.ndarray) -> np.ndarray:
+        return self.contains_u64(tokens_to_u64(np.asarray(tokens)))
+
+    def contains_filter(self, other: "BloomFilter") -> bool:
+        """Superset test: self & other == other, per word (mod.rs:199-210)."""
+        self._check_shape(other)
+        return bool(np.array_equal(self.words & other.words, other.words))
+
+    def contains_indices(self, indices: np.ndarray) -> bool:
+        idx = np.asarray(indices, dtype=np.int64)
+        if idx.size == 0:
+            return True
+        bits = (self.words[idx >> 6] >> (idx & 63).astype(_U64)) & _ONE
+        return bool(bits.all())
+
+    # -- merge ----------------------------------------------------------------
+
+    def _check_shape(self, other: "BloomFilter") -> None:
+        # Correct shape-compatibility check; the reference's
+        # `equivalent_to` (mod.rs:110-112) is inverted and unused.
+        if self.shape != other.shape:
+            raise ValueError(f"shape mismatch: {self.shape} vs {other.shape}")
+
+    def merge(self, other: "BloomFilter") -> "BloomFilter":
+        """Copy-merge: bitwise OR (mod.rs:238-266)."""
+        self._check_shape(other)
+        return BloomFilter(self.shape, self.words | other.words, self.n_items + other.n_items)
+
+    def merge_in_place(self, other: "BloomFilter") -> "BloomFilter":
+        """In-place OR (mod.rs:268-295)."""
+        self._check_shape(other)
+        self.words |= other.words
+        self.n_items += other.n_items
+        return self
+
+    # -- inspect ----------------------------------------------------------------
+
+    def cardinality(self) -> int:
+        """Popcount of the word array (mod.rs:158-164,195-197)."""
+        return popcount_words(self.words)
+
+    def is_full(self) -> bool:
+        """cardinality == m (mod.rs:59-61)."""
+        return self.cardinality() == self.shape.m
+
+    def estimate_n(self) -> float:
+        """Swamidass-Baldi estimate (mod.rs:43-45,126-132)."""
+        return self.shape.estimate_n(self.cardinality())
+
+    def estimate_union(self, other: "BloomFilter") -> float:
+        """n_hat(A|B) from the OR'd popcount (mod.rs:48-54) — no
+        materialized merged filter needed."""
+        self._check_shape(other)
+        return self.shape.estimate_n(popcount_words(self.words | other.words))
+
+    def estimate_intersection(self, other: "BloomFilter") -> float:
+        """Inclusion-exclusion (mod.rs:38-40)."""
+        return self.estimate_n() + other.estimate_n() - self.estimate_union(other)
+
+    def fill_ratio(self) -> float:
+        return self.cardinality() / self.shape.m
+
+    def to_indices(self) -> np.ndarray:
+        """Sorted int64 positions of set bits (mod.rs:168-186)."""
+        if self.words.size == 0:
+            return np.empty(0, dtype=np.int64)
+        bits = np.unpackbits(self.words.view(np.uint8), bitorder="little")
+        return np.flatnonzero(bits).astype(np.int64)
+
+    # -- wire ------------------------------------------------------------------
+
+    def to_bytes(self) -> bytes:
+        """Canonical serialization — a pure function of (shape, set
+        bits, n_items); independent of build/merge order.
+
+        Codec picked by the corrected density rule (Shape.is_sparse):
+        sparse = sorted uint32 indices, dense = full word array.
+        """
+        card = self.cardinality()
+        sparse = self.shape.is_sparse(card) and self.shape.m <= 0xFFFFFFFF
+        codec = _CODEC_SPARSE if sparse else _CODEC_DENSE
+        header = _HEADER.pack(
+            _MAGIC, _VERSION, _KIND_BLOOM, codec, 0, self.shape.m, self.shape.k, self.n_items
+        )
+        if sparse:
+            payload = self.to_indices().astype(np.uint32).tobytes()
+        else:
+            payload = self.words.tobytes()
+        return header + payload
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "BloomFilter":
+        magic, version, kind, codec, _, m, k, n_items = _HEADER.unpack_from(data, 0)
+        if magic != _MAGIC or version != _VERSION or kind != _KIND_BLOOM:
+            raise ValueError("not a serialized BloomFilter")
+        shape = Shape(m=m, k=k)
+        body = memoryview(data)[_HEADER.size :]
+        if codec == _CODEC_SPARSE:
+            idx = np.frombuffer(body, dtype=np.uint32).astype(np.int64)
+            return cls.from_indices(shape, idx, n_items=n_items)
+        words = np.frombuffer(body, dtype=_U64).copy()
+        return cls(shape, words, n_items=n_items)
+
+    # -- dunder ------------------------------------------------------------------
+
+    def __eq__(self, other: object) -> bool:
+        if not isinstance(other, BloomFilter):
+            return NotImplemented
+        return self.shape == other.shape and bool(np.array_equal(self.words, other.words))
+
+    def __repr__(self) -> str:
+        return (
+            f"BloomFilter(m={self.shape.m}, k={self.shape.k}, "
+            f"bits={self.cardinality()}, n_items={self.n_items})"
+        )
+
+
+def merge_payloads(payloads: list[bytes]) -> bytes:
+    """OR-merge serialized filters; associative/commutative, canonical
+    output bytes. Used by the Spark tree-merge stages."""
+    if not payloads:
+        raise ValueError("nothing to merge")
+    acc = BloomFilter.from_bytes(payloads[0])
+    for p in payloads[1:]:
+        acc.merge_in_place(BloomFilter.from_bytes(p))
+    return acc.to_bytes()

@@ -1,0 +1,152 @@
+"""HyperLogLog distinct-count sketch (Flajolet et al. 2007).
+
+Same mergeable algebra as the reference's Bloom filter (associative,
+commutative, idempotent merge with an empty identity — the axioms the
+reference pins in its merge matrices, mod.rs:621-761) with registers
+instead of bits: merge = elementwise max over uint8[2^p].
+
+Vectorized numpy throughout; canonical serialization (register array is
+a pure function of the inserted set, so merge order never matters).
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+import numpy as np
+
+from .hashing import hash_pair, tokens_to_u64
+
+_U64 = np.uint64
+_MAGIC = b"RHLL"
+_HEADER = struct.Struct("<4sBBxxQ")  # magic, version, p, pad, n_items
+
+
+def _alpha(m: int) -> float:
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def _clz_rank(w: np.ndarray) -> np.ndarray:
+    """rank = (#leading zeros of left-aligned w) + 1. Vectorized binary
+    search; w == 0 yields 64 (callers cap at width+1)."""
+    w = w.astype(_U64, copy=True)
+    n = np.zeros(w.shape, dtype=np.int64)
+    for shift in (32, 16, 8, 4, 2, 1):
+        mask = (w >> _U64(64 - shift)) == 0
+        n[mask] += shift
+        w[mask] = w[mask] << _U64(shift)
+    return n + 1  # w==0 -> 64, capped by caller
+
+
+class HyperLogLog:
+    """Dense HLL with 2^p uint8 registers; merge = elementwise max."""
+
+    __slots__ = ("p", "registers", "n_items")
+
+    def __init__(self, p: int = 14, registers: np.ndarray | None = None, n_items: int = 0):
+        if not (4 <= p <= 18):
+            raise ValueError(f"p must be in [4,18], got {p}")
+        self.p = p
+        m = 1 << p
+        if registers is None:
+            registers = np.zeros(m, dtype=np.uint8)
+        else:
+            registers = np.ascontiguousarray(registers, dtype=np.uint8)
+            if registers.shape != (m,):
+                raise ValueError(f"expected {m} registers")
+        self.registers = registers
+        self.n_items = int(n_items)
+
+    @classmethod
+    def empty(cls, p: int = 14) -> "HyperLogLog":
+        return cls(p)
+
+    @property
+    def m(self) -> int:
+        return 1 << self.p
+
+    def relative_error(self) -> float:
+        """Published standard error bound 1.04/sqrt(m)."""
+        return 1.04 / math.sqrt(self.m)
+
+    # -- update --------------------------------------------------------
+
+    def add_hashes(self, h: np.ndarray) -> "HyperLogLog":
+        """Insert pre-hashed uint64 values."""
+        if len(h) == 0:
+            return self
+        h = h.astype(_U64, copy=False)
+        idx = (h >> _U64(64 - self.p)).astype(np.int64)
+        # remaining 64-p bits, left-aligned in a 64-bit word for clz
+        w = h << _U64(self.p)
+        rank = _clz_rank(w)
+        rank = np.minimum(rank, 64 - self.p + 1).astype(np.uint8)
+        # max-reduce per register: sort + maximum.reduceat (ufunc.at is slow)
+        order = np.argsort(idx, kind="stable")
+        si = idx[order]
+        sr = rank[order]
+        starts = np.concatenate(([0], np.flatnonzero(si[1:] != si[:-1]) + 1))
+        maxed = np.maximum.reduceat(sr, starts)
+        regs = si[starts]
+        self.registers[regs] = np.maximum(self.registers[regs], maxed)
+        self.n_items += len(h)
+        return self
+
+    def add_u64(self, values: np.ndarray) -> "HyperLogLog":
+        h1, _ = hash_pair(values)
+        return self.add_hashes(h1)
+
+    def add_tokens(self, tokens: np.ndarray) -> "HyperLogLog":
+        return self.add_u64(tokens_to_u64(np.asarray(tokens)))
+
+    # -- merge ---------------------------------------------------------
+
+    def merge_in_place(self, other: "HyperLogLog") -> "HyperLogLog":
+        if self.p != other.p:
+            raise ValueError(f"precision mismatch: {self.p} vs {other.p}")
+        np.maximum(self.registers, other.registers, out=self.registers)
+        self.n_items += other.n_items
+        return self
+
+    def merge(self, other: "HyperLogLog") -> "HyperLogLog":
+        out = HyperLogLog(self.p, self.registers.copy(), self.n_items)
+        return out.merge_in_place(other)
+
+    # -- estimate --------------------------------------------------------
+
+    def estimate(self) -> float:
+        """Classic HLL estimator with linear-counting small-range
+        correction (Flajolet et al. 2007, Fig. 3)."""
+        m = self.m
+        regs = self.registers.astype(np.float64)
+        est = _alpha(m) * m * m / np.power(2.0, -regs).sum()
+        if est <= 2.5 * m:
+            zeros = int((self.registers == 0).sum())
+            if zeros:
+                return m * math.log(m / zeros)
+        return float(est)
+
+    # -- wire -------------------------------------------------------------
+
+    def to_bytes(self) -> bytes:
+        return _HEADER.pack(_MAGIC, 1, self.p, self.n_items) + self.registers.tobytes()
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "HyperLogLog":
+        magic, version, p, n_items = _HEADER.unpack_from(data, 0)
+        if magic != _MAGIC or version != 1:
+            raise ValueError("not a serialized HyperLogLog")
+        regs = np.frombuffer(memoryview(data)[_HEADER.size :], dtype=np.uint8).copy()
+        return cls(p, regs, n_items=n_items)
+
+    def __eq__(self, other: object) -> bool:
+        if not isinstance(other, HyperLogLog):
+            return NotImplemented
+        return self.p == other.p and bool(np.array_equal(self.registers, other.registers))

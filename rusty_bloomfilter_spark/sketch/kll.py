@@ -1,0 +1,184 @@
+"""KLL quantile sketch (Karnin, Lang, Liberty, FOCS 2016).
+
+Mergeable rank/quantile sketch over float64 values with the same merge
+algebra contract the reference pins for Bloom (associative +
+commutative up to the sketch's published rank-error bound, empty
+identity). Compaction parity is deterministic (per-level alternating),
+so a single-stream build is reproducible; merged results are equal in
+distribution and within the published epsilon ~ O(1/k) normalized rank
+error (k=200 -> ~1.65 %, cf. Apache DataSketches' published table).
+
+Implementation follows the simplified compactor scheme of the paper
+(each level holds <= capacity items; compaction sorts and promotes
+every other item to the next level, doubling its weight 2^level).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+_MAGIC = b"RKLL"
+_HEADER = struct.Struct("<4sBxxxIIQ")  # magic, version, k, n_levels, n_items
+_C = 2.0 / 3.0
+
+
+class KLLSketch:
+    __slots__ = ("k", "compactors", "parities", "n_items")
+
+    def __init__(self, k: int = 200):
+        if k < 8:
+            raise ValueError("k must be >= 8")
+        self.k = k
+        self.compactors: list[np.ndarray] = [np.empty(0, dtype=np.float64)]
+        self.parities: list[int] = [0]
+        self.n_items = 0
+
+    @classmethod
+    def empty(cls, k: int = 200) -> "KLLSketch":
+        return cls(k)
+
+    # -- geometry -----------------------------------------------------------
+
+    def _capacity(self, level: int) -> int:
+        """Level capacity k * c^(H-1-level), floored at 2."""
+        h = len(self.compactors)
+        return max(2, int(np.ceil(self.k * (_C ** (h - 1 - level)))))
+
+    def _max_size(self) -> int:
+        return sum(self._capacity(lv) for lv in range(len(self.compactors)))
+
+    def _total_len(self) -> int:
+        return sum(len(c) for c in self.compactors)
+
+    def rank_error(self) -> float:
+        """Published normalized rank error bound, ~= 2.296/k^0.9 single
+        sided (DataSketches empirical constant for the KLL family)."""
+        return 2.296 / (self.k**0.9)
+
+    # -- update --------------------------------------------------------------
+
+    def update_batch(self, values: np.ndarray) -> "KLLSketch":
+        v = np.asarray(values, dtype=np.float64)
+        v = v[~np.isnan(v)]
+        if v.size == 0:
+            return self
+        self.compactors[0] = np.concatenate([self.compactors[0], v])
+        self.n_items += int(v.size)
+        self._compress()
+        return self
+
+    def _compress(self) -> None:
+        while self._total_len() > self._max_size():
+            for lv in range(len(self.compactors)):
+                if len(self.compactors[lv]) >= self._capacity(lv):
+                    self._compact_level(lv)
+                    break
+            else:
+                break
+
+    def _compact_level(self, lv: int) -> None:
+        if lv + 1 == len(self.compactors):
+            self.compactors.append(np.empty(0, dtype=np.float64))
+            self.parities.append(0)
+        buf = np.sort(self.compactors[lv])
+        # keep an odd leftover item at this level so pairing is exact
+        leftover = buf[-1:] if len(buf) % 2 == 1 else buf[:0]
+        paired = buf[: len(buf) - len(leftover)]
+        start = self.parities[lv] & 1
+        self.parities[lv] ^= 1  # deterministic alternating parity
+        promoted = paired[start::2]
+        self.compactors[lv] = leftover.copy()
+        self.compactors[lv + 1] = np.concatenate([self.compactors[lv + 1], promoted])
+
+    # -- merge ------------------------------------------------------------------
+
+    def merge_in_place(self, other: "KLLSketch") -> "KLLSketch":
+        if self.k != other.k:
+            raise ValueError("k mismatch")
+        while len(self.compactors) < len(other.compactors):
+            self.compactors.append(np.empty(0, dtype=np.float64))
+            self.parities.append(0)
+        for lv, buf in enumerate(other.compactors):
+            if len(buf):
+                self.compactors[lv] = np.concatenate([self.compactors[lv], buf])
+        self.n_items += other.n_items
+        self._compress()
+        return self
+
+    def merge(self, other: "KLLSketch") -> "KLLSketch":
+        out = KLLSketch(self.k)
+        out.compactors = [c.copy() for c in self.compactors]
+        out.parities = list(self.parities)
+        out.n_items = self.n_items
+        return out.merge_in_place(other)
+
+    # -- query --------------------------------------------------------------------
+
+    def _weighted_items(self) -> tuple[np.ndarray, np.ndarray]:
+        vals = []
+        wts = []
+        for lv, buf in enumerate(self.compactors):
+            if len(buf):
+                vals.append(buf)
+                wts.append(np.full(len(buf), 1 << lv, dtype=np.int64))
+        if not vals:
+            return np.empty(0), np.empty(0, dtype=np.int64)
+        v = np.concatenate(vals)
+        w = np.concatenate(wts)
+        order = np.argsort(v, kind="stable")
+        return v[order], w[order]
+
+    def quantile(self, q: float | np.ndarray) -> np.ndarray | float:
+        """Value(s) at normalized rank(s) q in [0,1]."""
+        v, w = self._weighted_items()
+        if v.size == 0:
+            return np.nan if np.isscalar(q) else np.full(np.shape(q), np.nan)
+        cw = np.cumsum(w)
+        total = cw[-1]
+        qs = np.atleast_1d(np.asarray(q, dtype=np.float64))
+        targets = np.clip(qs, 0.0, 1.0) * total
+        pos = np.searchsorted(cw, targets, side="left")
+        pos = np.minimum(pos, len(v) - 1)
+        out = v[pos]
+        return float(out[0]) if np.isscalar(q) else out
+
+    def rank(self, value: float) -> float:
+        """Normalized rank of `value` (fraction of mass <= value)."""
+        v, w = self._weighted_items()
+        if v.size == 0:
+            return float("nan")
+        mask = v <= value
+        return float(w[mask].sum() / w.sum())
+
+    # -- wire -----------------------------------------------------------------------
+
+    def to_bytes(self) -> bytes:
+        parts = [_HEADER.pack(_MAGIC, 1, self.k, len(self.compactors), self.n_items)]
+        for lv, buf in enumerate(self.compactors):
+            parts.append(struct.pack("<IB", len(buf), self.parities[lv] & 1))
+            parts.append(np.ascontiguousarray(buf, dtype=np.float64).tobytes())
+        return b"".join(parts)
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "KLLSketch":
+        magic, version, k, n_levels, n_items = _HEADER.unpack_from(data, 0)
+        if magic != _MAGIC or version != 1:
+            raise ValueError("not a serialized KLLSketch")
+        out = cls(k)
+        out.compactors = []
+        out.parities = []
+        off = _HEADER.size
+        for _ in range(n_levels):
+            n, parity = struct.unpack_from("<IB", data, off)
+            off += 5
+            buf = np.frombuffer(data, dtype=np.float64, count=n, offset=off).copy()
+            off += 8 * n
+            out.compactors.append(buf)
+            out.parities.append(parity)
+        if not out.compactors:
+            out.compactors = [np.empty(0, dtype=np.float64)]
+            out.parities = [0]
+        out.n_items = n_items
+        return out

@@ -1,0 +1,140 @@
+"""Merge-algebra property tests (seeded, randomized).
+
+Generalizes the reference's merge matrices (mod.rs:621-761) per the
+north rule: bitwise-identical serialized sketches regardless of merge
+order, grouping, or partitioning; commutativity; empty identity;
+idempotence (Bloom/HLL).
+"""
+
+import numpy as np
+import pytest
+
+from rusty_bloomfilter_spark.sketch import (
+    BloomFilter,
+    CountMinSketch,
+    HyperLogLog,
+    KLLSketch,
+    Shape,
+)
+
+RNG = np.random.default_rng(42)
+
+
+def random_item_sets(n_sets, size):
+    return [RNG.integers(0, 10**9, size=size, dtype=np.int64) for _ in range(n_sets)]
+
+
+def build_bloom(items, shape):
+    return BloomFilter.empty(shape).add_tokens(items)
+
+
+@pytest.mark.parametrize("m,k", [(64, 1), (4096, 3), (134191, 23), (1 << 20, 7)])
+def test_bloom_associativity_commutativity(m, k):
+    shape = Shape(m=m, k=k)
+    sets = random_item_sets(4, 500)
+    fs = [build_bloom(s, shape) for s in sets]
+    left = fs[0].merge(fs[1]).merge(fs[2]).merge(fs[3])
+    right = fs[0].merge(fs[1].merge(fs[2].merge(fs[3])))
+    shuffled = fs[3].merge(fs[1]).merge(fs[0]).merge(fs[2])
+    assert left.to_bytes() == right.to_bytes() == shuffled.to_bytes()
+
+
+def test_bloom_identity_and_idempotence():
+    shape = Shape(m=4096, k=3)
+    f = build_bloom(random_item_sets(1, 300)[0], shape)
+    e = BloomFilter.empty(shape)
+    assert f.merge(e).words.tobytes() == f.words.tobytes()
+    assert e.merge(f).words.tobytes() == f.words.tobytes()
+    assert f.merge(f).words.tobytes() == f.words.tobytes()  # A|A == A
+
+
+@pytest.mark.parametrize("n_parts", [2, 4, 16])
+def test_bloom_partition_invariance(n_parts):
+    """Random partitioning of one item set -> per-part build -> merge in
+    shuffled order == single-stream build, bitwise (north-star req)."""
+    shape = Shape.for_np(n=3000, p=1e-3)
+    items = RNG.integers(0, 10**9, size=3000, dtype=np.int64)
+    whole = build_bloom(items, shape)
+    assignment = RNG.integers(0, n_parts, size=len(items))
+    parts = [build_bloom(items[assignment == p], shape) for p in range(n_parts)]
+    order = RNG.permutation(n_parts)
+    acc = BloomFilter.empty(shape)
+    for p in order:
+        acc.merge_in_place(parts[p])
+    assert acc.words.tobytes() == whole.words.tobytes()
+    assert acc.to_bytes() == whole.to_bytes()  # n_items additive = total either way
+
+
+def test_hll_merge_algebra():
+    sets = random_item_sets(3, 2000)
+    hs = [HyperLogLog(p=12).add_tokens(s) for s in sets]
+    a = hs[0].merge(hs[1]).merge(hs[2])
+    b = hs[2].merge(hs[0].merge(hs[1]))
+    assert np.array_equal(a.registers, b.registers)
+    # idempotence + identity
+    assert np.array_equal(hs[0].merge(hs[0]).registers, hs[0].registers)
+    assert np.array_equal(hs[0].merge(HyperLogLog(p=12)).registers, hs[0].registers)
+    # partition invariance
+    items = np.concatenate(sets)
+    whole = HyperLogLog(p=12).add_tokens(items)
+    assert np.array_equal(a.registers, whole.registers)
+
+
+def test_hll_accuracy_bound():
+    h = HyperLogLog(p=14)
+    items = RNG.integers(0, 10**12, size=100_000, dtype=np.int64)
+    h.add_tokens(items)
+    true = len(np.unique(items))
+    rel = abs(h.estimate() - true) / true
+    assert rel < 3 * h.relative_error()  # 3-sigma of published bound
+
+
+def test_cms_merge_and_bounds():
+    cms_parts = []
+    all_items = []
+    for _ in range(4):
+        items = RNG.zipf(1.5, size=5000)
+        items = items[items < 10**6].astype(np.int64)
+        all_items.append(items)
+        cms_parts.append(CountMinSketch(d=5, w=4096).add_tokens(items))
+    merged = cms_parts[0].merge(cms_parts[1]).merge(cms_parts[2]).merge(cms_parts[3])
+    other = cms_parts[3].merge(cms_parts[2].merge(cms_parts[1].merge(cms_parts[0])))
+    assert np.array_equal(merged.table, other.table)
+    items = np.concatenate(all_items)
+    whole = CountMinSketch(d=5, w=4096).add_tokens(items)
+    assert np.array_equal(merged.table, whole.table)
+    # never underestimates; overestimate bounded by eps*N whp
+    vals, true_counts = np.unique(items, return_counts=True)
+    est = whole.query_tokens(vals)
+    assert bool((est >= true_counts).all())
+    eps, _ = whole.error_bound()
+    overs = est - true_counts
+    assert float(np.quantile(overs, 0.99)) <= eps * len(items) * 2
+
+
+def test_kll_merge_and_rank_error():
+    parts = [RNG.normal(0, 1, size=20000) for _ in range(4)]
+    ks = [KLLSketch(k=200).update_batch(p) for p in parts]
+    merged = ks[0].merge(ks[1]).merge(ks[2]).merge(ks[3])
+    allv = np.sort(np.concatenate(parts))
+    n = len(allv)
+    for q in (0.01, 0.25, 0.5, 0.75, 0.99):
+        est = merged.quantile(q)
+        true_rank = np.searchsorted(allv, est) / n
+        assert abs(true_rank - q) <= 3 * merged.rank_error()
+    assert merged.n_items == n
+
+
+def test_kll_serialization_roundtrip():
+    k = KLLSketch(k=128).update_batch(RNG.normal(0, 1, size=5000))
+    rt = KLLSketch.from_bytes(k.to_bytes())
+    assert rt.n_items == k.n_items
+    for q in (0.1, 0.5, 0.9):
+        assert rt.quantile(q) == k.quantile(q)
+
+
+def test_sketch_bytes_roundtrip_all():
+    hll = HyperLogLog(p=10).add_tokens(RNG.integers(0, 10**6, 1000, dtype=np.int64))
+    assert HyperLogLog.from_bytes(hll.to_bytes()) == hll
+    cms = CountMinSketch(d=4, w=512).add_tokens(RNG.integers(0, 10**6, 1000, dtype=np.int64))
+    assert CountMinSketch.from_bytes(cms.to_bytes()) == cms
