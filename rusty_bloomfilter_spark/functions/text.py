@@ -1,0 +1,137 @@
+"""Text analysis as Catalyst column expressions (JVM-side, codegen'd).
+
+Every function here has a 1:1 DuckDB SQL rendering so driver-contract
+oracles can pin exact equality; nothing in this module touches Python
+row-at-a-time execution.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+DEFAULT_VOCAB = 50257  # GPT-2-style vocab size for token-id domain
+
+# ---------------------------------------------------------------------------
+# Tokenization
+# ---------------------------------------------------------------------------
+
+
+def _words(text: Column) -> Column:
+    """Whitespace word split with empties dropped (identical semantics
+    to DuckDB's regexp_split_to_array + list_filter)."""
+    return F.filter(F.split(text, r"\s+"), lambda w: w != F.lit(""))
+
+
+def tokenize_md5(text: Column, vocab: int = DEFAULT_VOCAB) -> Column:
+    """text -> array<int> token ids, cross-engine reproducible.
+
+    token_id = int(first 8 hex chars of md5(word), 16) % vocab.
+    DuckDB renders the same ids (see DUCKDB_TOKENIZE); verified
+    byte-equal across engines in tests/test_contract_harness.
+    """
+    return F.transform(
+        _words(text),
+        lambda w: (F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long") % vocab).cast("int"),
+    )
+
+
+def tokenize_xxhash(text: Column, vocab: int = DEFAULT_VOCAB) -> Column:
+    """Production-scale tokenizer: xxhash64 (JVM intrinsic, far cheaper
+    than md5). Not DuckDB-reproducible — use for throughput paths."""
+    return F.transform(
+        _words(text),
+        lambda w: F.pmod(F.xxhash64(w), F.lit(vocab)).cast("int"),
+    )
+
+
+def DUCKDB_TOKENIZE(text_expr: str, vocab: int = DEFAULT_VOCAB) -> str:
+    """DuckDB SQL rendering of tokenize_md5 for oracle queries."""
+    return (
+        f"list_transform(list_filter(regexp_split_to_array({text_expr}, '\\s+'), "
+        f"w -> w <> ''), w -> CAST(('0x' || substr(md5(w), 1, 8))::BIGINT % {vocab} AS INT))"
+    )
+
+
+def token_count_expr(text: Column) -> Column:
+    """Whitespace token count (DuckDB: len(list_filter(...)))."""
+    return F.size(_words(text))
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring (length / punctuation / stopword / alpha ratios)
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
+
+
+def quality_exprs(text: Column) -> dict[str, Column]:
+    """Per-document quality features; all SQL-expressible in DuckDB with
+    identical results (see the q_quality oracle in __spark_entry__)."""
+    words = _words(text)
+    n_tok = F.size(words)
+    n_chars = F.length(text)
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, F.lower(w))))
+    n_alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
+    n_punct = F.length(F.regexp_replace(text, r"[^.,;:!?]", ""))
+    avg_word_len = F.when(n_tok > 0, (n_alpha.cast("double") / n_tok)).otherwise(F.lit(0.0))
+    return {
+        "n_chars": n_chars.cast("long"),
+        "n_tok": n_tok.cast("int"),
+        "stopword_ratio": F.round(
+            F.when(n_tok > 0, n_stop.cast("double") / n_tok).otherwise(0.0), 6
+        ),
+        "alpha_ratio": F.round(
+            F.when(n_chars > 0, n_alpha.cast("double") / n_chars).otherwise(0.0), 6
+        ),
+        "punct_ratio": F.round(
+            F.when(n_chars > 0, n_punct.cast("double") / n_chars).otherwise(0.0), 6
+        ),
+        "avg_word_len": F.round(avg_word_len, 6),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Language ID (marker-word profile heuristic)
+# ---------------------------------------------------------------------------
+
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is", "in", "that", "it"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "fr": ("le", "la", "les", "et", "est", "une", "que", "des"),
+    "es": ("el", "la", "los", "que", "es", "una", "para", "con"),
+    "zh": ("的", "是", "了", "在", "我", "有", "他", "这"),
+}
+
+
+def lang_id_expr(text: Column) -> Column:
+    """Predicted language = argmax over marker-word hit counts; ties and
+    zero-hit rows -> 'und'. Deterministic, SQL-expressible."""
+    words = _words(F.lower(text))
+    scores = []
+    for lang, markers in LANG_MARKERS.items():
+        arr = F.array(*[F.lit(m) for m in markers])
+        scores.append((lang, F.size(F.filter(words, lambda w: F.array_contains(arr, w)))))
+    best = F.greatest(*[s for _, s in scores])
+    expr = F.lit("und")
+    # reversed so earlier langs win ties (stable priority order en>de>...)
+    for lang, s in reversed(scores):
+        expr = F.when((s == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def duckdb_lang_id(text_expr: str) -> str:
+    """DuckDB rendering of lang_id_expr (same priority order)."""
+    counts = {}
+    for lang, markers in LANG_MARKERS.items():
+        lst = ", ".join(f"'{m}'" for m in markers)
+        counts[lang] = (
+            f"len(list_filter(list_filter(regexp_split_to_array(lower({text_expr}), '\\s+'), "
+            f"w -> w <> ''), w -> list_contains([{lst}], w)))"
+        )
+    best = "greatest(" + ", ".join(counts.values()) + ")"
+    expr = "'und'"
+    for lang, c in reversed(list(counts.items())):
+        expr = f"CASE WHEN ({c}) = ({best}) AND ({best}) > 0 THEN '{lang}' ELSE {expr} END"
+    return expr

@@ -1,0 +1,301 @@
+"""Sketch builders over DataFrames: Bloom, HLL, CMS, KLL.
+
+Each builder wires a numpy sketch core (..sketch) into the tree-merge
+topology of .aggregate. Updates consume whole Arrow batches — ragged
+``tokens`` arrays are flattened with offsets in C (np.concatenate), so
+there is no per-row Python in the hot path (BASELINE.json input_hint).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sketch import (
+    BloomFilter,
+    CountMinSketch,
+    HyperLogLog,
+    KLLSketch,
+    Shape,
+    merge_payloads,
+    ngram_hashes,
+    tokens_to_u64,
+)
+from ..sketch.hashing import splitmix64
+from .aggregate import build_by_key, build_sketch, collect_sketch_bytes
+
+# ---------------------------------------------------------------------------
+# Batch flattening helpers (ragged array<int> columns -> flat numpy)
+# ---------------------------------------------------------------------------
+
+
+def flatten_tokens(series: pd.Series) -> np.ndarray:
+    """Ragged token column -> flat int64 array (C-speed concatenate)."""
+    vals = [np.asarray(v) for v in series.to_numpy() if v is not None and len(v)]
+    if not vals:
+        return np.empty(0, dtype=np.int64)
+    return np.concatenate(vals).astype(np.int64, copy=False)
+
+
+def flat_ngram_hashes(series: pd.Series, n: int) -> np.ndarray:
+    """All within-row n-gram hashes of a ragged token column, vectorized:
+    hash the concatenated stream once, then mask out windows that cross
+    row boundaries."""
+    vals = [np.asarray(v) for v in series.to_numpy() if v is not None and len(v)]
+    if not vals:
+        return np.empty(0, dtype=np.uint64)
+    if n == 1:
+        return splitmix64(tokens_to_u64(np.concatenate(vals)))
+    flat = np.concatenate(vals)
+    lengths = np.fromiter((len(v) for v in vals), dtype=np.int64, count=len(vals))
+    h = ngram_hashes(flat, n)  # windows over the whole stream
+    if h.size == 0:
+        return h
+    row_of = np.repeat(np.arange(len(vals)), lengths)
+    starts = np.arange(len(h))
+    keep = row_of[starts] == row_of[starts + n - 1]
+    return h[keep]
+
+
+# ---------------------------------------------------------------------------
+# Bloom
+# ---------------------------------------------------------------------------
+
+
+class BloomSketch:
+    """Distributed Bloom filter over a token-array (or scalar) column.
+
+    ``ngram`` > 1 inserts within-row token n-grams instead of single
+    tokens (the north star's "token n-grams and doc_ids").
+    """
+
+    def __init__(self, shape: Shape, *, col: str = "tokens", ngram: int = 1):
+        self.shape = shape
+        self.col = col
+        self.ngram = ngram
+
+    @classmethod
+    def for_np(cls, n: int, p: float, **kw) -> "BloomSketch":
+        return cls(Shape.for_np(n, p), **kw)
+
+    # update fn shared by all build paths
+    def _update(self, acc: BloomFilter, pdf: pd.DataFrame) -> None:
+        if self.ngram == 1:
+            toks = flatten_tokens(pdf[self.col])
+            if toks.size:
+                acc.add_tokens(toks)
+        else:
+            h = flat_ngram_hashes(pdf[self.col], self.ngram)
+            if h.size:
+                h1, h2 = splitmix64(h), splitmix64(h ^ np.uint64(0xD6E8FEB86659FD93))
+                acc.add_hashes(h1, h2)
+
+    def _empty(self) -> BloomFilter:
+        return BloomFilter.empty(self.shape)
+
+    def build(self, df: DataFrame, *, fanout: int = 16) -> DataFrame:
+        """-> single-row DataFrame (payload binary, n_items bigint)."""
+        return build_sketch(
+            df, self._empty, self._update, merge_payloads, columns=[self.col], fanout=fanout
+        )
+
+    def build_bytes(self, df: DataFrame, *, fanout: int = 16) -> tuple[bytes, int]:
+        return collect_sketch_bytes(self.build(df, fanout=fanout))
+
+    def build_by_key(self, df: DataFrame, key_col: str, *, salt: int = 0) -> DataFrame:
+        """-> DataFrame (key, payload, n_items), one Bloom per key."""
+        return build_by_key(
+            df,
+            key_col,
+            self._empty,
+            self._update,
+            merge_payloads,
+            columns=[key_col, self.col],
+            salt=salt,
+        )
+
+    # -- probing -----------------------------------------------------------
+
+    def might_contain_udf(self, payload: bytes, spark: SparkSession | None = None):
+        """Vectorized membership probe for a scalar int token column.
+        Deserializes the broadcast filter once per python worker."""
+        spark = spark or SparkSession.getActiveSession()
+        bc = spark.sparkContext.broadcast(payload)
+        cache: dict[str, BloomFilter] = {}
+
+        @F.pandas_udf("boolean")
+        def probe(s: pd.Series) -> pd.Series:
+            bf = cache.get("bf")
+            if bf is None:
+                bf = cache["bf"] = BloomFilter.from_bytes(bc.value)
+            return pd.Series(bf.contains_tokens(s.to_numpy()))
+
+        return probe
+
+    def contained_fraction_udf(self, payload: bytes, spark: SparkSession | None = None):
+        """For an array<int> column: fraction of the row's tokens present
+        in the filter (1.0 => every token seen; semi-join strength)."""
+        spark = spark or SparkSession.getActiveSession()
+        bc = spark.sparkContext.broadcast(payload)
+        cache: dict[str, BloomFilter] = {}
+
+        @F.pandas_udf("double")
+        def probe(col: pd.Series) -> pd.Series:
+            bf = cache.get("bf")
+            if bf is None:
+                bf = cache["bf"] = BloomFilter.from_bytes(bc.value)
+            arrs = col.to_numpy()
+            lengths = np.fromiter(
+                (0 if a is None else len(a) for a in arrs), dtype=np.int64, count=len(arrs)
+            )
+            flat = flatten_tokens(col)
+            if flat.size == 0:
+                return pd.Series(np.zeros(len(arrs)))
+            hits = bf.contains_tokens(flat).astype(np.float64)
+            starts = np.concatenate(([0], np.cumsum(lengths)[:-1]))
+            # zero-length rows alias the next row's start (or run past the
+            # end); clamp, then zero them out below
+            sums = np.add.reduceat(hits, np.minimum(starts, len(flat) - 1))
+            sums[lengths == 0] = 0.0
+            out = np.divide(sums, lengths, out=np.zeros(len(arrs)), where=lengths > 0)
+            return pd.Series(out)
+
+        return probe
+
+    def semi_join_filter(self, probe_df: DataFrame, payload: bytes, col: str) -> DataFrame:
+        """Bloom-filtered semi join: keep rows whose `col` might be in the
+        build side — zero false negatives, FPR <= shape bound."""
+        return probe_df.filter(self.might_contain_udf(payload)(F.col(col)))
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+# ---------------------------------------------------------------------------
+
+
+class HllSketch:
+    """Distributed distinct-count over tokens (array col) or a scalar col."""
+
+    def __init__(self, p: int = 14, *, col: str = "tokens", scalar: bool = False):
+        self.p = p
+        self.col = col
+        self.scalar = scalar
+
+    def _empty(self) -> HyperLogLog:
+        return HyperLogLog(self.p)
+
+    def _update(self, acc: HyperLogLog, pdf: pd.DataFrame) -> None:
+        if self.scalar:
+            vals = pdf[self.col].to_numpy(dtype=np.int64, na_value=0)
+            acc.add_tokens(vals)
+        else:
+            toks = flatten_tokens(pdf[self.col])
+            if toks.size:
+                acc.add_tokens(toks)
+
+    @staticmethod
+    def _merge(payloads: list[bytes]) -> bytes:
+        acc = HyperLogLog.from_bytes(payloads[0])
+        for p in payloads[1:]:
+            acc.merge_in_place(HyperLogLog.from_bytes(p))
+        return acc.to_bytes()
+
+    def build(self, df: DataFrame, *, fanout: int = 16) -> DataFrame:
+        return build_sketch(
+            df, self._empty, self._update, self._merge, columns=[self.col], fanout=fanout
+        )
+
+    def estimate(self, df: DataFrame, *, fanout: int = 16) -> float:
+        payload, _ = collect_sketch_bytes(self.build(df, fanout=fanout))
+        return HyperLogLog.from_bytes(payload).estimate()
+
+    def build_by_key(self, df: DataFrame, key_col: str, *, salt: int = 0) -> DataFrame:
+        return build_by_key(
+            df,
+            key_col,
+            self._empty,
+            self._update,
+            self._merge,
+            columns=[key_col, self.col],
+            salt=salt,
+        )
+
+
+# ---------------------------------------------------------------------------
+# Count-min
+# ---------------------------------------------------------------------------
+
+
+class CmsSketch:
+    """Distributed token-frequency sketch (count-min)."""
+
+    def __init__(self, d: int = 5, w: int = 65536, *, col: str = "tokens"):
+        self.d = d
+        self.w = w
+        self.col = col
+
+    def _empty(self) -> CountMinSketch:
+        return CountMinSketch(self.d, self.w)
+
+    def _update(self, acc: CountMinSketch, pdf: pd.DataFrame) -> None:
+        toks = flatten_tokens(pdf[self.col])
+        if toks.size:
+            acc.add_tokens(toks)
+
+    @staticmethod
+    def _merge(payloads: list[bytes]) -> bytes:
+        acc = CountMinSketch.from_bytes(payloads[0])
+        for p in payloads[1:]:
+            acc.merge_in_place(CountMinSketch.from_bytes(p))
+        return acc.to_bytes()
+
+    def build(self, df: DataFrame, *, fanout: int = 16) -> DataFrame:
+        return build_sketch(
+            df, self._empty, self._update, self._merge, columns=[self.col], fanout=fanout
+        )
+
+    def build_bytes(self, df: DataFrame, *, fanout: int = 16) -> tuple[bytes, int]:
+        return collect_sketch_bytes(self.build(df, fanout=fanout))
+
+    def estimate_counts(self, payload: bytes, tokens: np.ndarray) -> np.ndarray:
+        return CountMinSketch.from_bytes(payload).query_tokens(tokens)
+
+
+# ---------------------------------------------------------------------------
+# KLL quantiles
+# ---------------------------------------------------------------------------
+
+
+class KllQuantiles:
+    """Distributed quantile sketch over a numeric scalar column."""
+
+    def __init__(self, k: int = 200, *, col: str = "n_tok"):
+        self.k = k
+        self.col = col
+
+    def _empty(self) -> KLLSketch:
+        return KLLSketch(self.k)
+
+    def _update(self, acc: KLLSketch, pdf: pd.DataFrame) -> None:
+        acc.update_batch(pdf[self.col].to_numpy(dtype=np.float64, na_value=np.nan))
+
+    @staticmethod
+    def _merge(payloads: list[bytes]) -> bytes:
+        acc = KLLSketch.from_bytes(payloads[0])
+        for p in payloads[1:]:
+            acc.merge_in_place(KLLSketch.from_bytes(p))
+        return acc.to_bytes()
+
+    def build(self, df: DataFrame, *, fanout: int = 16) -> DataFrame:
+        return build_sketch(
+            df, self._empty, self._update, self._merge, columns=[self.col], fanout=fanout
+        )
+
+    def quantiles(self, df: DataFrame, qs: list[float], *, fanout: int = 16) -> list[float]:
+        payload, _ = collect_sketch_bytes(self.build(df, fanout=fanout))
+        sk = KLLSketch.from_bytes(payload)
+        return [float(sk.quantile(q)) for q in qs]

@@ -1,0 +1,95 @@
+"""Flagship plan: per-source token profile of a sequences table.
+
+For every `source` partition of the corpus, build a Bloom filter and an
+HLL over its tokens (map-side combine, sketch-row-only shuffle) and
+report exact counts next to sketch estimates + fill/size metrics —
+the "sketch-size/fill-ratio metrics" the north star asks jobs to emit.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.sketches import BloomSketch, HllSketch
+from ..sketch import BloomFilter, HyperLogLog, Shape
+
+_STATS_SCHEMA = (
+    "source string, bloom_n_items bigint, bloom_bits bigint, "
+    "bloom_estimate_n double, bloom_fill_ratio double, bloom_bytes bigint"
+)
+
+
+def bloom_stats_df(keyed: DataFrame) -> DataFrame:
+    """(key, payload, n_items) Bloom rows -> per-key metrics."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "source": [],
+                "bloom_n_items": [],
+                "bloom_bits": [],
+                "bloom_estimate_n": [],
+                "bloom_fill_ratio": [],
+                "bloom_bytes": [],
+            }
+            for key, payload, n_items in zip(pdf["key"], pdf["payload"], pdf["n_items"]):
+                bf = BloomFilter.from_bytes(bytes(payload))
+                card = bf.cardinality()
+                out["source"].append(key)
+                out["bloom_n_items"].append(int(n_items))
+                out["bloom_bits"].append(card)
+                out["bloom_estimate_n"].append(bf.shape.estimate_n(card))
+                out["bloom_fill_ratio"].append(card / bf.shape.m)
+                out["bloom_bytes"].append(len(bytes(payload)))
+            yield pd.DataFrame(out)
+
+    return keyed.mapInPandas(stats, schema=_STATS_SCHEMA)
+
+
+def _hll_stats_df(keyed: DataFrame) -> DataFrame:
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "source": list(pdf["key"]),
+                    "distinct_tokens_est": [
+                        HyperLogLog.from_bytes(bytes(p)).estimate() for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    return keyed.mapInPandas(stats, schema="source string, distinct_tokens_est double")
+
+
+def token_profile(
+    spark: SparkSession,
+    sequences: DataFrame,
+    *,
+    shape: Shape | None = None,
+    hll_p: int = 14,
+    salt: int = 0,
+) -> DataFrame:
+    """-> one row per source: exact counts + Bloom/HLL sketch metrics.
+
+    Three concurrent aggregations over one scan-shaped input: an exact
+    groupBy (Catalyst, map-side partial agg), a keyed Bloom build, and a
+    keyed HLL build — each shuffling only per-(partition, key) sketch
+    rows, never token data.
+    """
+    shape = shape or Shape.for_np(n=1_000_000, p=1e-4)
+    exact = sequences.groupBy("source").agg(
+        F.count("*").alias("n_seqs"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens"),
+    )
+    bloom = bloom_stats_df(BloomSketch(shape).build_by_key(sequences, "source", salt=salt))
+    hll = _hll_stats_df(HllSketch(hll_p).build_by_key(sequences, "source", salt=salt))
+    out = (
+        exact.join(bloom, "source", "left")
+        .join(hll, "source", "left")
+        .orderBy("source")
+    )
+    return out

@@ -1,0 +1,135 @@
+"""Sources: parquet table loaders, the `sequences` view, and a
+deterministic synthetic sequences generator.
+
+The engine's primary input shape (BASELINE.json input_hint) is
+``sequences(doc_id: string, tokens: array<int>, n_tok: int,
+source: string)``. Two ways to obtain it:
+
+- :func:`sequences_from_documents` derives it from the driver's
+  `documents` table entirely JVM-side (cross-engine tokenizer, so
+  DuckDB oracles can reproduce every token id).
+- :func:`synthetic_sequences` generates it at arbitrary scale,
+  distributed over ``spark.range`` with a pure function of the row id
+  (partition-layout independent, no wall clock, no unseeded RNG) —
+  used by bench and the skew/scale tests.
+
+Iceberg note: at production scale the same `sequences` schema is read
+via an Iceberg catalog (`spark.read.table("catalog.db.sequences")`);
+the Iceberg runtime jar is not in this image, so :func:`load_sequences`
+falls back from table-catalog reads to parquet paths.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import tokenize_md5
+from ..sketch.hashing import splitmix64
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+SOURCES = ("cc", "github", "wiki", "books", "arxiv")
+# Zipf-ish skew: cc is the hot key (~62 %) that exercises salting.
+_SOURCE_CUM = np.array([62, 80, 90, 96, 100], dtype=np.uint64)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver test table (parquet; Catalyst handles pruning)."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def sequences_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> sequences(doc_id, tokens, n_tok, source), all
+    JVM-side (tokenize_md5 is Catalyst-codegen'd, DuckDB-reproducible)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = tokenize_md5(F.col("text"))
+    return docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        tokens.alias("tokens"),
+        F.size(tokens).alias("n_tok"),
+        F.col("source").alias("source"),
+    )
+
+
+def load_sequences(spark: SparkSession, path_or_table: str) -> DataFrame:
+    """Load a pre-tokenized sequences table: Iceberg/catalog table name
+    if resolvable, else a parquet path."""
+    try:
+        return spark.read.table(path_or_table)
+    except Exception:
+        return spark.read.parquet(path_or_table)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic synthetic sequences (FIXTURES.md §1, vectorized law)
+# ---------------------------------------------------------------------------
+
+_SEQ_SCHEMA = "doc_id string, tokens array<int>, n_tok int, source string"
+
+
+def _gen_batch(ids: np.ndarray, vocab: int, min_len: int, max_len: int) -> pd.DataFrame:
+    """Rows for doc ids — pure vectorized function of the id (seed folded
+    into the hash), so output is independent of partitioning."""
+    ids_u = ids.astype(np.uint64)
+    span = np.uint64(max_len - min_len)
+    lengths = (splitmix64(ids_u * np.uint64(2) + np.uint64(1)) % span + np.uint64(min_len)).astype(
+        np.int64
+    )
+    src_pick = splitmix64(ids_u * np.uint64(2) + np.uint64(7)) % np.uint64(100)
+    src_idx = np.searchsorted(_SOURCE_CUM, src_pick, side="right")
+    total = int(lengths.sum())
+    # flat token ids: splitmix64(doc_id << 20 | position) % vocab
+    row_rep = np.repeat(ids_u, lengths)
+    pos = np.arange(total, dtype=np.uint64)
+    starts = np.repeat(np.cumsum(lengths) - lengths, lengths).astype(np.uint64)
+    offset = pos - starts
+    with np.errstate(over="ignore"):
+        flat = (splitmix64((row_rep << np.uint64(20)) | offset) % np.uint64(vocab)).astype(
+            np.int32
+        )
+    bounds = np.cumsum(lengths)[:-1]
+    tokens = np.split(flat, bounds)
+    return pd.DataFrame(
+        {
+            "doc_id": np.char.add("doc-", np.char.zfill(ids.astype("U12"), 12)),
+            "tokens": tokens,
+            "n_tok": lengths.astype(np.int32),
+            "source": np.array(SOURCES)[src_idx],
+        }
+    )
+
+
+def synthetic_sequences(
+    spark: SparkSession,
+    n_rows: int,
+    *,
+    vocab: int = 50257,
+    min_len: int = 8,
+    max_len: int = 512,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Distributed deterministic sequences table: same rows regardless
+    of partition count (every column is a pure function of the row id)."""
+    base = spark.range(0, n_rows, numPartitions=num_partitions)
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            if len(ids):
+                yield _gen_batch(ids, vocab, min_len, max_len)
+
+    return base.mapInPandas(gen, schema=_SEQ_SCHEMA)

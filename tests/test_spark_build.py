@@ -1,0 +1,142 @@
+"""Spark integration: distributed builds equal the single-threaded
+numpy oracle bitwise; partition-count invariance; skew-salted keyed
+builds; probe UDFs. (SURVEY.md §5 Spark-integration plan.)"""
+
+import numpy as np
+import pytest
+
+from rusty_bloomfilter_spark.operators import (
+    BloomSketch,
+    CmsSketch,
+    HllSketch,
+    KllQuantiles,
+    collect_sketch_bytes,
+)
+from rusty_bloomfilter_spark.sketch import (
+    BloomFilter,
+    CountMinSketch,
+    HyperLogLog,
+    Shape,
+)
+
+SHAPE = Shape.for_np(n=300_000, p=1e-4)
+
+
+@pytest.fixture(scope="module")
+def seq_df(spark, sequences_pdf):
+    return spark.createDataFrame(sequences_pdf)
+
+
+def oracle_bloom(sequences_pdf, shape, ngram=1):
+    f = BloomFilter.empty(shape)
+    if ngram == 1:
+        f.add_tokens(np.concatenate(list(sequences_pdf["tokens"])))
+    else:
+        for t in sequences_pdf["tokens"]:
+            f.add_ngrams(t, ngram)
+    return f
+
+
+def test_bloom_build_equals_oracle_bitwise(spark, seq_df, sequences_pdf):
+    sk = BloomSketch(SHAPE)
+    payload, n_items = sk.build_bytes(seq_df)
+    oracle = oracle_bloom(sequences_pdf, SHAPE)
+    got = BloomFilter.from_bytes(payload)
+    assert got.words.tobytes() == oracle.words.tobytes()
+    assert n_items == oracle.n_items == int(sequences_pdf["n_tok"].sum())
+
+
+@pytest.mark.parametrize("parts", [2, 16])
+def test_bloom_partition_invariance(spark, seq_df, sequences_pdf, parts):
+    """repartition(2) vs repartition(16) -> byte-identical final sketch
+    (north-star merge-order invariance, end to end through Spark)."""
+    sk = BloomSketch(SHAPE)
+    payload, _ = sk.build_bytes(seq_df.repartition(parts))
+    oracle = oracle_bloom(sequences_pdf, SHAPE)
+    assert payload == oracle.to_bytes()
+
+
+def test_bloom_ngram_build_equals_oracle(spark, seq_df, sequences_pdf):
+    sk = BloomSketch(SHAPE, ngram=3)
+    payload, _ = sk.build_bytes(seq_df.repartition(5))
+    oracle = oracle_bloom(sequences_pdf, SHAPE, ngram=3)
+    assert BloomFilter.from_bytes(payload).words.tobytes() == oracle.words.tobytes()
+
+
+def test_bloom_zero_false_negatives_and_fpr(spark, seq_df, sequences_pdf):
+    sk = BloomSketch(SHAPE)
+    payload, _ = sk.build_bytes(seq_df)
+    bf = BloomFilter.from_bytes(payload)
+    all_tokens = np.concatenate(list(sequences_pdf["tokens"]))
+    assert bool(bf.contains_tokens(all_tokens).all())
+    # disjoint probe domain measures FPR
+    absent = np.arange(10**6, 10**6 + 100_000, dtype=np.int64)
+    fpr = float(bf.contains_tokens(absent).mean())
+    assert fpr <= SHAPE.false_positives(len(np.unique(all_tokens))) * 1.5 + 1e-4
+
+
+def test_probe_udfs(spark, seq_df, sequences_pdf):
+    sk = BloomSketch(SHAPE)
+    payload, _ = sk.build_bytes(seq_df)
+    present = int(sequences_pdf["tokens"].iloc[0][0])
+    probe_df = spark.createDataFrame(
+        [(present, True), (10**7 + 12345, False)], ["token", "expected"]
+    )
+    rows = probe_df.withColumn("hit", sk.might_contain_udf(payload)("token")).collect()
+    got = {r["token"]: r["hit"] for r in rows}
+    assert got[present] is True  # zero false negatives
+    # contained-fraction over the original token arrays: all 1.0
+    frac = seq_df.select(
+        sk.contained_fraction_udf(payload)("tokens").alias("frac")
+    ).agg({"frac": "min"}).collect()[0][0]
+    assert frac == 1.0
+
+
+def test_bloom_by_key_with_salt(spark, seq_df, sequences_pdf):
+    sk = BloomSketch(SHAPE)
+    rows = sk.build_by_key(seq_df, "source", salt=4).collect()
+    got = {r["key"]: BloomFilter.from_bytes(bytes(r["payload"])) for r in rows}
+    assert set(got) == set(sequences_pdf["source"].unique())
+    for src, bf in got.items():
+        mask = sequences_pdf["source"] == src
+        oracle = BloomFilter.empty(SHAPE).add_tokens(
+            np.concatenate(list(sequences_pdf.loc[mask, "tokens"]))
+        )
+        assert bf.words.tobytes() == oracle.words.tobytes()
+        assert bf.n_items == oracle.n_items
+
+
+def test_hll_build_matches_oracle_and_exact(spark, seq_df, sequences_pdf):
+    hs = HllSketch(p=12)
+    payload, _ = collect_sketch_bytes(hs.build(seq_df.repartition(7)))
+    got = HyperLogLog.from_bytes(payload)
+    all_tokens = np.concatenate(list(sequences_pdf["tokens"]))
+    oracle = HyperLogLog(p=12).add_tokens(all_tokens)
+    assert np.array_equal(got.registers, oracle.registers)  # register-identical
+    true = len(np.unique(all_tokens))
+    assert abs(got.estimate() - true) / true < 3 * got.relative_error()
+
+
+def test_cms_build_matches_oracle(spark, seq_df, sequences_pdf):
+    cs = CmsSketch(d=5, w=16384)
+    payload, n = cs.build_bytes(seq_df.repartition(3))
+    all_tokens = np.concatenate(list(sequences_pdf["tokens"]))
+    oracle = CountMinSketch(5, 16384).add_tokens(all_tokens)
+    got = CountMinSketch.from_bytes(payload)
+    assert np.array_equal(got.table, oracle.table)
+    assert n == len(all_tokens)
+    # point estimates never underestimate
+    vals, counts = np.unique(all_tokens[:500], return_counts=True)
+    full_counts = np.array([(all_tokens == v).sum() for v in vals[:20]])
+    est = got.query_tokens(vals[:20])
+    assert bool((est >= full_counts).all())
+
+
+def test_kll_quantiles_close_to_exact(spark, seq_df, sequences_pdf):
+    kq = KllQuantiles(k=200, col="n_tok")
+    qs = [0.1, 0.5, 0.9]
+    got = kq.quantiles(seq_df.repartition(6), qs)
+    vals = np.sort(sequences_pdf["n_tok"].to_numpy())
+    for q, est in zip(qs, got):
+        true_rank = np.searchsorted(vals, est) / len(vals)
+        assert abs(true_rank - q) <= 0.05
