@@ -1,0 +1,150 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Headline metric: tokens/sec Bloom-build throughput over a synthetic
+sequences table (the north-rule metric), plus per-query seconds for
+the flagship plans over the driver test tables.
+
+Env:
+  SPARK_GRAFT_SF_DIR   default /root/testdata/sf0.1
+  SPARK_GRAFT_CPUS     default 32
+  BENCH_ROWS           synthetic sequences rows (default 120000,
+                       ~31M tokens at mean length 260)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+
+def build_spark(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("rusty_bloomfilter_spark-bench")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "90g")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "40000")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_rows = int(os.environ.get("BENCH_ROWS", "120000"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    spark = build_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import numpy as np
+
+    from rusty_bloomfilter_spark.operators import BloomSketch, CmsSketch, HllSketch, KllQuantiles
+    from rusty_bloomfilter_spark.operators.sketches import BlockedBloomSketch
+    from rusty_bloomfilter_spark.plans import token_profile
+    from rusty_bloomfilter_spark.sketch import BloomFilter, Shape
+    from rusty_bloomfilter_spark.sources import (
+        load_table,
+        sequences_from_documents,
+        synthetic_sequences,
+    )
+    import rusty_bloomfilter_spark.contract as contract
+
+    queries: dict[str, float] = {}
+    extra: dict[str, float] = {}
+
+    def timed(name: str, fn, reps: int = 1):
+        best = None
+        out = None
+        for _ in range(reps):
+            t0 = time.time()
+            out = fn()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        queries[name] = round(best, 3)
+        return out
+
+    # -- headline: Bloom build throughput over synthetic token table -----
+    seq = synthetic_sequences(spark, n_rows, num_partitions=cpus)
+    seq.write.mode("overwrite").parquet("/tmp/bench_seq.parquet")  # materialize datagen
+    seq = spark.read.parquet("/tmp/bench_seq.parquet")
+    n_tokens = seq.agg({"n_tok": "sum"}).collect()[0][0]
+
+    # warm python workers (imports, allocator pools) so timed queries
+    # measure steady-state throughput, not worker spawn
+    warm = BlockedBloomSketch.for_np(n=2_000_000, p=1e-4)
+    warm.build_bytes(seq.limit(2000).repartition(cpus), fanout=cpus)
+    BloomSketch(Shape.for_np(n=2_000_000, p=1e-4)).build_bytes(
+        seq.limit(2000).repartition(cpus), fanout=cpus
+    )
+
+    # headline: blocked (split-block) filter — the 100 TB scale path
+    bsk = BlockedBloomSketch.for_np(n=2_000_000, p=1e-4)
+    bpayload, bn = timed("q_bloom_build", lambda: bsk.build_bytes(seq, fanout=cpus), reps=2)
+    assert bn == n_tokens, (bn, n_tokens)
+    extra["bloom_build_tokens_per_sec"] = round(n_tokens / queries["q_bloom_build"], 1)
+
+    hits, total = timed("q_bloom_probe", lambda: bsk.count_contained(seq, bpayload, spark), reps=2)
+    assert hits == total == n_tokens, (hits, total, n_tokens)  # zero FN
+    extra["bloom_probe_tokens_per_sec"] = round(n_tokens / queries["q_bloom_probe"], 1)
+
+    # classic K-M filter (reference-parity layout) for comparison
+    shape = Shape.for_np(n=2_000_000, p=1e-4)
+    sk = BloomSketch(shape)
+    payload, n_items = timed("q_bloom_build_classic", lambda: sk.build_bytes(seq, fanout=cpus), reps=2)
+    assert n_items == n_tokens, (n_items, n_tokens)
+    extra["bloom_classic_tokens_per_sec"] = round(
+        n_tokens / queries["q_bloom_build_classic"], 1
+    )
+    extra["bloom_fill_ratio"] = round(BloomFilter.from_bytes(payload).fill_ratio(), 6)
+
+    # -- sibling sketches over the same synthetic table -------------------
+    timed("q_hll_distinct", lambda: HllSketch(p=14).estimate(seq, fanout=cpus))
+    timed("q_cms_build", lambda: CmsSketch(d=5, w=1 << 17).build_bytes(seq, fanout=cpus))
+    timed("q_kll_ntok", lambda: KllQuantiles(k=200, col="n_tok").quantiles(seq, [0.5, 0.99]))
+
+    # -- flagship + relational over the driver tables ---------------------
+    timed("q_token_profile", lambda: token_profile(
+        spark, sequences_from_documents(spark, sf_dir)
+    ).collect())
+    qmap = contract.queries()
+    for name in ("q_pricing_summary", "q_top_customers", "q_heavy_tokens_exact"):
+        if name in qmap:
+            timed(name, lambda n=name: qmap[n](spark, sf_dir).collect())
+
+    total = round(sum(queries.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_bench_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": queries,
+                "sf": sf,
+                "extra": {
+                    **extra,
+                    "cpus": cpus,
+                    "bench_rows": n_rows,
+                    "bench_tokens": int(n_tokens),
+                },
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

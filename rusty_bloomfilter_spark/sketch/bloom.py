@@ -60,22 +60,49 @@ def popcount_words(words: np.ndarray) -> int:
     return int(_POPCOUNT_LUT[np.ascontiguousarray(words).view(np.uint8)].sum())
 
 
+# LUT gathers beat per-element uint64 shifts (measured numpy 1.26).
+_BIT_MASKS = _ONE << np.arange(64, dtype=_U64)
+
+
+_SCRATCH: dict[int, np.ndarray] = {}
+
+
+def _scratch_bits(m_bits: int) -> np.ndarray:
+    """Reused per-process bool scratch (fresh np.zeros would fault new
+    pages on every call — the dominant cost on microVMs)."""
+    buf = _SCRATCH.get(m_bits)
+    if buf is None:
+        if len(_SCRATCH) > 4:  # bound footprint across shapes
+            _SCRATCH.clear()
+        buf = _SCRATCH[m_bits] = np.zeros(m_bits, dtype=bool)
+    else:
+        buf[:] = False
+    return buf
+
+
 def _or_indices_into(words: np.ndarray, idx: np.ndarray) -> None:
     """Set bit positions ``idx`` (flat int64) in ``words``, vectorized.
 
-    np.bitwise_or.at is notoriously slow; instead sort word indices and
-    OR-reduce runs with np.bitwise_or.reduceat (pure C loops).
+    Two strategies (np.bitwise_or.at is notoriously slow):
+    - dense batches (n >= m/64): scatter into an m-byte bool scratch,
+      packbits once, OR into the words — O(m + n), no sort.
+    - sparse batches: sort word indices and OR-reduce runs with
+      np.bitwise_or.reduceat — O(n log n), no m-sized temporaries.
     """
     if idx.size == 0:
         return
+    m_bits = words.size * 64
+    if idx.size >= m_bits >> 6:
+        bits = _scratch_bits(m_bits)
+        bits[idx] = True
+        words |= np.packbits(bits, bitorder="little").view(_U64)
+        return
     w = idx >> 6
-    b = _ONE << (idx & 63).astype(_U64)
+    b = _BIT_MASKS[idx & 63]
     order = np.argsort(w, kind="stable")
     ws = w[order]
     bs = b[order]
-    starts = np.empty(0, dtype=np.int64)
-    boundaries = np.flatnonzero(ws[1:] != ws[:-1]) + 1
-    starts = np.concatenate(([0], boundaries))
+    starts = np.concatenate(([0], np.flatnonzero(ws[1:] != ws[:-1]) + 1))
     merged = np.bitwise_or.reduceat(bs, starts)
     words[ws[starts]] |= merged
 
@@ -113,16 +140,30 @@ class BloomFilter:
 
     # -- update ------------------------------------------------------------
 
+    # Process in chunks: keeps the (chunk, k) expansion temporaries small
+    # enough that the allocator reuses pages instead of faulting fresh
+    # ones (first-touch faults dominate large-array numpy on VMs).
+    _CHUNK = 1 << 18
+
     def add_hashes(self, h1: np.ndarray, h2: np.ndarray) -> "BloomFilter":
         """Insert items given their (h1, h2) 64-bit hash pairs."""
-        idx = km_indices(h1, h2, self.shape).reshape(-1)
-        _or_indices_into(self.words, idx)
-        self.n_items += len(h1)
+        n = len(h1)
+        for lo in range(0, n, self._CHUNK):
+            hi = min(lo + self._CHUNK, n)
+            idx = km_indices(h1[lo:hi], h2[lo:hi], self.shape).reshape(-1)
+            _or_indices_into(self.words, idx)
+        self.n_items += n
         return self
 
     def add_u64(self, values: np.ndarray) -> "BloomFilter":
-        h1, h2 = hash_pair(values)
-        return self.add_hashes(h1, h2)
+        n = len(values)
+        for lo in range(0, n, self._CHUNK):
+            h1, h2 = hash_pair(values[lo : lo + self._CHUNK])
+            hi = min(lo + self._CHUNK, n)
+            idx = km_indices(h1, h2, self.shape).reshape(-1)
+            _or_indices_into(self.words, idx)
+        self.n_items += n
+        return self
 
     def add_tokens(self, tokens: np.ndarray) -> "BloomFilter":
         """Insert int32/int64 token ids."""
@@ -143,15 +184,25 @@ class BloomFilter:
         Probe expansion identical to insert expansion => no false
         negatives (reference contract, mod.rs:211-228).
         """
-        if len(h1) == 0:
+        n = len(h1)
+        if n == 0:
             return np.empty(0, dtype=bool)
-        idx = km_indices(h1, h2, self.shape)
-        bits = (self.words[idx >> 6] >> (idx & 63).astype(_U64)) & _ONE
-        return bits.all(axis=1)
+        out = np.empty(n, dtype=bool)
+        for lo in range(0, n, self._CHUNK):
+            hi = min(lo + self._CHUNK, n)
+            idx = km_indices(h1[lo:hi], h2[lo:hi], self.shape)
+            hit = (self.words[idx >> 6] & _BIT_MASKS[idx & 63]) != 0
+            out[lo:hi] = hit.all(axis=1)
+        return out
 
     def contains_u64(self, values: np.ndarray) -> np.ndarray:
-        h1, h2 = hash_pair(values)
-        return self.contains_hashes(h1, h2)
+        n = len(values)
+        out = np.empty(n, dtype=bool)
+        for lo in range(0, n, self._CHUNK):
+            hi = min(lo + self._CHUNK, n)
+            h1, h2 = hash_pair(values[lo:hi])
+            out[lo:hi] = self.contains_hashes(h1, h2)
+        return out
 
     def contains_tokens(self, tokens: np.ndarray) -> np.ndarray:
         return self.contains_u64(tokens_to_u64(np.asarray(tokens)))
@@ -165,8 +216,8 @@ class BloomFilter:
         idx = np.asarray(indices, dtype=np.int64)
         if idx.size == 0:
             return True
-        bits = (self.words[idx >> 6] >> (idx & 63).astype(_U64)) & _ONE
-        return bool(bits.all())
+        hit = (self.words[idx >> 6] & _BIT_MASKS[idx & 63]) != 0
+        return bool(hit.all())
 
     # -- merge ----------------------------------------------------------------
 

@@ -60,15 +60,24 @@ class CountMinSketch:
 
     def _columns(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
         """(d, N) column indices via K-M expansion mod w."""
-        w = _U64(self.w)
-        h1r = h1 % w
-        h2r = h2 % w
+        w = int(self.w)  # Python-int modulo = numpy fast path
+        h1r = h1.astype(_U64, copy=False) % w
+        h2r = h2.astype(_U64, copy=False) % w
         i = np.arange(self.d, dtype=_U64)
         with np.errstate(over="ignore"):
-            return ((h1r[None, :] + i[:, None] * h2r[None, :]) % w).astype(np.int64)
+            return ((h1r[None, :] + i[:, None] * h2r[None, :]) % w).view(np.int64)
+
+    _CHUNK = 1 << 19  # bound (d, chunk) temporaries (page-fault hygiene)
 
     def add_hashes(self, h1: np.ndarray, h2: np.ndarray, counts: np.ndarray | None = None) -> "CountMinSketch":
         if len(h1) == 0:
+            return self
+        if len(h1) > self._CHUNK:
+            for lo in range(0, len(h1), self._CHUNK):
+                hi = lo + self._CHUNK
+                self.add_hashes(
+                    h1[lo:hi], h2[lo:hi], None if counts is None else counts[lo:hi]
+                )
             return self
         cols = self._columns(h1, h2)
         if counts is None:
