@@ -249,3 +249,347 @@ def q_ngram_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id")
         .limit(100)
     )
+
+
+# ===========================================================================
+# Text analysis (cross-engine expressions => exact oracles)
+# ===========================================================================
+
+
+@register(
+    "q_lang_distribution",
+    oracle="SELECT lang, source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars "
+    "FROM documents GROUP BY lang, source",
+)
+def q_lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
+
+
+@register(
+    "q_quality_scores",
+    oracle=r"""
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len(list_filter(regexp_split_to_array(text, '\s+'), w -> w <> '')) AS n_tok,
+           round(len(list_filter(list_filter(regexp_split_to_array(lower(text), '\s+'), w -> w <> ''),
+                 w -> list_contains(['the','a','of','and','to','in','is','it','for','on'], w)))::DOUBLE
+                 / len(list_filter(regexp_split_to_array(text, '\s+'), w -> w <> '')), 6) AS stopword_ratio,
+           round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / length(text), 6) AS alpha_ratio
+    FROM documents
+    ORDER BY doc_id LIMIT 200
+    """,
+)
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features (subset that is exactly
+    SQL-renderable in both engines)."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = quality_exprs(F.col("text"))
+    return (
+        docs.select(
+            "doc_id",
+            q["n_chars"].alias("n_chars"),
+            q["n_tok"].alias("n_tok"),
+            q["stopword_ratio"].alias("stopword_ratio"),
+            q["alpha_ratio"].alias("alpha_ratio"),
+        )
+        .orderBy("doc_id")
+        .limit(200)
+    )
+
+
+@register(
+    "q_lang_id",
+    oracle=None,  # set below after duckdb_lang_id renders
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID vs the labeled lang column: confusion
+    counts. Heuristic is deterministic and identically rendered in
+    DuckDB (oracle pins the whole scoring pipeline)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.col("lang").alias("labeled"), lang_id_expr(F.col("text")).alias("predicted"))
+        .groupBy("labeled", "predicted")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+from .functions.text import duckdb_lang_id as _dd_lang  # noqa: E402
+
+_ORACLES["q_lang_id"] = (
+    "SELECT lang AS labeled, "
+    + _dd_lang("text")
+    + " AS predicted, count(*) AS n_docs FROM documents GROUP BY 1, 2"
+)
+
+
+@register(
+    "q_doc_fingerprints",
+    oracle="""
+    SELECT prefix_fp, count(*) AS n_docs, min(doc_id) AS keep_doc_id
+    FROM (SELECT doc_id, md5(substr(text, 1, 40)) AS prefix_fp FROM documents) t
+    GROUP BY prefix_fp HAVING count(*) > 1
+    """,
+)
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-fingerprint dup groups (full-text md5 finds none in the
+    synthetic corpus; 40-char prefixes collide, exercising the
+    fingerprint-dedup shape with a non-empty result)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.md5(F.substring("text", 1, 40)).alias("prefix_fp"))
+        .groupBy("prefix_fp")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+@register(
+    "q_exact_dedup",
+    oracle="""
+    SELECT count(*) AS n_groups, CAST(sum(n_docs) AS BIGINT) AS n_docs,
+           CAST(sum(n_docs - 1) AS BIGINT) AS n_redundant
+    FROM (SELECT md5(text) AS fp, count(*) AS n_docs FROM documents GROUP BY 1) g
+    """,
+)
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup summary over full-text fingerprints."""
+    from .operators.dedup import exact_dedup_groups
+
+    groups = exact_dedup_groups(load_table(spark, sf_dir, "documents"))
+    return groups.agg(
+        F.count("*").alias("n_groups"),
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.sum(F.col("n_docs") - 1).cast("bigint").alias("n_redundant"),
+    )
+
+
+@register(
+    "q_events_quantiles",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.9), 6) AS p90,
+           round(quantile_cont(value, 0.99), 6) AS p99
+    FROM events GROUP BY event_type
+    """,
+)
+def q_events_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantiles (the KLL oracle companion)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )
+
+
+@register(
+    "q_ann_bruteforce",
+    oracle="""
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+    FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+    WHERE a.vec_id IN (0, 7, 42, 99, 123)
+    QUALIFY row_number() OVER (PARTITION BY a.vec_id
+                               ORDER BY list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) DESC,
+                                        b.vec_id) <= 5
+    """,
+)
+def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 neighbors for 5 query vectors; DuckDB oracle
+    computes the identical double-precision cosine."""
+    from .operators.similarity import ann_bruteforce_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_bruteforce_topk(emb, [0, 7, 42, 99, 123], k=5).drop("rank")
+
+
+# ===========================================================================
+# Sketch queries (estimates: rows-only driver check; accuracy pinned
+# in pytest against exact companions)
+# ===========================================================================
+
+
+@register("q_bloom_source_profile")
+def q_bloom_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: per-source exact counts + Bloom/HLL sketch metrics."""
+    from .plans import token_profile
+
+    return token_profile(spark, sequences_from_documents(spark, sf_dir))
+
+
+@register("q_bloom_probe")
+def q_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a Bloom over all tokens, probe present + disjoint-domain
+    tokens: (hits_present == n_present pins zero FN; fp_rate vs p)."""
+    from .operators.sketches import BlockedBloomSketch
+
+    seq = sequences_from_documents(spark, sf_dir)
+    sk = BlockedBloomSketch.for_np(n=500_000, p=1e-4)
+    payload, n_items = sk.build_bytes(seq)
+    hits, total = sk.count_contained(seq, payload, spark)
+    probe_udf = sk.might_contain_udf(payload, spark)
+    absent = spark.range(10**6, 10**6 + 200_000).select(
+        F.col("id").cast("int").alias("tok")
+    )
+    fp = absent.select(probe_udf("tok").cast("long").alias("h")).agg(
+        F.sum("h").alias("false_hits"), F.count("*").alias("n_probes")
+    )
+    return fp.select(
+        F.lit(n_items).alias("n_inserted"),
+        F.lit(hits).alias("present_hits"),
+        F.lit(total).alias("present_probes"),
+        "false_hits",
+        "n_probes",
+        F.round(F.col("false_hits") / F.col("n_probes"), 8).alias("observed_fpr"),
+    )
+
+
+@register("q_hll_distinct_tokens")
+def q_hll_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL distinct-token estimates per source next to exact counts."""
+    from .operators.sketches import HllSketch
+    from .sketch import HyperLogLog
+
+    seq = sequences_from_documents(spark, sf_dir)
+    keyed = HllSketch(p=14).build_by_key(seq, "source")
+
+    def stats(batches):
+        import pandas as pd
+        import pyarrow as pa
+
+        for b in batches:
+            pdf = b.to_pandas()
+            yield pa.RecordBatch.from_pandas(
+                pd.DataFrame(
+                    {
+                        "source": pdf["key"],
+                        "distinct_est": [
+                            round(HyperLogLog.from_bytes(bytes(p)).estimate(), 2)
+                            for p in pdf["payload"]
+                        ],
+                    }
+                )
+            )
+
+    est = keyed.mapInArrow(stats, schema="source string, distinct_est double")
+    exact = (
+        seq.select("source", F.explode("tokens").alias("tok"))
+        .groupBy("source")
+        .agg(F.countDistinct("tok").alias("distinct_exact"))
+    )
+    return exact.join(est, "source").withColumn(
+        "rel_err",
+        F.round(F.abs(F.col("distinct_est") - F.col("distinct_exact")) / F.col("distinct_exact"), 6),
+    )
+
+
+@register("q_cms_top_tokens")
+def q_cms_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMS frequency estimates for the exact top-20 tokens: estimate
+    must be >= exact (one-sided CMS guarantee), small overestimate."""
+    import numpy as np
+
+    from .operators.sketches import CmsSketch
+
+    seq = sequences_from_documents(spark, sf_dir)
+    exact = (
+        seq.select(F.explode("tokens").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("freq_exact"))
+        .orderBy(F.desc("freq_exact"), "tok")
+        .limit(20)
+    )
+    cs = CmsSketch(d=5, w=1 << 15)
+    payload, _ = cs.build_bytes(seq)
+    rows = exact.collect()
+    toks = np.array([r["tok"] for r in rows], dtype=np.int64)
+    est = cs.estimate_counts(payload, toks)
+    out = [
+        (int(t), int(r["freq_exact"]), int(e))
+        for t, r, e in zip(toks, rows, est)
+    ]
+    return spark.createDataFrame(out, "tok int, freq_exact bigint, freq_est bigint")
+
+
+@register("q_kll_quantiles")
+def q_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL quantile estimates for events.value next to exact."""
+    from .operators.sketches import KllQuantiles
+
+    ev = load_table(spark, sf_dir, "events")
+    qs = [0.1, 0.5, 0.9, 0.99]
+    est = KllQuantiles(k=200, col="value").quantiles(ev, qs)
+    exact = ev.agg(
+        *[F.expr(f"percentile(value, {q})").alias(f"p{int(q*100)}") for q in qs]
+    ).collect()[0]
+    rows = [
+        (q, round(float(exact[i]), 6), round(float(est[i]), 6))
+        for i, q in enumerate(qs)
+    ]
+    return spark.createDataFrame(rows, "q double, exact double, kll_est double")
+
+
+# ===========================================================================
+# Dedup / similarity (LSH candidates: rows-only; exactness pinned in tests)
+# ===========================================================================
+
+
+@register("q_minhash_near_dups")
+def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidate pairs over the corpus (word
+    3-gram shingles, 128 perms, 32 bands)."""
+    from .operators.dedup import minhash_dedup
+
+    seq = sequences_from_documents(spark, sf_dir)
+    return minhash_dedup(seq, threshold=0.35).orderBy("doc_a", "doc_b")
+
+
+@register("q_simhash_near_dups")
+def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import simhash_near_dups, simhash_signatures
+
+    seq = sequences_from_documents(spark, sf_dir)
+    return simhash_near_dups(simhash_signatures(seq), max_hamming=3).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+@register("q_embedding_near_dups")
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import embedding_near_dups
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dups(emb, threshold=0.35, n_planes=16, bands=8).orderBy(
+        "id_a", "id_b"
+    )
+
+
+@register("q_ann_lsh")
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import ann_lsh_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_lsh_topk(emb, [0, 7, 42, 99, 123], k=5, n_planes=16, bands=8)
+
+
+@register("q_media_features")
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: deterministic fake media -> feature
+    extraction (decode stubbed; Spark machinery real)."""
+    from .operators.multimodal import extract_features, synthetic_media
+
+    media = synthetic_media(spark, 200)
+    feats = extract_features(media)
+    return feats.groupBy("kind").agg(
+        F.count("*").alias("n_media"),
+        F.round(F.avg(F.element_at("feature", 1)), 6).alias("avg_f0"),
+        F.sum("n_bytes").alias("total_bytes"),
+    )

@@ -1,0 +1,400 @@
+"""Deduplication operators for training-data pipelines.
+
+Five dedup families over the `documents`/`sequences` tables, each
+Spark-first: candidate generation shuffles only small signature rows
+(never document text), verification is JVM-side column algebra where
+possible. At 100 TB the LSH self-joins are the canonical pattern:
+band/bucket keys are uniformly distributed by construction (hash
+output), so the shuffle is skew-free, and each bucket's pair expansion
+is bounded by bucket size.
+
+- exact:      md5(text) groupBy (Catalyst; map-side partial agg)
+- MinHash+LSH: shingle -> minhash signature (vectorized affine perms,
+               segment-min via np.minimum.reduceat) -> banded LSH
+               self-join -> signature-agreement verify (JVM zip_with)
+- SimHash:    64-bit sign-sum sketch, Hamming-block LSH join
+- n-gram Jaccard: exact set Jaccard on LSH candidates via shingle
+               equi-join (no quadratic blowup)
+- embedding:  random-hyperplane LSH over `embeddings`, exact cosine
+               verify (JVM zip_with/aggregate)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..sketch.hashing import splitmix64
+from .sketches import arrow_flat_tokens, arrow_row_lengths
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical documents: (fingerprint, n_docs,
+    min_doc_id). Hash-groupBy — Catalyst does map-side partial agg, so
+    the shuffle carries one row per distinct fingerprint per partition.
+    """
+    return (
+        df.select(F.col("doc_id"), F.md5(F.col(text_col)).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash signatures + banded LSH
+# ---------------------------------------------------------------------------
+
+_MERSENNE = (1 << 61) - 1  # classic prime for affine minhash perms
+
+
+def _perm_coeffs(n_hashes: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    base = np.arange(1, n_hashes + 1, dtype=np.uint64) * np.uint64(seed * 2 + 1)
+    a = (splitmix64(base) % np.uint64(_MERSENNE - 1) + np.uint64(1)).astype(np.uint64)
+    b = splitmix64(base ^ np.uint64(0xABCDEF)) % np.uint64(_MERSENNE)
+    return a, b
+
+
+def minhash_signatures(
+    sequences: DataFrame,
+    *,
+    n_hashes: int = 128,
+    shingle: int = 3,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """-> (doc_id, sig array<bigint>): minhash over within-row token
+    shingles. Vectorized: one (total_shingles, H) affine transform per
+    chunk, per-doc minimum via np.minimum.reduceat — no per-row Python.
+    """
+    a, b = _perm_coeffs(n_hashes)
+
+    def sigs(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        import pyarrow as pa
+
+        from .sketches import flat_ngram_hashes
+
+        for batch in batches:
+            ids = batch.column(id_col).to_pylist()
+            flat = arrow_flat_tokens(batch, tokens_col)
+            lengths = arrow_row_lengths(batch, tokens_col)
+            n_sh = np.maximum(lengths - (shingle - 1), 0)
+            h = flat_ngram_hashes(flat, lengths, shingle)
+            out = np.full((len(ids), n_hashes), _MERSENNE, dtype=np.uint64)
+            if h.size:
+                # chunk docs so the (n_shingles, H) temp stays small
+                starts = np.concatenate(([0], np.cumsum(n_sh)))
+                doc_lo = 0
+                CH = max(1, (1 << 21) // n_hashes)  # ~2M cells per chunk
+                while doc_lo < len(ids):
+                    doc_hi = len(ids)
+                    acc = 0
+                    for d in range(doc_lo, len(ids)):
+                        acc += n_sh[d]
+                        if acc > CH:
+                            doc_hi = max(d, doc_lo + 1)
+                            break
+                    lo, hi = starts[doc_lo], starts[doc_hi]
+                    if hi > lo:
+                        hh = h[lo:hi]
+                        with np.errstate(over="ignore"):
+                            vals = (hh[:, None] * a[None, :] + b[None, :]) % np.uint64(
+                                _MERSENNE
+                            )
+                        seg = starts[doc_lo : doc_hi + 1] - lo
+                        nonempty = np.flatnonzero(np.diff(seg) > 0)
+                        seg_starts = seg[nonempty]
+                        mins = np.minimum.reduceat(vals, seg_starts, axis=0)
+                        out[doc_lo + nonempty] = mins
+                    doc_lo = doc_hi
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "doc_id": ids,
+                    "sig": list(out.view(np.int64)),
+                }
+            )
+
+    picked = sequences.select(id_col, tokens_col)
+    return picked.mapInArrow(sigs, schema="doc_id string, sig array<bigint>")
+
+
+def minhash_candidate_pairs(
+    sig_df: DataFrame, *, bands: int = 32, threshold: float = 0.5
+) -> DataFrame:
+    """Banded LSH: split each signature into `bands` bands, hash each,
+    self-join docs sharing any band bucket, verify by signature
+    agreement (JVM zip_with — an unbiased Jaccard estimate).
+
+    -> (doc_a, doc_b, est_jaccard) with est_jaccard >= threshold.
+    """
+    n_hashes = len(sig_df.select("sig").first()["sig"])
+    r = n_hashes // bands
+    band_cols = F.posexplode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda i: F.xxhash64(F.slice("sig", i * r + 1, r), i),
+        )
+    )
+    buckets = sig_df.select("doc_id", "sig", band_cols.alias("band", "bucket"))
+    left = buckets.alias("l")
+    right = buckets.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            (
+                F.aggregate(
+                    F.zip_with("l.sig", "r.sig", lambda x, y: (x == y).cast("int")),
+                    F.lit(0),
+                    lambda acc, v: acc + v,
+                ).cast("double")
+                / F.lit(n_hashes)
+            ).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return pairs
+
+
+def minhash_dedup(
+    sequences: DataFrame,
+    *,
+    n_hashes: int = 128,
+    shingle: int = 3,
+    bands: int = 32,
+    threshold: float = 0.5,
+) -> DataFrame:
+    sigs = minhash_signatures(sequences, n_hashes=n_hashes, shingle=shingle)
+    return minhash_candidate_pairs(sigs, bands=bands, threshold=threshold)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_signatures(
+    sequences: DataFrame, *, tokens_col: str = "tokens", id_col: str = "doc_id"
+) -> DataFrame:
+    """-> (doc_id, simhash bigint): 64-bit sign-sum sketch of the
+    token-hash multiset (Charikar 2002). Vectorized bit unpack +
+    per-doc segment sums."""
+
+    def sigs(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        import pyarrow as pa
+
+        for batch in batches:
+            ids = batch.column(id_col).to_pylist()
+            flat = arrow_flat_tokens(batch, tokens_col)
+            lengths = arrow_row_lengths(batch, tokens_col)
+            out = np.zeros(len(ids), dtype=np.uint64)
+            if flat.size:
+                h = splitmix64(flat.astype(np.int64).view(np.uint64))
+                # (n_tokens, 64) bits as ±1, summed per doc, sign -> bit
+                bits = np.unpackbits(h.view(np.uint8)).reshape(-1, 64)
+                pm = bits.astype(np.int32) * 2 - 1
+                starts = np.concatenate(([0], np.cumsum(lengths)[:-1]))
+                nonempty = lengths > 0
+                sums = np.add.reduceat(pm, np.minimum(starts, len(pm) - 1), axis=0)
+                sums[~nonempty] = -1  # empty doc -> all-zero simhash
+                packed = np.packbits((sums > 0).astype(np.uint8), axis=1)
+                out = packed.view(np.uint64).reshape(-1)
+            yield pa.RecordBatch.from_pydict(
+                {"doc_id": ids, "simhash": list(out.view(np.int64))}
+            )
+
+    return sequences.select(id_col, tokens_col).mapInArrow(
+        sigs, schema="doc_id string, simhash bigint"
+    )
+
+
+def simhash_near_dups(sig_df: DataFrame, *, max_hamming: int = 3) -> DataFrame:
+    """Hamming-block LSH: any pair within Hamming distance d <= 3 must
+    agree on at least one of 4 16-bit blocks (pigeonhole), so join on
+    block equality and verify with bit_count(xor).
+    -> (doc_a, doc_b, hamming)."""
+    blocks = F.posexplode(
+        F.array(*[
+            F.shiftrightunsigned(F.col("simhash"), b * 16).bitwiseAND(F.lit(0xFFFF))
+            for b in range(4)
+        ])
+    )
+    b_df = sig_df.select("doc_id", "simhash", blocks.alias("block_idx", "block_val"))
+    left = b_df.alias("l")
+    right = b_df.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.block_idx") == F.col("r.block_idx"))
+            & (F.col("l.block_val") == F.col("r.block_val"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard on candidate pairs
+# ---------------------------------------------------------------------------
+
+
+def shingle_sets(sequences: DataFrame, *, shingle: int = 3) -> DataFrame:
+    """-> (doc_id, shingle_hash) distinct within-row token n-grams."""
+
+    def rows(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        import pyarrow as pa
+
+        from .sketches import flat_ngram_hashes
+
+        for batch in batches:
+            ids = np.asarray(batch.column("doc_id").to_pylist())
+            flat = arrow_flat_tokens(batch, "tokens")
+            lengths = arrow_row_lengths(batch, "tokens")
+            n_sh = np.maximum(lengths - (shingle - 1), 0)
+            h = flat_ngram_hashes(flat, lengths, shingle)
+            doc_of = np.repeat(np.arange(len(ids)), n_sh)
+            # distinct (doc, shingle)
+            key = np.stack([doc_of.astype(np.uint64), h], axis=1)
+            if len(key):
+                uniq = np.unique(key, axis=0)
+                yield pa.RecordBatch.from_pydict(
+                    {
+                        "doc_id": ids[uniq[:, 0].astype(np.int64)],
+                        "shingle_hash": uniq[:, 1].view(np.int64),
+                    }
+                )
+
+    return sequences.select("doc_id", "tokens").mapInArrow(
+        rows, schema="doc_id string, shingle_hash bigint"
+    )
+
+
+def ngram_jaccard_pairs(
+    sequences: DataFrame, candidates: DataFrame, *, shingle: int = 3
+) -> DataFrame:
+    """Exact Jaccard for candidate (doc_a, doc_b) pairs via shingle
+    equi-join: |A ∩ B| from a co-group on shingle_hash restricted to
+    candidate pairs, |A ∪ B| = |A| + |B| − |A ∩ B|. No quadratic text
+    comparison; shuffle keys are hashes (skew-free)."""
+    sh = shingle_sets(sequences, shingle=shingle)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle_hash") == F.col("b.shingle_hash")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+        .join(F.broadcast(candidates.select("doc_a", "doc_b")), ["doc_a", "doc_b"], "left_semi")
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_shingles", "size_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_shingles", "size_b"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-duplicates (cosine >= threshold)
+# ---------------------------------------------------------------------------
+
+
+def _cosine_expr(a, b):
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
+    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, v: s + v))
+    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda s, v: s + v))
+    return dot / (na * nb)
+
+
+def embedding_near_dups(
+    embeddings: DataFrame,
+    *,
+    threshold: float = 0.95,
+    n_planes: int = 16,
+    bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Random-hyperplane LSH (Charikar): sign bits of W·v bucket the
+    vectors; near-identical vectors agree on whole sign-bands w.h.p.
+    Verify candidates with exact cosine (JVM-side zip_with).
+    -> (id_a, id_b, cosine >= threshold)."""
+    dim = len(embeddings.select(vec_col).first()[0])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+
+    def sign_bits(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        import pyarrow as pa
+
+        for batch in batches:
+            ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+            vecs = np.stack(
+                batch.column(vec_col).to_numpy(zero_copy_only=False)
+            ).astype(np.float64)
+            proj = vecs @ planes.T > 0
+            bits = np.packbits(proj, axis=1, bitorder="little")
+            width = bits.shape[1]
+            pad = np.zeros((len(ids), 8 - width % 8), dtype=np.uint8) if width % 8 else None
+            if pad is not None:
+                bits = np.concatenate([bits, pad], axis=1)
+            sig = bits[:, :8].copy().view(np.int64).reshape(-1)
+            yield pa.RecordBatch.from_pydict({"vid": ids.tolist(), "sig": sig.tolist()})
+
+    sigs = embeddings.select(id_col, vec_col).mapInArrow(
+        sign_bits, schema="vid bigint, sig bigint"
+    )
+    bits_per_band = n_planes // bands
+    mask = (1 << bits_per_band) - 1
+    band_exp = F.posexplode(
+        F.array(*[
+            F.shiftrightunsigned(F.col("sig"), b * bits_per_band).bitwiseAND(F.lit(mask))
+            for b in range(bands)
+        ])
+    )
+    b_df = sigs.select("vid", band_exp.alias("band", "bucket"))
+    cand = (
+        b_df.alias("l")
+        .join(
+            b_df.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.vid") < F.col("r.vid")),
+        )
+        .select(F.col("l.vid").alias("id_a"), F.col("r.vid").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    e = embeddings.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    return (
+        cand.join(e.withColumnRenamed("id", "id_a").withColumnRenamed("v", "va"), "id_a")
+        .join(e.withColumnRenamed("id", "id_b").withColumnRenamed("v", "vb"), "id_b")
+        .select("id_a", "id_b", F.round(_cosine_expr(F.col("va"), F.col("vb")), 6).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

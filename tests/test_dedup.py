@@ -1,0 +1,149 @@
+"""Dedup operators: planted near-duplicates must be found; disjoint
+docs must not pair; exact metrics verified against numpy oracles."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from rusty_bloomfilter_spark.operators.dedup import (
+    embedding_near_dups,
+    exact_dedup_groups,
+    minhash_dedup,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_near_dups,
+    simhash_signatures,
+)
+
+
+@pytest.fixture(scope="module")
+def dup_corpus(spark):
+    """60 docs: 20 base + 20 near-dup copies (10% token edits) +
+    20 unrelated."""
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(20):
+        base = rng.integers(0, 5000, size=200, dtype=np.int32)
+        dup = base.copy()
+        edit = rng.integers(0, 200, size=20)
+        dup[edit] = rng.integers(5000, 10000, size=20, dtype=np.int32)
+        other = rng.integers(20000, 50000, size=200, dtype=np.int32)
+        rows.append((f"base-{i:03d}", base))
+        rows.append((f"dup-{i:03d}", dup))
+        rows.append((f"other-{i:03d}", other))
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [r[0] for r in rows],
+            "tokens": [r[1] for r in rows],
+            "n_tok": [len(r[1]) for r in rows],
+            "source": ["cc"] * len(rows),
+        }
+    )
+    return spark.createDataFrame(pdf).repartition(5), pdf
+
+
+def test_exact_dedup(spark):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": ["aaa", "bbb", "aaa", "ccc", "aaa"],
+        }
+    )
+    out = exact_dedup_groups(spark.createDataFrame(pdf)).collect()
+    by_n = sorted([r["n_docs"] for r in out], reverse=True)
+    assert by_n == [3, 1, 1]
+    trip = [r for r in out if r["n_docs"] == 3][0]
+    assert trip["keep_doc_id"] == 1
+
+
+def test_minhash_signature_accuracy(spark, dup_corpus):
+    """Signature agreement ~ true Jaccard of shingle sets."""
+    df, pdf = dup_corpus
+    sigs = {r["doc_id"]: np.array(r["sig"]) for r in minhash_signatures(df).collect()}
+    from rusty_bloomfilter_spark.sketch.hashing import ngram_hashes
+
+    def true_jac(a, b):
+        sa = set(ngram_hashes(a, 3).tolist())
+        sb = set(ngram_hashes(b, 3).tolist())
+        return len(sa & sb) / len(sa | sb)
+
+    toks = dict(zip(pdf["doc_id"], pdf["tokens"]))
+    for i in (0, 5, 11):
+        t = true_jac(toks[f"base-{i:03d}"], toks[f"dup-{i:03d}"])
+        est = (sigs[f"base-{i:03d}"] == sigs[f"dup-{i:03d}"]).mean()
+        assert est == pytest.approx(t, abs=0.15)
+        assert t > 0.5  # the planted pairs are genuinely similar
+
+
+def test_minhash_dedup_finds_planted_pairs(spark, dup_corpus):
+    df, _ = dup_corpus
+    pairs = minhash_dedup(df, threshold=0.4).collect()
+    found = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    for i in range(20):
+        assert (f"base-{i:03d}", f"dup-{i:03d}") in found
+    # no unrelated doc should pair with anything
+    assert not any("other" in a or "other" in b for a, b in found)
+
+
+def test_simhash_near_dups(spark, dup_corpus):
+    """The 4x16-bit block LSH guarantees recall for hamming <= 3
+    (pigeonhole); verify exactly that set is found, vs a numpy oracle."""
+    df, _ = dup_corpus
+    sig_df = simhash_signatures(df)
+    sigs = {r["doc_id"]: np.uint64(r["simhash"]) for r in sig_df.collect()}
+
+    def hamming(a, b):
+        return bin(int(sigs[a]) ^ int(sigs[b])).count("1")
+
+    ids = sorted(sigs)
+    oracle = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if hamming(a, b) <= 3
+    }
+    pairs = simhash_near_dups(sig_df, max_hamming=3).collect()
+    found = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    assert found == oracle
+    for r in pairs:
+        assert r["hamming"] == hamming(r["doc_a"], r["doc_b"])
+    # near-dup pairs have far smaller hamming than unrelated pairs
+    planted = np.array([hamming(f"base-{i:03d}", f"dup-{i:03d}") for i in range(20)])
+    unrelated = np.array([hamming(f"base-{i:03d}", f"other-{i:03d}") for i in range(20)])
+    assert planted.mean() + 8 < unrelated.mean()
+
+
+def test_ngram_jaccard_exact(spark, dup_corpus):
+    df, pdf = dup_corpus
+    cand = minhash_dedup(df, threshold=0.4).select("doc_a", "doc_b")
+    out = ngram_jaccard_pairs(df, cand).collect()
+    from rusty_bloomfilter_spark.sketch.hashing import ngram_hashes
+
+    toks = dict(zip(pdf["doc_id"], pdf["tokens"]))
+    for r in out[:10]:
+        sa = set(ngram_hashes(toks[r["doc_a"]], 3).tolist())
+        sb = set(ngram_hashes(toks[r["doc_b"]], 3).tolist())
+        true = len(sa & sb) / len(sa | sb)
+        assert r["jaccard"] == pytest.approx(true, abs=1e-9)
+
+
+def test_embedding_near_dups(spark):
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((30, 32)).astype(np.float32)
+    near = base[:10] + rng.standard_normal((10, 32)).astype(np.float32) * 0.01
+    vecs = np.concatenate([base, near])
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(len(vecs), dtype=np.int64),
+            "embedding": [v for v in vecs],
+        }
+    )
+    out = embedding_near_dups(
+        spark.createDataFrame(pdf), threshold=0.98, n_planes=16, bands=4
+    ).collect()
+    found = {(r["id_a"], r["id_b"]) for r in out}
+    hits = sum((i, 30 + i) in found for i in range(10))
+    assert hits >= 8  # LSH recall on planted near-identical vectors
+    for r in out:
+        assert r["cosine"] >= 0.98
