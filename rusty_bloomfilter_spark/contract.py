@@ -593,3 +593,67 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(F.element_at("feature", 1)), 6).alias("avg_f0"),
         F.sum("n_bytes").alias("total_bytes"),
     )
+
+
+@register(
+    "q_source_overlap_exact",
+    oracle=_SEQ_CTE
+    + """
+    SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_common_tokens
+    FROM (SELECT DISTINCT source, unnest(tokens) AS tok FROM sequences) a
+    JOIN (SELECT DISTINCT source, unnest(tokens) AS tok FROM sequences) b
+      ON a.tok = b.tok AND a.source < b.source
+    GROUP BY 1, 2 ORDER BY 1, 2 LIMIT 50
+    """,
+)
+def q_source_overlap_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-token overlap between source pairs — the exact
+    companion of the Bloom intersection estimator."""
+    seq = sequences_from_documents(spark, sf_dir)
+    d = seq.select("source", F.explode("tokens").alias("tok")).distinct()
+    a = d.alias("a")
+    b = d.alias("b")
+    return (
+        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b"))
+        .agg(F.count("*").alias("n_common_tokens"))
+        .orderBy("source_a", "source_b")
+        .limit(50)
+    )
+
+
+@register("q_source_overlap_bloom")
+def q_source_overlap_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom union/intersection estimates per source pair (reference
+    estimators mod.rs:38-54 as a distributed query); accuracy vs the
+    exact companion is pinned in tests."""
+    from .plans import source_overlap
+    from .sketch import Shape
+
+    seq = sequences_from_documents(spark, sf_dir)
+    return source_overlap(spark, seq, shape=Shape.for_np(n=200_000, p=1e-4)).orderBy(
+        "source_a", "source_b"
+    ).limit(50)
+
+
+@register("q_bloom_doc_ids")
+def q_bloom_doc_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom over doc_ids (strings hashed JVM-side with xxhash64 — the
+    north star's 'token n-grams and doc_ids'): zero FN on every present
+    id, FPR on a disjoint probe set."""
+    from .operators.sketches import BlockedBloomSketch
+
+    seq = sequences_from_documents(spark, sf_dir)
+    hashed = seq.select(F.xxhash64("doc_id").alias("h"))
+    sk = BlockedBloomSketch.for_np(n=100_000, p=1e-4, col="h", scalar=True)
+    payload, n = sk.build_bytes(hashed)
+    hits, total = sk.count_contained(hashed, payload, spark)
+    absent = spark.range(10**7, 10**7 + 100_000).select(
+        F.xxhash64(F.concat(F.lit("absent-"), F.col("id"))).alias("h")
+    )
+    fp_hits, fp_total = sk.count_contained(absent, payload, spark)
+    return spark.createDataFrame(
+        [(n, hits, total, fp_hits, fp_total, round(fp_hits / fp_total, 8))],
+        "n_inserted bigint, present_hits bigint, present_probes bigint, "
+        "false_hits bigint, n_probes bigint, observed_fpr double",
+    )

@@ -62,6 +62,16 @@ def arrow_row_lengths(batch: "pa.RecordBatch", col: str) -> np.ndarray:
     return np.nan_to_num(lens, nan=0.0).astype(np.int64)
 
 
+
+def _scalar_values(batch, col: str) -> np.ndarray:
+    """Scalar numeric column -> int64 numpy (nulls -> 0)."""
+    vals = batch.column(col).to_numpy(zero_copy_only=False)
+    arr = np.asarray(vals)
+    if arr.dtype.kind == "f":
+        arr = np.nan_to_num(arr, nan=0.0)
+    return arr.astype(np.int64, copy=False)
+
+
 def flat_ngram_hashes(flat: np.ndarray, lengths: np.ndarray, n: int) -> np.ndarray:
     """All within-row n-gram hashes, vectorized: hash the concatenated
     stream once, then mask out windows that cross row boundaries."""
@@ -90,10 +100,11 @@ class BloomSketch:
     tokens (the north star's "token n-grams and doc_ids").
     """
 
-    def __init__(self, shape: Shape, *, col: str = "tokens", ngram: int = 1):
+    def __init__(self, shape: Shape, *, col: str = "tokens", ngram: int = 1, scalar: bool = False):
         self.shape = shape
         self.col = col
         self.ngram = ngram
+        self.scalar = scalar  # True: `col` is a scalar int (e.g. xxhash64(doc_id))
 
     @classmethod
     def for_np(cls, n: int, p: float, **kw) -> "BloomSketch":
@@ -101,7 +112,11 @@ class BloomSketch:
 
     # update fn shared by all build paths (consumes Arrow RecordBatches)
     def _update(self, acc: BloomFilter, batch) -> None:
-        if self.ngram == 1:
+        if self.scalar:
+            vals = _scalar_values(batch, self.col)
+            if vals.size:
+                acc.add_tokens(vals)
+        elif self.ngram == 1:
             toks = arrow_flat_tokens(batch, self.col)
             if toks.size:
                 acc.add_tokens(toks)
@@ -193,6 +208,7 @@ class BloomSketch:
         spark = spark or SparkSession.getActiveSession()
         bc = spark.sparkContext.broadcast(payload)
         col = self.col
+        scalar = self.scalar
 
         def probe(batches):
             import pyarrow as pa
@@ -201,7 +217,9 @@ class BloomSketch:
             hits = 0
             total = 0
             for batch in batches:
-                toks = arrow_flat_tokens(batch, col)
+                toks = (
+                    _scalar_values(batch, col) if scalar else arrow_flat_tokens(batch, col)
+                )
                 if toks.size:
                     hits += int(bf.contains_tokens(toks).sum())
                     total += int(toks.size)
@@ -233,10 +251,11 @@ class BlockedBloomSketch:
     prefer it for 100 TB builds when bitwise parity with the reference
     filter layout is not required."""
 
-    def __init__(self, filt: BlockedBloomFilter, *, col: str = "tokens", ngram: int = 1):
+    def __init__(self, filt: BlockedBloomFilter, *, col: str = "tokens", ngram: int = 1, scalar: bool = False):
         self.proto = filt
         self.col = col
         self.ngram = ngram
+        self.scalar = scalar
 
     @classmethod
     def for_np(cls, n: int, p: float, **kw) -> "BlockedBloomSketch":
@@ -246,7 +265,11 @@ class BlockedBloomSketch:
         return BlockedBloomFilter(self.proto.n_blocks)
 
     def _update(self, acc: BlockedBloomFilter, batch) -> None:
-        if self.ngram == 1:
+        if self.scalar:
+            vals = _scalar_values(batch, self.col)
+            if vals.size:
+                acc.add_tokens(vals)
+        elif self.ngram == 1:
             toks = arrow_flat_tokens(batch, self.col)
             if toks.size:
                 acc.add_tokens(toks)
@@ -276,6 +299,7 @@ class BlockedBloomSketch:
         spark = spark or SparkSession.getActiveSession()
         bc = spark.sparkContext.broadcast(payload)
         col = self.col
+        scalar = self.scalar
 
         def probe(batches):
             import pyarrow as pa
@@ -284,7 +308,9 @@ class BlockedBloomSketch:
             hits = 0
             total = 0
             for batch in batches:
-                toks = arrow_flat_tokens(batch, col)
+                toks = (
+                    _scalar_values(batch, col) if scalar else arrow_flat_tokens(batch, col)
+                )
                 if toks.size:
                     hits += int(bf.contains_tokens(toks).sum())
                     total += int(toks.size)

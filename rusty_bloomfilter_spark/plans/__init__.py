@@ -1,5 +1,6 @@
 """High-level query plans composed from the sketch operators."""
 
+from .overlap import source_overlap
 from .profile import bloom_stats_df, token_profile
 
-__all__ = ["bloom_stats_df", "token_profile"]
+__all__ = ["bloom_stats_df", "source_overlap", "token_profile"]

@@ -1,0 +1,64 @@
+"""Bloom union/intersection estimators as a distributed query
+(reference mod.rs:38-54) vs exact distinct overlaps."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from rusty_bloomfilter_spark.plans import source_overlap
+from rusty_bloomfilter_spark.sketch import Shape
+
+
+@pytest.fixture(scope="module")
+def overlap_df(spark):
+    """Three sources with controlled distinct-token overlap."""
+    rng = np.random.default_rng(13)
+    shared = rng.choice(100_000, size=2000, replace=False).astype(np.int32)
+    only = {
+        s: rng.choice(np.arange(200_000, 400_000), size=3000, replace=False).astype(np.int32)
+        for s in ("a", "b", "c")
+    }
+    pools = {
+        "a": np.concatenate([shared, only["a"]]),
+        "b": np.concatenate([shared[:1000], only["b"]]),
+        "c": only["c"],
+    }
+    rows = []
+    for s, pool in pools.items():
+        for i in range(120):
+            rows.append((f"{s}-{i}", rng.choice(pool, size=150).astype(np.int32), s))
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [r[0] for r in rows],
+            "tokens": [r[1] for r in rows],
+            "n_tok": [150] * len(rows),
+            "source": [r[2] for r in rows],
+        }
+    )
+    return spark.createDataFrame(pdf), pools
+
+
+def test_source_overlap_estimates(spark, overlap_df):
+    df, pools = overlap_df
+    out = {
+        (r["source_a"], r["source_b"]): r
+        for r in source_overlap(spark, df, shape=Shape.for_np(n=100_000, p=1e-4)).collect()
+    }
+    seen = {s: None for s in pools}
+    # exact distinct per source actually sampled into docs
+    import numpy as np
+
+    pdf = df.toPandas()
+    actual = {
+        s: np.unique(np.concatenate(list(pdf.loc[pdf.source == s, "tokens"])))
+        for s in pools
+    }
+    for (a, b), r in out.items():
+        exact_union = len(np.union1d(actual[a], actual[b]))
+        exact_inter = len(np.intersect1d(actual[a], actual[b]))
+        assert r["est_union"] == pytest.approx(exact_union, rel=0.03)
+        assert r["est_intersection"] == pytest.approx(exact_inter, rel=0.1, abs=60)
+    # ordering sanity: a∩b >> a∩c (c is disjoint)
+    assert out[("a", "b")]["est_intersection"] > 5 * max(
+        out[("a", "c")]["est_intersection"], 1
+    )
