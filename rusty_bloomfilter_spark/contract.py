@@ -657,3 +657,31 @@ def q_bloom_doc_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_inserted bigint, present_hits bigint, present_probes bigint, "
         "false_hits bigint, n_probes bigint, observed_fpr double",
     )
+
+
+@register(
+    "q_topk_two_pass",
+    oracle=_SEQ_CTE
+    + """
+    SELECT tok, count(*) AS freq
+    FROM (SELECT unnest(tokens) AS tok FROM sequences) t
+    GROUP BY tok ORDER BY freq DESC, tok LIMIT 25
+    """,
+)
+def q_topk_two_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalable two-pass top-k (local candidates + exact recount) must
+    equal the full exact groupBy top-k — same oracle as
+    q_heavy_tokens_exact proves it."""
+    from .operators.topk import topk_exact_candidates
+
+    seq = sequences_from_documents(spark, sf_dir)
+    return topk_exact_candidates(seq, k=25, margin=6)
+
+
+@register("q_topk_cms")
+def q_topk_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-path top-k (CMS estimates over local-top candidates)."""
+    from .operators.topk import topk_by_cms
+
+    seq = sequences_from_documents(spark, sf_dir)
+    return topk_by_cms(seq, k=25, margin=6)

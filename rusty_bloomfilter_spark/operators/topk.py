@@ -1,0 +1,106 @@
+"""Heavy hitters: distributed top-k token frequencies.
+
+Exact top-k via groupBy is fine until the key cardinality explodes; at
+10^12 tokens the classic scalable pattern is:
+
+1. per-partition local top-K' candidates (K' = k * margin) from an
+   in-memory exact count of the partition (mapInArrow, no shuffle) —
+   any global top-k member must be a local top-K' member in at least
+   one partition if margin covers the partition skew; with uniform
+   partitioning the standard margin is a few x.
+2. union candidates (tiny shuffle: K' rows per partition),
+3. CMS point estimates for the candidate set (one-sided error, never
+   underestimates), or an exact second pass restricted to candidates
+   (a bloom/IN-filtered semi-join aggregation).
+
+`topk_by_cms` is the sketch path; `topk_exact_candidates` is the
+verified two-pass path whose result equals the full exact groupBy at
+test scale.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .sketches import CmsSketch, arrow_flat_tokens
+
+
+def _local_top_candidates(df: DataFrame, col: str, k_local: int) -> DataFrame:
+    """Per-partition exact counts -> local top-k_local candidate rows
+    (tok, local_freq). No shuffle of token data."""
+
+    def tops(batches):
+        import pyarrow as pa
+
+        flats = []
+        for batch in batches:
+            flats.append(arrow_flat_tokens(batch, col))
+        if flats:
+            flat = np.concatenate(flats)
+            vals, cnts = np.unique(flat, return_counts=True)
+            if len(vals) > k_local:
+                sel = np.argpartition(cnts, -k_local)[-k_local:]
+                vals, cnts = vals[sel], cnts[sel]
+            yield pa.RecordBatch.from_pydict(
+                {"tok": vals.astype(np.int64).tolist(), "local_freq": cnts.tolist()}
+            )
+
+    return df.select(col).mapInArrow(tops, schema="tok bigint, local_freq bigint")
+
+
+def topk_by_cms(
+    df: DataFrame,
+    k: int = 20,
+    *,
+    col: str = "tokens",
+    margin: int = 4,
+    d: int = 5,
+    w: int = 1 << 16,
+) -> DataFrame:
+    """-> (tok, freq_est) top-k by CMS estimate over the candidate set.
+    CMS never underestimates, so no true heavy hitter can be displaced
+    by an *underestimate*; overestimates are bounded by eps*N w.h.p."""
+    spark = df.sparkSession
+    cand = (
+        _local_top_candidates(df, col, k * margin)
+        .groupBy("tok")
+        .agg(F.sum("local_freq").alias("lower_bound"))
+        .orderBy(F.desc("lower_bound"), "tok")
+        .limit(k * margin)
+    )
+    cs = CmsSketch(d=d, w=w, col=col)
+    payload, _ = cs.build_bytes(df)
+    toks = np.array([r["tok"] for r in cand.collect()], dtype=np.int64)
+    if toks.size == 0:
+        return spark.createDataFrame([], "tok bigint, freq_est bigint")
+    est = cs.estimate_counts(payload, toks)
+    order = np.lexsort((toks, -est))[:k]
+    rows = [(int(toks[i]), int(est[i])) for i in order]
+    return spark.createDataFrame(rows, "tok bigint, freq_est bigint")
+
+
+def topk_exact_candidates(
+    df: DataFrame, k: int = 20, *, col: str = "tokens", margin: int = 4
+) -> DataFrame:
+    """Two-pass exact top-k: candidates from local tops, then an exact
+    recount restricted to candidates (broadcast IN-filter pushed into
+    the exploded scan). Equals full groupBy top-k whenever the margin
+    covers partition skew — pinned by tests."""
+    cand = (
+        _local_top_candidates(df, col, k * margin)
+        .groupBy("tok")
+        .agg(F.sum("local_freq").alias("lb"))
+        .orderBy(F.desc("lb"), "tok")
+        .limit(k * margin)
+        .select("tok")
+    )
+    ex = df.select(F.explode(col).alias("tok"))
+    return (
+        ex.join(F.broadcast(cand), "tok", "left_semi")
+        .groupBy("tok")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), "tok")
+        .limit(k)
+    )

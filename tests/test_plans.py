@@ -1,0 +1,93 @@
+"""Physical-plan quality gates: the plans we'd want at 100 TB.
+
+Checks .explain() output for: filter pushdown to the parquet scan,
+column pruning (sketch builds read ONLY the token column), broadcast
+joins for small dims, and no row-data shuffle in the sketch pipeline
+(exchanges only carry sketch rows).
+"""
+
+import contextlib
+import io
+
+import pytest
+
+SF = "/root/testdata/sf0.01"
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_pricing_summary_pushdown_and_partial_agg(spark):
+    from rusty_bloomfilter_spark.contract import q_pricing_summary
+
+    plan = plan_of(q_pricing_summary(spark, SF))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # map-side combine: partial_sum before the exchange
+    assert "partial_sum" in plan
+    # column pruning: unneeded wide columns never read
+    assert "l_comment" not in plan
+
+
+def test_bloom_build_scan_reads_only_tokens(spark):
+    from rusty_bloomfilter_spark.operators.sketches import BlockedBloomSketch
+    from rusty_bloomfilter_spark.sources import load_table
+
+    seq = load_table(spark, SF, "documents").selectExpr(
+        "cast(doc_id as string) doc_id", "text", "source"
+    )
+    # materialized sequences table scan: build over parquet directly
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        from rusty_bloomfilter_spark.sources import sequences_from_documents
+
+        sequences_from_documents(spark, SF).write.parquet(d + "/seq")
+        df = spark.read.parquet(d + "/seq")
+        sk = BlockedBloomSketch.for_np(n=100_000, p=1e-3)
+        plan = plan_of(sk.build(df))
+        # the scan must read only the tokens column (column pruning
+        # through mapInArrow's .select)
+        assert "ReadSchema: struct<tokens:array<int>>" in plan
+        assert "doc_id" not in plan.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_top_customers_broadcast_join(spark):
+    from rusty_bloomfilter_spark.contract import q_top_customers
+
+    plan = plan_of(q_top_customers(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_semi_join_candidates_broadcast(spark):
+    from rusty_bloomfilter_spark.operators.topk import topk_exact_candidates
+    from rusty_bloomfilter_spark.sources import sequences_from_documents
+
+    seq = sequences_from_documents(spark, SF)
+    plan = plan_of(topk_exact_candidates(seq, k=10))
+    # candidate IN-filter goes broadcast, not shuffle
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_tree_merge_shuffles_only_sketch_rows(spark):
+    """The only exchanges in the bloom pipeline move (payload, n_items)
+    rows — no exchange appears below the partition-build mapInArrow."""
+    from rusty_bloomfilter_spark.operators.sketches import BlockedBloomSketch
+    from rusty_bloomfilter_spark.sources import sequences_from_documents
+
+    seq = sequences_from_documents(spark, SF)
+    import re
+
+    plan = plan_of(BlockedBloomSketch.for_np(n=100_000, p=1e-3).build(seq))
+    assert "MapInArrow" in plan
+    # every Exchange in the plan carries only (payload, n_items) rows
+    exchanges = re.findall(r"\(\d+\) Exchange\s*\nInput \[\d+\]: \[([^\]]*)\]", plan)
+    assert exchanges, plan
+    for inputs in exchanges:
+        assert "payload" in inputs and "n_items" in inputs, inputs
+    # and the parquet scan reads only the text column (pruned)
+    assert "ReadSchema: struct<text:string>" in plan
