@@ -685,3 +685,93 @@ def q_topk_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     seq = sequences_from_documents(spark, sf_dir)
     return topk_by_cms(seq, k=25, margin=6)
+
+
+@register(
+    "q_rollup_revenue",
+    oracle="""
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS revenue,
+           count(*) AS n_rows
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (Catalyst-native, composable with sketch
+    aggs via one sketch row per grouping set)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(38,4)"))
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_rows"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "revenue",
+            "n_rows",
+        )
+    )
+
+
+@register(
+    "q_window_user_ranks",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq_no,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS running_value
+    FROM events
+    QUALIFY seq_no <= 3
+    ORDER BY user_id, seq_no LIMIT 200
+    """,
+)
+def q_window_user_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window functions: per-user event ordering + running sums."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.row_number().over(w).alias("seq_no"),
+            F.round(F.sum("value").over(w.rowsBetween(W.unboundedPreceding, 0)), 6).alias(
+                "running_value"
+            ),
+        )
+        .filter(F.col("seq_no") <= 3)
+        .orderBy("user_id", "seq_no")
+        .limit(200)
+    )
+
+
+@register(
+    "q_set_ops",
+    oracle="""
+    WITH clickers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+         viewers  AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view')
+    SELECT 'intersect' AS op, count(*) AS n FROM (SELECT * FROM clickers INTERSECT SELECT * FROM viewers)
+    UNION ALL
+    SELECT 'except' AS op, count(*) AS n FROM (SELECT * FROM clickers EXCEPT SELECT * FROM viewers)
+    UNION ALL
+    SELECT 'union' AS op, count(*) AS n FROM (SELECT * FROM clickers UNION SELECT * FROM viewers)
+    """,
+)
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational set operations (intersect / except / union distinct)."""
+    ev = load_table(spark, sf_dir, "events")
+    clickers = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    viewers = ev.filter(F.col("event_type") == "view").select("user_id").distinct()
+    rows = [
+        ("intersect", clickers.intersect(viewers).count()),
+        ("except", clickers.exceptAll(viewers).distinct().count()),
+        ("union", clickers.union(viewers).distinct().count()),
+    ]
+    return spark.createDataFrame(rows, "op string, n bigint")

@@ -91,3 +91,20 @@ def test_tree_merge_shuffles_only_sketch_rows(spark):
         assert "payload" in inputs and "n_items" in inputs, inputs
     # and the parquet scan reads only the text column (pruned)
     assert "ReadSchema: struct<text:string>" in plan
+
+
+def test_salted_keyed_build_has_two_merge_levels(spark):
+    """salt>0 inserts an intermediate (key, salt) merge stage bounding
+    any single task's fan-in — two FlatMapGroupsInPandas levels."""
+    from rusty_bloomfilter_spark.operators.sketches import BlockedBloomSketch
+    from rusty_bloomfilter_spark.sources import sequences_from_documents
+
+    seq = sequences_from_documents(spark, SF)
+    sk = BlockedBloomSketch.for_np(n=100_000, p=1e-3)
+    plan_salted = plan_of(sk.build_by_key(seq, "source", salt=4))
+    plan_plain = plan_of(sk.build_by_key(seq, "source"))
+    # AQE may print operators in both initial and final plans; compare
+    # relative structure: salted has twice the group-merge levels
+    n_salted = plan_salted.count("FlatMapGroupsInPandas")
+    n_plain = plan_plain.count("FlatMapGroupsInPandas")
+    assert n_plain >= 1 and n_salted == 2 * n_plain

@@ -1,0 +1,89 @@
+"""Sources: deterministic generator invariance, format roundtrips,
+catalog fallback."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from rusty_bloomfilter_spark.sources import (
+    load_sequences,
+    load_table,
+    sequences_from_documents,
+    synthetic_sequences,
+)
+
+
+def test_synthetic_sequences_partition_invariant(spark):
+    """The generation law is a pure function of the row id: any
+    partition count yields identical rows (and therefore identical
+    sketches — the bitwise merge invariance depends on this)."""
+    a = synthetic_sequences(spark, 500, num_partitions=1).orderBy("doc_id").collect()
+    b = synthetic_sequences(spark, 500, num_partitions=13).orderBy("doc_id").collect()
+    assert len(a) == len(b) == 500
+    for ra, rb in zip(a, b):
+        assert ra["doc_id"] == rb["doc_id"]
+        assert ra["tokens"] == rb["tokens"]
+        assert ra["n_tok"] == rb["n_tok"] == len(ra["tokens"])
+        assert ra["source"] == rb["source"]
+
+
+def test_synthetic_sequences_skew(spark):
+    pdf = synthetic_sequences(spark, 4000).groupBy("source").count().toPandas()
+    frac = dict(zip(pdf["source"], pdf["count"] / pdf["count"].sum()))
+    assert frac["cc"] == pytest.approx(0.62, abs=0.04)  # hot key for salting
+
+
+def test_sequences_schema_matches_input_hint(spark):
+    seq = sequences_from_documents(spark, "/root/testdata/sf0.001")
+    assert seq.schema.simpleString() == (
+        "struct<doc_id:string,tokens:array<int>,n_tok:int,source:string>"
+    )
+    row = seq.first()
+    assert row["n_tok"] == len(row["tokens"])
+
+
+def test_json_and_csv_roundtrip(spark, tmp_path):
+    """Sequences survive a JSON roundtrip; scalar projections survive
+    CSV (csv has no array type — standard flatten-first pattern)."""
+    seq = synthetic_sequences(spark, 200)
+    jdir = str(tmp_path / "seq_json")
+    seq.write.json(jdir)
+    back = spark.read.schema(seq.schema).json(jdir)
+    assert back.count() == 200
+    a = {r["doc_id"]: r["tokens"] for r in seq.collect()}
+    for r in back.collect():
+        assert r["tokens"] == a[r["doc_id"]]
+
+    cdir = str(tmp_path / "seq_csv")
+    seq.select("doc_id", "n_tok", "source").write.option("header", True).csv(cdir)
+    csv_back = spark.read.option("header", True).csv(cdir)
+    assert csv_back.count() == 200
+
+
+def test_load_sequences_falls_back_to_parquet(spark, tmp_path):
+    p = str(tmp_path / "seqs.parquet")
+    synthetic_sequences(spark, 50).write.parquet(p)
+    df = load_sequences(spark, p)  # not a catalog table -> parquet path
+    assert df.count() == 50
+
+
+def test_per_row_token_array_equality_vs_oracle(spark):
+    """input_hint invariant: per-row token-array equality — the Spark
+    tokenizer reproduces the DuckDB oracle's token ids row by row."""
+    import duckdb
+
+    from rusty_bloomfilter_spark.functions import DUCKDB_TOKENIZE
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["doc_id"]: list(r["tokens"])
+        for r in sequences_from_documents(spark, sf).collect()
+    }
+    con = duckdb.connect()
+    oracle = con.execute(
+        f"SELECT CAST(doc_id AS VARCHAR) AS doc_id, {DUCKDB_TOKENIZE('text')} AS tokens "
+        f"FROM read_parquet('{sf}/documents.parquet')"
+    ).fetchall()
+    assert len(oracle) == len(got) > 0
+    for doc_id, tokens in oracle:
+        assert got[doc_id] == list(tokens), doc_id

@@ -42,11 +42,13 @@ n_tokens = seq.agg({{"n_tok": "sum"}}).collect()[0][0]
 
 bsk = BlockedBloomSketch.for_np(n=2_000_000, p=1e-4)
 csk = BloomSketch(Shape.for_np(n=2_000_000, p=1e-4))
-# warm workers
-bsk.build_bytes(seq.limit(2000).repartition(cpus), fanout=cpus)
-csk.build_bytes(seq.limit(2000).repartition(cpus), fanout=cpus)
+# warm workers with FULL-SIZE runs (page-fault warmup dominates first
+# touches of large buffers on this microVM; small warmups bias the
+# first timed job)
+bsk.build_bytes(seq, fanout=cpus)
+csk.build_bytes(seq, fanout=cpus)
 
-def best_of(fn, reps=3):
+def best_of(fn, reps=2):
     best = None
     for _ in range(reps):
         t0 = time.time(); fn(); dt = time.time() - t0
