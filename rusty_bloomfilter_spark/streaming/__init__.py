@@ -10,5 +10,11 @@ watermark discarding late state.
 """
 
 from .sketch_stream import StreamingSketchState, streaming_bloom_build, windowed_distinct_users
+from .stateful import running_distinct_by_key
 
-__all__ = ["StreamingSketchState", "streaming_bloom_build", "windowed_distinct_users"]
+__all__ = [
+    "StreamingSketchState",
+    "running_distinct_by_key",
+    "streaming_bloom_build",
+    "windowed_distinct_users",
+]

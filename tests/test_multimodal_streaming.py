@@ -2,6 +2,7 @@
 streaming sketch maintenance."""
 
 import numpy as np
+from pyspark.sql import functions as F
 import pandas as pd
 import pytest
 
@@ -126,3 +127,60 @@ def test_windowed_distinct_users(spark, tmp_path):
     for r in got:
         e = em[(r["window_start"], r["event_type"])]
         assert abs(r["approx_users"] - e) / max(e, 1) < 0.15
+
+
+def test_running_distinct_by_key_stateful(spark, tmp_path):
+    """applyInPandasWithState: per-key HLL state across micro-batches;
+    the LAST emitted estimate per key matches exact distinct."""
+    import datetime as dt
+
+    from rusty_bloomfilter_spark.streaming import running_distinct_by_key
+
+    rng = np.random.default_rng(9)
+    base = dt.datetime(2024, 1, 1)
+    pdf = pd.DataFrame(
+        {
+            "ts": [base + dt.timedelta(seconds=int(s)) for s in rng.integers(0, 3600, 800)],
+            "user_id": rng.integers(0, 120, 800).astype(np.int64),
+            "event_type": np.where(rng.integers(0, 3, 800) == 0, "click", "view"),
+        }
+    )
+    src = str(tmp_path / "state_src")
+    batch_df = spark.createDataFrame(pdf)
+    # several files => several micro-batches with maxFilesPerTrigger
+    batch_df.repartition(4).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(batch_df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = running_distinct_by_key(stream, key_col="event_type", value_col="user_id", p=12)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("running_distinct")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql(
+        "select * from running_distinct"
+    ).collect()
+    # last emission per key (n_items grows monotonically)
+    last = {}
+    for r in rows:
+        if r["key"] not in last or r["n_items"] > last[r["key"]]["n_items"]:
+            last[r["key"]] = r
+    exact = {
+        r["event_type"]: r["n"]
+        for r in batch_df.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(last) == set(exact)
+    for k, r in last.items():
+        assert abs(r["distinct_est"] - exact[k]) / exact[k] < 0.1
+        assert r["n_items"] == int((pdf["event_type"] == k).sum())
+    # state accumulated across MULTIPLE micro-batches
+    assert len(rows) > len(exact)
