@@ -1,0 +1,111 @@
+"""Hypothesis property tests over the sketch algebra (randomized but
+shrinkable — complements the seeded-numpy suites)."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from rusty_bloomfilter_spark.sketch import (
+    BlockedBloomFilter,
+    BloomFilter,
+    HyperLogLog,
+    Shape,
+    km_indices,
+    merge_sketch_payloads,
+)
+
+items_strategy = st.lists(
+    st.integers(min_value=-(2**31), max_value=2**31 - 1), min_size=0, max_size=200
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    m=st.integers(min_value=64, max_value=1 << 16),
+    k=st.integers(min_value=1, max_value=24),
+    h1=st.integers(min_value=0, max_value=2**64 - 1),
+    h2=st.integers(min_value=0, max_value=2**64 - 1),
+)
+def test_km_expansion_congruence(m, k, h1, h2):
+    """idx_i == (h1 + i*h2) mod m for every i < k (reference
+    hasher.rs:48-70 contract)."""
+    idx = km_indices(
+        np.array([h1], dtype=np.uint64), np.array([h2], dtype=np.uint64), Shape(m, k)
+    )[0]
+    for i in range(k):
+        assert idx[i] == (h1 + i * h2) % m
+
+
+@settings(max_examples=25, deadline=None)
+@given(a=items_strategy, b=items_strategy, c=items_strategy)
+def test_bloom_merge_associative_commutative(a, b, c):
+    shape = Shape(m=4096, k=3)
+
+    def bf(items):
+        f = BloomFilter.empty(shape)
+        if items:
+            f.add_tokens(np.array(items, dtype=np.int64))
+        return f
+
+    fa, fb, fc = bf(a), bf(b), bf(c)
+    left = fa.merge(fb).merge(fc)
+    right = fc.merge(fb.merge(fa))
+    assert left.to_bytes() == right.to_bytes()
+    whole = bf(a + b + c)
+    assert left.words.tobytes() == whole.words.tobytes()
+    # zero false negatives
+    if a:
+        assert bool(left.contains_tokens(np.array(a, dtype=np.int64)).all())
+
+
+@settings(max_examples=25, deadline=None)
+@given(items=items_strategy, splits=st.integers(min_value=1, max_value=5))
+def test_serialized_merge_partition_invariant(items, splits):
+    """merge_sketch_payloads over ANY partitioning == single build,
+    byte-identical (classic + blocked + HLL)."""
+    arr = np.array(items, dtype=np.int64) if items else np.empty(0, dtype=np.int64)
+    parts = np.array_split(arr, splits)
+
+    shape = Shape(m=2048, k=4)
+    whole_c = BloomFilter.empty(shape)
+    payloads_c = []
+    for p in parts:
+        f = BloomFilter.empty(shape)
+        if len(p):
+            f.add_tokens(p)
+            whole_c.add_tokens(p)
+        payloads_c.append(f.to_bytes())
+    assert merge_sketch_payloads(payloads_c) == whole_c.to_bytes()
+
+    whole_b = BlockedBloomFilter(64)
+    payloads_b = []
+    for p in parts:
+        f = BlockedBloomFilter(64)
+        if len(p):
+            f.add_tokens(p)
+            whole_b.add_tokens(p)
+        payloads_b.append(f.to_bytes())
+    assert merge_sketch_payloads(payloads_b) == whole_b.to_bytes()
+
+    whole_h = HyperLogLog(p=8)
+    payloads_h = []
+    for p in parts:
+        h = HyperLogLog(p=8)
+        if len(p):
+            h.add_tokens(p)
+            whole_h.add_tokens(p)
+        payloads_h.append(h.to_bytes())
+    assert merge_sketch_payloads(payloads_h) == whole_h.to_bytes()
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    n=st.integers(min_value=1, max_value=10**7),
+    p_exp=st.integers(min_value=1, max_value=10),
+)
+def test_shape_sizing_meets_target(n, p_exp):
+    p = 10.0**-p_exp
+    shape = Shape.for_np(n, p)
+    assert shape.false_positives(n) <= p * 1.1
+    blocked = BlockedBloomFilter.for_np(n, p)
+    assert blocked.false_positives(n) <= p * 1.001
