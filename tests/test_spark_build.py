@@ -140,3 +140,22 @@ def test_kll_quantiles_close_to_exact(spark, seq_df, sequences_pdf):
     for q, est in zip(qs, got):
         true_rank = np.searchsorted(vals, est) / len(vals)
         assert abs(true_rank - q) <= 0.05
+
+
+def test_hll_vs_native_approx_count_distinct(spark, seq_df, sequences_pdf):
+    """Cross-check our HLL against Spark's native HLL++ and the exact
+    count (SURVEY §5: native estimator as test oracle)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from rusty_bloomfilter_spark.operators import HllSketch
+
+    ours = HllSketch(p=14).estimate(seq_df)
+    native = (
+        seq_df.select(F.explode("tokens").alias("tok"))
+        .agg(F.approx_count_distinct("tok", rsd=0.01).alias("n"))
+        .collect()[0]["n"]
+    )
+    exact = len(np.unique(np.concatenate(list(sequences_pdf["tokens"]))))
+    assert abs(ours - exact) / exact < 0.03
+    assert abs(ours - native) / exact < 0.04
