@@ -422,6 +422,14 @@ class CmsSketch:
     def estimate_counts(self, payload: bytes, tokens: np.ndarray) -> np.ndarray:
         return CountMinSketch.from_bytes(payload).query_tokens(tokens)
 
+    def build_by_key(self, df: DataFrame, key_col: str, *, salt: int = 0) -> DataFrame:
+        """One frequency sketch per key (map-side combine; sketch rows
+        only on the shuffle)."""
+        return build_by_key(
+            df, key_col, self._empty, self._update, self._merge,
+            columns=[key_col, self.col], salt=salt,
+        )
+
 
 # ---------------------------------------------------------------------------
 # KLL quantiles
@@ -453,3 +461,34 @@ class KllQuantiles:
         payload, _ = collect_sketch_bytes(self.build(df, fanout=fanout))
         sk = KLLSketch.from_bytes(payload)
         return [float(sk.quantile(q)) for q in qs]
+
+    def build_by_key(self, df: DataFrame, key_col: str, *, salt: int = 0) -> DataFrame:
+        """One quantile sketch per key."""
+        return build_by_key(
+            df, key_col, self._empty, self._update, self._merge,
+            columns=[key_col, self.col], salt=salt,
+        )
+
+    def quantiles_by_key(
+        self, df: DataFrame, key_col: str, qs: list[float], *, salt: int = 0
+    ) -> DataFrame:
+        """-> (key, q, value) per-key quantile estimates."""
+        keyed = self.build_by_key(df, key_col, salt=salt)
+        qs_list = list(qs)
+
+        def stats(batches):
+            import pyarrow as pa
+
+            for b in batches:
+                keys, qcol, vals = [], [], []
+                for key, payload in zip(
+                    b.column("key").to_pylist(), b.column("payload").to_pylist()
+                ):
+                    sk = KLLSketch.from_bytes(bytes(payload))
+                    for q in qs_list:
+                        keys.append(key)
+                        qcol.append(q)
+                        vals.append(float(sk.quantile(q)))
+                yield pa.RecordBatch.from_pydict({"key": keys, "q": qcol, "value": vals})
+
+        return keyed.mapInArrow(stats, schema="key string, q double, value double")

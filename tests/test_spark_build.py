@@ -159,3 +159,25 @@ def test_hll_vs_native_approx_count_distinct(spark, seq_df, sequences_pdf):
     exact = len(np.unique(np.concatenate(list(sequences_pdf["tokens"]))))
     assert abs(ours - exact) / exact < 0.03
     assert abs(ours - native) / exact < 0.04
+
+
+def test_cms_and_kll_by_key(spark, seq_df, sequences_pdf):
+    """Per-key frequency and quantile sketches match per-key oracles."""
+    cs = CmsSketch(d=4, w=8192)
+    rows = cs.build_by_key(seq_df, "source").collect()
+    assert set(r["key"] for r in rows) == set(sequences_pdf["source"].unique())
+    for r in rows:
+        mask = sequences_pdf["source"] == r["key"]
+        toks = np.concatenate(list(sequences_pdf.loc[mask, "tokens"]))
+        oracle = CountMinSketch(4, 8192).add_tokens(toks)
+        got = CountMinSketch.from_bytes(bytes(r["payload"]))
+        assert np.array_equal(got.table, oracle.table)
+
+    kq = KllQuantiles(k=128, col="n_tok")
+    out = kq.quantiles_by_key(seq_df, "source", [0.5]).collect()
+    for r in out:
+        vals = np.sort(
+            sequences_pdf.loc[sequences_pdf["source"] == r["key"], "n_tok"].to_numpy()
+        )
+        rank = np.searchsorted(vals, r["value"]) / len(vals)
+        assert abs(rank - 0.5) < 0.12
