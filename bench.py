@@ -112,9 +112,22 @@ def main() -> None:
     extra["bloom_fill_ratio"] = round(BloomFilter.from_bytes(payload).fill_ratio(), 6)
 
     # -- sibling sketches over the same synthetic table -------------------
-    timed("q_hll_distinct", lambda: HllSketch(p=14).estimate(seq, fanout=cpus))
-    timed("q_cms_build", lambda: CmsSketch(d=5, w=1 << 17).build_bytes(seq, fanout=cpus))
+    timed("q_hll_distinct", lambda: HllSketch(p=14).estimate(seq, fanout=cpus), reps=2)
+    timed("q_cms_build", lambda: CmsSketch(d=5, w=1 << 17).build_bytes(seq, fanout=cpus), reps=2)
     timed("q_kll_ntok", lambda: KllQuantiles(k=200, col="n_tok").quantiles(seq, [0.5, 0.99]))
+
+    # -- dedup + ANN over the driver tables --------------------------------
+    from rusty_bloomfilter_spark.operators.dedup import minhash_dedup
+    from rusty_bloomfilter_spark.operators.similarity import ann_bruteforce_topk
+    from rusty_bloomfilter_spark.sources import sequences_from_documents as _sfd
+
+    timed("q_minhash_dedup", lambda: minhash_dedup(_sfd(spark, sf_dir), threshold=0.35).count())
+    timed(
+        "q_ann_bruteforce",
+        lambda: ann_bruteforce_topk(
+            load_table(spark, sf_dir, "embeddings"), [0, 7, 42, 99, 123], k=5
+        ).collect(),
+    )
 
     # -- flagship + relational over the driver tables ---------------------
     timed("q_token_profile", lambda: token_profile(

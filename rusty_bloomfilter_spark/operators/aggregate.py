@@ -79,9 +79,11 @@ def tree_merge(
     merge_payloads: MergePayloadsFn,
     *,
     fanout: int = 16,
+    empty_payload: bytes | None = None,
 ) -> DataFrame:
     """Stages 2+3: depth-2 tree reduction over sketch rows. Returns a
-    single-row DataFrame (payload, n_items)."""
+    single-row DataFrame (payload, n_items). ``empty_payload`` (the
+    sketch identity) is emitted when the input has no rows at all."""
 
     def merge_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         payloads: list[bytes] = []
@@ -92,8 +94,19 @@ def tree_merge(
         if payloads:
             yield pd.DataFrame({"payload": [merge_payloads(payloads)], "n_items": [n_items]})
 
+    def merge_final(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        payloads: list[bytes] = []
+        n_items = 0
+        for pdf in batches:
+            payloads.extend(bytes(p) for p in pdf["payload"])
+            n_items += int(pdf["n_items"].sum())
+        if not payloads and empty_payload is not None:
+            yield pd.DataFrame({"payload": [empty_payload], "n_items": [0]})
+        elif payloads:
+            yield pd.DataFrame({"payload": [merge_payloads(payloads)], "n_items": [n_items]})
+
     level1 = sketch_df.repartition(fanout).mapInPandas(merge_partition, schema=SKETCH_SCHEMA)
-    return level1.repartition(1).mapInPandas(merge_partition, schema=SKETCH_SCHEMA)
+    return level1.repartition(1).mapInPandas(merge_final, schema=SKETCH_SCHEMA)
 
 
 def build_sketch(
@@ -110,13 +123,16 @@ def build_sketch(
         partition_sketches(df, make_empty, update, columns=columns),
         merge_payloads,
         fanout=fanout,
+        empty_payload=make_empty().to_bytes(),
     )
 
 
 def collect_sketch_bytes(sketch_df: DataFrame) -> tuple[bytes, int]:
     """Driver-side: pull the single merged (payload, n_items) row."""
-    row = sketch_df.collect()[0]
-    return bytes(row["payload"]), int(row["n_items"])
+    rows = sketch_df.collect()
+    if not rows:
+        raise ValueError("sketch pipeline produced no rows (empty input?)")
+    return bytes(rows[0]["payload"]), int(rows[0]["n_items"])
 
 
 def build_by_key(

@@ -141,7 +141,9 @@ def minhash_candidate_pairs(
             lambda i: F.xxhash64(F.slice("sig", i * r + 1, r), i),
         )
     )
-    buckets = sig_df.select("doc_id", "sig", band_cols.alias("band", "bucket"))
+    # the self-join references the bucket frame twice; without a persist
+    # Spark recomputes the full signature stage for each side
+    buckets = sig_df.select("doc_id", "sig", band_cols.alias("band", "bucket")).persist()
     left = buckets.alias("l")
     right = buckets.alias("r")
     pairs = (
@@ -232,7 +234,9 @@ def simhash_near_dups(sig_df: DataFrame, *, max_hamming: int = 3) -> DataFrame:
             for b in range(4)
         ])
     )
-    b_df = sig_df.select("doc_id", "simhash", blocks.alias("block_idx", "block_val"))
+    b_df = sig_df.select(
+        "doc_id", "simhash", blocks.alias("block_idx", "block_val")
+    ).persist()  # referenced twice by the self-join
     left = b_df.alias("l")
     right = b_df.alias("r")
     return (
@@ -377,7 +381,7 @@ def embedding_near_dups(
             for b in range(bands)
         ])
     )
-    b_df = sigs.select("vid", band_exp.alias("band", "bucket"))
+    b_df = sigs.select("vid", band_exp.alias("band", "bucket")).persist()
     cand = (
         b_df.alias("l")
         .join(

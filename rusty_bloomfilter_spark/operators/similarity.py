@@ -102,7 +102,7 @@ def ann_lsh_topk(
             for b in range(bands)
         ])
     )
-    buckets = sigs.select("id", band_exp.alias("band", "bucket"))
+    buckets = sigs.select("id", band_exp.alias("band", "bucket")).persist()
     q_buckets = buckets.filter(F.col("id").isin(query_ids)).select(
         F.col("id").alias("query_id"), "band", "bucket"
     )

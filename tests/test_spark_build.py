@@ -181,3 +181,34 @@ def test_cms_and_kll_by_key(spark, seq_df, sequences_pdf):
         )
         rank = np.searchsorted(vals, r["value"]) / len(vals)
         assert abs(rank - 0.5) < 0.12
+
+
+def test_build_on_empty_dataframe(spark):
+    """Empty input -> the sketch identity (empty filter), not a crash."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("tokens", T.ArrayType(T.IntegerType())),
+            T.StructField("n_tok", T.IntegerType()),
+            T.StructField("source", T.StringType()),
+        ]
+    )
+    empty = spark.createDataFrame([], schema)
+    sk = BloomSketch(SHAPE)
+    payload, n = sk.build_bytes(empty)
+    bf = BloomFilter.from_bytes(payload)
+    assert n == 0 and bf.cardinality() == 0
+    assert bf == BloomFilter.empty(SHAPE)
+
+
+def test_cms_weighted_add():
+    """CMS weighted updates (counts column) match repeated inserts."""
+    a = CountMinSketch(4, 1024)
+    vals = np.array([5, 9, 5], dtype=np.int64)
+    a.add_u64(vals.view(np.uint64), counts=np.array([3, 2, 1]))
+    b = CountMinSketch(4, 1024)
+    b.add_tokens(np.array([5, 5, 5, 5, 9, 9], dtype=np.int64))
+    assert np.array_equal(a.table, b.table)
+    assert a.n_items == b.n_items == 6
