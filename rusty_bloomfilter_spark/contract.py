@@ -775,3 +775,26 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("union", clickers.union(viewers).distinct().count()),
     ]
     return spark.createDataFrame(rows, "op string, n bigint")
+
+
+@register(
+    "q_sessionize",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id,
+               CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w IS NULL
+                         OR epoch(ts) - lag(epoch(ts)) OVER w > 1800
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    )
+    SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
+           count(*) AS n_events
+    FROM flagged GROUP BY user_id
+    """,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (lag + conditional cumsum windows)."""
+    from .operators.temporal import session_stats
+
+    ev = load_table(spark, sf_dir, "events")
+    return session_stats(ev, gap_minutes=30).select("user_id", "n_sessions", "n_events")

@@ -1,0 +1,97 @@
+"""Temporal operators: sessionization and as-of joins.
+
+Standard OLAP patterns Spark lacks as built-ins, expressed with
+native window functions (sessionize — fully Catalyst/codegen) and a
+grouped pandas merge_asof (as-of join — per-key batch, Arrow-fed).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Assign session ids: a new session starts when the gap to the
+    previous event of the same user exceeds `gap_minutes`. Pure window
+    algebra (lag + conditional cumsum), whole-stage codegen'd; one
+    shuffle on the user key."""
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    # via "timestamp" first: TIMESTAMP_NTZ (parquet naive) can't cast
+    # straight to long; session tz is pinned to UTC so this matches
+    # DuckDB's epoch() on the same naive values
+    epoch = F.col(ts_col).cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    new_session = F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
+    return events.withColumn(
+        "session_no", F.sum(new_session).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+
+
+def session_stats(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """-> per-user session summary (n_sessions, events per session)."""
+    s = sessionize(events, user_col=user_col, ts_col=ts_col, gap_minutes=gap_minutes)
+    return (
+        s.groupBy(user_col, "session_no")
+        .agg(F.count("*").alias("n_events"))
+        .groupBy(user_col)
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+            F.max("n_events").alias("max_session_events"),
+        )
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str,
+    by: str,
+    direction: str = "backward",
+    suffix: str = "_r",
+) -> DataFrame:
+    """As-of join: for each left row, the latest right row with
+    right.on <= left.on within the same `by` key (direction=backward).
+
+    Implemented as a cogrouped applyInPandas running pd.merge_asof per
+    key — both sides shuffle once on `by`, each group sorts locally.
+    At scale, `by` keys distribute the work; a single huge key is the
+    caller's salting problem (same contract as any keyed op).
+    """
+    l_cols = left.columns
+    r_cols = [c for c in right.columns if c not in (by, on)]
+    out_fields = [f"{f.name} {f.dataType.simpleString()}" for f in left.schema.fields]
+    rmap = {f.name: f.dataType.simpleString() for f in right.schema.fields}
+    for c in r_cols:
+        name = c if c not in l_cols else c + suffix
+        out_fields.append(f"{name} {rmap[c]}")
+    schema = ", ".join(out_fields)
+
+    def merge(lg: pd.DataFrame, rg: pd.DataFrame) -> pd.DataFrame:
+        lg = lg.sort_values(on)
+        rg = rg.sort_values(on)
+        merged = pd.merge_asof(
+            lg, rg.drop(columns=[by]), on=on, direction=direction, suffixes=("", suffix)
+        )
+        return merged
+
+    return (
+        left.groupBy(by)
+        .cogroup(right.groupBy(by))
+        .applyInPandas(lambda lg, rg: merge(lg, rg), schema=schema)
+    )

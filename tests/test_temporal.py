@@ -1,0 +1,81 @@
+"""Sessionization and as-of join vs pandas oracles."""
+
+import datetime as dt
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from rusty_bloomfilter_spark.operators.temporal import asof_join, session_stats, sessionize
+
+
+@pytest.fixture(scope="module")
+def events_pdf():
+    rng = np.random.default_rng(21)
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for uid in range(25):
+        t = base
+        for _ in range(rng.integers(3, 40)):
+            t = t + dt.timedelta(minutes=int(rng.integers(1, 120)))
+            rows.append((uid, t, float(rng.normal())))
+    return pd.DataFrame(rows, columns=["user_id", "ts", "value"])
+
+
+def oracle_sessions(pdf, gap_minutes=30):
+    out = {}
+    for uid, g in pdf.groupby("user_id"):
+        ts = g.sort_values("ts")["ts"]
+        gaps = ts.diff().dt.total_seconds()
+        new = (gaps.isna() | (gaps > gap_minutes * 60)).astype(int)
+        out[uid] = int(new.sum())
+    return out
+
+
+def test_sessionize_matches_oracle(spark, events_pdf):
+    df = spark.createDataFrame(events_pdf)
+    got = {
+        r["user_id"]: r["n_sessions"]
+        for r in session_stats(df, gap_minutes=30).collect()
+    }
+    assert got == oracle_sessions(events_pdf, 30)
+    # event counts preserved
+    s = sessionize(df, gap_minutes=30)
+    assert s.count() == len(events_pdf)
+
+
+def test_asof_join_matches_pandas(spark, events_pdf):
+    """Each event picks the latest quote at-or-before its timestamp,
+    per user — equals a per-group pd.merge_asof."""
+    rng = np.random.default_rng(5)
+    base = dt.datetime(2024, 1, 1)
+    quotes = pd.DataFrame(
+        {
+            "user_id": np.repeat(np.arange(25), 10),
+            "ts": [
+                base + dt.timedelta(minutes=int(m))
+                for m in rng.integers(0, 3000, 250)
+            ],
+            "quote": rng.normal(size=250),
+        }
+    )
+    left = spark.createDataFrame(events_pdf)
+    right = spark.createDataFrame(quotes)
+    got = asof_join(left, right, on="ts", by="user_id").toPandas()
+
+    expect_parts = []
+    for uid, lg in events_pdf.groupby("user_id"):
+        rg = quotes[quotes.user_id == uid].sort_values("ts").drop(columns=["user_id"])
+        expect_parts.append(
+            pd.merge_asof(lg.sort_values("ts"), rg, on="ts", direction="backward")
+        )
+    expect = pd.concat(expect_parts).reset_index(drop=True)
+
+    key = ["user_id", "ts", "value"]
+    got_s = got.sort_values(key).reset_index(drop=True)
+    exp_s = expect.sort_values(key).reset_index(drop=True)
+    assert len(got_s) == len(exp_s)
+    q_got = got_s["quote"].to_numpy()
+    q_exp = exp_s["quote"].to_numpy()
+    both_nan = np.isnan(q_got) & np.isnan(q_exp)
+    assert bool((both_nan | np.isclose(q_got, q_exp, equal_nan=False)).all())
