@@ -798,3 +798,57 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return session_stats(ev, gap_minutes=30).select("user_id", "n_sessions", "n_events")
+
+
+@register(
+    "q_token_count_bpe",
+    oracle="""
+    SELECT doc_id,
+           len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')) AS n_bpe_tokens,
+           len(list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '')) AS n_ws_tokens
+    FROM documents ORDER BY doc_id LIMIT 300
+    """,
+)
+def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting both ways: whitespace and the BPE-ish regex
+    pretokenizer (GPT-2-style, RE2-compatible subset) — identical in
+    DuckDB."""
+    from .functions.text import bpe_pretokenize_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            F.size(bpe_pretokenize_expr("text")).alias("n_bpe_tokens"),
+            token_count_expr(F.col("text")).alias("n_ws_tokens"),
+        )
+        .orderBy("doc_id")
+        .limit(300)
+    )
+
+
+from .functions.text import duckdb_rolling_fingerprint as _dd_rfp  # noqa: E402
+
+
+@register(
+    "q_rolling_fingerprint",
+    oracle=_SEQ_CTE
+    + f"""
+    SELECT fp, count(*) AS n_docs
+    FROM (SELECT {_dd_rfp('tokens')} AS fp FROM sequences WHERE len(tokens) >= 3) t
+    GROUP BY fp HAVING count(*) > 0 ORDER BY n_docs DESC, fp LIMIT 100
+    """,
+)
+def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash fingerprint groups (min 3-gram polynomial per doc)."""
+    from .functions.text import rolling_fingerprint_expr
+
+    seq = sequences_from_documents(spark, sf_dir)
+    return (
+        seq.filter(F.size("tokens") >= 3)
+        .select(rolling_fingerprint_expr(F.col("tokens")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy(F.desc("n_docs"), "fp")
+        .limit(100)
+    )

@@ -135,3 +135,49 @@ def duckdb_lang_id(text_expr: str) -> str:
     for lang, c in reversed(list(counts.items())):
         expr = f"CASE WHEN ({c}) = ({best}) AND ({best}) > 0 THEN '{lang}' ELSE {expr} END"
     return expr
+
+
+# ---------------------------------------------------------------------------
+# BPE-ish regex tokenization + rolling-hash fingerprints
+# ---------------------------------------------------------------------------
+
+# GPT-2-style pretokenizer, simplified to the RE2-compatible subset
+# (no lookahead) so DuckDB oracles can reproduce it exactly.
+BPE_ISH_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+
+def bpe_pretokenize(text: Column) -> Column:
+    """text -> array<string> of BPE-ish pretokens (letters / digits /
+    punctuation runs with leading-space attachment, GPT-2 style)."""
+    return F.expr(f"regexp_extract_all(text, '{BPE_ISH_PATTERN}', 0)").alias("pretokens")
+
+
+def bpe_pretokenize_expr(col_name: str) -> Column:
+    return F.regexp_extract_all(F.col(col_name), F.lit(BPE_ISH_PATTERN), F.lit(0))
+
+
+def duckdb_bpe_pretokenize(text_expr: str) -> str:
+    return f"regexp_extract_all({text_expr}, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')"
+
+
+def rolling_fingerprint_expr(tokens: Column, n: int = 3, vocab: int = 50257) -> Column:
+    """Rolling-hash document fingerprint: the MIN positional-polynomial
+    key over within-row token n-grams (n=3). A deterministic
+    content-based fingerprint robust to document reordering at the
+    corpus level; cross-engine reproducible (DuckDB renders the same
+    polynomial)."""
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(tokens) - n, F.lit(-1))),
+        lambda i: F.element_at(tokens, i + 1).cast("long") * F.lit(2526168121).cast("long")
+        + F.element_at(tokens, i + 2).cast("long") * 50261
+        + F.element_at(tokens, i + 3).cast("long"),
+    )
+    return F.array_min(grams)
+
+
+def duckdb_rolling_fingerprint(tokens_expr: str, n: int = 3) -> str:
+    return (
+        f"list_min(list_transform(range(len({tokens_expr}) - 2), "
+        f"i -> CAST({tokens_expr}[i+1] AS BIGINT) * 2526168121 "
+        f"+ CAST({tokens_expr}[i+2] AS BIGINT) * 50261 + {tokens_expr}[i+3]))"
+    )
