@@ -87,3 +87,14 @@ def test_per_row_token_array_equality_vs_oracle(spark):
     assert len(oracle) == len(got) > 0
     for doc_id, tokens in oracle:
         assert got[doc_id] == list(tokens), doc_id
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    seq = synthetic_sequences(spark, 100)
+    odir = str(tmp_path / "seq_orc")
+    seq.write.orc(odir)
+    back = spark.read.orc(odir)
+    assert back.count() == 100
+    a = {r["doc_id"]: r["tokens"] for r in seq.collect()}
+    for r in back.collect():
+        assert r["tokens"] == a[r["doc_id"]]
