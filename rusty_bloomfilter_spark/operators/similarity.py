@@ -22,10 +22,6 @@ from pyspark.sql import functions as F
 from .dedup import _cosine_expr
 
 
-def _norm_expr(v):
-    return F.sqrt(F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
-
-
 def ann_bruteforce_topk(
     embeddings: DataFrame,
     query_ids: list[int],

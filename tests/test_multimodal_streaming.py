@@ -184,3 +184,47 @@ def test_running_distinct_by_key_stateful(spark, tmp_path):
         assert r["n_items"] == int((pdf["event_type"] == k).sum())
     # state accumulated across MULTIPLE micro-batches
     assert len(rows) > len(exact)
+
+
+def test_streaming_restart_processes_only_new_files(spark, tmp_path, sequences_pdf):
+    """Kill/restart resilience: restarting the stream with the same
+    checkpoint dir after new files arrive processes ONLY the new files
+    (Spark source checkpoint) and the state stays correct (our batch-id
+    guard); final sketch == batch build over everything."""
+    from rusty_bloomfilter_spark.operators.sketches import BlockedBloomSketch
+    from rusty_bloomfilter_spark.sketch import BlockedBloomFilter
+    from rusty_bloomfilter_spark.streaming import StreamingSketchState, streaming_bloom_build
+
+    src = str(tmp_path / "restart_src")
+    half1 = sequences_pdf.iloc[:1000]
+    half2 = sequences_pdf.iloc[1000:]
+    df1 = spark.createDataFrame(half1)
+    df1.repartition(2).write.parquet(src)
+
+    sk = BlockedBloomSketch.for_np(n=300_000, p=1e-3)
+    state = StreamingSketchState(str(tmp_path / "restart.state"))
+    ckpt = str(tmp_path / "restart_ckpt")
+
+    schema = df1.schema
+    q1 = streaming_bloom_build(
+        spark.readStream.schema(schema).parquet(src), sk, state,
+        checkpoint_dir=ckpt, trigger_once=True,
+    )
+    q1.awaitTermination(120)
+    n_after_first = state.sketch().n_items
+    assert n_after_first == int(half1["n_tok"].sum())
+
+    # new files arrive; "restart" the query against the same checkpoint
+    spark.createDataFrame(half2).repartition(2).write.mode("append").parquet(src)
+    q2 = streaming_bloom_build(
+        spark.readStream.schema(schema).parquet(src), sk, state,
+        checkpoint_dir=ckpt, trigger_once=True,
+    )
+    q2.awaitTermination(120)
+
+    got = state.sketch()
+    oracle = BlockedBloomFilter(sk.proto.n_blocks).add_tokens(
+        np.concatenate(list(sequences_pdf["tokens"]))
+    )
+    assert got.n_items == oracle.n_items  # first half NOT double-counted
+    assert got.words.tobytes() == oracle.words.tobytes()
