@@ -212,3 +212,21 @@ def test_cms_weighted_add():
     b.add_tokens(np.array([5, 5, 5, 5, 9, 9], dtype=np.int64))
     assert np.array_equal(a.table, b.table)
     assert a.n_items == b.n_items == 6
+
+
+def test_direct_scan_build_equals_standard(spark, sequences_pdf, tmp_path):
+    """fastscan (pyarrow reads in workers) produces the bitwise-same
+    sketch as the standard JVM-scan pipeline."""
+    from rusty_bloomfilter_spark.operators.fastscan import build_sketch_direct
+    from rusty_bloomfilter_spark.operators.sketches import BlockedBloomSketch
+    from rusty_bloomfilter_spark.sketch import merge_sketch_payloads
+
+    path = str(tmp_path / "seq_direct")
+    spark.createDataFrame(sequences_pdf).repartition(5).write.parquet(path)
+
+    sk = BlockedBloomSketch.for_np(n=300_000, p=1e-3)
+    std_payload, std_n = sk.build_bytes(spark.read.parquet(path))
+    d_payload, d_n = build_sketch_direct(
+        spark, path, sk._empty, sk._update, merge_sketch_payloads, columns=["tokens"]
+    )
+    assert d_payload == std_payload and d_n == std_n
