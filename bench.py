@@ -83,28 +83,33 @@ def main() -> None:
     seq = spark.read.parquet("/tmp/bench_seq.parquet")
     n_tokens = seq.agg({"n_tok": "sum"}).collect()[0][0]
 
-    # warm python workers (imports, allocator pools) so timed queries
-    # measure steady-state throughput, not worker spawn
-    warm = BlockedBloomSketch.for_np(n=2_000_000, p=1e-4)
-    warm.build_bytes(seq.limit(2000).repartition(cpus), fanout=cpus)
-    BloomSketch(Shape.for_np(n=2_000_000, p=1e-4)).build_bytes(
-        seq.limit(2000).repartition(cpus), fanout=cpus
-    )
+    # this host sustains ~8 physical cores' worth of CPU (see
+    # BENCH/BASELINE.md calibration); oversubscribed python workers
+    # measurably thrash on memory-heavy kernels, so right-size the
+    # build concurrency instead of using every vCPU
+    build_tasks = int(os.environ.get("BENCH_BUILD_TASKS", max(8, cpus // 4)))
+    seq_build = seq.coalesce(build_tasks) if build_tasks < cpus else seq
+
+    # warm python workers with FULL-SIZE runs (first touches of large
+    # buffers page-fault heavily on this microVM; small warmups leave
+    # the first timed query 2-4x slower than steady state)
+    BlockedBloomSketch.for_np(n=2_000_000, p=1e-4).build_bytes(seq_build, fanout=build_tasks)
+    BloomSketch(Shape.for_np(n=2_000_000, p=1e-4)).build_bytes(seq_build, fanout=build_tasks)
 
     # headline: blocked (split-block) filter — the 100 TB scale path
     bsk = BlockedBloomSketch.for_np(n=2_000_000, p=1e-4)
-    bpayload, bn = timed("q_bloom_build", lambda: bsk.build_bytes(seq, fanout=cpus), reps=2)
+    bpayload, bn = timed("q_bloom_build", lambda: bsk.build_bytes(seq_build, fanout=build_tasks), reps=2)
     assert bn == n_tokens, (bn, n_tokens)
     extra["bloom_build_tokens_per_sec"] = round(n_tokens / queries["q_bloom_build"], 1)
 
-    hits, total = timed("q_bloom_probe", lambda: bsk.count_contained(seq, bpayload, spark), reps=2)
+    hits, total = timed("q_bloom_probe", lambda: bsk.count_contained(seq_build, bpayload, spark), reps=2)
     assert hits == total == n_tokens, (hits, total, n_tokens)  # zero FN
     extra["bloom_probe_tokens_per_sec"] = round(n_tokens / queries["q_bloom_probe"], 1)
 
     # classic K-M filter (reference-parity layout) for comparison
     shape = Shape.for_np(n=2_000_000, p=1e-4)
     sk = BloomSketch(shape)
-    payload, n_items = timed("q_bloom_build_classic", lambda: sk.build_bytes(seq, fanout=cpus), reps=2)
+    payload, n_items = timed("q_bloom_build_classic", lambda: sk.build_bytes(seq_build, fanout=build_tasks), reps=2)
     assert n_items == n_tokens, (n_items, n_tokens)
     extra["bloom_classic_tokens_per_sec"] = round(
         n_tokens / queries["q_bloom_build_classic"], 1
@@ -152,6 +157,7 @@ def main() -> None:
                     "cpus": cpus,
                     "bench_rows": n_rows,
                     "bench_tokens": int(n_tokens),
+                    "build_tasks": build_tasks,
                 },
             }
         )
