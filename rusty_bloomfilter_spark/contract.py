@@ -852,3 +852,25 @@ def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_docs"), "fp")
         .limit(100)
     )
+
+
+@register("q_curate_corpus")
+def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation pipeline stats (quality gate -> exact dedup
+    -> MinHash near-dedup -> tokenize -> final Bloom); the capstone
+    composition of the library's operators."""
+    from .plans import curate_corpus
+
+    out = curate_corpus(
+        spark,
+        load_table(spark, sf_dir, "documents"),
+        min_tokens=8,
+        min_alpha_ratio=0.3,
+        jaccard_threshold=0.6,
+        bloom_n=500_000,
+    )
+    s = out["stats"]
+    return spark.createDataFrame(
+        [tuple(s.values())],
+        ", ".join(f"{k} {'double' if isinstance(v, float) else 'bigint'}" for k, v in s.items()),
+    )

@@ -1,6 +1,7 @@
 """High-level query plans composed from the sketch operators."""
 
+from .curate import curate_corpus
 from .overlap import source_overlap
 from .profile import bloom_stats_df, token_profile
 
-__all__ = ["bloom_stats_df", "source_overlap", "token_profile"]
+__all__ = ["bloom_stats_df", "curate_corpus", "source_overlap", "token_profile"]

