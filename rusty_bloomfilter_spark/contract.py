@@ -874,3 +874,23 @@ def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         [tuple(s.values())],
         ", ".join(f"{k} {'double' if isinstance(v, float) else 'bigint'}" for k, v in s.items()),
     )
+
+
+@register("q_tdigest_quantiles")
+def q_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-digest quantiles of events.value next to exact + the KLL
+    estimates (both quantile sketches the north rule names)."""
+    from .operators.sketches import KllQuantiles, TDigestQuantiles
+
+    ev = load_table(spark, sf_dir, "events")
+    qs = [0.01, 0.5, 0.99]
+    td = TDigestQuantiles(compression=200, col="value").quantiles(ev, qs)
+    kll = KllQuantiles(k=200, col="value").quantiles(ev, qs)
+    exact = ev.agg(
+        *[F.expr(f"percentile(value, {q})").alias(f"p{i}") for i, q in enumerate(qs)]
+    ).collect()[0]
+    rows = [
+        (q, round(float(exact[i]), 6), round(float(td[i]), 6), round(float(kll[i]), 6))
+        for i, q in enumerate(qs)
+    ]
+    return spark.createDataFrame(rows, "q double, exact double, tdigest double, kll double")

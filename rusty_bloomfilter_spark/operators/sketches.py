@@ -436,6 +436,44 @@ class CmsSketch:
 # ---------------------------------------------------------------------------
 
 
+class TDigestQuantiles:
+    """Distributed t-digest quantiles over a numeric scalar column
+    (tail-accurate alternative to KLL; both named by the north rule)."""
+
+    def __init__(self, compression: int = 200, *, col: str = "n_tok"):
+        self.compression = compression
+        self.col = col
+
+    def _empty(self):
+        from ..sketch import TDigest
+
+        return TDigest(self.compression)
+
+    def _update(self, acc, batch) -> None:
+        vals = batch.column(self.col).to_numpy(zero_copy_only=False)
+        acc.update_batch(np.asarray(vals, dtype=np.float64))
+
+    _merge = staticmethod(merge_sketch_payloads)
+
+    def build(self, df: DataFrame, *, fanout: int = 16) -> DataFrame:
+        return build_sketch(
+            df, self._empty, self._update, self._merge, columns=[self.col], fanout=fanout
+        )
+
+    def quantiles(self, df: DataFrame, qs: list[float], *, fanout: int = 16) -> list[float]:
+        from ..sketch import TDigest
+
+        payload, _ = collect_sketch_bytes(self.build(df, fanout=fanout))
+        sk = TDigest.from_bytes(payload)
+        return [float(sk.quantile(q)) for q in qs]
+
+    def build_by_key(self, df: DataFrame, key_col: str, *, salt: int = 0) -> DataFrame:
+        return build_by_key(
+            df, key_col, self._empty, self._update, self._merge,
+            columns=[key_col, self.col], salt=salt,
+        )
+
+
 class KllQuantiles:
     """Distributed quantile sketch over a numeric scalar column."""
 

@@ -14,6 +14,7 @@ from .hashing import hash_pair, km_indices, ngram_hashes, splitmix64, tokens_to_
 from .hll import HyperLogLog
 from .kll import KLLSketch
 from .shape import Shape
+from .tdigest import TDigest
 
 _KINDS = {
     b"RBSK": BloomFilter,
@@ -21,6 +22,7 @@ _KINDS = {
     b"RHLL": HyperLogLog,
     b"RCMS": CountMinSketch,
     b"RKLL": KLLSketch,
+    b"RTDG": TDigest,
 }
 
 
@@ -51,6 +53,7 @@ __all__ = [
     "HyperLogLog",
     "KLLSketch",
     "Shape",
+    "TDigest",
     "hash_pair",
     "km_indices",
     "merge_payloads",
