@@ -130,7 +130,10 @@ def build_with_checkpoint(
         )
         part.write.mode("append").parquet(ckpt_dir)
 
-    ckpt = spark.read.parquet(ckpt_dir).filter(F.col("file").isin(files))
+    # semi-join, not isin(): a 100k-file lineage list as an IN-expression
+    # would blow up the plan; a broadcast semi join stays O(files)
+    files_df = spark.createDataFrame([(f,) for f in files], "file string")
+    ckpt = spark.read.parquet(ckpt_dir).join(F.broadcast(files_df), "file", "left_semi")
     merged = tree_merge(
         ckpt.select("payload", "n_items"), merge_payloads, fanout=fanout
     ).collect()[0]

@@ -133,7 +133,11 @@ def minhash_candidate_pairs(
 
     -> (doc_a, doc_b, est_jaccard) with est_jaccard >= threshold.
     """
-    n_hashes = len(sig_df.select("sig").first()["sig"])
+    first = sig_df.select("sig").first()
+    if first is None:  # empty corpus -> no pairs
+        spark = sig_df.sparkSession
+        return spark.createDataFrame([], "doc_a string, doc_b string, est_jaccard double")
+    n_hashes = len(first["sig"])
     r = n_hashes // bands
     band_cols = F.posexplode(
         F.transform(
