@@ -1,11 +1,12 @@
 #!/usr/bin/env python
 """Two-parallelism scaling benchmark (north rule: >=0.8 throughput
-scaling efficiency from N to 4N executors, evidenced in this sandbox by
-local[8] vs local[32] on the same input).
+scaling efficiency from N to 4N executors; this sandbox sustains ~8
+real cores, so the honest N->4N pair is local[2] vs local[8]).
 
-Runs the identical Bloom-build job (and probe) in two fresh Spark
-JVMs; each measurement is warmed and best-of-3. Writes/updates
-BENCH/BASELINE.md and prints one JSON line.
+Runs the identical Bloom-build job (and probe) at local[2]/[8]/[32] in
+fresh JVMs, full-size warmup, best-of-2. Writes
+BENCH/scaling_run_latest.md (BENCH/BASELINE.md holds curated medians
+across runs) and prints one JSON line.
 
 Usage: python tools/scaling_bench.py [rows]
 """
@@ -152,7 +153,9 @@ def main() -> None:
         json.dumps(report, indent=2),
         "```",
     ]
-    out_md = REPO / "BENCH" / "BASELINE.md"
+    # BENCH/BASELINE.md is the curated median-of-runs document; each
+    # run writes its own table next to it for later aggregation
+    out_md = REPO / "BENCH" / "scaling_run_latest.md"
     out_md.parent.mkdir(exist_ok=True)
     out_md.write_text("\n".join(lines) + "\n")
     print(json.dumps(report))
