@@ -24,12 +24,15 @@ def sessionize(
     algebra (lag + conditional cumsum), whole-stage codegen'd; one
     shuffle on the user key."""
     w = Window.partitionBy(user_col).orderBy(ts_col)
-    # via "timestamp" first: TIMESTAMP_NTZ (parquet naive) can't cast
-    # straight to long; session tz is pinned to UTC so this matches
-    # DuckDB's epoch() on the same naive values
-    epoch = F.col(ts_col).cast("timestamp").cast("long")
-    gap = epoch - F.lag(epoch).over(w)
-    new_session = F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
+    # interval comparison, not epoch casts: TIMESTAMP_NTZ -> long goes
+    # through the session timezone (wrong answers across DST boundaries
+    # if the session isn't UTC); timestamp subtraction is tz-free
+    prev = F.lag(F.col(ts_col)).over(w)
+    new_session = F.when(
+        prev.isNull()
+        | (F.col(ts_col) > prev + F.expr(f"INTERVAL {int(gap_minutes)} MINUTES")),
+        1,
+    ).otherwise(0)
     return events.withColumn(
         "session_no", F.sum(new_session).over(w.rowsBetween(Window.unboundedPreceding, 0))
     )
