@@ -894,3 +894,57 @@ def q_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i, q in enumerate(qs)
     ]
     return spark.createDataFrame(rows, "q double, exact double, tdigest double, kll double")
+
+
+@register(
+    "q_pivot_status",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(38,4)) END) AS DOUBLE) AS qty_F,
+           CAST(sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(38,4)) END) AS DOUBLE) AS qty_O
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide aggregation) via Spark's native .pivot()."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.sum(F.col("l_quantity").cast("decimal(38,4)")))
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("F").cast("double").alias("qty_F"),
+        F.col("O").cast("double").alias("qty_O"),
+    )
+
+
+@register(
+    "q_cube_events",
+    oracle="""
+    SELECT coalesce(event_type, 'ALL') AS event_type,
+           coalesce(CAST(user_id % 4 AS VARCHAR), 'ALL') AS user_bucket,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+    FROM events GROUP BY CUBE (event_type, CAST(user_id % 4 AS VARCHAR))
+    """,
+)
+def q_cube_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets over events."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "user_bucket", (F.col("user_id") % 4).cast("string")
+    )
+    return (
+        ev.cube("event_type", "user_bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce("user_bucket", F.lit("ALL")).alias("user_bucket"),
+            "n",
+            "total_value",
+        )
+    )
