@@ -165,14 +165,17 @@ def rolling_fingerprint_expr(tokens: Column, n: int = 3, vocab: int = 50257) -> 
     key over within-row token n-grams (n=3). A deterministic
     content-based fingerprint robust to document reordering at the
     corpus level; cross-engine reproducible (DuckDB renders the same
-    polynomial)."""
+    polynomial). Total over all row lengths: rows with fewer than n
+    tokens yield NULL (matching DuckDB, where range(negative) is empty
+    and list_min([]) is NULL) — Spark's sequence(0, -1) is [0, -1]
+    (descending step), NOT empty, so the transform must be gated."""
     grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(tokens) - n, F.lit(-1))),
+        F.sequence(F.lit(0), F.size(tokens) - n),
         lambda i: F.element_at(tokens, i + 1).cast("long") * F.lit(2526168121).cast("long")
         + F.element_at(tokens, i + 2).cast("long") * 50261
         + F.element_at(tokens, i + 3).cast("long"),
     )
-    return F.array_min(grams)
+    return F.when(F.size(tokens) >= n, F.array_min(grams)).otherwise(F.lit(None).cast("long"))
 
 
 def duckdb_rolling_fingerprint(tokens_expr: str, n: int = 3) -> str:

@@ -64,12 +64,27 @@ def arrow_row_lengths(batch: "pa.RecordBatch", col: str) -> np.ndarray:
 
 
 def _scalar_values(batch, col: str) -> np.ndarray:
-    """Scalar numeric column -> int64 numpy (nulls -> 0)."""
-    vals = batch.column(col).to_numpy(zero_copy_only=False)
-    arr = np.asarray(vals)
-    if arr.dtype.kind == "f":
-        arr = np.nan_to_num(arr, nan=0.0)
-    return arr.astype(np.int64, copy=False)
+    """Scalar numeric column -> int64 numpy (nulls -> 0).
+
+    Integer columns must NOT round-trip through float64: pyarrow's
+    to_numpy on an int array with nulls produces float64(NaN), which
+    silently rounds |v| > 2^53 (e.g. xxhash64 ids) and can turn a
+    present value into a different probe value — a false negative.
+    Nulls are filled at the Arrow level so the integer path stays exact.
+    """
+    import pyarrow as pa
+
+    arr = batch.column(col)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if arr.null_count:
+        arr = arr.fill_null(0)
+    if pa.types.is_floating(arr.type):
+        vals = np.nan_to_num(arr.to_numpy(zero_copy_only=False), nan=0.0)
+        return vals.astype(np.int64)
+    if not pa.types.is_integer(arr.type):
+        arr = arr.cast(pa.int64())
+    return arr.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
 
 
 def flat_ngram_hashes(flat: np.ndarray, lengths: np.ndarray, n: int) -> np.ndarray:
@@ -357,9 +372,11 @@ class HllSketch:
 
     def _update(self, acc: HyperLogLog, batch) -> None:
         if self.scalar:
-            vals = batch.column(self.col).to_numpy(zero_copy_only=False)
-            vals = np.nan_to_num(np.asarray(vals, dtype=np.float64), nan=0.0).astype(np.int64)
-            acc.add_tokens(vals)
+            # same exact-int64 path as Bloom (no float64 rounding of
+            # full-range 64-bit ids, which would collapse distincts)
+            vals = _scalar_values(batch, self.col)
+            if vals.size:
+                acc.add_tokens(vals)
         else:
             toks = arrow_flat_tokens(batch, self.col)
             if toks.size:

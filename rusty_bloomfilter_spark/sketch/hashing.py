@@ -86,9 +86,10 @@ def km_indices(h1: np.ndarray, h2: np.ndarray, shape: Shape) -> np.ndarray:
     expansion at hasher.rs:48-70 exactly: the reference pre-reduces
     h1 %= m, h2 %= m and accumulates with a wrapped add, which computes
     precisely (h1 + i*h2) mod m; we compute the same congruence with
-    pre-reduced uint64 vector arithmetic (no overflow: after reduction
-    both operands are < m <= 2^63, and i*h2r stays < 2^64 for all
-    practical k*m).
+    pre-reduced uint64 vector arithmetic. No overflow: Shape enforces
+    m <= 2^57 and k <= 64, so after reduction i*h2r < 64*2^57 = 2^63
+    (beyond that bound the product would wrap and the congruence with
+    the reference's wrapped-add loop would break — measured at m=2^62).
     """
     # NOTE: modulo by a *Python int* scalar hits numpy's fast unsigned
     # remainder path; `% np.uint64(m)` is ~40x slower (measured on

@@ -31,11 +31,24 @@ class Shape:
     m: int
     k: int
 
+    # Upper bound on m so the vectorized K-M expansion (h1 + i*h2) mod m
+    # never overflows uint64: with h2 pre-reduced (< m) and i < k <= 64,
+    # i*h2 stays < 2^64 for every m below this. 2^57 bits is already a
+    # 16 PiB dense filter — far past any realistic shape.
+    MAX_M = 1 << 57
+
     def __post_init__(self) -> None:
         if self.m <= 0:
             raise ValueError(f"m must be positive, got {self.m}")
+        if self.m > self.MAX_M:
+            raise ValueError(
+                f"m={self.m} exceeds 2^57; the K-M index expansion would "
+                "overflow uint64 (and a dense filter would be >16 PiB)"
+            )
         if self.k <= 0:
             raise ValueError(f"k must be positive, got {self.k}")
+        if self.k > 64:
+            raise ValueError(f"k must be <= 64, got {self.k}")
 
     # -- sizing ---------------------------------------------------------
 
