@@ -854,6 +854,55 @@ def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_ngram_jaccard",
+    oracle=_SEQ_CTE
+    + """
+    , shingles AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(len(tokens) - 2),
+                   i -> CAST(tokens[i+1] AS BIGINT) * 2526168121
+                        + CAST(tokens[i+2] AS BIGINT) * 50261
+                        + tokens[i+3])) AS sh
+        FROM sequences WHERE len(tokens) >= 3
+    ), fps AS (
+        SELECT CAST(doc_id AS VARCHAR) AS doc_id, md5(substr(text, 1, 40)) AS fp
+        FROM documents
+    ), cand AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           round(len(list_intersect(sa.sh, sb.sh))::DOUBLE
+                 / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 6) AS jaccard
+    FROM cand c
+    JOIN shingles sa ON sa.doc_id = c.doc_a
+    JOIN shingles sb ON sb.doc_id = c.doc_b
+    WHERE len(list_intersect(sa.sh, sb.sh)) > 0
+    """,
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard over prefix-fingerprint candidate pairs,
+    hash-matched against DuckDB's list_intersect on identical polynomial
+    shingle keys. The operator broadcast-semi-joins candidates BEFORE
+    the shingle self-join (the 100 TB-safe ordering)."""
+    from .operators.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    fps = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.md5(F.substring("text", 1, 40)).alias("fp"),
+    )
+    cand = (
+        fps.alias("a")
+        .join(fps.alias("b"), (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+    seq = sequences_from_documents(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(seq, cand, shingle=3, exact_keys=True)
+    return pairs.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+
+
 @register("q_curate_corpus")
 def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation pipeline stats (quality gate -> exact dedup

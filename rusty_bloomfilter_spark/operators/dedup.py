@@ -125,19 +125,30 @@ def minhash_signatures(
 
 
 def minhash_candidate_pairs(
-    sig_df: DataFrame, *, bands: int = 32, threshold: float = 0.5
+    sig_df: DataFrame,
+    *,
+    bands: int = 32,
+    threshold: float = 0.5,
+    n_hashes: int | None = None,
 ) -> DataFrame:
     """Banded LSH: split each signature into `bands` bands, hash each,
     self-join docs sharing any band bucket, verify by signature
     agreement (JVM zip_with — an unbiased Jaccard estimate).
 
+    Pass ``n_hashes`` (the signature width) to keep plan construction
+    lazy; omitting it falls back to a driver ``first()`` action — an
+    extra Spark job that recomputes the signature stage once.
+
     -> (doc_a, doc_b, est_jaccard) with est_jaccard >= threshold.
     """
-    first = sig_df.select("sig").first()
-    if first is None:  # empty corpus -> no pairs
-        spark = sig_df.sparkSession
-        return spark.createDataFrame([], "doc_a string, doc_b string, est_jaccard double")
-    n_hashes = len(first["sig"])
+    if n_hashes is None:
+        first = sig_df.select("sig").first()
+        if first is None:  # empty corpus -> no pairs
+            spark = sig_df.sparkSession
+            return spark.createDataFrame(
+                [], "doc_a string, doc_b string, est_jaccard double"
+            )
+        n_hashes = len(first["sig"])
     r = n_hashes // bands
     band_cols = F.posexplode(
         F.transform(
@@ -184,7 +195,9 @@ def minhash_dedup(
     threshold: float = 0.5,
 ) -> DataFrame:
     sigs = minhash_signatures(sequences, n_hashes=n_hashes, shingle=shingle)
-    return minhash_candidate_pairs(sigs, bands=bands, threshold=threshold)
+    return minhash_candidate_pairs(
+        sigs, bands=bands, threshold=threshold, n_hashes=n_hashes
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -296,14 +309,67 @@ def shingle_sets(sequences: DataFrame, *, shingle: int = 3) -> DataFrame:
     )
 
 
+def shingle_sets_poly(sequences: DataFrame, *, shingle: int = 3) -> DataFrame:
+    """-> (doc_id, shingle_hash) distinct within-row token n-grams keyed
+    by the positional polynomial sum(tok[i+j] * 50261^(n-1-j)) — exactly
+    injective for token ids < 50261 and reproducible verbatim in DuckDB
+    (cross-engine oracle path; the default shingle_sets uses splitmix64,
+    which no SQL engine reproduces). Pure Catalyst: no Python."""
+    if not 2 <= shingle <= 4:
+        raise ValueError("polynomial shingle keys support n in [2, 4] (int64 range)")
+    muls = [50261 ** (shingle - 1 - j) for j in range(shingle)]
+
+    def key(i):
+        terms = [
+            F.element_at("tokens", i + j + 1).cast("long") * F.lit(muls[j]).cast("long")
+            for j in range(shingle)
+        ]
+        out = terms[0]
+        for t in terms[1:]:
+            out = out + t
+        return out
+
+    grams = F.transform(F.sequence(F.lit(0), F.size("tokens") - shingle), key)
+    return (
+        sequences.filter(F.size("tokens") >= shingle)
+        .select("doc_id", F.explode(F.array_distinct(grams)).alias("shingle_hash"))
+    )
+
+
 def ngram_jaccard_pairs(
-    sequences: DataFrame, candidates: DataFrame, *, shingle: int = 3
+    sequences: DataFrame,
+    candidates: DataFrame,
+    *,
+    shingle: int = 3,
+    exact_keys: bool = False,
 ) -> DataFrame:
     """Exact Jaccard for candidate (doc_a, doc_b) pairs via shingle
     equi-join: |A ∩ B| from a co-group on shingle_hash restricted to
-    candidate pairs, |A ∪ B| = |A| + |B| − |A ∩ B|. No quadratic text
-    comparison; shuffle keys are hashes (skew-free)."""
-    sh = shingle_sets(sequences, shingle=shingle)
+    candidate pairs, |A ∪ B| = |A| + |B| − |A ∩ B|.
+
+    Scale-critical ordering: the candidate doc-id set is broadcast and
+    semi-joined against the sequences BEFORE shingles are computed or
+    self-joined, so only candidate docs' shingles ever enter the
+    equi-join. Without this, a stop-word-like shingle appearing in D
+    docs expands to O(D²) join rows corpus-wide; with it, the expansion
+    is bounded by the candidate set. Pairs with an empty intersection
+    are not emitted (they never meet in the equi-join).
+
+    ``exact_keys=True`` uses the DuckDB-reproducible polynomial shingle
+    key (injective for vocab < 50261) instead of splitmix64.
+    """
+    cand = candidates.select("doc_a", "doc_b")
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    restricted = sequences.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+    sh = (
+        shingle_sets_poly(restricted, shingle=shingle)
+        if exact_keys
+        else shingle_sets(restricted, shingle=shingle)
+    )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -311,7 +377,7 @@ def ngram_jaccard_pairs(
         a.join(b, (F.col("a.shingle_hash") == F.col("b.shingle_hash")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count("*").alias("n_common"))
-        .join(F.broadcast(candidates.select("doc_a", "doc_b")), ["doc_a", "doc_b"], "left_semi")
+        .join(F.broadcast(cand), ["doc_a", "doc_b"], "left_semi")
     )
     return (
         inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_shingles", "size_a"), "doc_a")

@@ -147,3 +147,38 @@ def test_embedding_near_dups(spark):
     assert hits >= 8  # LSH recall on planted near-identical vectors
     for r in out:
         assert r["cosine"] >= 0.98
+
+
+def test_minhash_pairs_lazy_with_n_hashes(spark, dup_corpus):
+    """Passing n_hashes removes the driver first() action: constructing
+    the candidate-pair plan must not execute the signature stage. A
+    poisoned upstream proves it — building the plan succeeds, only
+    collection raises."""
+    from pyspark.sql import functions as F
+
+    from rusty_bloomfilter_spark.operators.dedup import (
+        minhash_candidate_pairs,
+        minhash_signatures,
+    )
+
+    df, _ = dup_corpus
+
+    def boom(batches):
+        raise RuntimeError("signature stage executed during planning")
+        yield  # pragma: no cover
+
+    poisoned = (
+        df.select("doc_id", "tokens")
+        .mapInArrow(boom, schema="doc_id string, sig array<bigint>")
+    )
+    pairs = minhash_candidate_pairs(poisoned, bands=32, n_hashes=128)  # no job
+    with pytest.raises(Exception, match="signature stage executed"):
+        pairs.count()
+
+    # and with a real upstream the explicit width matches the inferred one
+    sigs = minhash_signatures(df, n_hashes=64, shingle=3)
+    explicit = minhash_candidate_pairs(sigs, bands=16, threshold=0.4, n_hashes=64)
+    inferred = minhash_candidate_pairs(sigs, bands=16, threshold=0.4)
+    got_e = {(r["doc_a"], r["doc_b"]) for r in explicit.collect()}
+    got_i = {(r["doc_a"], r["doc_b"]) for r in inferred.collect()}
+    assert got_e == got_i and got_e

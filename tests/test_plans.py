@@ -93,6 +93,26 @@ def test_tree_merge_shuffles_only_sketch_rows(spark):
     assert "ReadSchema: struct<text:string>" in plan
 
 
+def test_ngram_jaccard_restricts_before_self_join(spark):
+    """100 TB guard: the candidate semi-join must sit BELOW the shingle
+    self-join — only candidate docs' shingles may enter the equi-join
+    (otherwise a stop-word shingle in D docs costs O(D^2) join rows).
+    Structurally: every shingle-producing MapInArrow's direct child in
+    the plan tree is a LeftSemi broadcast join against the candidate
+    doc-id set."""
+    from rusty_bloomfilter_spark.operators.dedup import ngram_jaccard_pairs
+    from rusty_bloomfilter_spark.sources import sequences_from_documents
+
+    seq = sequences_from_documents(spark, SF)
+    cand = spark.createDataFrame([("a", "b")], "doc_a string, doc_b string")
+    plan = plan_of(ngram_jaccard_pairs(seq, cand))
+    tree = plan.split("\n\n")[0].splitlines()
+    map_lines = [i for i, ln in enumerate(tree) if "MapInArrow" in ln]
+    assert map_lines, plan
+    for i in map_lines:
+        assert "LeftSemi" in tree[i + 1], "\n".join(tree[i : i + 2])
+
+
 def test_salted_keyed_build_has_two_merge_levels(spark):
     """salt>0 inserts an intermediate (key, salt) merge stage bounding
     any single task's fan-in — two FlatMapGroupsInPandas levels."""
