@@ -135,6 +135,32 @@ def collect_sketch_bytes(sketch_df: DataFrame) -> tuple[bytes, int]:
     return bytes(rows[0]["payload"]), int(rows[0]["n_items"])
 
 
+def iter_key_slices(batch: pa.RecordBatch, key_col: str):
+    """Yield (key, sub_batch) per distinct key in the batch.
+
+    One stable argsort + take, then zero-copy slices — O(n log n) per
+    batch regardless of key cardinality. The previous per-key
+    ``batch.filter(keys == key)`` loop rescanned the whole batch for
+    every key (O(keys_in_batch * batch_rows)): fine for 5 sources,
+    quadratic for high-cardinality keys.
+    """
+    import numpy as np
+
+    keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+    if len(keys) == 0:
+        return
+    uniq, counts = np.unique(keys, return_counts=True)
+    if len(uniq) == 1:
+        yield keys[0], batch
+        return
+    order = np.argsort(keys, kind="stable")
+    sorted_batch = batch.take(pa.array(order))
+    # uniq is sorted, so equal-key runs in sorted_batch follow uniq order
+    offsets = np.concatenate(([0], np.cumsum(counts)))
+    for i, key in enumerate(uniq):
+        yield key, sorted_batch.slice(offsets[i], offsets[i + 1] - offsets[i])
+
+
 def build_by_key(
     df: DataFrame,
     key_col: str,
@@ -161,16 +187,13 @@ def build_by_key(
     df = df.select(*cols)
 
     def build(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        import numpy as np
-
         accs: dict[str, Any] = {}
         for batch in batches:
-            keys = batch.column(key_col).to_numpy(zero_copy_only=False)
-            for key in np.unique(keys):
+            for key, sub in iter_key_slices(batch, key_col):
                 acc = accs.get(key)
                 if acc is None:
                     acc = accs[key] = make_empty()
-                update(acc, batch.filter(pa.array(keys == key)))
+                update(acc, sub)
         if accs:
             yield pa.RecordBatch.from_pydict(
                 {
@@ -201,3 +224,67 @@ def build_by_key(
         level1 = salted.groupBy("key", "_salt").applyInPandas(merge_salted, KEYED_SKETCH_SCHEMA)
         return level1.groupBy("key").applyInPandas(merge_group, KEYED_SKETCH_SCHEMA)
     return partial.groupBy("key").applyInPandas(merge_group, KEYED_SKETCH_SCHEMA)
+
+
+# A multi-sketch spec: (name, make_empty, update, merge_payloads).
+MultiSpec = tuple[str, Callable[[], Any], UpdateFn, MergePayloadsFn]
+
+
+def build_multi_by_key(
+    df: DataFrame,
+    key_col: str,
+    specs: list[MultiSpec],
+    *,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """N sketches per key in ONE scan of the input.
+
+    Where ``build_by_key`` called N times costs N full corpus scans
+    (at 100 TB: N x 100 TB of I/O for the same bytes), this folds every
+    Arrow batch into all N accumulators per key in a single pass. The
+    shuffle still carries only sketch rows — one row per
+    (partition, key) with all N payloads side by side.
+
+    -> (key, n_rows, payload_<name>, n_<name>, ...) one row per key.
+    """
+    cols = columns or df.columns
+    if key_col not in cols:
+        cols = [key_col, *cols]
+    df = df.select(*cols)
+    schema = "key string, n_rows bigint, " + ", ".join(
+        f"payload_{name} binary, n_{name} bigint" for name, *_ in specs
+    )
+
+    def build(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        accs: dict[str, list] = {}  # key -> [acc_per_spec..., n_rows]
+        for batch in batches:
+            for key, sub in iter_key_slices(batch, key_col):
+                ent = accs.get(key)
+                if ent is None:
+                    ent = accs[key] = [[mk() for _, mk, _, _ in specs], 0]
+                for acc, (_, _, upd, _) in zip(ent[0], specs):
+                    upd(acc, sub)
+                ent[1] += sub.num_rows
+        if accs:
+            out: dict[str, list] = {
+                "key": [str(k) for k in accs],
+                "n_rows": [ent[1] for ent in accs.values()],
+            }
+            for i, (name, *_rest) in enumerate(specs):
+                out[f"payload_{name}"] = [ent[0][i].to_bytes() for ent in accs.values()]
+                out[f"n_{name}"] = [ent[0][i].n_items for ent in accs.values()]
+            yield pa.RecordBatch.from_pydict(out)
+
+    partial = df.mapInArrow(build, schema=schema)
+
+    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = {
+            "key": [pdf["key"].iloc[0]],
+            "n_rows": [int(pdf["n_rows"].sum())],
+        }
+        for name, _mk, _upd, mrg in specs:
+            out[f"payload_{name}"] = [mrg([bytes(p) for p in pdf[f"payload_{name}"]])]
+            out[f"n_{name}"] = [int(pdf[f"n_{name}"].sum())]
+        return pd.DataFrame(out)
+
+    return partial.groupBy("key").applyInPandas(merge_group, schema)

@@ -2,19 +2,30 @@
 estimators (reference ops: estimate_union mod.rs:48-54,
 estimate_intersection mod.rs:38-40).
 
-One keyed Bloom build (sketch rows only on the shuffle), then pairwise
-estimates are O(pairs x sketch_bytes) driver-side numpy — at any data
-scale the pairwise stage touches only sketch payloads, never rows.
+One keyed Bloom build (sketch rows only on the shuffle), then a
+pair-join OVER THE SKETCH FRAME: the tiny (key, payload) frame is
+broadcast against itself and each executor task decodes + popcounts
+its batch of pairs. The driver never holds a payload — it receives
+only the O(pairs) result rows of six numbers each. Broadcast cost is
+O(keys x sketch_bytes); beyond ~10k keys drop the broadcast hint and
+let the cross join shuffle both sides instead.
 """
 
 from __future__ import annotations
 
-from itertools import combinations
+from collections.abc import Iterator
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators.sketches import BloomSketch
 from ..sketch import BloomFilter, Shape
+
+_OVERLAP_SCHEMA = (
+    "source_a string, source_b string, est_distinct_a double, "
+    "est_distinct_b double, est_union double, est_intersection double"
+)
 
 
 def source_overlap(
@@ -23,29 +34,35 @@ def source_overlap(
     *,
     shape: Shape | None = None,
     key_col: str = "source",
+    broadcast_pairs: bool = True,
 ) -> DataFrame:
     """-> (source_a, source_b, est_distinct_a, est_distinct_b,
     est_union, est_intersection) for every source pair."""
     shape = shape or Shape.for_np(n=1_000_000, p=1e-4)
     keyed = BloomSketch(shape).build_by_key(sequences, key_col)
-    filters = {
-        r["key"]: BloomFilter.from_bytes(bytes(r["payload"])) for r in keyed.collect()
-    }
-    rows = []
-    for a, b in combinations(sorted(filters), 2):
-        fa, fb = filters[a], filters[b]
-        rows.append(
-            (
-                a,
-                b,
-                round(fa.estimate_n(), 2),
-                round(fb.estimate_n(), 2),
-                round(fa.estimate_union(fb), 2),
-                round(fa.estimate_intersection(fb), 2),
-            )
-        )
-    return spark.createDataFrame(
-        rows,
-        "source_a string, source_b string, est_distinct_a double, "
-        "est_distinct_b double, est_union double, est_intersection double",
-    )
+    a = keyed.select(F.col("key").alias("source_a"), F.col("payload").alias("payload_a"))
+    b = keyed.select(F.col("key").alias("source_b"), F.col("payload").alias("payload_b"))
+    if broadcast_pairs:
+        b = F.broadcast(b)
+    pairs = a.join(b, F.col("source_a") < F.col("source_b"))
+
+    def est(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "source_a", "source_b", "est_distinct_a",
+                "est_distinct_b", "est_union", "est_intersection",
+            )}
+            for sa, sb, pa_, pb_ in zip(
+                pdf["source_a"], pdf["source_b"], pdf["payload_a"], pdf["payload_b"]
+            ):
+                fa = BloomFilter.from_bytes(bytes(pa_))
+                fb = BloomFilter.from_bytes(bytes(pb_))
+                out["source_a"].append(sa)
+                out["source_b"].append(sb)
+                out["est_distinct_a"].append(round(fa.estimate_n(), 2))
+                out["est_distinct_b"].append(round(fb.estimate_n(), 2))
+                out["est_union"].append(round(fa.estimate_union(fb), 2))
+                out["est_intersection"].append(round(fa.estimate_intersection(fb), 2))
+            yield pd.DataFrame(out)
+
+    return pairs.mapInPandas(est, schema=_OVERLAP_SCHEMA)

@@ -75,21 +75,61 @@ def token_profile(
 ) -> DataFrame:
     """-> one row per source: exact counts + Bloom/HLL sketch metrics.
 
-    Three concurrent aggregations over one scan-shaped input: an exact
-    groupBy (Catalyst, map-side partial agg), a keyed Bloom build, and a
-    keyed HLL build — each shuffling only per-(partition, key) sketch
-    rows, never token data.
+    ONE scan of the corpus: a fused multi-sketch keyed build folds every
+    Arrow batch into a Bloom AND an HLL accumulator per source while
+    counting rows/tokens exactly — where three independent aggregations
+    would scan the same 100 TB three times. The shuffle carries one
+    (source, bloom_payload, hll_payload) row per partition; the final
+    stats projection runs over the handful of merged per-key rows.
     """
+    from ..operators.aggregate import build_multi_by_key
+    from ..sketch import merge_payloads, merge_sketch_payloads
+
     shape = shape or Shape.for_np(n=1_000_000, p=1e-4)
-    exact = sequences.groupBy("source").agg(
-        F.count("*").alias("n_seqs"),
-        F.sum("n_tok").cast("bigint").alias("n_tokens"),
+    bloom = BloomSketch(shape)
+    hll = HllSketch(hll_p)
+    keyed = build_multi_by_key(
+        sequences,
+        "source",
+        [
+            ("bloom", bloom._empty, bloom._update, merge_payloads),
+            ("hll", hll._empty, hll._update, merge_sketch_payloads),
+        ],
+        columns=["source", "tokens"],
     )
-    bloom = bloom_stats_df(BloomSketch(shape).build_by_key(sequences, "source", salt=salt))
-    hll = _hll_stats_df(HllSketch(hll_p).build_by_key(sequences, "source", salt=salt))
-    out = (
-        exact.join(bloom, "source", "left")
-        .join(hll, "source", "left")
-        .orderBy("source")
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "source": [],
+                "n_seqs": [],
+                "n_tokens": [],
+                "bloom_n_items": [],
+                "bloom_bits": [],
+                "bloom_estimate_n": [],
+                "bloom_fill_ratio": [],
+                "bloom_bytes": [],
+                "distinct_tokens_est": [],
+            }
+            for _, row in pdf.iterrows():
+                bf = BloomFilter.from_bytes(bytes(row["payload_bloom"]))
+                card = bf.cardinality()
+                out["source"].append(row["key"])
+                out["n_seqs"].append(int(row["n_rows"]))
+                out["n_tokens"].append(int(row["n_bloom"]))
+                out["bloom_n_items"].append(int(row["n_bloom"]))
+                out["bloom_bits"].append(card)
+                out["bloom_estimate_n"].append(bf.shape.estimate_n(card))
+                out["bloom_fill_ratio"].append(card / bf.shape.m)
+                out["bloom_bytes"].append(len(bytes(row["payload_bloom"])))
+                out["distinct_tokens_est"].append(
+                    HyperLogLog.from_bytes(bytes(row["payload_hll"])).estimate()
+                )
+            yield pd.DataFrame(out)
+
+    schema = (
+        "source string, n_seqs bigint, n_tokens bigint, "
+        + _STATS_SCHEMA.split(", ", 1)[1]
+        + ", distinct_tokens_est double"
     )
-    return out
+    return keyed.mapInPandas(stats, schema=schema).orderBy("source")

@@ -62,3 +62,31 @@ def test_source_overlap_estimates(spark, overlap_df):
     assert out[("a", "b")]["est_intersection"] > 5 * max(
         out[("a", "c")]["est_intersection"], 1
     )
+
+
+def test_source_overlap_is_lazy_no_driver_collect(spark):
+    """The pairwise stage must run executor-side: constructing the
+    overlap DataFrame triggers no Spark job (previously every per-key
+    payload was collect()ed to the driver at plan time)."""
+    from pyspark.sql import functions as F
+
+    from rusty_bloomfilter_spark.plans import source_overlap
+    from rusty_bloomfilter_spark.sketch import Shape
+
+    def boom(batches):
+        raise RuntimeError("executed during planning")
+        yield  # pragma: no cover
+
+    poisoned = (
+        spark.range(10)
+        .select(
+            F.concat(F.lit("s"), F.col("id") % 3).alias("source"),
+            F.array(F.col("id").cast("int")).alias("tokens"),
+        )
+        .mapInArrow(boom, schema="source string, tokens array<int>")
+    )
+    df = source_overlap(spark, poisoned, shape=Shape.for_np(n=1000, p=1e-3))
+    import pytest
+
+    with pytest.raises(Exception, match="executed during planning"):
+        df.count()
