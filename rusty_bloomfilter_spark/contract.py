@@ -801,6 +801,38 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_asof_join",
+    oracle="""
+    WITH clicks AS (
+        SELECT user_id, ts, round(max(value), 6) AS last_click_value
+        FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+    ), views AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+    )
+    SELECT v.event_id, v.user_id, c.last_click_value
+    FROM views v ASOF LEFT JOIN clicks c
+      ON v.user_id = c.user_id AND v.ts >= c.ts
+    """,
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for every 'view' event, the value of the user's
+    latest 'click' at or before it — hash-matched against DuckDB's
+    native ASOF JOIN. The right side is pre-aggregated to one row per
+    (user, ts) so the backward match is deterministic on both engines."""
+    from .operators.temporal import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.round(F.max("value"), 6).alias("last_click_value"))
+    )
+    views = ev.filter(F.col("event_type") == "view").select("event_id", "user_id", "ts")
+    out = asof_join(views, clicks, on="ts", by="user_id", direction="backward")
+    return out.select("event_id", "user_id", "last_click_value")
+
+
+@register(
     "q_token_count_bpe",
     oracle="""
     SELECT doc_id,

@@ -76,6 +76,12 @@ def asof_join(
     At scale, `by` keys distribute the work; a single huge key is the
     caller's salting problem (same contract as any keyed op).
     """
+    # Break shared lineage: when left and right derive from the same
+    # DataFrame, their columns carry identical expression ids and
+    # Spark's cogroup silently drops the duplicated attribute from the
+    # right group (observed on Spark 4.1: rg arrived without `on`).
+    # Re-aliasing mints fresh expression ids on the right side.
+    right = right.select(*[F.col(c).alias(c) for c in right.columns])
     l_cols = left.columns
     r_cols = [c for c in right.columns if c not in (by, on)]
     out_fields = [f"{f.name} {f.dataType.simpleString()}" for f in left.schema.fields]

@@ -79,3 +79,29 @@ def test_asof_join_matches_pandas(spark, events_pdf):
     q_exp = exp_s["quote"].to_numpy()
     both_nan = np.isnan(q_got) & np.isnan(q_exp)
     assert bool((both_nan | np.isclose(q_got, q_exp, equal_nan=False)).all())
+
+
+def test_asof_join_shared_lineage(spark):
+    """Both sides derived from the SAME DataFrame: Spark's cogroup used
+    to drop the duplicate-exprId `on` column from the right group
+    (KeyError: 'ts'); asof_join re-aliases the right side to mint fresh
+    expression ids."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from rusty_bloomfilter_spark.operators.temporal import asof_join
+
+    base = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": [1, 1, 1, 2, 2],
+                "t": [1.0, 2.0, 3.0, 1.0, 5.0],
+                "kind": ["a", "b", "a", "b", "a"],
+                "v": [10.0, 20.0, 30.0, 40.0, 50.0],
+            }
+        )
+    )
+    left = base.filter(F.col("kind") == "a").select("k", "t")
+    right = base.filter(F.col("kind") == "b").select("k", "t", "v")
+    out = {(r["k"], r["t"]): r["v"] for r in asof_join(left, right, on="t", by="k").collect()}
+    assert out == {(1, 1.0): None, (1, 3.0): 20.0, (2, 5.0): 40.0}
