@@ -22,6 +22,7 @@ is bounded by bucket size.
 from __future__ import annotations
 
 from collections.abc import Iterator
+from itertools import combinations
 
 import numpy as np
 from pyspark.sql import DataFrame
@@ -240,17 +241,56 @@ def simhash_signatures(
     )
 
 
-def simhash_near_dups(sig_df: DataFrame, *, max_hamming: int = 3) -> DataFrame:
-    """Hamming-block LSH: any pair within Hamming distance d <= 3 must
-    agree on at least one of 4 16-bit blocks (pigeonhole), so join on
-    block equality and verify with bit_count(xor).
+def simhash_block_layout(n_blocks: int) -> tuple[list[int], list[int]]:
+    """64 bits split into n_blocks contiguous ranges -> (starts, sizes)."""
+    base, rem = divmod(64, n_blocks)
+    sizes = [base + (1 if i < rem else 0) for i in range(n_blocks)]
+    starts = [sum(sizes[:i]) for i in range(n_blocks)]
+    return starts, sizes
+
+
+def simhash_bucket_keys(n_blocks: int, max_hamming: int):
+    """Multi-block pigeonhole keys (Manku, Jain, Sarma, WWW'07 §3): a
+    pair within Hamming distance d agrees on >= n_blocks - d of the
+    n_blocks blocks, so each doc emits one key per (n_blocks - d)-block
+    combination — the concatenated bits of those blocks.
+
+    More blocks buy exponentially narrower buckets at linear key cost:
+    n_blocks=4, d=3 is the classic 1-of-4 scheme (4 keys of 16 bits —
+    at 10^8 docs each 16-bit bucket holds ~n/65536 docs and the
+    self-join expands O((n/65536)^2) pairs per bucket); n_blocks=6, d=3
+    emits C(6,3)=20 keys of 31-33 bits, shrinking expected bucket
+    population ~2^16x for 5x the key rows. Returns the list of Spark
+    key expressions (one per combination).
+    """
+    if max_hamming >= n_blocks:
+        raise ValueError(f"need n_blocks > max_hamming, got {n_blocks} <= {max_hamming}")
+    starts, sizes = simhash_block_layout(n_blocks)
+    keep = n_blocks - max_hamming
+    keys = []
+    for combo in combinations(range(n_blocks), keep):
+        expr = F.lit(0).cast("long")
+        for bi in combo:
+            blk = F.shiftrightunsigned(F.col("simhash"), starts[bi]).bitwiseAND(
+                F.lit((1 << sizes[bi]) - 1)
+            )
+            expr = F.shiftleft(expr, sizes[bi]).bitwiseOR(blk)
+        keys.append(expr)
+    return keys
+
+
+def simhash_near_dups(
+    sig_df: DataFrame, *, max_hamming: int = 3, n_blocks: int = 6
+) -> DataFrame:
+    """Hamming-ball near-dups via multi-block pigeonhole LSH: join docs
+    sharing any (n_blocks - d)-block key, verify with bit_count(xor).
+    Exact for the given radius (zero false negatives by pigeonhole);
+    n_blocks=4 reproduces the classic 1-of-4 16-bit scheme, the default
+    n_blocks=6 uses C(6,3)=20 keys of 31-33 bits — the scale-safe
+    bucketing (see simhash_bucket_keys).
     -> (doc_a, doc_b, hamming)."""
-    blocks = F.posexplode(
-        F.array(*[
-            F.shiftrightunsigned(F.col("simhash"), b * 16).bitwiseAND(F.lit(0xFFFF))
-            for b in range(4)
-        ])
-    )
+    keys = simhash_bucket_keys(n_blocks, max_hamming)
+    blocks = F.posexplode(F.array(*keys))
     b_df = sig_df.select(
         "doc_id", "simhash", blocks.alias("block_idx", "block_val")
     ).persist()  # referenced twice by the self-join

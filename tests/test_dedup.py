@@ -182,3 +182,56 @@ def test_minhash_pairs_lazy_with_n_hashes(spark, dup_corpus):
     got_e = {(r["doc_a"], r["doc_b"]) for r in explicit.collect()}
     got_i = {(r["doc_a"], r["doc_b"]) for r in inferred.collect()}
     assert got_e == got_i and got_e
+
+
+def test_simhash_multiblock_identical_pairs(spark, dup_corpus):
+    """n_blocks=6 (20 keys of 31-33 bits) must find EXACTLY the same
+    Hamming<=3 pairs as the classic 1-of-4 16-bit scheme — pigeonhole
+    stays exact, only bucket width changes."""
+    df, _ = dup_corpus
+    sig_df = simhash_signatures(df).persist()
+    classic = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in simhash_near_dups(sig_df, max_hamming=3, n_blocks=4).collect()
+    }
+    multi = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in simhash_near_dups(sig_df, max_hamming=3, n_blocks=6).collect()
+    }
+    assert classic == multi and classic
+
+
+def test_simhash_multiblock_rejects_bad_split():
+    from rusty_bloomfilter_spark.operators.dedup import simhash_bucket_keys
+
+    with pytest.raises(ValueError, match="n_blocks > max_hamming"):
+        simhash_bucket_keys(3, 3)
+
+
+def test_simhash_multiblock_bucket_width_shrinks():
+    """At 2^20 uniform signatures the classic 16-bit buckets hold ~16
+    docs each (quadratic pair expansion at web scale); 3-of-6 block
+    keys (31-33 bits) hold ~1. numpy replication of the key scheme."""
+    from rusty_bloomfilter_spark.operators.dedup import simhash_block_layout
+
+    rng = np.random.default_rng(5)
+    sigs = rng.integers(0, 1 << 64, size=1 << 20, dtype=np.uint64)
+
+    def max_bucket(n_blocks, d):
+        from itertools import combinations as C
+
+        starts, sizes = simhash_block_layout(n_blocks)
+        keep = n_blocks - d
+        worst = 0
+        for combo in C(range(n_blocks), keep):
+            key = np.zeros_like(sigs)
+            for bi in combo:
+                blk = (sigs >> np.uint64(starts[bi])) & np.uint64((1 << sizes[bi]) - 1)
+                key = (key << np.uint64(sizes[bi])) | blk
+            worst = max(worst, int(np.unique(key, return_counts=True)[1].max()))
+        return worst
+
+    classic = max_bucket(4, 3)   # 16-bit keys: ~n/2^16 = 16 mean
+    multi = max_bucket(6, 3)     # 31-33-bit keys: <<1 mean
+    assert classic >= 4 * multi, (classic, multi)
+    assert multi <= 4
