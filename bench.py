@@ -117,9 +117,51 @@ def main() -> None:
     extra["bloom_fill_ratio"] = round(BloomFilter.from_bytes(payload).fill_ratio(), 6)
 
     # -- sibling sketches over the same synthetic table -------------------
-    timed("q_hll_distinct", lambda: HllSketch(p=14).estimate(seq, fanout=cpus), reps=2)
-    timed("q_cms_build", lambda: CmsSketch(d=5, w=1 << 17).build_bytes(seq, fanout=cpus), reps=2)
-    timed("q_kll_ntok", lambda: KllQuantiles(k=200, col="n_tok").quantiles(seq, [0.5, 0.99]))
+    hll_est = timed("q_hll_distinct", lambda: HllSketch(p=14).estimate(seq, fanout=cpus), reps=2)
+    cms_payload, _ = timed(
+        "q_cms_build", lambda: CmsSketch(d=5, w=1 << 17).build_bytes(seq, fanout=cpus), reps=2
+    )
+    kll_est = timed(
+        "q_kll_ntok", lambda: KllQuantiles(k=200, col="n_tok").quantiles(seq, [0.5, 0.99])
+    )
+
+    # -- accuracy telemetry (untimed; diffable across rounds) --------------
+    from pyspark.sql import functions as F
+
+    # observed FPR of the blocked filter on a disjoint probe domain
+    absent = spark.range(10**8, 10**8 + 500_000).select(
+        F.col("id").cast("long").alias("tok")
+    )
+    probe_sk = BlockedBloomSketch.for_np(n=2_000_000, p=1e-4, col="tok", scalar=True)
+    fp_hits, fp_total = probe_sk.count_contained(absent, bpayload, spark)
+    extra["bloom_observed_fpr"] = round(fp_hits / fp_total, 8)
+    extra["bloom_configured_p"] = 1e-4
+
+    # HLL relative error + CMS one-sided overestimate vs exact counts
+    tok_counts = (
+        seq.select(F.explode("tokens").alias("tok")).groupBy("tok").count().persist()
+    )
+    distinct_exact = tok_counts.count()
+    extra["hll_rel_err"] = round(abs(hll_est - distinct_exact) / distinct_exact, 6)
+    top = tok_counts.orderBy(F.desc("count"), "tok").limit(20).collect()
+    cms = CmsSketch(d=5, w=1 << 17)
+    est_counts = cms.estimate_counts(
+        cms_payload, np.array([r["tok"] for r in top], dtype=np.int64)
+    )
+    over = [(int(e) - r["count"]) / r["count"] for e, r in zip(est_counts, top)]
+    assert all(int(e) >= r["count"] for e, r in zip(est_counts, top))  # one-sided
+    extra["cms_top20_mean_overestimate"] = round(sum(over) / len(over), 6)
+    tok_counts.unpersist()
+
+    # KLL rank error: |F(est_q) - q| via exact CDF lookups on n_tok
+    ranks = seq.agg(
+        *[
+            (F.sum((F.col("n_tok") <= F.lit(float(v))).cast("long")) / F.count("*")).alias(f"r{i}")
+            for i, v in enumerate(kll_est)
+        ]
+    ).collect()[0]
+    extra["kll_rank_err_p50"] = round(abs(float(ranks["r0"]) - 0.5), 6)
+    extra["kll_rank_err_p99"] = round(abs(float(ranks["r1"]) - 0.99), 6)
 
     # -- dedup + ANN over the driver tables --------------------------------
     from rusty_bloomfilter_spark.operators.dedup import minhash_dedup
@@ -137,11 +179,11 @@ def main() -> None:
     # -- flagship + relational over the driver tables ---------------------
     timed("q_token_profile", lambda: token_profile(
         spark, sequences_from_documents(spark, sf_dir)
-    ).collect())
+    ).collect(), reps=2)
     qmap = contract.queries()
     for name in ("q_pricing_summary", "q_top_customers", "q_heavy_tokens_exact"):
         if name in qmap:
-            timed(name, lambda n=name: qmap[n](spark, sf_dir).collect())
+            timed(name, lambda n=name: qmap[n](spark, sf_dir).collect(), reps=2)
 
     total = round(sum(queries.values()), 3)
     print(

@@ -81,11 +81,19 @@ def token_profile(
     would scan the same 100 TB three times. The shuffle carries one
     (source, bloom_payload, hll_payload) row per partition; the final
     stats projection runs over the handful of merged per-key rows.
+
+    Default shape: per-source DISTINCT tokens are bounded by the
+    tokenizer vocabulary (50,257 for the md5/BPE-ish tokenizers here),
+    not by corpus size, so n=200k at p=1e-4 gives 4x headroom at any
+    scale. Oversizing is the dominant cost of this plan — a 20x-too-big
+    filter spends its time allocating/encoding/merging empty bits
+    (measured 2.7x slower end-to-end) — so callers with larger vocabs
+    should pass a shape sized ~4x their vocab, not "a big number".
     """
     from ..operators.aggregate import build_multi_by_key
     from ..sketch import merge_payloads, merge_sketch_payloads
 
-    shape = shape or Shape.for_np(n=1_000_000, p=1e-4)
+    shape = shape or Shape.for_np(n=200_000, p=1e-4)
     bloom = BloomSketch(shape)
     hll = HllSketch(hll_p)
     keyed = build_multi_by_key(

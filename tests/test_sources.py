@@ -98,3 +98,55 @@ def test_orc_roundtrip(spark, tmp_path):
     a = {r["doc_id"]: r["tokens"] for r in seq.collect()}
     for r in back.collect():
         assert r["tokens"] == a[r["doc_id"]]
+
+
+def test_load_sequences_catalog_branch(spark, sequences_pdf, tmp_path):
+    """load_sequences resolves a catalog/temp-view name FIRST (the
+    Iceberg production path: spark.read.table), and only falls back to
+    parquet when table resolution fails."""
+    from rusty_bloomfilter_spark.sources import load_sequences
+
+    df = spark.createDataFrame(sequences_pdf.head(50))
+    df.createOrReplaceTempView("seq_catalog_view")
+    try:
+        # catalog branch: read.table succeeds, no parquet attempted
+        # (the name is not a valid path, so reversed ordering would fail)
+        got = load_sequences(spark, "seq_catalog_view")
+        assert got.count() == 50
+        assert set(got.columns) == {"doc_id", "tokens", "n_tok", "source"}
+    finally:
+        spark.catalog.dropTempView("seq_catalog_view")
+
+    # parquet fallback branch: not a table name -> path read
+    p = str(tmp_path / "seq.parquet")
+    df.write.parquet(p)
+    got = load_sequences(spark, p)
+    assert got.count() == 50
+
+
+def test_load_sequences_table_tried_before_parquet(spark, monkeypatch):
+    """Stubbed reader pins the fallback ORDER: table() first, parquet()
+    only after table() raises."""
+    from pyspark.sql import DataFrameReader
+
+    from rusty_bloomfilter_spark.sources import load_sequences
+
+    calls = []
+    orig_table = DataFrameReader.table
+    orig_parquet = DataFrameReader.parquet
+
+    def fake_table(self, name):
+        calls.append(("table", name))
+        raise RuntimeError("no such catalog table")
+
+    def fake_parquet(self, *paths):
+        calls.append(("parquet", paths[0]))
+        return spark.range(1)
+
+    monkeypatch.setattr(DataFrameReader, "table", fake_table)
+    monkeypatch.setattr(DataFrameReader, "parquet", fake_parquet)
+    out = load_sequences(spark, "cat.db.sequences")
+    assert calls == [("table", "cat.db.sequences"), ("parquet", "cat.db.sequences")]
+    assert out.count() == 1
+    monkeypatch.setattr(DataFrameReader, "table", orig_table)
+    monkeypatch.setattr(DataFrameReader, "parquet", orig_parquet)
