@@ -118,8 +118,12 @@ def main() -> None:
 
     # -- sibling sketches over the same synthetic table -------------------
     hll_est = timed("q_hll_distinct", lambda: HllSketch(p=14).estimate(seq, fanout=cpus), reps=2)
+    # CMS partials are 5 MB each (d=5, w=2^17): right-size the task
+    # count so the payload shuffle is build_tasks x 5 MB, not cpus x 5 MB
     cms_payload, _ = timed(
-        "q_cms_build", lambda: CmsSketch(d=5, w=1 << 17).build_bytes(seq, fanout=cpus), reps=2
+        "q_cms_build",
+        lambda: CmsSketch(d=5, w=1 << 17).build_bytes(seq_build, fanout=build_tasks),
+        reps=2,
     )
     kll_est = timed(
         "q_kll_ntok", lambda: KllQuantiles(k=200, col="n_tok").quantiles(seq, [0.5, 0.99])

@@ -572,6 +572,40 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_embedding_near_dups_exact",
+    oracle="""
+    SELECT id_a, id_b, cosine FROM (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    ) t WHERE cosine >= 0.35
+    """,
+)
+def q_embedding_near_dups_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs cosine >= threshold — the hash-matched oracle
+    companion of q_embedding_near_dups (whose LSH candidates are not
+    SQL-expressible). Quadratic by definition: the small-corpus
+    baseline; embedding_near_dups is the bucketed scale path."""
+    from .operators.dedup import _cosine_expr
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        F.col("vec_id").alias("id"), F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    b = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(_cosine_expr(F.col("va"), F.col("vb")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.35)
+    )
+
+
 @register("q_ann_lsh")
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import ann_lsh_topk
@@ -833,6 +867,40 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_range_join",
+    oracle="""
+    WITH ev AS (SELECT event_id, user_id, event_type, epoch(ts) AS t, value FROM events),
+         c AS (SELECT event_id, user_id, t FROM ev WHERE event_type = 'click'),
+         v AS (SELECT user_id, t, value FROM ev WHERE event_type = 'view')
+    SELECT c.event_id, count(*) AS n_views,
+           CAST(sum(CAST(v.value AS DECIMAL(38,6))) AS DOUBLE) AS sum_view_value
+    FROM c JOIN v ON v.user_id = c.user_id AND v.t >= c.t - 1800 AND v.t <= c.t
+    GROUP BY c.event_id
+    """,
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: per click, the same user's views in the preceding 30
+    minutes — the binned equi-join operator vs DuckDB's native
+    inequality join (hash-matched, so bin edges are provably exact)."""
+    from .operators.temporal import range_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.col("ts").cast("timestamp").cast("double").alias("t"),
+        "value",
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "t")
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "t", "value")
+    j = range_join(clicks, views, on="t", lower=-1800.0, upper=0.0, by="user_id")
+    return j.groupBy("event_id").agg(
+        F.count("*").alias("n_views"),
+        F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("sum_view_value"),
+    )
+
+
+@register(
     "q_token_count_bpe",
     oracle="""
     SELECT doc_id,
@@ -933,6 +1001,65 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     seq = sequences_from_documents(spark, sf_dir)
     pairs = ngram_jaccard_pairs(seq, cand, shingle=3, exact_keys=True)
     return pairs.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@register(
+    "q_bottomk_sample",
+    oracle="""
+    SELECT CAST(doc_id AS VARCHAR) AS key,
+           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+    FROM documents ORDER BY h, key LIMIT 50
+    """,
+)
+def q_bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-order sample: the 50 smallest-md5-hash doc
+    ids — reproducible bit-for-bit in DuckDB (cross-engine sampling)."""
+    from .operators.sampling import bottom_k_sample
+
+    return bottom_k_sample(load_table(spark, sf_dir, "documents"), "doc_id", 50)
+
+
+@register(
+    "q_stratified_sample",
+    oracle="""
+    SELECT source AS stratum, key, h FROM (
+        SELECT source, CAST(doc_id AS VARCHAR) AS key,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        FROM documents
+    ) t
+    QUALIFY row_number() OVER (PARTITION BY stratum ORDER BY h, key) <= 5
+    """,
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source deterministic sample: 5 smallest-hash docs per
+    stratum (window top-k, one shuffle on the stratum key)."""
+    from .operators.sampling import bottom_k_by
+
+    return bottom_k_by(load_table(spark, sf_dir, "documents"), "source", "doc_id", 5)
+
+
+@register(
+    "q_kmv_distinct",
+    oracle="""
+    WITH h AS (
+        SELECT DISTINCT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        FROM events
+    ), b AS (SELECT h FROM h ORDER BY h LIMIT 256)
+    SELECT count(*) AS n_hashes, max(h) AS kth_hash,
+           round(CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE)
+                      ELSE 255.0 * 1152921504606846976.0 / max(h) END, 4) AS est_distinct
+    FROM b
+    """,
+)
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (bottom-k) distinct-user estimate — the one sketch whose
+    ESTIMATE hash-matches a SQL oracle exactly, because the k-th
+    smallest md5 hash is a pure deterministic function of the data
+    (Bar-Yossef et al.; unlike HLL's engine-private registers)."""
+    from .operators.sampling import kmv_distinct
+
+    out = kmv_distinct(load_table(spark, sf_dir, "events"), "user_id", k=256)
+    return out.select("n_hashes", "kth_hash", F.round("est_distinct", 4).alias("est_distinct"))
 
 
 @register("q_curate_corpus")

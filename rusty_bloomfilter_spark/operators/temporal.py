@@ -59,6 +59,61 @@ def session_stats(
     )
 
 
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str,
+    lower: float,
+    upper: float,
+    by: str | None = None,
+    bin_width: float | None = None,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Interval/range join: pairs where right.on ∈ [left.on + lower,
+    left.on + upper] (and left.by == right.by when given), as an
+    EQUI-join on time bins instead of the cross/nested-loop join Spark
+    would otherwise plan for a pure inequality condition.
+
+    Each left row explodes to the ceil(span/bin_width)+1 bins its
+    window covers (2 bins at the default bin_width = window span); each
+    right row lands in exactly one bin, so every matching pair meets
+    exactly once — no post-join dedup. Shuffle keys are (by, bin):
+    uniformly distributed for event-time data, bounded per-bin
+    expansion, scales as a hash join at any corpus size.
+    """
+    if upper < lower:
+        raise ValueError(f"need lower <= upper, got [{lower}, {upper}]")
+    span = float(upper) - float(lower)
+    width = float(bin_width) if bin_width is not None else max(span, 1.0)
+    renames = {c: c + suffix for c in right.columns if c in left.columns and c != by}
+    r = right.select(*[F.col(c).alias(renames.get(c, c)) for c in right.columns])
+    r_on = renames.get(on, on)
+    r_by = None
+    if by is not None:
+        r_by = "_range_by"
+        r = r.withColumnRenamed(by, r_by)
+    l = left.withColumn(
+        "_bin_l",
+        F.explode(
+            F.sequence(
+                F.floor((F.col(on) + F.lit(float(lower))) / F.lit(width)).cast("long"),
+                F.floor((F.col(on) + F.lit(float(upper))) / F.lit(width)).cast("long"),
+            )
+        ),
+    )
+    r = r.withColumn("_bin_r", F.floor(F.col(r_on) / F.lit(width)).cast("long"))
+    cond = (
+        (F.col("_bin_l") == F.col("_bin_r"))
+        & (F.col(r_on) >= F.col(on) + F.lit(float(lower)))
+        & (F.col(r_on) <= F.col(on) + F.lit(float(upper)))
+    )
+    if by is not None:
+        cond = cond & (F.col(by) == F.col(r_by))
+    out = l.join(r, cond).drop("_bin_l", "_bin_r")
+    return out.drop(r_by) if r_by else out
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

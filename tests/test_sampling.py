@@ -1,0 +1,79 @@
+"""Deterministic hash-order sampling + KMV distinct sketch."""
+
+import contextlib
+import io
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from rusty_bloomfilter_spark.operators.sampling import (
+    HASH_DOMAIN,
+    bottom_k_by,
+    bottom_k_sample,
+    kmv_distinct,
+)
+
+
+@pytest.fixture(scope="module")
+def seq_df(spark, sequences_pdf):
+    return spark.createDataFrame(sequences_pdf)
+
+
+def test_bottom_k_partition_invariant(spark, seq_df):
+    a = [tuple(r) for r in bottom_k_sample(seq_df.repartition(2), "doc_id", 25).collect()]
+    b = [tuple(r) for r in bottom_k_sample(seq_df.repartition(13), "doc_id", 25).collect()]
+    assert a == b and len(a) == 25
+    hashes = [h for _, h in a]
+    assert hashes == sorted(hashes)
+
+
+def test_bottom_k_sample_stability_under_growth(spark, seq_df):
+    """Adding rows can only displace survivors, never reorder them:
+    the k-sample of a subset is a superset-prefix relation."""
+    small = {r["key"] for r in bottom_k_sample(seq_df.limit(500), "doc_id", 20).collect()}
+    full_rows = bottom_k_sample(seq_df, "doc_id", 2000).collect()
+    full_rank = {r["key"]: i for i, r in enumerate(full_rows)}
+    # every sampled-from-subset key still hashes into the same global order
+    ranked = sorted(small, key=lambda k: full_rank[k])
+    assert [full_rank[k] >= 0 for k in ranked]
+
+
+def test_bottom_k_uses_take_ordered_plan(spark, seq_df):
+    """No full sort / no global shuffle: Spark plans orderBy+limit as
+    TakeOrderedAndProject (per-partition top-k, driver merge)."""
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        bottom_k_sample(seq_df, "doc_id", 25).explain("formatted")
+    assert "TakeOrderedAndProject" in buf.getvalue()
+
+
+def test_bottom_k_by_strata_counts(spark, seq_df):
+    out = bottom_k_by(seq_df, "source", "doc_id", 7).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r["stratum"], []).append(r["h"])
+    n_sources = seq_df.select("source").distinct().count()
+    assert len(per) == n_sources
+    for hs in per.values():
+        assert len(hs) == 7 and hs == sorted(hs)
+
+
+def test_kmv_estimate_accuracy(spark):
+    """KMV rel. error is ~1/sqrt(k-2); assert within 4x that bound for
+    a known distinct count."""
+    n_distinct = 40_000
+    df = spark.range(n_distinct * 2).select((F.col("id") % n_distinct).alias("k"))
+    k = 512
+    row = kmv_distinct(df, "k", k=k).collect()[0]
+    est = row["est_distinct"]
+    rel = abs(est - n_distinct) / n_distinct
+    assert rel < 4.0 / np.sqrt(k - 2), (est, rel)
+    assert row["n_hashes"] == k and 0 < row["kth_hash"] < HASH_DOMAIN
+
+
+def test_kmv_small_domain_exact(spark):
+    """Fewer distinct keys than k -> the exact count, not an estimate."""
+    df = spark.range(1000).select((F.col("id") % 37).alias("k"))
+    row = kmv_distinct(df, "k", k=256).collect()[0]
+    assert row["n_hashes"] == 37 and row["est_distinct"] == 37.0

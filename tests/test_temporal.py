@@ -105,3 +105,72 @@ def test_asof_join_shared_lineage(spark):
     right = base.filter(F.col("kind") == "b").select("k", "t", "v")
     out = {(r["k"], r["t"]): r["v"] for r in asof_join(left, right, on="t", by="k").collect()}
     assert out == {(1, 1.0): None, (1, 3.0): 20.0, (2, 5.0): 40.0}
+
+
+def test_range_join_matches_bruteforce(spark):
+    """Binned range join == brute-force double loop, including window
+    edges landing exactly on bin boundaries."""
+    import numpy as np
+    import pandas as pd
+
+    from rusty_bloomfilter_spark.operators.temporal import range_join
+
+    rng = np.random.default_rng(9)
+    n = 400
+    lpdf = pd.DataFrame(
+        {
+            "lid": np.arange(n),
+            "k": rng.integers(0, 5, n),
+            "t": np.round(rng.uniform(0, 1000, n), 3),
+        }
+    )
+    rpdf = pd.DataFrame(
+        {
+            "rid": np.arange(n),
+            "k": rng.integers(0, 5, n),
+            "t": np.round(rng.uniform(0, 1000, n), 3),
+        }
+    )
+    # boundary rows: exactly lower/upper apart, and on bin multiples
+    lpdf.loc[0, ["k", "t"]] = [9, 100.0]
+    for i, tv in ((0, 70.0), (1, 100.0), (2, 130.0), (3, 69.999), (4, 130.001)):
+        rpdf.loc[i, ["k", "t"]] = [9, tv]
+    lo, up = -30.0, 30.0
+    out = range_join(
+        spark.createDataFrame(lpdf),
+        spark.createDataFrame(rpdf),
+        on="t",
+        lower=lo,
+        upper=up,
+        by="k",
+    ).collect()
+    got = {(r["lid"], r["rid"]) for r in out}
+    want = {
+        (lr.lid, rr.rid)
+        for lr in lpdf.itertuples()
+        for rr in rpdf.itertuples()
+        if lr.k == rr.k and lr.t + lo <= rr.t <= lr.t + up
+    }
+    assert got == want
+    assert {(0, 0), (0, 1), (0, 2)} <= got
+    assert (0, 3) not in got and (0, 4) not in got
+    # each pair exactly once (right row lands in exactly one bin)
+    assert len(out) == len(got)
+
+
+def test_range_join_plans_hash_join_not_nested_loop(spark):
+    import contextlib
+    import io
+
+    import pandas as pd
+
+    from rusty_bloomfilter_spark.operators.temporal import range_join
+
+    l = spark.createDataFrame(pd.DataFrame({"k": [1], "t": [1.0]}))
+    r = spark.createDataFrame(pd.DataFrame({"k": [1], "t": [1.0], "v": [2.0]}))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        range_join(l, r, on="t", lower=-5, upper=5, by="k").explain("formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
