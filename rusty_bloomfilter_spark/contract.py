@@ -629,6 +629,27 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q_media_stats")
+def q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media decode, distributed: WAV (PCM16) and BMP (24-bit)
+    payloads are decoded with pure-numpy codecs inside mapInArrow;
+    per-kind aggregate of real audio/image statistics. (JPEG/MP4 remain
+    stubbed — codec libs absent; this query proves the non-stubbed
+    path end to end.)"""
+    from .operators.multimodal import media_stats, synthetic_real_media
+
+    stats = media_stats(synthetic_real_media(spark, 120))
+    return stats.groupBy("kind").agg(
+        F.count("*").alias("n_media"),
+        F.round(F.avg("rms"), 4).alias("avg_rms"),
+        F.round(F.avg("zero_cross_rate"), 4).alias("avg_zcr"),
+        F.round(F.avg("duration_ms"), 4).alias("avg_duration_ms"),
+        F.round(F.avg("width"), 4).alias("avg_width"),
+        F.round(F.avg("mean_g"), 4).alias("avg_mean_g"),
+        F.sum("n_bytes").alias("total_bytes"),
+    )
+
+
 @register(
     "q_source_overlap_exact",
     oracle=_SEQ_CTE
