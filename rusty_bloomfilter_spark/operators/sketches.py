@@ -143,8 +143,14 @@ class BloomSketch:
                 h1, h2 = splitmix64(h), splitmix64(h ^ np.uint64(0xD6E8FEB86659FD93))
                 acc.add_hashes(h1, h2)
 
-    def _empty(self) -> BloomFilter:
-        return BloomFilter.empty(self.shape)
+    def _empty(self):
+        # adaptive accumulator: O(set bits) memory until the index
+        # buffer would out-weigh the dense array, then promotes — per-key
+        # builds with huge m and tiny fill never allocate m bits, and the
+        # canonical output bytes are identical to a dense build
+        from ..sketch.bloom import SparseBloomBuilder
+
+        return SparseBloomBuilder(self.shape)
 
     def build(self, df: DataFrame, *, fanout: int = 16) -> DataFrame:
         """-> single-row DataFrame (payload binary, n_items bigint)."""

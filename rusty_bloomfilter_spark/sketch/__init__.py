@@ -8,7 +8,7 @@ so distributed tree-merges are order-independent.
 """
 
 from .blocked import BlockedBloomFilter
-from .bloom import BloomFilter, merge_payloads, popcount_words
+from .bloom import BloomFilter, SparseBloomBuilder, merge_payloads, popcount_words
 from .cms import CountMinSketch
 from .hashing import hash_pair, km_indices, ngram_hashes, splitmix64, tokens_to_u64
 from .hll import HyperLogLog
@@ -53,6 +53,7 @@ __all__ = [
     "HyperLogLog",
     "KLLSketch",
     "Shape",
+    "SparseBloomBuilder",
     "TDigest",
     "hash_pair",
     "km_indices",

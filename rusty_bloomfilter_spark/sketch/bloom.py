@@ -321,11 +321,142 @@ class BloomFilter:
         )
 
 
+class SparseBloomBuilder:
+    """Adaptive-representation Bloom accumulator — the reference's
+    ``Sparse`` filter (mod.rs:301-379) made operational, not just a wire
+    codec: K-M bit indices accumulate in O(set bits) memory and the
+    builder promotes itself to a dense ``BloomFilter`` only once the
+    index buffer would out-weigh the dense word array. Per-key builds
+    over a huge ``m`` with tiny fill never allocate ``m`` bits.
+
+    Same public update surface as BloomFilter (add_tokens/add_u64/
+    add_hashes/add_ngrams, n_items, to_bytes); ``to_bytes`` emits the
+    identical canonical payload a dense build would (tests pin bitwise
+    equality), so it drops into every build pipeline unchanged.
+    """
+
+    __slots__ = ("shape", "n_items", "_pending", "_n_pending", "_dense")
+
+    def __init__(self, shape: Shape):
+        self.shape = shape
+        self.n_items = 0
+        self._pending: list[np.ndarray] = []
+        self._n_pending = 0
+        self._dense: BloomFilter | None = None
+
+    # promote when buffered int64 indices reach the dense byte footprint
+    @property
+    def is_dense(self) -> bool:
+        return self._dense is not None
+
+    def _absorb(self, idx: np.ndarray) -> None:
+        if self._dense is not None:
+            _or_indices_into(self._dense.words, idx)
+            return
+        self._pending.append(idx)
+        self._n_pending += idx.size
+        if self._n_pending * 8 >= self.shape.number_of_bytes():
+            self._promote()
+
+    def _promote(self) -> None:
+        dense = BloomFilter(self.shape)
+        for idx in self._pending:
+            _or_indices_into(dense.words, idx)
+        self._pending = []
+        self._n_pending = 0
+        self._dense = dense
+
+    def add_hashes(self, h1: np.ndarray, h2: np.ndarray) -> "SparseBloomBuilder":
+        n = len(h1)
+        for lo in range(0, n, BloomFilter._CHUNK):
+            hi = min(lo + BloomFilter._CHUNK, n)
+            self._absorb(km_indices(h1[lo:hi], h2[lo:hi], self.shape).reshape(-1))
+        self.n_items += n
+        return self
+
+    def add_u64(self, values: np.ndarray) -> "SparseBloomBuilder":
+        n = len(values)
+        for lo in range(0, n, BloomFilter._CHUNK):
+            h1, h2 = hash_pair(values[lo : lo + BloomFilter._CHUNK])
+            self._absorb(km_indices(h1, h2, self.shape).reshape(-1))
+        self.n_items += n
+        return self
+
+    def add_tokens(self, tokens: np.ndarray) -> "SparseBloomBuilder":
+        return self.add_u64(tokens_to_u64(np.asarray(tokens)))
+
+    def add_ngrams(self, tokens: np.ndarray, n: int) -> "SparseBloomBuilder":
+        h = ngram_hashes(np.asarray(tokens), n)
+        if h.size:
+            self.add_u64(h)
+        return self
+
+    def indices(self) -> np.ndarray:
+        """Sorted distinct set-bit positions (sparse mode only)."""
+        if self._dense is not None:
+            return self._dense.to_indices()
+        if not self._pending:
+            return np.empty(0, dtype=np.int64)
+        return np.unique(np.concatenate(self._pending))
+
+    def to_filter(self) -> BloomFilter:
+        if self._dense is not None:
+            return BloomFilter(self.shape, self._dense.words, self.n_items)
+        return BloomFilter.from_indices(self.shape, self.indices(), n_items=self.n_items)
+
+    def to_bytes(self) -> bytes:
+        """Canonical bytes — identical to a dense build of the same
+        items. Sparse mode serializes straight from the index set when
+        the sparse codec wins, without ever allocating the word array."""
+        if self._dense is not None:
+            return self._dense_to_bytes()
+        idx = self.indices()
+        if self.shape.is_sparse(len(idx)) and self.shape.m <= 0xFFFFFFFF:
+            header = _HEADER.pack(
+                _MAGIC, _VERSION, _KIND_BLOOM, _CODEC_SPARSE, 0,
+                self.shape.m, self.shape.k, self.n_items,
+            )
+            return header + idx.astype(np.uint32).tobytes()
+        return self.to_filter().to_bytes()
+
+    def _dense_to_bytes(self) -> bytes:
+        f = self._dense
+        return BloomFilter(self.shape, f.words, self.n_items).to_bytes()
+
+
 def merge_payloads(payloads: list[bytes]) -> bytes:
     """OR-merge serialized filters; associative/commutative, canonical
-    output bytes. Used by the Spark tree-merge stages."""
+    output bytes. Used by the Spark tree-merge stages.
+
+    Sparse fast path: when every payload is sparse-coded and the merged
+    index set still wins the density rule, the union happens on index
+    arrays — no m-bit word array is ever allocated, so huge-m/tiny-fill
+    keyed merges stay O(set bits) end to end.
+    """
     if not payloads:
         raise ValueError("nothing to merge")
+    headers = [_HEADER.unpack_from(p, 0) for p in payloads]
+    if all(h[3] == _CODEC_SPARSE for h in headers):
+        magic, version, kind, _, _, m, k, _ = headers[0]
+        if magic == _MAGIC and version == _VERSION and kind == _KIND_BLOOM:
+            shape = Shape(m=m, k=k)
+            for h in headers[1:]:
+                if (h[5], h[6]) != (m, k):
+                    raise ValueError(f"shape mismatch: {Shape(m=h[5], k=h[6])} vs {shape}")
+            idx = np.unique(
+                np.concatenate(
+                    [np.frombuffer(memoryview(p)[_HEADER.size :], dtype=np.uint32) for p in payloads]
+                )
+            )
+            n_items = sum(h[7] for h in headers)
+            if shape.is_sparse(len(idx)):
+                header = _HEADER.pack(
+                    _MAGIC, _VERSION, _KIND_BLOOM, _CODEC_SPARSE, 0, m, k, n_items
+                )
+                return header + idx.tobytes()
+            return BloomFilter.from_indices(
+                shape, idx.astype(np.int64), n_items=n_items
+            ).to_bytes()
     acc = BloomFilter.from_bytes(payloads[0])
     for p in payloads[1:]:
         acc.merge_in_place(BloomFilter.from_bytes(p))

@@ -54,7 +54,8 @@ def test_bloom_scalar_zero_fn_across_null_mix():
     sk = BloomSketch.for_np(n=1000, p=1e-4, col="v", scalar=True)
     acc = sk._empty()
     sk._update(acc, pa.record_batch({"v": pa.array([BIG_A, None], type=pa.int64())}))
-    assert bool(acc.contains_tokens(np.array([BIG_A], dtype=np.int64)).all())
+    bf = BloomFilter.from_bytes(acc.to_bytes())
+    assert bool(bf.contains_tokens(np.array([BIG_A], dtype=np.int64)).all())
     # BIG_B was never inserted; under float64 rounding it would alias BIG_A.
     # (It may still be a Bloom false positive, but must not be a forced hit:
     # check the underlying insert used the exact value by asserting the
