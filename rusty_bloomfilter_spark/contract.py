@@ -691,6 +691,17 @@ def q_source_overlap_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(50)
 
 
+@register("q_source_overlap_hll")
+def q_source_overlap_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL-based source-pair overlap (register-max union + inclusion-
+    exclusion intersection): 16 KB per key vs the Bloom variant's m/8
+    bytes; accuracy vs q_source_overlap_exact pinned in pytest."""
+    from .plans import source_overlap
+
+    seq = sequences_from_documents(spark, sf_dir)
+    return source_overlap(spark, seq, sketch="hll").orderBy("source_a", "source_b").limit(50)
+
+
 @register("q_bloom_doc_ids")
 def q_bloom_doc_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom over doc_ids (strings hashed JVM-side with xxhash64 — the
@@ -830,6 +841,31 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("union", clickers.union(viewers).distinct().count()),
     ]
     return spark.createDataFrame(rows, "op string, n bigint")
+
+
+@register(
+    "q_anti_join",
+    oracle="""
+    SELECT c.c_custkey AS custkey, c.c_acctbal AS acctbal
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 350000)
+    ORDER BY custkey LIMIT 100
+    """,
+)
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join (NOT EXISTS): customers with no large order — left_anti
+    against the filtered key set, broadcast (the filter is pushed below
+    the distinct, so the broadcast side is a pruned key list)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    big = o.filter(F.col("o_totalprice") > 350000).select("o_custkey").distinct()
+    return (
+        c.join(F.broadcast(big), c.c_custkey == F.col("o_custkey"), "left_anti")
+        .select(F.col("c_custkey").alias("custkey"), F.col("c_acctbal").alias("acctbal"))
+        .orderBy("custkey")
+        .limit(100)
+    )
 
 
 @register(

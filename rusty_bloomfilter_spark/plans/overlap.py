@@ -19,8 +19,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.sketches import BloomSketch
-from ..sketch import BloomFilter, Shape
+from ..operators.sketches import BloomSketch, HllSketch
+from ..sketch import Shape
 
 _OVERLAP_SCHEMA = (
     "source_a string, source_b string, est_distinct_a double, "
@@ -35,11 +35,21 @@ def source_overlap(
     shape: Shape | None = None,
     key_col: str = "source",
     broadcast_pairs: bool = True,
+    sketch: str = "bloom",
 ) -> DataFrame:
     """-> (source_a, source_b, est_distinct_a, est_distinct_b,
-    est_union, est_intersection) for every source pair."""
-    shape = shape or Shape.for_np(n=1_000_000, p=1e-4)
-    keyed = BloomSketch(shape).build_by_key(sequences, key_col)
+    est_union, est_intersection) for every source pair.
+
+    ``sketch``: "bloom" (reference estimators, O(m/8) per key) or
+    "hll" (16 KB per key at p=14 regardless of m — the cheaper wire
+    format when only cardinalities are needed, no membership)."""
+    if sketch == "hll":
+        keyed = HllSketch(p=14).build_by_key(sequences, key_col)
+    elif sketch == "bloom":
+        shape = shape or Shape.for_np(n=1_000_000, p=1e-4)
+        keyed = BloomSketch(shape).build_by_key(sequences, key_col)
+    else:
+        raise ValueError(f"sketch must be 'bloom' or 'hll', got {sketch!r}")
     a = keyed.select(F.col("key").alias("source_a"), F.col("payload").alias("payload_a"))
     b = keyed.select(F.col("key").alias("source_b"), F.col("payload").alias("payload_b"))
     if broadcast_pairs:
@@ -52,11 +62,16 @@ def source_overlap(
                 "source_a", "source_b", "est_distinct_a",
                 "est_distinct_b", "est_union", "est_intersection",
             )}
+            # magic-byte dispatch inside the worker: closing over the
+            # sketch class makes cloudpickle serialize it by value and
+            # trip on the module's struct.Struct codec objects
+            from ..sketch import sketch_from_bytes
+
             for sa, sb, pa_, pb_ in zip(
                 pdf["source_a"], pdf["source_b"], pdf["payload_a"], pdf["payload_b"]
             ):
-                fa = BloomFilter.from_bytes(bytes(pa_))
-                fb = BloomFilter.from_bytes(bytes(pb_))
+                fa = sketch_from_bytes(bytes(pa_))
+                fb = sketch_from_bytes(bytes(pb_))
                 out["source_a"].append(sa)
                 out["source_b"].append(sb)
                 out["est_distinct_a"].append(round(fa.estimate_n(), 2))

@@ -133,6 +133,27 @@ class HyperLogLog:
                 return m * math.log(m / zeros)
         return float(est)
 
+    # Estimator-protocol alias shared with BloomFilter (pairwise
+    # overlap plans call estimate_n on either sketch kind).
+    def estimate_n(self) -> float:
+        return self.estimate()
+
+    def estimate_union(self, other: "HyperLogLog") -> float:
+        """|A ∪ B| from the register-wise max — exact HLL semantics
+        (the union sketch IS the sketch of the union), no materialized
+        merge. Mirrors the Bloom estimator pair (mod.rs:48-54)."""
+        if self.p != other.p:
+            raise ValueError(f"precision mismatch: {self.p} vs {other.p}")
+        return HyperLogLog(
+            self.p, np.maximum(self.registers, other.registers)
+        ).estimate()
+
+    def estimate_intersection(self, other: "HyperLogLog") -> float:
+        """Inclusion-exclusion |A| + |B| − |A ∪ B| (mod.rs:38-40
+        analog). Error compounds for small intersections of large sets
+        — the published caveat; clamped at 0."""
+        return max(0.0, self.estimate() + other.estimate() - self.estimate_union(other))
+
     # -- wire -------------------------------------------------------------
 
     def to_bytes(self) -> bytes:

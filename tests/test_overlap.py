@@ -90,3 +90,31 @@ def test_source_overlap_is_lazy_no_driver_collect(spark):
 
     with pytest.raises(Exception, match="executed during planning"):
         df.count()
+
+
+def test_hll_union_intersection_estimates():
+    """HLL set algebra: union via register max (exact HLL semantics),
+    intersection via inclusion-exclusion — within compounded error
+    bounds on known overlaps."""
+    import numpy as np
+
+    from rusty_bloomfilter_spark.sketch import HyperLogLog
+
+    rng = np.random.default_rng(21)
+    a_keys = rng.choice(10**9, 60_000, replace=False)
+    b_keys = np.concatenate([a_keys[:20_000], rng.choice(10**9, 40_000, replace=False) + 10**10])
+    a = HyperLogLog(p=14).add_tokens(a_keys.astype(np.int64))
+    b = HyperLogLog(p=14).add_tokens(b_keys.astype(np.int64))
+    true_union = len(np.union1d(a_keys, b_keys))
+    union = a.estimate_union(b)
+    assert abs(union - true_union) / true_union < 3 * a.relative_error()
+    # union estimate == merged-sketch estimate (same registers)
+    assert union == a.merge(b).estimate()
+    inter = a.estimate_intersection(b)
+    # inclusion-exclusion compounds three estimates' errors
+    assert abs(inter - 20_000) / 20_000 < 9 * a.relative_error()
+    # mismatched precision rejected
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="precision mismatch"):
+        a.estimate_union(HyperLogLog(p=12))
