@@ -236,6 +236,7 @@ def build_multi_by_key(
     specs: list[MultiSpec],
     *,
     columns: list[str] | None = None,
+    salt: int = 0,
 ) -> DataFrame:
     """N sketches per key in ONE scan of the input.
 
@@ -287,4 +288,15 @@ def build_multi_by_key(
             out[f"n_{name}"] = [int(pdf[f"n_{name}"].sum())]
         return pd.DataFrame(out)
 
+    if salt > 0:
+        # same skew bound as build_by_key: intermediate (key, salt) merge
+        # level caps any single task's fan-in at partitions/salt
+        first_payload = f"payload_{specs[0][0]}"
+        salted = partial.withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col(first_payload)), F.lit(salt))
+        )
+        level1 = salted.groupBy("key", "_salt").applyInPandas(
+            lambda pdf: merge_group(pdf), schema
+        )
+        return level1.groupBy("key").applyInPandas(merge_group, schema)
     return partial.groupBy("key").applyInPandas(merge_group, schema)

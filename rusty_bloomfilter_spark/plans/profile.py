@@ -104,6 +104,7 @@ def token_profile(
             ("hll", hll._empty, hll._update, merge_sketch_payloads),
         ],
         columns=["source", "tokens"],
+        salt=salt,
     )
 
     def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

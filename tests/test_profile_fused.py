@@ -142,3 +142,25 @@ def test_high_cardinality_keyed_build_invariance(spark):
         oracle = HyperLogLog(8)
         oracle.add_tokens(np.concatenate(by_key[r["key"]]))
         assert bytes(r["payload"]) == oracle.to_bytes()
+
+
+def test_fused_salted_build_bitwise_invariant(spark, seq_df):
+    """salt>0 adds an intermediate merge level; output bytes unchanged
+    (merge algebra) and fan-in bounded."""
+    bloom = BloomSketch(SHAPE)
+    hll = HllSketch(p=12)
+    specs = [
+        ("bloom", bloom._empty, bloom._update, merge_payloads),
+        ("hll", hll._empty, hll._update, merge_sketch_payloads),
+    ]
+    plain = {
+        r["key"]: (bytes(r["payload_bloom"]), bytes(r["payload_hll"]), r["n_rows"])
+        for r in build_multi_by_key(seq_df, "source", specs, columns=["source", "tokens"]).collect()
+    }
+    salted = {
+        r["key"]: (bytes(r["payload_bloom"]), bytes(r["payload_hll"]), r["n_rows"])
+        for r in build_multi_by_key(
+            seq_df.repartition(16), "source", specs, columns=["source", "tokens"], salt=4
+        ).collect()
+    }
+    assert plain == salted
