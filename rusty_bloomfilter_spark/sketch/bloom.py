@@ -296,6 +296,8 @@ class BloomFilter:
 
     @classmethod
     def from_bytes(cls, data: bytes) -> "BloomFilter":
+        if len(data) < _HEADER.size:
+            raise ValueError("not a serialized BloomFilter (truncated header)")
         magic, version, kind, codec, _, m, k, n_items = _HEADER.unpack_from(data, 0)
         if magic != _MAGIC or version != _VERSION or kind != _KIND_BLOOM:
             raise ValueError("not a serialized BloomFilter")
@@ -435,8 +437,11 @@ def merge_payloads(payloads: list[bytes]) -> bytes:
     """
     if not payloads:
         raise ValueError("nothing to merge")
-    headers = [_HEADER.unpack_from(p, 0) for p in payloads]
-    if all(h[3] == _CODEC_SPARSE for h in headers):
+    try:
+        headers = [_HEADER.unpack_from(p, 0) for p in payloads]
+    except struct.error:  # short/garbage payload: let from_bytes report it
+        headers = []
+    if headers and all(h[3] == _CODEC_SPARSE for h in headers):
         magic, version, kind, _, _, m, k, _ = headers[0]
         if magic == _MAGIC and version == _VERSION and kind == _KIND_BLOOM:
             shape = Shape(m=m, k=k)
