@@ -831,16 +831,23 @@ def q_window_user_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Relational set operations (intersect / except / union distinct)."""
+    """Relational set operations (intersect / except / union distinct),
+    counted in ONE action: the three labeled set results union into a
+    single groupBy instead of three separate .count() jobs."""
     ev = load_table(spark, sf_dir, "events")
     clickers = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
     viewers = ev.filter(F.col("event_type") == "view").select("user_id").distinct()
-    rows = [
-        ("intersect", clickers.intersect(viewers).count()),
-        ("except", clickers.exceptAll(viewers).distinct().count()),
-        ("union", clickers.union(viewers).distinct().count()),
-    ]
-    return spark.createDataFrame(rows, "op string, n bigint")
+    labeled = (
+        clickers.intersect(viewers).select(F.lit("intersect").alias("op"))
+        .unionAll(clickers.exceptAll(viewers).distinct().select(F.lit("except").alias("op")))
+        .unionAll(clickers.union(viewers).distinct().select(F.lit("union").alias("op")))
+    )
+    counts = labeled.groupBy("op").agg(F.count("*").alias("n"))
+    # groupBy drops empty sets; an empty 'except' must still report 0
+    ops = spark.createDataFrame([("intersect",), ("except",), ("union",)], "op string")
+    return ops.join(counts, "op", "left").select(
+        "op", F.coalesce("n", F.lit(0)).cast("bigint").alias("n")
+    )
 
 
 @register(
@@ -1182,6 +1189,35 @@ def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag",
         F.col("F").cast("double").alias("qty_F"),
         F.col("O").cast("double").alias("qty_O"),
+    )
+
+
+@register(
+    "q_grouping_sets",
+    oracle="""
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           count(*) AS n,
+           CAST(sum(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form under ROLLUP/CUBE) via
+    Spark SQL — one aggregation pass, grouping-set expansion in
+    Catalyst."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+               coalesce(l_linestatus, 'ALL') AS linestatus,
+               count(*) AS n,
+               CAST(sum(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS qty
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+        """
     )
 
 

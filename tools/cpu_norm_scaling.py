@@ -1,0 +1,151 @@
+#!/usr/bin/env python
+"""CPU-normalized scaling evidence, robust to external host load.
+
+Wall-clock scaling runs on this shared VM swing 3-5x run to run, so
+raw T_2/T_8 is unusable in a contended window. This tool measures the
+CPU actually consumed by THIS JOB's process tree (driver python + JVM +
+pyspark daemon/workers, via /proc/<pid>/stat utime+stime and the
+root's reaped-children cutime/cstime) around each timed build, and
+reports tokens per consumed-CPU-second at local[2] vs local[8].
+
+Interpretation: on a real cluster, executors get whole cores, so
+per-core throughput flat across parallelism == linear scaling. The
+per-CPU-second metric attributes nothing to other tenants and cancels
+scheduler delay, leaving only genuine contention (shared cache/membus)
+— exactly the effect the north rule's efficiency bound cares about.
+
+Usage: python tools/cpu_norm_scaling.py [rows]   (writes one JSON line)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+
+CHILD = r"""
+import json, os, sys, time
+sys.path.insert(0, {repo!r})
+
+CLK = os.sysconf("SC_CLK_TCK")
+
+def _children_of():
+    kids = {{}}
+    for pid in os.listdir("/proc"):
+        if not pid.isdigit():
+            continue
+        try:
+            with open(f"/proc/{{pid}}/stat") as fh:
+                f = fh.read().rsplit(")", 1)[1].split()
+            kids.setdefault(int(f[1]), []).append(int(pid))
+        except OSError:
+            pass
+    return kids
+
+def tree_cpu_seconds() -> float:
+    '''utime+stime of this process tree + reaped children (cutime).'''
+    root = os.getpid()
+    kids = _children_of()
+    total = 0.0
+    stack = [root]
+    seen = set()
+    while stack:
+        pid = stack.pop()
+        if pid in seen:
+            continue
+        seen.add(pid)
+        try:
+            with open(f"/proc/{{pid}}/stat") as fh:
+                f = fh.read().rsplit(")", 1)[1].split()
+            # fields after comm: state ppid ... utime=11 stime=12 cutime=13 cstime=14 (0-based here)
+            total += (int(f[11]) + int(f[12])) / CLK
+            if pid == root:
+                total += (int(f[13]) + int(f[14])) / CLK
+        except OSError:
+            pass
+        stack.extend(kids.get(pid, []))
+    return total
+
+from pyspark.sql import SparkSession
+cpus = int(sys.argv[1])
+spark = (SparkSession.builder.master(f"local[{{cpus}}]")
+         .config("spark.sql.shuffle.partitions", str(cpus))
+         .config("spark.driver.memory", "60g")
+         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "40000")
+         .config("spark.ui.enabled", "false").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+from rusty_bloomfilter_spark.operators.sketches import BlockedBloomSketch, BloomSketch
+from rusty_bloomfilter_spark.sketch import Shape
+seq = spark.read.parquet("/tmp/bench_seq_scaling.parquet")
+n_tokens = int(seq.agg({{"n_tok": "sum"}}).collect()[0][0])
+bsk = BlockedBloomSketch.for_np(n=2_000_000, p=1e-4)
+csk = BloomSketch(Shape.for_np(n=2_000_000, p=1e-4))
+bsk.build_bytes(seq, fanout=cpus)  # full-size warmups
+csk.build_bytes(seq, fanout=cpus)
+
+def measure(fn, reps=2):
+    best = None
+    for _ in range(reps):
+        c0, t0 = tree_cpu_seconds(), time.time()
+        fn()
+        wall, cpu = time.time() - t0, tree_cpu_seconds() - c0
+        cur = (wall, cpu)
+        if best is None or cur[1] < best[1]:
+            best = cur
+    return best
+
+wb, cb = measure(lambda: bsk.build_bytes(seq, fanout=cpus))
+wc, cc = measure(lambda: csk.build_bytes(seq, fanout=cpus))
+print(json.dumps({{
+    "cpus": cpus, "n_tokens": n_tokens,
+    "blocked": {{"wall": round(wb, 3), "cpu_sec": round(cb, 2),
+                 "tok_per_cpu_sec": round(n_tokens / cb, 1)}},
+    "classic": {{"wall": round(wc, 3), "cpu_sec": round(cc, 2),
+                 "tok_per_cpu_sec": round(n_tokens / cc, 1)}},
+}}))
+spark.stop()
+"""
+
+
+def main() -> None:
+    rows = int(sys.argv[1]) if len(sys.argv) > 1 else 120_000
+    if not os.path.exists("/tmp/bench_seq_scaling.parquet"):
+        gen = (
+            "import sys; sys.path.insert(0, {repo!r})\n"
+            "from pyspark.sql import SparkSession\n"
+            "from rusty_bloomfilter_spark.sources import synthetic_sequences\n"
+            "spark = (SparkSession.builder.master('local[32]')"
+            ".config('spark.ui.enabled','false').config('spark.driver.memory','60g').getOrCreate())\n"
+            "spark.sparkContext.setLogLevel('ERROR')\n"
+            f"synthetic_sequences(spark, {rows}, num_partitions=64).write.mode('overwrite')"
+            ".parquet('/tmp/bench_seq_scaling.parquet')\n"
+            "spark.stop()\n"
+        ).format(repo=str(REPO))
+        subprocess.run([sys.executable, "-c", gen], check=True, capture_output=True)
+
+    out = {}
+    for cpus in (2, 8):
+        r = subprocess.run(
+            [sys.executable, "-c", CHILD.format(repo=str(REPO)), str(cpus)],
+            check=True, capture_output=True, text=True,
+        )
+        out[cpus] = json.loads(r.stdout.strip().splitlines()[-1])
+    report = {"n_tokens": out[2]["n_tokens"]}
+    for key in ("blocked", "classic"):
+        r2, r8 = out[2][key], out[8][key]
+        report[key] = {
+            "local2": r2, "local8": r8,
+            # per-CPU-second throughput ratio: 1.0 = perfectly flat work
+            "cpu_norm_efficiency_2_to_8": round(
+                r8["tok_per_cpu_sec"] / r2["tok_per_cpu_sec"], 3
+            ),
+        }
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()
