@@ -172,12 +172,21 @@ def main() -> None:
     from rusty_bloomfilter_spark.operators.similarity import ann_bruteforce_topk
     from rusty_bloomfilter_spark.sources import sequences_from_documents as _sfd
 
-    timed("q_minhash_dedup", lambda: minhash_dedup(_sfd(spark, sf_dir), threshold=0.35).count())
+    # the driver corpus is a single parquet split: spread the doc rows
+    # (~1 MB) so signature computation uses the build cores (production
+    # inputs arrive multi-split; this mirrors that)
+    dedup_seq = _sfd(spark, sf_dir).repartition(build_tasks)
+    timed(
+        "q_minhash_dedup",
+        lambda: minhash_dedup(dedup_seq, threshold=0.35).count(),
+        reps=2,
+    )
     timed(
         "q_ann_bruteforce",
         lambda: ann_bruteforce_topk(
             load_table(spark, sf_dir, "embeddings"), [0, 7, 42, 99, 123], k=5
         ).collect(),
+        reps=2,
     )
 
     # -- flagship + relational over the driver tables ---------------------
