@@ -629,6 +629,17 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q_ann_ivf")
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (coarse spherical-k-means quantizer, nprobe inverted
+    lists, exact re-rank): recall vs brute force pinned in pytest;
+    nprobe == n_centroids degenerates to the exact result."""
+    from .operators.similarity import ann_ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_ivf_topk(emb, [0, 7, 42, 99, 123], k=5, n_centroids=16, nprobe=8)
+
+
 @register("q_media_stats")
 def q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL media decode, distributed: WAV (PCM16) and BMP (24-bit)

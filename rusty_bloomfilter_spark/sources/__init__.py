@@ -133,3 +133,32 @@ def synthetic_sequences(
                 yield _gen_batch(ids, vocab, min_len, max_len)
 
     return base.mapInPandas(gen, schema=_SEQ_SCHEMA)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    path: str,
+    *,
+    key: str,
+    buckets: int,
+    sort: bool = True,
+) -> None:
+    """Persist a table bucketed (and sorted) by the join key, so
+    repeated joins/aggregations on that key run WITHOUT a shuffle: both
+    sides of a bucketed equi-join are already co-partitioned on disk,
+    and Spark's scan reports the bucket spec to the planner. The
+    100 TB pattern for fact tables joined on the same key every day —
+    pay one shuffle at write time, never again at read time.
+    """
+    w = df.write.mode("overwrite").option("path", path).bucketBy(buckets, key)
+    if sort:
+        w = w.sortBy(key)
+    w.saveAsTable(table)
+
+
+def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    """Read a bucketed table registered by write_bucketed (bucket spec
+    only survives via the catalog — a plain spark.read.parquet of the
+    same files loses it and reintroduces the shuffle)."""
+    return spark.read.table(table)

@@ -128,3 +128,43 @@ def test_salted_keyed_build_has_two_merge_levels(spark):
     n_salted = plan_salted.count("FlatMapGroupsInPandas")
     n_plain = plan_plain.count("FlatMapGroupsInPandas")
     assert n_plain >= 1 and n_salted == 2 * n_plain
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Bucketed co-located join: both sides bucketed+sorted on the key
+    -> SortMergeJoin with NO Exchange anywhere in the plan (the one-
+    shuffle-at-write-time pattern for repeated fact joins at 100 TB)."""
+    from pyspark.sql import functions as F
+
+    from rusty_bloomfilter_spark.sources import (
+        load_table,
+        read_bucketed,
+        write_bucketed,
+    )
+
+    o = load_table(spark, SF, "orders")
+    c = load_table(spark, SF, "customer")
+    write_bucketed(o, "orders_b", str(tmp_path / "ob"), key="o_custkey", buckets=8)
+    write_bucketed(
+        c.withColumnRenamed("c_custkey", "o_custkey"),
+        "customer_b",
+        str(tmp_path / "cb"),
+        key="o_custkey",
+        buckets=8,
+    )
+    try:
+        ob, cb = read_bucketed(spark, "orders_b"), read_bucketed(spark, "customer_b")
+        joined = ob.join(cb.hint("merge"), "o_custkey").groupBy("o_custkey").agg(
+            F.count("*").alias("n")
+        )
+        plan = plan_of(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        # sanity: same result as the plain shuffled join
+        plain = (
+            o.join(c, o.o_custkey == c.c_custkey).groupBy("o_custkey").agg(F.count("*").alias("n"))
+        )
+        assert sorted(map(tuple, joined.collect())) == sorted(map(tuple, plain.collect()))
+    finally:
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS customer_b")

@@ -56,3 +56,47 @@ def test_lsh_recall_vs_bruteforce(spark, emb_df):
         key = (r["query_id"], r["neighbor_id"])
         if key in bcos:
             assert r["cosine"] == pytest.approx(bcos[key], abs=1e-9)
+
+
+def test_ivf_centroids_partition_invariant(spark):
+    """Hash-ordered init + Lloyd partial sums -> identical centroids
+    regardless of input partitioning (no RNG anywhere)."""
+    import numpy as np
+
+    from rusty_bloomfilter_spark.operators.similarity import ivf_train_centroids
+    from rusty_bloomfilter_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    c2 = ivf_train_centroids(emb.repartition(2), n_centroids=8, iters=3)
+    c7 = ivf_train_centroids(emb.repartition(7), n_centroids=8, iters=3)
+    assert np.allclose(c2, c7, atol=1e-12)
+    assert np.allclose(np.linalg.norm(c2, axis=1), 1.0)
+
+
+def test_ivf_recall_and_exact_degeneration(spark):
+    from rusty_bloomfilter_spark.operators.similarity import (
+        ann_bruteforce_topk,
+        ann_ivf_topk,
+    )
+    from rusty_bloomfilter_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    qids = [0, 7, 42, 99, 123]
+    want = {(r["query_id"], r["neighbor_id"]) for r in ann_bruteforce_topk(emb, qids, k=5).collect()}
+    # uniform random embeddings are IVF's worst case; nprobe=8/16 still
+    # recalls >= 0.85
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_ivf_topk(emb, qids, k=5, n_centroids=16, nprobe=8).collect()
+    }
+    assert len(got & want) / len(want) >= 0.85
+    # probing every list degenerates to the exact result
+    exact = {
+        (r["query_id"], r["neighbor_id"], r["cosine"])
+        for r in ann_ivf_topk(emb, qids, k=5, n_centroids=8, nprobe=8).collect()
+    }
+    bf = {
+        (r["query_id"], r["neighbor_id"], r["cosine"])
+        for r in ann_bruteforce_topk(emb, qids, k=5).collect()
+    }
+    assert exact == bf
