@@ -887,6 +887,65 @@ def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_keep_latest",
+    oracle="""
+    SELECT user_id, event_id AS last_event_id, event_type AS last_event_type
+    FROM (SELECT user_id, event_id, event_type,
+                 row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events) t
+    WHERE rn = 1 ORDER BY user_id LIMIT 200
+    """,
+)
+def q_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-latest-version-per-key dedup (the standard CDC/compaction
+    shape): window row_number over (key, ts desc), keep rank 1."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_event_type"),
+        )
+        .orderBy("user_id")
+        .limit(200)
+    )
+
+
+@register(
+    "q_correlated_subquery",
+    oracle="""
+    SELECT c.c_custkey AS custkey,
+           round(CAST(c.c_acctbal AS DOUBLE), 6) AS acctbal
+    FROM customer c
+    WHERE c.c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+                         WHERE c2.c_nationkey = c.c_nationkey)
+    ORDER BY custkey LIMIT 150
+    """,
+)
+def q_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (above-per-nation-average balance),
+    expressed in Spark SQL — Catalyst de-correlates it into an
+    aggregate + join."""
+    c = load_table(spark, sf_dir, "customer")
+    c.createOrReplaceTempView("customer_csq")
+    return spark.sql(
+        """
+        SELECT c.c_custkey AS custkey,
+               round(CAST(c.c_acctbal AS DOUBLE), 6) AS acctbal
+        FROM customer_csq c
+        WHERE c.c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer_csq c2
+                             WHERE c2.c_nationkey = c.c_nationkey)
+        ORDER BY custkey LIMIT 150
+        """
+    )
+
+
+@register(
     "q_sessionize",
     oracle="""
     WITH flagged AS (
