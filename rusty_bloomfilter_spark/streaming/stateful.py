@@ -68,3 +68,84 @@ def running_distinct_by_key(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+_TOPK_OUTPUT = "window_start timestamp, tok bigint, est_freq bigint, rank int"
+_TOPK_STATE = "payload binary, cand array<bigint>"
+
+
+def windowed_topk_tokens(
+    stream_df: DataFrame,
+    *,
+    ts_col: str = "ts",
+    tokens_col: str = "tokens",
+    window: str = "1 hour",
+    k: int = 10,
+    d: int = 4,
+    w: int = 1 << 14,
+) -> DataFrame:
+    """Streaming per-window heavy hitters: the classic CMS+candidates
+    algorithm as applyInPandasWithState. State per event-time window =
+    (CMS payload, 2k candidate tokens); every micro-batch folds the
+    batch's tokens into the CMS, re-estimates candidates ∪ the batch's
+    distinct tokens, keeps the top 2k as state and emits the top k.
+
+    Candidate semantics: a token is (re)considered at every batch it
+    appears in, scored by its CMS estimate over the window's WHOLE
+    history — so a hitter that accumulates across batches enters the
+    top-k at the first batch where its cumulative estimate qualifies.
+    State is O(d*w + 2k) per window regardless of stream length.
+    """
+    from ..sketch import CountMinSketch
+
+    def update(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            payload, cand = state.get
+            cms = CountMinSketch.from_bytes(bytes(payload))
+            candidates = set(int(t) for t in cand)
+        else:
+            cms = CountMinSketch(d, w)
+            candidates = set()
+        batch_distinct: set[int] = set()
+        for pdf in pdfs:
+            arrs = [np.asarray(a) for a in pdf[tokens_col].to_numpy() if a is not None and len(a)]
+            if not arrs:
+                continue
+            flat = np.concatenate(arrs).astype(np.int64, copy=False)
+            cms.add_tokens(flat)
+            batch_distinct.update(np.unique(flat).tolist())
+        candidates |= batch_distinct
+        if not candidates:
+            return
+        toks = np.fromiter(candidates, dtype=np.int64, count=len(candidates))
+        est = cms.query_tokens(toks)
+        order = np.lexsort((toks, -est))  # est desc, tok asc tiebreak
+        keep = order[: 2 * k]
+        state.update((cms.to_bytes(), [int(t) for t in toks[keep]]))
+        top = order[:k]
+        yield pd.DataFrame(
+            {
+                "window_start": [key[0]] * len(top),
+                "tok": toks[top],
+                "est_freq": est[top],
+                "rank": np.arange(1, len(top) + 1, dtype=np.int32),
+            }
+        )
+
+    from pyspark.sql import functions as F
+
+    windowed = stream_df.withColumn("window_start", F.window(ts_col, window)["start"])
+    return (
+        windowed.groupBy("window_start")
+        .applyInPandasWithState(
+            update,
+            outputStructType=_TOPK_OUTPUT,
+            stateStructType=_TOPK_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

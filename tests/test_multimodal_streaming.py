@@ -228,3 +228,61 @@ def test_streaming_restart_processes_only_new_files(spark, tmp_path, sequences_p
     )
     assert got.n_items == oracle.n_items  # first half NOT double-counted
     assert got.words.tobytes() == oracle.words.tobytes()
+
+
+def test_windowed_topk_tokens_stream(spark, tmp_path):
+    """Streaming per-window heavy hitters across several micro-batches:
+    the final emission's top-k must equal the exact per-window top-k
+    (CMS estimates are one-sided and w >> distinct here, so exact)."""
+    import numpy as np
+    import pandas as pd
+
+    from rusty_bloomfilter_spark.streaming import windowed_topk_tokens
+
+    rng = np.random.default_rng(23)
+    n = 3000
+    # two event-time windows; tokens heavily skewed toward small ids
+    ts = pd.to_datetime("2024-01-01 00:00:00") + pd.to_timedelta(
+        rng.integers(0, 7200, n), unit="s"
+    )
+    tokens = [rng.zipf(1.6, size=20).clip(max=5000).astype(np.int64) for _ in range(n)]
+    pdf = pd.DataFrame({"ts": ts, "tokens": tokens})
+    src = str(tmp_path / "topk_src")
+    batch_df = spark.createDataFrame(pdf)
+    batch_df.repartition(3).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(batch_df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = windowed_topk_tokens(stream, window="1 hour", k=8, d=4, w=1 << 15)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("win_topk")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("select * from win_topk").collect()
+    assert rows
+    # last emission per window = the one with the highest est for rank 1
+    last: dict = {}
+    for r in rows:
+        cur = last.setdefault(r["window_start"], {})
+        cur.setdefault(r["rank"], r)
+        if r["est_freq"] >= cur[r["rank"]]["est_freq"]:
+            cur[r["rank"]] = r
+    # exact oracle per window
+    win = pdf.assign(w=pdf["ts"].dt.floor("h"))
+    for wstart, grp in win.groupby("w"):
+        flat = np.concatenate(list(grp["tokens"]))
+        uniq, counts = np.unique(flat, return_counts=True)
+        order = np.lexsort((uniq, -counts))
+        exact_top = [(int(uniq[i]), int(counts[i])) for i in order[:8]]
+        got = [
+            (last[wstart][r]["tok"], last[wstart][r]["est_freq"])
+            for r in sorted(last[wstart])
+        ]
+        assert got == exact_top, (wstart, got, exact_top)
