@@ -98,18 +98,18 @@ def main() -> None:
 
     # headline: blocked (split-block) filter — the 100 TB scale path
     bsk = BlockedBloomSketch.for_np(n=2_000_000, p=1e-4)
-    bpayload, bn = timed("q_bloom_build", lambda: bsk.build_bytes(seq_build, fanout=build_tasks), reps=2)
+    bpayload, bn = timed("q_bloom_build", lambda: bsk.build_bytes(seq_build, fanout=build_tasks), reps=3)
     assert bn == n_tokens, (bn, n_tokens)
     extra["bloom_build_tokens_per_sec"] = round(n_tokens / queries["q_bloom_build"], 1)
 
-    hits, total = timed("q_bloom_probe", lambda: bsk.count_contained(seq_build, bpayload, spark), reps=2)
+    hits, total = timed("q_bloom_probe", lambda: bsk.count_contained(seq_build, bpayload, spark), reps=3)
     assert hits == total == n_tokens, (hits, total, n_tokens)  # zero FN
     extra["bloom_probe_tokens_per_sec"] = round(n_tokens / queries["q_bloom_probe"], 1)
 
     # classic K-M filter (reference-parity layout) for comparison
     shape = Shape.for_np(n=2_000_000, p=1e-4)
     sk = BloomSketch(shape)
-    payload, n_items = timed("q_bloom_build_classic", lambda: sk.build_bytes(seq_build, fanout=build_tasks), reps=2)
+    payload, n_items = timed("q_bloom_build_classic", lambda: sk.build_bytes(seq_build, fanout=build_tasks), reps=3)
     assert n_items == n_tokens, (n_items, n_tokens)
     extra["bloom_classic_tokens_per_sec"] = round(
         n_tokens / queries["q_bloom_build_classic"], 1
@@ -117,13 +117,13 @@ def main() -> None:
     extra["bloom_fill_ratio"] = round(BloomFilter.from_bytes(payload).fill_ratio(), 6)
 
     # -- sibling sketches over the same synthetic table -------------------
-    hll_est = timed("q_hll_distinct", lambda: HllSketch(p=14).estimate(seq, fanout=cpus), reps=2)
+    hll_est = timed("q_hll_distinct", lambda: HllSketch(p=14).estimate(seq_build, fanout=build_tasks), reps=3)
     # CMS partials are 5 MB each (d=5, w=2^17): right-size the task
     # count so the payload shuffle is build_tasks x 5 MB, not cpus x 5 MB
     cms_payload, _ = timed(
         "q_cms_build",
         lambda: CmsSketch(d=5, w=1 << 17).build_bytes(seq_build, fanout=build_tasks),
-        reps=2,
+        reps=3,
     )
     kll_est = timed(
         "q_kll_ntok", lambda: KllQuantiles(k=200, col="n_tok").quantiles(seq, [0.5, 0.99])
@@ -179,7 +179,7 @@ def main() -> None:
     timed(
         "q_minhash_dedup",
         lambda: minhash_dedup(dedup_seq, threshold=0.35).count(),
-        reps=2,
+        reps=3,
     )
     timed(
         "q_ann_bruteforce",
