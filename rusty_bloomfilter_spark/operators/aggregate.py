@@ -145,8 +145,22 @@ def iter_key_slices(batch: pa.RecordBatch, key_col: str):
     quadratic for high-cardinality keys.
     """
     import numpy as np
+    import pyarrow.compute as pc
 
-    keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+    col = batch.column(key_col)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if col.null_count:
+        # None is not orderable against strings (np.unique would raise);
+        # split the null-key rows out and slice the rest normally
+        valid = col.is_valid()
+        null_mask = pc.invert(valid)
+        yield None, batch.filter(null_mask)
+        batch = batch.filter(valid)
+        if batch.num_rows == 0:
+            return
+        col = batch.column(key_col)
+    keys = col.to_numpy(zero_copy_only=False)
     if len(keys) == 0:
         return
     uniq, counts = np.unique(keys, return_counts=True)
@@ -197,7 +211,7 @@ def build_by_key(
         if accs:
             yield pa.RecordBatch.from_pydict(
                 {
-                    "key": [str(k) for k in accs],
+                    "key": [None if k is None else str(k) for k in accs],
                     "payload": [a.to_bytes() for a in accs.values()],
                     "n_items": [a.n_items for a in accs.values()],
                 }
@@ -268,7 +282,7 @@ def build_multi_by_key(
                 ent[1] += sub.num_rows
         if accs:
             out: dict[str, list] = {
-                "key": [str(k) for k in accs],
+                "key": [None if k is None else str(k) for k in accs],
                 "n_rows": [ent[1] for ent in accs.values()],
             }
             for i, (name, *_rest) in enumerate(specs):

@@ -164,3 +164,23 @@ def test_fused_salted_build_bitwise_invariant(spark, seq_df):
         ).collect()
     }
     assert plain == salted
+
+
+def test_keyed_build_null_keys(spark):
+    """NULL keys form their own group (Spark groupBy semantics) instead
+    of crashing np.unique's None-vs-str comparison."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "source": ["a", None, "b", None, "a"],
+            "tokens": [[1, 2], [3], [4], [5, 6], [7]],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    rows = {r["key"]: r for r in HllSketch(p=8).build_by_key(df, "source").collect()}
+    assert set(rows) == {"a", "b", None}
+    assert rows[None]["n_items"] == 3  # tokens 3, 5, 6
+    oracle = HyperLogLog(8)
+    oracle.add_tokens(np.array([3, 5, 6]))
+    assert bytes(rows[None]["payload"]) == oracle.to_bytes()
