@@ -182,6 +182,8 @@ def ivf_train_centroids(
             sums = np.zeros_like(Cl)
             counts = np.zeros(len(Cl), dtype=np.int64)
             for b in batches:
+                if b.num_rows == 0:
+                    continue
                 V = np.stack(b.column("v").to_numpy(zero_copy_only=False))
                 Vn = V / (np.linalg.norm(V, axis=1, keepdims=True) + 1e-12)
                 assign = np.argmax(Vn @ Cl.T, axis=1)
@@ -227,6 +229,8 @@ def ivf_assign(
 
         Cl = bc.value
         for b in batches:
+            if b.num_rows == 0:
+                continue
             ids = b.column("id").to_pylist()
             V = np.stack(b.column("v").to_numpy(zero_copy_only=False))
             Vn = V / (np.linalg.norm(V, axis=1, keepdims=True) + 1e-12)

@@ -441,27 +441,32 @@ def merge_payloads(payloads: list[bytes]) -> bytes:
         headers = [_HEADER.unpack_from(p, 0) for p in payloads]
     except struct.error:  # short/garbage payload: let from_bytes report it
         headers = []
-    if headers and all(h[3] == _CODEC_SPARSE for h in headers):
-        magic, version, kind, _, _, m, k, _ = headers[0]
-        if magic == _MAGIC and version == _VERSION and kind == _KIND_BLOOM:
-            shape = Shape(m=m, k=k)
-            for h in headers[1:]:
-                if (h[5], h[6]) != (m, k):
-                    raise ValueError(f"shape mismatch: {Shape(m=h[5], k=h[6])} vs {shape}")
-            idx = np.unique(
-                np.concatenate(
-                    [np.frombuffer(memoryview(p)[_HEADER.size :], dtype=np.uint32) for p in payloads]
-                )
+    # fast path only when EVERY payload is a valid sparse-coded Bloom
+    # header (a foreign sketch kind must fall through to from_bytes so
+    # it raises the proper error instead of being misread as indices)
+    if headers and all(
+        h[0] == _MAGIC and h[1] == _VERSION and h[2] == _KIND_BLOOM and h[3] == _CODEC_SPARSE
+        for h in headers
+    ):
+        m, k = headers[0][5], headers[0][6]
+        shape = Shape(m=m, k=k)
+        for h in headers[1:]:
+            if (h[5], h[6]) != (m, k):
+                raise ValueError(f"shape mismatch: {Shape(m=h[5], k=h[6])} vs {shape}")
+        idx = np.unique(
+            np.concatenate(
+                [np.frombuffer(memoryview(p)[_HEADER.size :], dtype=np.uint32) for p in payloads]
             )
-            n_items = sum(h[7] for h in headers)
-            if shape.is_sparse(len(idx)):
-                header = _HEADER.pack(
-                    _MAGIC, _VERSION, _KIND_BLOOM, _CODEC_SPARSE, 0, m, k, n_items
-                )
-                return header + idx.tobytes()
-            return BloomFilter.from_indices(
-                shape, idx.astype(np.int64), n_items=n_items
-            ).to_bytes()
+        )
+        n_items = sum(h[7] for h in headers)
+        if shape.is_sparse(len(idx)):
+            header = _HEADER.pack(
+                _MAGIC, _VERSION, _KIND_BLOOM, _CODEC_SPARSE, 0, m, k, n_items
+            )
+            return header + idx.tobytes()
+        return BloomFilter.from_indices(
+            shape, idx.astype(np.int64), n_items=n_items
+        ).to_bytes()
     acc = BloomFilter.from_bytes(payloads[0])
     for p in payloads[1:]:
         acc.merge_in_place(BloomFilter.from_bytes(p))
