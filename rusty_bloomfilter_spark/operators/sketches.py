@@ -259,6 +259,14 @@ class BloomSketch:
         build side — zero false negatives, FPR <= shape bound."""
         return probe_df.filter(self.might_contain_udf(payload)(F.col(col)))
 
+    def register_sql_probe(
+        self, spark: SparkSession, name: str, payload: bytes
+    ) -> None:
+        """Expose the membership probe to SQL users:
+        ``SELECT * FROM t WHERE <name>(tok)``. Same broadcast +
+        per-worker deserialization as might_contain_udf."""
+        spark.udf.register(name, self.might_contain_udf(payload, spark))
+
 
 # ---------------------------------------------------------------------------
 # Blocked Bloom (scale path: 1 cache line per token, compute-bound)

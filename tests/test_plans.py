@@ -168,3 +168,46 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS customer_b")
+
+
+def test_partitioned_write_enables_partition_pruning(spark, tmp_path):
+    """partitionBy('source') sink + re-read with a source filter: the
+    scan's PartitionFilters prune to one directory (zero I/O for the
+    other sources) — the standard curated-corpus layout at 100 TB."""
+    from rusty_bloomfilter_spark.sources import sequences_from_documents
+
+    out = str(tmp_path / "curated")
+    seq = sequences_from_documents(spark, SF)
+    seq.write.partitionBy("source").parquet(out)
+    re = spark.read.parquet(out).filter("source = 'src3'")
+    plan = plan_of(re)
+    assert "PartitionFilters: [isnotnull(source" in plan and "src3" in plan
+    import os
+
+    dirs = sorted(d for d in os.listdir(out) if d.startswith("source="))
+    assert len(dirs) > 1  # several partitions materialized on disk
+    got = re.count()
+    want = seq.filter("source = 'src3'").count()
+    assert got == want > 0
+
+
+def test_bloom_probe_registered_for_sql(spark):
+    """SQL-only users probe via a registered function."""
+    from pyspark.sql import functions as F
+
+    from rusty_bloomfilter_spark.operators.sketches import BloomSketch
+
+    df = spark.range(1000).select(F.col("id").cast("long").alias("tok"))
+    sk = BloomSketch.for_np(n=2000, p=1e-3, col="tok", scalar=True)
+    payload, _ = sk.build_bytes(df)
+    sk.register_sql_probe(spark, "bloom_might_contain", payload)
+    df.createOrReplaceTempView("probe_t")
+    hits = spark.sql(
+        "SELECT count(*) AS n FROM probe_t WHERE bloom_might_contain(tok)"
+    ).collect()[0]["n"]
+    assert hits == 1000  # zero false negatives
+    absent = spark.sql(
+        "SELECT count(*) AS n FROM (SELECT id + 100000 AS tok FROM range(5000)) "
+        "WHERE bloom_might_contain(tok)"
+    ).collect()[0]["n"]
+    assert absent <= 50  # ~FPR bound on a disjoint domain
