@@ -1196,6 +1196,39 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("n_hashes", "kth_hash", F.round("est_distinct", 4).alias("est_distinct"))
 
 
+@register(
+    "q_bpe_merge_pairs",
+    oracle=_SEQ_CTE
+    + """
+    SELECT pair // 50261 AS left_tok, pair % 50261 AS right_tok, count(*) AS freq
+    FROM (SELECT unnest(list_transform(range(len(tokens) - 1),
+              i -> CAST(tokens[i+1] AS BIGINT) * 50261 + tokens[i+2])) AS pair
+          FROM sequences WHERE len(tokens) >= 2) t
+    GROUP BY 1, 2 ORDER BY freq DESC, left_tok, right_tok LIMIT 25
+    """,
+)
+def q_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE merge-learning primitive: corpus-wide adjacent-pair
+    counts, top 25 — one merge-training iteration is exactly "count
+    all adjacent pairs, take the argmax". Pure Catalyst (injective
+    int64 pair keys), hash-matched cross-engine."""
+    from .functions.text import adjacent_pair_keys
+
+    seq = sequences_from_documents(spark, sf_dir)
+    return (
+        seq.select(F.explode(adjacent_pair_keys(F.col("tokens"))).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count("*").alias("freq"))
+        .select(
+            F.expr("pair DIV 50261").alias("left_tok"),
+            (F.col("pair") % 50261).alias("right_tok"),
+            "freq",
+        )
+        .orderBy(F.desc("freq"), "left_tok", "right_tok")
+        .limit(25)
+    )
+
+
 @register("q_curate_corpus")
 def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation pipeline stats (quality gate -> exact dedup

@@ -184,3 +184,26 @@ def duckdb_rolling_fingerprint(tokens_expr: str, n: int = 3) -> str:
         f"i -> CAST({tokens_expr}[i+1] AS BIGINT) * 2526168121 "
         f"+ CAST({tokens_expr}[i+2] AS BIGINT) * 50261 + {tokens_expr}[i+3]))"
     )
+
+
+def adjacent_pair_keys(tokens: Column, vocab: int = 50261) -> Column:
+    """Within-row adjacent token pairs as injective int64 keys
+    (left * 50261 + right, exact for token ids < 50261) — the counting
+    primitive of BPE merge learning: one merge-training iteration is
+    "count all adjacent pairs, take the argmax". Total over short rows
+    (< 2 tokens -> empty array); DuckDB renders identically."""
+    pairs = F.transform(
+        F.sequence(F.lit(0), F.size(tokens) - 2),
+        lambda i: F.element_at(tokens, i + 1).cast("long") * vocab
+        + F.element_at(tokens, i + 2).cast("long"),
+    )
+    return F.when(F.size(tokens) >= 2, pairs).otherwise(
+        F.array().cast("array<bigint>")
+    )
+
+
+def duckdb_adjacent_pair_keys(tokens_expr: str, vocab: int = 50261) -> str:
+    return (
+        f"list_transform(range(len({tokens_expr}) - 1), "
+        f"i -> CAST({tokens_expr}[i+1] AS BIGINT) * {vocab} + {tokens_expr}[i+2])"
+    )
