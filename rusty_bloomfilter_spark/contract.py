@@ -1229,6 +1229,23 @@ def q_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q_bpe_learn")
+def q_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge training (5 iterations of count -> argmax
+    -> vectorized replace): emits the learned merge table. Deterministic
+    and partition-invariant, pinned against a sequential reference BPE
+    in pytest (the iterative loop is not one-shot SQL-expressible, so
+    rows-only here)."""
+    from .operators.bpe import learn_bpe_merges
+
+    seq = sequences_from_documents(spark, sf_dir)
+    merges, merged = learn_bpe_merges(seq, n_merges=5, vocab=50257)
+    merged.unpersist()
+    return spark.createDataFrame(
+        merges, "left_tok bigint, right_tok bigint, new_id bigint, freq bigint"
+    )
+
+
 @register("q_curate_corpus")
 def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation pipeline stats (quality gate -> exact dedup
