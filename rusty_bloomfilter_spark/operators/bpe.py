@@ -1,4 +1,7 @@
-"""Distributed BPE merge training over tokenized sequences.
+"""Distributed BPE merge training over tokenized sequences
+(byte-pair encoding; Sennrich, Haddow & Birch 2016, "Neural Machine
+Translation of Rare Words with Subword Units" — the published greedy
+merge-learning loop, Spark-distributed).
 
 One BPE training iteration is: count every within-row adjacent token
 pair across the corpus, take the most frequent pair, replace its
