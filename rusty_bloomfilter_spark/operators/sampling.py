@@ -42,6 +42,8 @@ def bottom_k_sample(df: DataFrame, key_col: str, k: int) -> DataFrame:
     -> (key, h) ordered by h. Same rows on any engine, any run, any
     partitioning; adding data can only displace rows, never reshuffle
     the survivors' relative order."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
     return (
         df.select(F.col(key_col).cast("string").alias("key"))
         .select("key", content_hash60(F.col("key")).alias("h"))
@@ -76,6 +78,8 @@ def kmv_distinct(df: DataFrame, key_col: str, k: int = 256) -> DataFrame:
     has fewer than k distinct keys the sample IS the distinct set and
     the exact count is returned instead.
     """
+    if k < 2:
+        raise ValueError(f"KMV needs k >= 2 (estimator uses k-1), got {k}")
     hashes = (
         df.select(F.col(key_col).cast("string").alias("key"))
         .select(content_hash60(F.col("key")).alias("h"))

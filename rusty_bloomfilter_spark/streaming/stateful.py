@@ -83,6 +83,7 @@ def windowed_topk_tokens(
     k: int = 10,
     d: int = 4,
     w: int = 1 << 14,
+    watermark: str | None = None,
 ) -> DataFrame:
     """Streaming per-window heavy hitters: the classic CMS+candidates
     algorithm as applyInPandasWithState. State per event-time window =
@@ -95,6 +96,11 @@ def windowed_topk_tokens(
     history — so a hitter that accumulates across batches enters the
     top-k at the first batch where its cumulative estimate qualifies.
     State is O(d*w + 2k) per window regardless of stream length.
+
+    ``watermark`` (e.g. "2 hours") bounds TOTAL state for unbounded
+    streams: event-time timeout drops a window's state once the
+    watermark passes its end — late data beyond the watermark is
+    discarded with it, the standard trade.
     """
     from ..sketch import CountMinSketch
 
@@ -103,6 +109,9 @@ def windowed_topk_tokens(
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()  # watermark passed this window's end
+            return
         if state.exists:
             payload, cand = state.get
             cms = CountMinSketch.from_bytes(bytes(payload))
@@ -126,6 +135,8 @@ def windowed_topk_tokens(
         order = np.lexsort((toks, -est))  # est desc, tok asc tiebreak
         keep = order[: 2 * k]
         state.update((cms.to_bytes(), [int(t) for t in toks[keep]]))
+        if timeout:
+            state.setTimeoutTimestamp(key[1])  # expire at window end
         top = order[:k]
         yield pd.DataFrame(
             {
@@ -138,14 +149,22 @@ def windowed_topk_tokens(
 
     from pyspark.sql import functions as F
 
-    windowed = stream_df.withColumn("window_start", F.window(ts_col, window)["start"])
+    timeout = watermark is not None
+    if timeout:
+        stream_df = stream_df.withWatermark(ts_col, watermark)
+    win = F.window(ts_col, window)
+    windowed = stream_df.select(
+        "*", win["start"].alias("window_start"), win["end"].alias("window_end")
+    )
     return (
-        windowed.groupBy("window_start")
+        windowed.groupBy("window_start", "window_end")
         .applyInPandasWithState(
             update,
             outputStructType=_TOPK_OUTPUT,
             stateStructType=_TOPK_STATE,
             outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=(
+                GroupStateTimeout.EventTimeTimeout if timeout else GroupStateTimeout.NoTimeout
+            ),
         )
     )

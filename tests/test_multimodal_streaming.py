@@ -286,3 +286,50 @@ def test_windowed_topk_tokens_stream(spark, tmp_path):
             for r in sorted(last[wstart])
         ]
         assert got == exact_top, (wstart, got, exact_top)
+
+
+def test_windowed_topk_with_watermark_expiry(spark, tmp_path):
+    """Watermarked variant: same results through the EventTimeTimeout
+    path (state expiry wiring exercised end to end)."""
+    import numpy as np
+    import pandas as pd
+
+    from rusty_bloomfilter_spark.streaming import windowed_topk_tokens
+
+    rng = np.random.default_rng(29)
+    n = 600
+    ts = pd.to_datetime("2024-01-01 00:00:00") + pd.to_timedelta(
+        rng.integers(0, 3600, n), unit="s"
+    )
+    tokens = [rng.zipf(1.7, size=12).clip(max=999).astype(np.int64) for _ in range(n)]
+    pdf = pd.DataFrame({"ts": ts, "tokens": tokens})
+    src = str(tmp_path / "topk_wm_src")
+    batch_df = spark.createDataFrame(pdf)
+    batch_df.repartition(2).write.parquet(src)
+    stream = (
+        spark.readStream.schema(batch_df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = windowed_topk_tokens(stream, window="1 hour", k=5, watermark="30 minutes")
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("win_topk_wm")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("select * from win_topk_wm").collect()
+    assert rows
+    best = {}
+    for r in rows:
+        cur = best.setdefault(r["rank"], r)
+        if r["est_freq"] >= cur["est_freq"]:
+            best[r["rank"]] = r
+    flat = np.concatenate(tokens)
+    uniq, counts = np.unique(flat, return_counts=True)
+    order = np.lexsort((uniq, -counts))
+    exact = [(int(uniq[i]), int(counts[i])) for i in order[:5]]
+    got = [(best[r]["tok"], best[r]["est_freq"]) for r in sorted(best)]
+    assert got == exact
