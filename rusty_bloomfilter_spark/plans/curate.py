@@ -34,13 +34,25 @@ def curate_corpus(
     jaccard_threshold: float = 0.6,
     bloom_n: int = 1_000_000,
     bloom_p: float = 1e-4,
+    langs: list[str] | None = None,
+    holdout_k: int = 0,
 ) -> dict:
     """Run the full curation pipeline; returns dict with the surviving
-    `sequences` DataFrame, the final bloom payload, and a stats row."""
+    `sequences` DataFrame, the final bloom payload, and a stats row.
+
+    ``langs`` gates on the marker-word language-ID prediction (not the
+    labeled column — curation must work on unlabeled crawl data).
+    ``holdout_k > 0`` splits a deterministic hash-order eval holdout
+    off the survivors (bottom-k sample: reproducible across runs and
+    growing corpora) and excludes it from the training output."""
+    from ..functions.text import lang_id_expr
+
     q = quality_exprs(F.col("text"))
     gated = documents.withColumn("_ntok", q["n_tok"]).withColumn(
         "_alpha", q["alpha_ratio"]
     ).filter((F.col("_ntok") >= min_tokens) & (F.col("_alpha") >= min_alpha_ratio))
+    if langs:
+        gated = gated.filter(lang_id_expr(F.col("text")).isin(list(langs)))
 
     # exact dedup: keep the minimum doc_id of each byte-identical group
     # (keep the distinct column name: renaming to doc_id would alias the
@@ -64,6 +76,16 @@ def curate_corpus(
     drop = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
     survivors = seq.join(drop, "doc_id", "left_anti")
 
+    holdout = None
+    if holdout_k > 0:
+        from ..operators.sampling import bottom_k_sample
+
+        held_ids = bottom_k_sample(survivors, "doc_id", holdout_k).select(
+            F.col("key").alias("doc_id")
+        )
+        holdout = survivors.join(F.broadcast(held_ids), "doc_id", "left_semi")
+        survivors = survivors.join(F.broadcast(held_ids), "doc_id", "left_anti")
+
     sk = BlockedBloomSketch.for_np(n=bloom_n, p=bloom_p)
     payload, n_tokens = sk.build_bytes(survivors)
     filt = BlockedBloomFilter.from_bytes(payload)
@@ -82,4 +104,9 @@ def curate_corpus(
         "bloom_fill_ratio": round(filt.fill_ratio(), 6),
         "bloom_bytes": len(payload),
     }
-    return {"sequences": survivors, "bloom_payload": payload, "stats": stats}
+    if holdout_k > 0:
+        stats["docs_holdout"] = holdout.count()
+    out = {"sequences": survivors, "bloom_payload": payload, "stats": stats}
+    if holdout is not None:
+        out["holdout"] = holdout
+    return out

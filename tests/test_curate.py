@@ -53,3 +53,42 @@ def test_curate_corpus(spark):
     )
     assert bool(bf.contains_tokens(toks).all())
     assert s["tokens_out"] == len(toks)
+
+
+def test_curate_lang_gate_and_holdout(spark):
+    """Language gating + deterministic eval holdout: holdout ∪ train ==
+    survivors, disjoint, holdout identical across runs/partitionings."""
+    from pyspark.sql import functions as F
+
+    from rusty_bloomfilter_spark.plans import curate_corpus
+    from rusty_bloomfilter_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    out = curate_corpus(
+        spark,
+        docs,
+        min_tokens=8,
+        min_alpha_ratio=0.3,
+        jaccard_threshold=0.6,
+        bloom_n=500_000,
+        langs=["en"],
+        holdout_k=20,
+    )
+    assert out["stats"]["docs_holdout"] == 20
+    train_ids = {r["doc_id"] for r in out["sequences"].select("doc_id").collect()}
+    held_ids = {r["doc_id"] for r in out["holdout"].select("doc_id").collect()}
+    assert len(held_ids) == 20 and not (train_ids & held_ids)
+    assert out["stats"]["docs_out"] == len(train_ids)
+    # determinism under different partitioning
+    out2 = curate_corpus(
+        spark,
+        docs.repartition(7),
+        min_tokens=8,
+        min_alpha_ratio=0.3,
+        jaccard_threshold=0.6,
+        bloom_n=500_000,
+        langs=["en"],
+        holdout_k=20,
+    )
+    held2 = {r["doc_id"] for r in out2["holdout"].select("doc_id").collect()}
+    assert held2 == held_ids
