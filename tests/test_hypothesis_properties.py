@@ -109,3 +109,66 @@ def test_shape_sizing_meets_target(n, p_exp):
     assert shape.false_positives(n) <= p * 1.1
     blocked = BlockedBloomFilter.for_np(n, p)
     assert blocked.false_positives(n) <= p * 1.001
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    data=st.lists(
+        st.lists(st.integers(min_value=0, max_value=5), min_size=0, max_size=12),
+        min_size=1,
+        max_size=8,
+    ),
+    a=st.integers(min_value=0, max_value=5),
+    b=st.integers(min_value=0, max_value=5),
+)
+def test_bpe_replace_kernel_matches_sequential(data, a, b):
+    """apply_merge_flat == the textbook greedy left-to-right scan, for
+    any ragged input and any (a, b) pair (including a == b runs and
+    cross-row adjacencies that must NOT merge)."""
+    from rusty_bloomfilter_spark.operators.bpe import apply_merge_flat
+
+    new_id = 99
+    flat = np.array([t for row in data for t in row], dtype=np.int64)
+    lengths = np.array([len(r) for r in data], dtype=np.int64)
+    got_flat, got_lengths = apply_merge_flat(flat, lengths, a, b, new_id)
+    # sequential reference per row
+    ref_rows = []
+    for row in data:
+        out, i = [], 0
+        while i < len(row):
+            if i + 1 < len(row) and row[i] == a and row[i + 1] == b:
+                out.append(new_id)
+                i += 2
+            else:
+                out.append(row[i])
+                i += 1
+        ref_rows.append(out)
+    ref_flat = [t for r in ref_rows for t in r]
+    assert got_flat.tolist() == ref_flat
+    assert got_lengths.tolist() == [len(r) for r in ref_rows]
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    lows=st.lists(st.floats(min_value=-100, max_value=100, allow_nan=False), min_size=1, max_size=30),
+    rts=st.lists(st.floats(min_value=-100, max_value=100, allow_nan=False), min_size=1, max_size=30),
+    lower=st.floats(min_value=-20, max_value=0, allow_nan=False),
+    span=st.floats(min_value=0, max_value=25, allow_nan=False),
+)
+def test_range_join_bin_cover_property(lows, rts, lower, span):
+    """Pure binning math of range_join: for every (l, r) with
+    r in [l+lower, l+upper], r's bin is inside l's exploded bin range
+    (the join can then never miss a pair), and r's bin occurs exactly
+    once in l's range (no duplicate pairs)."""
+    import math
+
+    upper = lower + span
+    width = max(upper - lower, 1.0)
+    for l in lows:
+        lo_bin = math.floor((l + lower) / width)
+        hi_bin = math.floor((l + upper) / width)
+        bins = list(range(lo_bin, hi_bin + 1))
+        assert len(set(bins)) == len(bins)
+        for r in rts:
+            if l + lower <= r <= l + upper:
+                assert lo_bin <= math.floor(r / width) <= hi_bin, (l, r, lower, upper)
