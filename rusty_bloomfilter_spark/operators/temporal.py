@@ -159,3 +159,39 @@ def asof_join(
         .cogroup(right.groupBy(by))
         .applyInPandas(lambda lg, rg: merge(lg, rg), schema=schema)
     )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    *,
+    n_salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: a hot key's left rows spread across
+    ``n_salt`` sub-keys (deterministic hash of the whole left row — no
+    RNG, so results and plans are reproducible), and the right side is
+    replicated once per salt. The join result is IDENTICAL to the plain
+    join; only the shuffle distribution changes: the hot key's
+    partition shrinks n_salt-fold while the right side grows by
+    n_salt x |right| rows — the classic trade when AQE's skew handling
+    can't kick in (single hot KEY rather than oversized partitions).
+    Put the smaller table on the right (it is the replicated side).
+    ``how`` supports inner/left joins — semantics preserved because
+    every left row carries exactly one salt.
+    """
+    if n_salt < 1:
+        raise ValueError(f"n_salt must be >= 1, got {n_salt}")
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    l = left.withColumn(
+        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(n_salt))
+    )
+    r = right.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)).cast("array<bigint>"))
+    )
+    # disambiguate overlapping non-key columns like a plain join would:
+    # keep both sides' columns (callers select what they need)
+    out = l.join(r, [on, "_salt"], how)
+    return out.drop("_salt")

@@ -174,3 +174,32 @@ def test_range_join_plans_hash_join_not_nested_loop(spark):
     plan = buf.getvalue()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_salted_join_equals_plain_join(spark):
+    """Salting changes only the shuffle distribution: result multiset
+    identical to the plain join (inner and left), hot key included."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from rusty_bloomfilter_spark.operators.temporal import salted_join
+
+    import numpy as np
+
+    rng = np.random.default_rng(41)
+    # 80% of left rows share one hot key
+    keys = np.where(rng.random(2000) < 0.8, 7, rng.integers(0, 50, 2000))
+    left = spark.createDataFrame(
+        pd.DataFrame({"k": keys, "lv": np.arange(2000)})
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame({"k": np.arange(0, 40), "rv": np.arange(0, 40) * 10})
+    )
+    for how in ("inner", "left"):
+        got = sorted(
+            map(tuple, salted_join(left, right, "k", n_salt=4, how=how).collect())
+        )
+        want = sorted(map(tuple, left.join(right, "k", how).collect()))
+        assert got == want, how
+    # salt column never leaks
+    assert "_salt" not in salted_join(left, right, "k").columns
