@@ -1,32 +1,51 @@
 """Distributed operators: sketch builders, tree merges, dedup,
-similarity search, text analysis, checkpointing."""
+similarity search, sampling, temporal joins, BPE training, text
+analysis, checkpointing."""
 
 from .aggregate import (
     build_by_key,
+    build_multi_by_key,
     build_sketch,
     collect_sketch_bytes,
     partition_sketches,
     tree_merge,
 )
+from .bpe import learn_bpe_merges
+from .sampling import bottom_k_by, bottom_k_sample, kmv_distinct
 from .sketches import (
+    BlockedBloomSketch,
     BloomSketch,
     CmsSketch,
     HllSketch,
     KllQuantiles,
+    TDigestQuantiles,
     flat_ngram_hashes,
     flatten_tokens,
 )
+from .temporal import asof_join, range_join, salted_join, session_stats, sessionize
 
 __all__ = [
+    "BlockedBloomSketch",
     "BloomSketch",
     "CmsSketch",
     "HllSketch",
     "KllQuantiles",
+    "TDigestQuantiles",
+    "asof_join",
+    "bottom_k_by",
+    "bottom_k_sample",
     "build_by_key",
+    "build_multi_by_key",
     "build_sketch",
     "collect_sketch_bytes",
     "flat_ngram_hashes",
     "flatten_tokens",
+    "kmv_distinct",
+    "learn_bpe_merges",
     "partition_sketches",
+    "range_join",
+    "salted_join",
+    "session_stats",
+    "sessionize",
     "tree_merge",
 ]
