@@ -1229,6 +1229,35 @@ def q_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_bigram_lm_scores",
+    oracle=_SEQ_CTE
+    + """
+    , pairs AS (
+        SELECT doc_id, unnest(list_transform(range(len(tokens) - 1),
+            i -> CAST(tokens[i+1] AS BIGINT) * 1048576 + tokens[i+2])) AS pair
+        FROM sequences WHERE len(tokens) >= 2
+    ), bigram AS (SELECT pair, count(*) AS c2 FROM pairs GROUP BY pair),
+       unigram AS (SELECT tok, count(*) AS c1
+                   FROM (SELECT unnest(tokens) AS tok FROM sequences) GROUP BY tok)
+    SELECT p.doc_id, count(*) AS n_pairs,
+           round(avg(ln((b.c2 + 1)::DOUBLE / (u.c1 + 50257))), 6) AS lm_score
+    FROM pairs p
+    JOIN bigram b USING (pair)
+    JOIN unigram u ON u.tok = p.pair // 1048576
+    GROUP BY p.doc_id
+    """,
+)
+def q_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style quality filter: per-doc mean log-likelihood
+    under an add-one-smoothed corpus bigram LM — hash-matched against
+    the identical arithmetic in DuckDB."""
+    from .operators.dedup import bigram_lm_scores
+
+    seq = sequences_from_documents(spark, sf_dir)
+    return bigram_lm_scores(seq)
+
+
 @register("q_bpe_learn")
 def q_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE merge training (5 iterations of count -> argmax

@@ -512,3 +512,58 @@ def embedding_near_dups(
         .select("id_a", "id_b", F.round(_cosine_expr(F.col("va"), F.col("vb")), 6).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram-LM likelihood scoring (perplexity-style quality filter)
+# ---------------------------------------------------------------------------
+
+
+def bigram_lm_scores(
+    sequences: DataFrame,
+    *,
+    vocab: int = 50257,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document corpus-LM fluency score — the standard perplexity
+    quality filter of training-data curation, with an add-one-smoothed
+    bigram model trained on the corpus itself:
+
+        score(doc) = mean over adjacent pairs (a,b) of
+                     ln( (count(a,b) + 1) / (count(a) + vocab) )
+
+    Low (very negative) scores mark documents whose token transitions
+    are rare in the corpus — boilerplate, noise, wrong-language text.
+    All counting and scoring is Catalyst: one pair-count and one
+    unigram-count aggregation (map-side combined), broadcast back
+    against the exploded pairs, one mean per doc. Cross-engine exact:
+    the same arithmetic renders in DuckDB (see q_bigram_lm_scores).
+
+    -> (doc_id, n_pairs, lm_score) for docs with >= 2 tokens.
+    """
+    from ..functions.text import adjacent_pair_keys
+
+    pair_base = 1 << 20
+    pairs = sequences.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(adjacent_pair_keys(F.col(tokens_col), vocab=pair_base)).alias("pair"),
+    )
+    bigram = pairs.groupBy("pair").agg(F.count("*").alias("c2"))
+    unigram = (
+        sequences.select(F.explode(tokens_col).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c1"))
+    )
+    scored = (
+        pairs.join(F.broadcast(bigram), "pair")
+        .withColumn("left_tok", F.expr(f"pair DIV {pair_base}"))
+        .join(F.broadcast(unigram), F.col("left_tok") == F.col("tok"))
+        .select(
+            "doc_id",
+            F.log((F.col("c2") + 1).cast("double") / (F.col("c1") + vocab)).alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_pairs"), F.round(F.avg("lp"), 6).alias("lm_score")
+    )

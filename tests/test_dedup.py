@@ -235,3 +235,24 @@ def test_simhash_multiblock_bucket_width_shrinks():
     multi = max_bucket(6, 3)     # 31-33-bit keys: <<1 mean
     assert classic >= 4 * multi, (classic, multi)
     assert multi <= 4
+
+
+def test_bigram_lm_scores_rank_fluency(spark):
+    """Docs made of corpus-frequent transitions score higher than docs
+    of unique transitions (the perplexity-filter property)."""
+    import pandas as pd
+
+    from rusty_bloomfilter_spark.operators.dedup import bigram_lm_scores
+
+    fluent = [1, 2, 3, 4] * 10  # transitions repeated corpus-wide
+    rows = [("common-%d" % i, np.array(fluent, dtype=np.int32)) for i in range(20)]
+    rows.append(("gibberish", np.arange(500, 540, dtype=np.int32)))  # unique pairs
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [r[0] for r in rows], "tokens": [r[1] for r in rows]})
+    )
+    out = {r["doc_id"]: r for r in bigram_lm_scores(df, vocab=1000).collect()}
+    assert len(out) == 21
+    assert out["gibberish"]["n_pairs"] == 39
+    common_score = out["common-000".replace("000", "0")]["lm_score"]
+    assert common_score > out["gibberish"]["lm_score"]
+    assert all(r["lm_score"] < 0 for r in out.values())  # log-probs
