@@ -1230,6 +1230,60 @@ def q_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_contamination_exact",
+    oracle=_SEQ_CTE
+    + """
+    , grams AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(range(len(tokens) - 2),
+            i -> CAST(tokens[i+1] AS BIGINT) * 2526168121
+                 + CAST(tokens[i+2] AS BIGINT) * 50261 + tokens[i+3]))) AS g
+        FROM sequences WHERE len(tokens) >= 3
+    ), eval_g AS (SELECT DISTINCT g FROM grams WHERE CAST(doc_id AS BIGINT) < 50),
+       train_g AS (SELECT doc_id, g FROM grams WHERE CAST(doc_id AS BIGINT) >= 50)
+    SELECT t.doc_id, count(*) AS shared_grams
+    FROM train_g t JOIN eval_g e USING (g)
+    GROUP BY t.doc_id ORDER BY shared_grams DESC, doc_id LIMIT 100
+    """,
+)
+def q_contamination_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact eval-contamination companion: distinct 3-grams each
+    'training' doc (ids >= 50) shares with the 'eval' docs (ids < 50),
+    via a broadcast gram join — hash-matched cross-engine."""
+    from .operators.dedup import shingle_sets_poly
+
+    seq = sequences_from_documents(spark, sf_dir)
+    grams = shingle_sets_poly(seq, shingle=3)
+    is_eval = F.col("doc_id").cast("bigint") < 50
+    eval_g = grams.filter(is_eval).select("shingle_hash").distinct()
+    train_g = grams.filter(~is_eval)
+    return (
+        train_g.join(F.broadcast(eval_g), "shingle_hash")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("shared_grams"))
+        .orderBy(F.desc("shared_grams"), "doc_id")
+        .limit(100)
+    )
+
+
+@register("q_decontaminate")
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom decontamination sweep (8-gram leak detection, zero FN):
+    summary over the same eval/train split as q_contamination_exact;
+    one-sidedness and planted-leak recall are pinned in pytest."""
+    from .operators.decontaminate import decontaminate
+
+    seq = sequences_from_documents(spark, sf_dir)
+    is_eval = F.col("doc_id").cast("bigint") < 50
+    out = decontaminate(seq.filter(~is_eval), seq.filter(is_eval), ngram=8)
+    return out.agg(
+        F.count("*").alias("n_train_docs"),
+        F.sum(F.col("contaminated").cast("long")).alias("n_flagged"),
+        F.sum("n_hits").alias("total_hits"),
+        F.sum("n_grams").alias("total_grams"),
+    )
+
+
+@register(
     "q_bigram_lm_scores",
     oracle=_SEQ_CTE
     + """
