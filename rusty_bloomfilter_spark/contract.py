@@ -1329,6 +1329,39 @@ def q_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from .functions.text import duckdb_repetition as _dd_rep  # noqa: E402
+
+_REP = _dd_rep("tokens")
+
+
+@register(
+    "q_repetition_filters",
+    oracle=_SEQ_CTE
+    + f"""
+    SELECT doc_id,
+           {_REP['dup_3gram_ratio']} AS dup_3gram_ratio,
+           {_REP['top_token_ratio']} AS top_token_ratio
+    FROM sequences ORDER BY doc_id LIMIT 150
+    """,
+)
+def q_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality filters (duplicate-3-gram ratio,
+    top-token share) — pure Catalyst, hash-matched cross-engine."""
+    from .functions.text import repetition_exprs
+
+    seq = sequences_from_documents(spark, sf_dir)
+    r = repetition_exprs(F.col("tokens"))
+    return (
+        seq.select(
+            "doc_id",
+            r["dup_3gram_ratio"].alias("dup_3gram_ratio"),
+            r["top_token_ratio"].alias("top_token_ratio"),
+        )
+        .orderBy("doc_id")
+        .limit(150)
+    )
+
+
 @register("q_curate_corpus")
 def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation pipeline stats (quality gate -> exact dedup

@@ -207,3 +207,57 @@ def duckdb_adjacent_pair_keys(tokens_expr: str, vocab: int = 50261) -> str:
         f"list_transform(range(len({tokens_expr}) - 1), "
         f"i -> CAST({tokens_expr}[i+1] AS BIGINT) * {vocab} + {tokens_expr}[i+2])"
     )
+
+
+def repetition_exprs(tokens: Column) -> dict[str, Column]:
+    """Intra-document repetition metrics (the Gopher-style repetition
+    quality filters, Rae et al. 2021 §A1.1): high values mark
+    boilerplate/spam.
+
+    - dup_3gram_ratio: 1 - distinct_3grams / n_3grams (0 when < 3 toks)
+    - top_token_ratio: share of the most frequent token
+
+    Pure Catalyst; DuckDB renders identically (duckdb_repetition)."""
+    n = F.size(tokens)
+    grams = F.transform(
+        F.sequence(F.lit(0), n - 3),
+        lambda i: F.element_at(tokens, i + 1).cast("long") * F.lit(2526168121).cast("long")
+        + F.element_at(tokens, i + 2).cast("long") * 50261
+        + F.element_at(tokens, i + 3).cast("long"),
+    )
+    n_grams = (n - 2).cast("double")
+    dup_ratio = F.when(
+        n >= 3,
+        F.round(F.lit(1.0) - F.size(F.array_distinct(grams)) / n_grams, 6),
+    ).otherwise(F.lit(0.0))
+    # most frequent token's share: max over distinct tokens of its count
+    top_count = F.array_max(
+        F.transform(
+            F.array_distinct(tokens),
+            lambda t: F.size(F.filter(tokens, lambda x: x == t)),
+        )
+    )
+    top_ratio = F.when(
+        n > 0, F.round(top_count.cast("double") / n, 6)
+    ).otherwise(F.lit(0.0))
+    return {"dup_3gram_ratio": dup_ratio, "top_token_ratio": top_ratio}
+
+
+def duckdb_repetition(tokens_expr: str) -> dict[str, str]:
+    grams = (
+        f"list_transform(range(len({tokens_expr}) - 2), "
+        f"i -> CAST({tokens_expr}[i+1] AS BIGINT) * 2526168121 "
+        f"+ CAST({tokens_expr}[i+2] AS BIGINT) * 50261 + {tokens_expr}[i+3])"
+    )
+    dup = (
+        f"CASE WHEN len({tokens_expr}) >= 3 THEN "
+        f"round(1.0 - len(list_distinct({grams}))::DOUBLE / (len({tokens_expr}) - 2), 6) "
+        f"ELSE 0.0 END"
+    )
+    top = (
+        f"CASE WHEN len({tokens_expr}) > 0 THEN "
+        f"round(list_max(list_transform(list_distinct({tokens_expr}), "
+        f"t -> len(list_filter({tokens_expr}, x -> x = t))))::DOUBLE / len({tokens_expr}), 6) "
+        f"ELSE 0.0 END"
+    )
+    return {"dup_3gram_ratio": dup, "top_token_ratio": top}
