@@ -1,0 +1,84 @@
+"""Sketches as SQL aggregate/scalar functions.
+
+``register_sketch_sql(spark)`` makes the sketch library usable from
+pure SQL:
+
+    SELECT source,
+           hll_estimate(hll_agg(tokens))      AS distinct_est,
+           bloom_estimate_n(bloom_agg(tokens)) AS distinct_est2
+    FROM sequences GROUP BY source
+
+The aggregates are Arrow-batched GROUPED_AGG pandas UDFs returning the
+canonical serialized payload (bitwise identical to the tree-merge
+builders — canonical bytes are a pure function of the inserted set).
+
+Scale note: a GROUPED_AGG UDF materializes each group on one worker —
+there is NO partial aggregation, unlike the tree-merge pipeline
+(operators/aggregate.py), which is the right tool for huge groups.
+These SQL functions are the convenience surface for ad-hoc queries and
+moderate group sizes; the docstring contract mirrors Spark's own
+grouped-agg limitation.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import SparkSession
+from pyspark.sql.functions import pandas_udf
+
+from ..sketch import BloomFilter, HyperLogLog, Shape
+
+
+def register_sketch_sql(
+    spark: SparkSession,
+    *,
+    hll_p: int = 14,
+    bloom_n: int = 200_000,
+    bloom_p: float = 1e-4,
+    prefix: str = "",
+) -> None:
+    """Register hll_agg / hll_estimate / bloom_agg / bloom_estimate_n
+    (optionally name-prefixed) in the session's SQL function registry."""
+    shape = Shape.for_np(n=bloom_n, p=bloom_p)
+
+    @pandas_udf("binary")
+    def hll_agg(tokens: pd.Series) -> bytes:
+        hll = HyperLogLog(hll_p)
+        arrs = [np.asarray(a, dtype=np.int64) for a in tokens if a is not None and len(a)]
+        if arrs:
+            hll.add_tokens(np.concatenate(arrs))
+        return hll.to_bytes()
+
+    @pandas_udf("double")
+    def hll_estimate(payload: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                float("nan") if p is None else HyperLogLog.from_bytes(bytes(p)).estimate()
+                for p in payload
+            ]
+        )
+
+    @pandas_udf("binary")
+    def bloom_agg(tokens: pd.Series) -> bytes:
+        from ..sketch import SparseBloomBuilder
+
+        bf = SparseBloomBuilder(shape)
+        arrs = [np.asarray(a, dtype=np.int64) for a in tokens if a is not None and len(a)]
+        if arrs:
+            bf.add_tokens(np.concatenate(arrs))
+        return bf.to_bytes()
+
+    @pandas_udf("double")
+    def bloom_estimate_n(payload: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                float("nan") if p is None else BloomFilter.from_bytes(bytes(p)).estimate_n()
+                for p in payload
+            ]
+        )
+
+    spark.udf.register(prefix + "hll_agg", hll_agg)
+    spark.udf.register(prefix + "hll_estimate", hll_estimate)
+    spark.udf.register(prefix + "bloom_agg", bloom_agg)
+    spark.udf.register(prefix + "bloom_estimate_n", bloom_estimate_n)

@@ -230,3 +230,38 @@ def test_direct_scan_build_equals_standard(spark, sequences_pdf, tmp_path):
         spark, path, sk._empty, sk._update, merge_sketch_payloads, columns=["tokens"]
     )
     assert d_payload == std_payload and d_n == std_n
+
+
+def test_sql_sketch_aggregates(spark, seq_df, sequences_pdf):
+    """Pure-SQL sketch aggregation: hll_agg/bloom_agg payloads are
+    bitwise identical to the tree-merge builders (canonical bytes), and
+    estimates land within published bounds of exact distincts."""
+    from rusty_bloomfilter_spark.functions.sql_sketches import register_sketch_sql
+    from rusty_bloomfilter_spark.sketch import Shape
+
+    register_sketch_sql(spark, hll_p=12, bloom_n=100_000, bloom_p=1e-3)
+    seq_df.createOrReplaceTempView("seq_sql")
+    rows = spark.sql(
+        """
+        SELECT source,
+               hll_agg(tokens) AS hll_payload,
+               hll_estimate(hll_agg(tokens)) AS est,
+               bloom_agg(tokens) AS bloom_payload,
+               bloom_estimate_n(bloom_agg(tokens)) AS est2
+        FROM seq_sql GROUP BY source
+        """
+    ).collect()
+    assert len(rows) == sequences_pdf["source"].nunique()
+    shape = Shape.for_np(n=100_000, p=1e-3)
+    for r in rows:
+        grp = sequences_pdf[sequences_pdf["source"] == r["source"]]
+        exact = len(np.unique(np.concatenate(list(grp["tokens"]))))
+        assert abs(r["est"] - exact) / exact < 0.1
+        assert abs(r["est2"] - exact) / exact < 0.1
+        # canonical-bytes parity with the builder pipeline
+        oracle_hll = HyperLogLog(12)
+        oracle_hll.add_tokens(np.concatenate(list(grp["tokens"])).astype(np.int64))
+        assert bytes(r["hll_payload"]) == oracle_hll.to_bytes()
+        oracle_bf = BloomFilter.empty(shape)
+        oracle_bf.add_tokens(np.concatenate(list(grp["tokens"])).astype(np.int64))
+        assert bytes(r["bloom_payload"]) == oracle_bf.to_bytes()
