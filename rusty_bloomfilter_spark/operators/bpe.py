@@ -111,11 +111,27 @@ def learn_bpe_merges(
     (left, right, new_id, freq) in learning order; merged_sequences is
     (doc_id, tokens) with every merge applied. Stops early when no pair
     reaches ``min_freq``.
+
+    Contract: token ids must be in [0, vocab) and the GROWN vocab
+    (vocab + n_merges) must fit under PAIR_BASE, else the injective
+    pair key left*PAIR_BASE+right silently collides.
     """
+    if vocab + n_merges > PAIR_BASE:
+        raise ValueError(
+            f"vocab + n_merges = {vocab + n_merges} exceeds PAIR_BASE={PAIR_BASE}; "
+            "pair keys would collide"
+        )
     cur = sequences.select(
         F.col("doc_id").cast("string").alias("doc_id"), F.col("tokens")
     ).persist()
-    cur.count()  # materialize so each iteration counts over stable input
+    # materialize so each iteration counts over stable input, and check
+    # the token-id contract in the same pass
+    max_tok = cur.agg(F.max(F.array_max("tokens"))).collect()[0][0]
+    if max_tok is not None and max_tok >= vocab:
+        cur.unpersist()
+        raise ValueError(
+            f"token id {max_tok} >= vocab={vocab}; ids must be in [0, vocab)"
+        )
     merges: list[tuple[int, int, int, int]] = []
     try:
         for t in range(n_merges):

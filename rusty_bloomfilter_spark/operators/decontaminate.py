@@ -90,10 +90,13 @@ def decontaminate(
             h = flat_ngram_hashes(flat, lengths, n)
             if h.size:
                 hit = bf.contains_hashes(h).astype(np.int64)
-                starts = np.concatenate(([0], np.cumsum(n_grams_row)[:-1]))
-                sums = np.add.reduceat(hit, np.minimum(starts, len(hit) - 1))
-                sums[n_grams_row == 0] = 0
-                hits_row = sums
+                # per-doc segment sums via prefix-sum differences: exact
+                # for zero-gram docs anywhere in the batch (clamped
+                # reduceat misattributed the last doc's trailing hits
+                # to trailing zero-gram docs)
+                c = np.concatenate(([0], np.cumsum(hit)))
+                ends = np.cumsum(n_grams_row)
+                hits_row = c[ends] - c[ends - n_grams_row]
             yield pa.RecordBatch.from_arrays(
                 [
                     pa.array(ids, type=pa.string()),

@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..sketch.hashing import splitmix64
+from .cache import tie
 from .sketches import arrow_flat_tokens, arrow_row_lengths
 
 # ---------------------------------------------------------------------------
@@ -184,7 +185,7 @@ def minhash_candidate_pairs(
         .filter(F.col("est_jaccard") >= threshold)
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    return pairs
+    return tie(pairs, buckets)
 
 
 def minhash_dedup(
@@ -226,10 +227,16 @@ def simhash_signatures(
                 # (n_tokens, 64) bits as ±1, summed per doc, sign -> bit
                 bits = np.unpackbits(h.view(np.uint8)).reshape(-1, 64)
                 pm = bits.astype(np.int32) * 2 - 1
-                starts = np.concatenate(([0], np.cumsum(lengths)[:-1]))
-                nonempty = lengths > 0
-                sums = np.add.reduceat(pm, np.minimum(starts, len(pm) - 1), axis=0)
-                sums[~nonempty] = -1  # empty doc -> all-zero simhash
+                # per-doc segment sums via prefix-sum differences along
+                # axis 0: exact for empty docs anywhere in the batch
+                # (clamped reduceat dropped the last doc's trailing
+                # tokens when empty docs ended the batch)
+                c = np.concatenate(
+                    (np.zeros((1, 64), dtype=np.int64), np.cumsum(pm, axis=0, dtype=np.int64))
+                )
+                ends = np.cumsum(lengths)
+                sums = c[ends] - c[ends - lengths]
+                # empty doc -> sums row of 0 -> (sums > 0) all False -> all-zero simhash
                 packed = np.packbits((sums > 0).astype(np.uint8), axis=1)
                 out = packed.view(np.uint64).reshape(-1)
             yield pa.RecordBatch.from_pydict(
@@ -296,7 +303,7 @@ def simhash_near_dups(
     ).persist()  # referenced twice by the self-join
     left = b_df.alias("l")
     right = b_df.alias("r")
-    return (
+    out = (
         left.join(
             right,
             (F.col("l.block_idx") == F.col("r.block_idx"))
@@ -311,6 +318,7 @@ def simhash_near_dups(
         .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    return tie(out, b_df)
 
 
 # ---------------------------------------------------------------------------
@@ -454,12 +462,18 @@ def embedding_near_dups(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Random-hyperplane LSH (Charikar): sign bits of W·v bucket the
     vectors; near-identical vectors agree on whole sign-bands w.h.p.
     Verify candidates with exact cosine (JVM-side zip_with).
-    -> (id_a, id_b, cosine >= threshold)."""
-    dim = len(embeddings.select(vec_col).first()[0])
+    -> (id_a, id_b, cosine >= threshold).
+
+    Pass ``dim`` (the embedding width) to keep plan construction lazy;
+    omitting it falls back to a driver ``first()`` — an extra Spark job.
+    """
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_planes, dim))
 
@@ -506,12 +520,13 @@ def embedding_near_dups(
     e = embeddings.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )
-    return (
+    out = (
         cand.join(e.withColumnRenamed("id", "id_a").withColumnRenamed("v", "va"), "id_a")
         .join(e.withColumnRenamed("id", "id_b").withColumnRenamed("v", "vb"), "id_b")
         .select("id_a", "id_b", F.round(_cosine_expr(F.col("va"), F.col("vb")), 6).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+    return tie(out, b_df)
 
 
 # ---------------------------------------------------------------------------
@@ -536,9 +551,16 @@ def bigram_lm_scores(
     Low (very negative) scores mark documents whose token transitions
     are rare in the corpus — boilerplate, noise, wrong-language text.
     All counting and scoring is Catalyst: one pair-count and one
-    unigram-count aggregation (map-side combined), broadcast back
-    against the exploded pairs, one mean per doc. Cross-engine exact:
-    the same arithmetic renders in DuckDB (see q_bigram_lm_scores).
+    unigram-count aggregation (map-side combined), joined back against
+    the exploded pairs, one mean per doc. Cross-engine exact: the same
+    arithmetic renders in DuckDB (see q_bigram_lm_scores).
+
+    Scale shape: the UNIGRAM table is vocab-bounded (<= ~10^5 rows) and
+    broadcast; the BIGRAM table grows toward min(total_pairs, vocab^2)
+    — billions of rows at GPT-2 vocab on a large corpus — so it is
+    joined with an explicit shuffle-merge hint on ``pair``, never
+    broadcast (a broadcast here is a guaranteed driver/executor OOM at
+    100 TB; AQE may still locally convert small shuffles).
 
     -> (doc_id, n_pairs, lm_score) for docs with >= 2 tokens.
     """
@@ -556,7 +578,7 @@ def bigram_lm_scores(
         .agg(F.count("*").alias("c1"))
     )
     scored = (
-        pairs.join(F.broadcast(bigram), "pair")
+        pairs.join(bigram.hint("merge"), "pair")
         .withColumn("left_tok", F.expr(f"pair DIV {pair_base}"))
         .join(F.broadcast(unigram), F.col("left_tok") == F.col("tok"))
         .select(

@@ -125,6 +125,8 @@ def decode_wav_pcm16(payload: bytes) -> tuple[np.ndarray, int]:
         (size,) = struct.unpack_from("<I", payload, pos + 4)
         body = payload[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("truncated WAVE fmt chunk")
             fmt = struct.unpack_from("<HHIIHH", body, 0)
         elif cid == b"data":
             data = body
@@ -269,6 +271,18 @@ def synthetic_real_media(spark: SparkSession, n_rows: int) -> DataFrame:
     )
 
 
+def _sliced(batches: Iterator["pa.RecordBatch"], hint: int) -> Iterator["pa.RecordBatch"]:
+    """Re-slice incoming Arrow batches to <= hint rows (zero-copy), so a
+    chunk's decoded output stays bounded no matter how large a batch the
+    JVM sends. (spark.sql.execution.arrow.maxRecordsPerBatch is read at
+    ACTION time, session-wide — a per-operator set/restore around plan
+    construction never reaches execution, so memory is bounded here, in
+    the worker, instead.)"""
+    for batch in batches:
+        for off in range(0, batch.num_rows, hint):
+            yield batch.slice(off, hint)
+
+
 MEDIA_STATS_SCHEMA = (
     "media_id bigint, kind string, n_bytes bigint, sample_rate int, "
     "duration_ms double, rms double, zero_cross_rate double, "
@@ -283,10 +297,12 @@ def media_stats(media: DataFrame, *, media_batch_hint: int = 256) -> DataFrame:
     (media_id, kind, n_bytes) — nulls elsewhere, never a task failure.
     Narrow rows out, so the expensive shuffle happens post-decode."""
 
+    hint = int(media_batch_hint)
+
     def stats(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
         import pyarrow as pa
 
-        for batch in batches:
+        for batch in _sliced(batches, hint):
             ids = batch.column("media_id").to_pylist()
             kinds = batch.column("kind").to_pylist()
             payloads = batch.column("payload").to_pylist()
@@ -331,17 +347,9 @@ def media_stats(media: DataFrame, *, media_batch_hint: int = 256) -> DataFrame:
                 [pa.array(cols[k], type=t) for k, t in types.items()], names=list(types)
             )
 
-    spark = media.sparkSession
-    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(media_batch_hint))
-    try:
-        out = media.select("media_id", "kind", "payload").mapInArrow(
-            stats, schema=MEDIA_STATS_SCHEMA
-        )
-    finally:
-        if old is not None:
-            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
-    return out
+    return media.select("media_id", "kind", "payload").mapInArrow(
+        stats, schema=MEDIA_STATS_SCHEMA
+    )
 
 
 def extract_features(
@@ -354,10 +362,12 @@ def extract_features(
     a CNN/audio embedding; swap the inner function when codecs exist).
     """
 
+    hint = int(media_batch_hint)
+
     def feats(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
         import pyarrow as pa
 
-        for batch in batches:
+        for batch in _sliced(batches, hint):
             ids = batch.column("media_id").to_numpy(zero_copy_only=False)
             kinds = batch.column("kind").to_pylist()
             payloads = batch.column("payload").to_pylist()
@@ -385,19 +395,9 @@ def extract_features(
                 }
             )
 
-    # media rows are wide: shrink batches so a task never materializes
-    # more than ~media_batch_hint payloads at once
-    spark = media.sparkSession
-    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(media_batch_hint))
-    try:
-        out = media.select("media_id", "kind", "payload").mapInArrow(
-            feats, schema="media_id bigint, kind string, feature array<float>, n_bytes bigint"
-        )
-    finally:
-        if old is not None:
-            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
-    return out
+    return media.select("media_id", "kind", "payload").mapInArrow(
+        feats, schema="media_id bigint, kind string, feature array<float>, n_bytes bigint"
+    )
 
 
 def frame_sample_plan(media: DataFrame, *, every_ms: int = 1000) -> DataFrame:

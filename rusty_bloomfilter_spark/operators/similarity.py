@@ -27,6 +27,7 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .cache import tie
 from .dedup import _cosine_expr
 
 
@@ -73,12 +74,18 @@ def ann_lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 7,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates = vectors sharing >= 1 sign-band
     with the query (random hyperplanes, Charikar), exact cosine re-rank
     within candidates. Recall measured against ann_bruteforce_topk in
-    tests; scale path for corpora too big to scan per query."""
-    dim = len(embeddings.select(vec_col).first()[0])
+    tests; scale path for corpora too big to scan per query.
+
+    Pass ``dim`` (the embedding width) to keep plan construction lazy;
+    omitting it falls back to a driver ``first()`` — an extra Spark job.
+    """
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_planes, dim))
     bits_per_band = n_planes // bands
@@ -129,11 +136,12 @@ def ann_lsh_topk(
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
+    out = (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+    return tie(out, buckets)
 
 
 # ---------------------------------------------------------------------------
@@ -246,6 +254,83 @@ def ivf_assign(
     return base.mapInArrow(assign, schema="id bigint, cluster int")
 
 
+class IvfIndex:
+    """A trained IVF index as a reusable / persistable artifact.
+
+    A real 100 TB user trains ONCE and probes many times; retraining
+    the quantizer and reassigning the corpus per query batch (the
+    round-2 shape of ``ann_ivf_topk``) wastes iters+1 corpus scans per
+    batch. This artifact holds the (n_centroids, dim) centroid matrix
+    (driver-side numpy, a few MB at most) plus the (id, cluster)
+    assignment frame, and round-trips through parquet:
+
+        idx = IvfIndex.train(embeddings, n_centroids=64)
+        idx.write("/warehouse/ivf_idx")            # once
+        idx = IvfIndex.read(spark, "/warehouse/ivf_idx")
+        idx.probe(embeddings, query_ids, k=5)      # many times, no Lloyd
+
+    The assignments parquet is partitioned by cluster, so a probe's
+    inverted-list read prunes to nprobe/n_centroids of the files.
+    """
+
+    def __init__(self, centroids: np.ndarray, assignments: DataFrame):
+        self.centroids = np.asarray(centroids, dtype=np.float64)
+        self.assignments = assignments
+
+    @classmethod
+    def train(
+        cls,
+        embeddings: DataFrame,
+        *,
+        n_centroids: int = 16,
+        iters: int = 4,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> "IvfIndex":
+        C = ivf_train_centroids(
+            embeddings, n_centroids=n_centroids, iters=iters,
+            id_col=id_col, vec_col=vec_col,
+        )
+        return cls(C, ivf_assign(embeddings, C, id_col=id_col, vec_col=vec_col))
+
+    def write(self, path: str) -> None:
+        spark = self.assignments.sparkSession
+        cent = spark.createDataFrame(
+            [(int(i), row.tolist()) for i, row in enumerate(self.centroids)],
+            "cid int, v array<double>",
+        )
+        cent.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+        (
+            self.assignments.write.mode("overwrite")
+            .partitionBy("cluster")
+            .parquet(f"{path}/assignments")
+        )
+
+    @classmethod
+    def read(cls, spark, path: str) -> "IvfIndex":
+        rows = spark.read.parquet(f"{path}/centroids").orderBy("cid").collect()
+        C = np.stack([np.asarray(r["v"], dtype=np.float64) for r in rows])
+        assigned = spark.read.parquet(f"{path}/assignments").select("id", "cluster")
+        return cls(C, assigned)
+
+    def probe(
+        self,
+        embeddings: DataFrame,
+        query_ids: list[int],
+        k: int = 5,
+        *,
+        nprobe: int = 4,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> DataFrame:
+        """Top-k per query over the nprobe nearest inverted lists —
+        NO training or assignment stages run here."""
+        return _ivf_probe(
+            embeddings, self.centroids, self.assignments, query_ids, k,
+            nprobe=nprobe, id_col=id_col, vec_col=vec_col,
+        )
+
+
 def ann_ivf_topk(
     embeddings: DataFrame,
     query_ids: list[int],
@@ -256,17 +341,38 @@ def ann_ivf_topk(
     iters: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    index: IvfIndex | None = None,
 ) -> DataFrame:
     """IVF ANN: probe only the nprobe inverted lists nearest each
     query, exact cosine re-rank inside them. Candidate volume is
     ~corpus * nprobe / n_centroids instead of the full scan; recall vs
     brute force is pinned in tests (raise nprobe to trade speed for
-    recall, nprobe == n_centroids degenerates to exact)."""
-    spark = embeddings.sparkSession
-    C = ivf_train_centroids(
-        embeddings, n_centroids=n_centroids, iters=iters, id_col=id_col, vec_col=vec_col
+    recall, nprobe == n_centroids degenerates to exact).
+
+    Pass ``index`` (an ``IvfIndex``, trained once / read from parquet)
+    to skip the Lloyd loop and corpus reassignment entirely."""
+    if index is None:
+        index = IvfIndex.train(
+            embeddings, n_centroids=n_centroids, iters=iters,
+            id_col=id_col, vec_col=vec_col,
+        )
+    return index.probe(
+        embeddings, query_ids, k, nprobe=nprobe, id_col=id_col, vec_col=vec_col
     )
-    assigned = ivf_assign(embeddings, C, id_col=id_col, vec_col=vec_col)
+
+
+def _ivf_probe(
+    embeddings: DataFrame,
+    C: np.ndarray,
+    assigned: DataFrame,
+    query_ids: list[int],
+    k: int,
+    *,
+    nprobe: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    spark = embeddings.sparkSession
     base = embeddings.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )

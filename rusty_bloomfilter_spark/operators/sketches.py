@@ -211,11 +211,12 @@ class BloomSketch:
             if flat.size == 0:
                 return pd.Series(np.zeros(len(arrs)))
             hits = bf.contains_tokens(flat).astype(np.float64)
-            starts = np.concatenate(([0], np.cumsum(lengths)[:-1]))
-            # zero-length rows alias the next row's start (or run past the
-            # end); clamp, then zero them out below
-            sums = np.add.reduceat(hits, np.minimum(starts, len(flat) - 1))
-            sums[lengths == 0] = 0.0
+            # per-row segment sums via prefix-sum differences: exact for
+            # zero-length rows anywhere (clamped reduceat dropped the
+            # last row's trailing hits when empty rows ended the batch)
+            c = np.concatenate(([0.0], np.cumsum(hits)))
+            ends = np.cumsum(lengths)
+            sums = c[ends] - c[ends - lengths]
             out = np.divide(sums, lengths, out=np.zeros(len(arrs)), where=lengths > 0)
             return pd.Series(out)
 

@@ -19,6 +19,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.cache import tie
 from ..operators.sketches import BloomSketch, HllSketch
 from ..sketch import Shape
 
@@ -50,6 +51,10 @@ def source_overlap(
         keyed = BloomSketch(shape).build_by_key(sequences, key_col)
     else:
         raise ValueError(f"sketch must be 'bloom' or 'hll', got {sketch!r}")
+    # self-join on an applyInPandas output recomputes the producing
+    # stage per side (Spark 4.1, documented gotcha) — persist so the
+    # keyed corpus build runs once; the frame is tiny (one row per key)
+    keyed = keyed.persist()
     a = keyed.select(F.col("key").alias("source_a"), F.col("payload").alias("payload_a"))
     b = keyed.select(F.col("key").alias("source_b"), F.col("payload").alias("payload_b"))
     if broadcast_pairs:
@@ -80,4 +85,4 @@ def source_overlap(
                 out["est_intersection"].append(round(fa.estimate_intersection(fb), 2))
             yield pd.DataFrame(out)
 
-    return pairs.mapInPandas(est, schema=_OVERLAP_SCHEMA)
+    return tie(pairs.mapInPandas(est, schema=_OVERLAP_SCHEMA), keyed)
