@@ -1405,6 +1405,31 @@ def q_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_quantiles_exact",
+    oracle="""
+    SELECT CAST(0.01 AS DOUBLE) AS q, round(CAST(quantile_cont(value, 0.01) AS DOUBLE), 6) AS exact FROM events
+    UNION ALL
+    SELECT CAST(0.5 AS DOUBLE), round(CAST(quantile_cont(value, 0.5) AS DOUBLE), 6) FROM events
+    UNION ALL
+    SELECT CAST(0.99 AS DOUBLE), round(CAST(quantile_cont(value, 0.99) AS DOUBLE), 6) FROM events
+    """,
+)
+def q_quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hash-matched EXACT companion of q_tdigest_quantiles: the same
+    (q, exact) pairs the sketch query emits estimates next to, verified
+    against DuckDB's quantile_cont (Spark `percentile` uses the same
+    linear interpolation)."""
+    ev = load_table(spark, sf_dir, "events")
+    qs = [0.01, 0.5, 0.99]
+    exact = ev.agg(
+        *[F.round(F.expr(f"percentile(value, {q})"), 6).alias(f"p{i}") for i, q in enumerate(qs)]
+    ).collect()[0]
+    return spark.createDataFrame(
+        [(float(q), float(exact[i])) for i, q in enumerate(qs)], "q double, exact double"
+    )
+
+
+@register(
     "q_pivot_status",
     oracle="""
     SELECT l_returnflag,

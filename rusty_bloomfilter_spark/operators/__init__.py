@@ -4,13 +4,16 @@ analysis, checkpointing."""
 
 from .aggregate import (
     build_by_key,
+    build_multi,
     build_multi_by_key,
     build_sketch,
+    collect_multi_bytes,
     collect_sketch_bytes,
     partition_sketches,
     tree_merge,
 )
 from .bpe import learn_bpe_merges
+from .cache import free, tie
 from .sampling import bottom_k_by, bottom_k_sample, kmv_distinct
 from .sketches import (
     BlockedBloomSketch,
@@ -35,12 +38,16 @@ __all__ = [
     "bottom_k_by",
     "bottom_k_sample",
     "build_by_key",
+    "build_multi",
     "build_multi_by_key",
     "build_sketch",
+    "collect_multi_bytes",
     "collect_sketch_bytes",
     "flat_ngram_hashes",
     "flatten_tokens",
+    "free",
     "kmv_distinct",
+    "tie",
     "learn_bpe_merges",
     "partition_sketches",
     "range_join",

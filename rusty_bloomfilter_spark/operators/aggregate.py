@@ -244,6 +244,96 @@ def build_by_key(
 MultiSpec = tuple[str, Callable[[], Any], UpdateFn, MergePayloadsFn]
 
 
+def _multi_schema(specs: list[MultiSpec]) -> str:
+    return "n_rows bigint, " + ", ".join(
+        f"payload_{name} binary, n_{name} bigint" for name, *_ in specs
+    )
+
+
+def build_multi(
+    df: DataFrame,
+    specs: list[MultiSpec],
+    *,
+    columns: list[str],
+    fanout: int = 16,
+) -> DataFrame:
+    """N GLOBAL sketches in one scan of the input, tree-merged.
+
+    The unkeyed sibling of ``build_multi_by_key``: every Arrow batch is
+    folded into all N accumulators in a single pass — N separate builds
+    would scan the same corpus N times, and at 100 TB the scan I/O
+    dominates, so fusing is an N x win on the dominant cost. The
+    shuffle carries one row per partition holding all N payloads side
+    by side; stages 2+3 tree-merge with fan-in bounded by ``fanout``,
+    exactly like ``build_sketch``.
+
+    ``columns`` must cover every spec's input column (e.g.
+    ["tokens", "n_tok"] for token sketches + a length quantile sketch).
+
+    -> single row (n_rows, payload_<name> binary, n_<name> bigint, ...).
+    """
+    df = df.select(*columns)
+    schema = _multi_schema(specs)
+
+    def build(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        accs = [mk() for _, mk, _, _ in specs]
+        n_rows = 0
+        for batch in batches:
+            n_rows += batch.num_rows
+            for acc, (_, _, upd, _) in zip(accs, specs):
+                upd(acc, batch)
+        out: dict[str, list] = {"n_rows": [n_rows]}
+        for acc, (name, *_rest) in zip(accs, specs):
+            out[f"payload_{name}"] = [acc.to_bytes()]
+            out[f"n_{name}"] = [acc.n_items]
+        yield pa.RecordBatch.from_pydict(out)
+
+    partial = df.mapInArrow(build, schema=schema)
+
+    def merge_rows(batches: Iterator[pd.DataFrame], *, emit_empty: bool):
+        payloads: dict[str, list[bytes]] = {name: [] for name, *_ in specs}
+        n_items: dict[str, int] = {name: 0 for name, *_ in specs}
+        n_rows = 0
+        for pdf in batches:
+            n_rows += int(pdf["n_rows"].sum())
+            for name, *_rest in specs:
+                payloads[name].extend(bytes(p) for p in pdf[f"payload_{name}"])
+                n_items[name] += int(pdf[f"n_{name}"].sum())
+        have_rows = any(payloads[name] for name, *_ in specs)
+        if not have_rows and not emit_empty:
+            return
+        out: dict[str, list] = {"n_rows": [n_rows]}
+        for name, mk, _upd, mrg in specs:
+            out[f"payload_{name}"] = [
+                mrg(payloads[name]) if payloads[name] else mk().to_bytes()
+            ]
+            out[f"n_{name}"] = [n_items[name]]
+        yield pd.DataFrame(out)
+
+    def merge_partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        yield from merge_rows(batches, emit_empty=False)
+
+    def merge_final(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        yield from merge_rows(batches, emit_empty=True)
+
+    level1 = partial.repartition(fanout).mapInPandas(merge_partial, schema=schema)
+    return level1.repartition(1).mapInPandas(merge_final, schema=schema)
+
+
+def collect_multi_bytes(
+    multi_df: DataFrame, specs: list[MultiSpec]
+) -> tuple[int, dict[str, tuple[bytes, int]]]:
+    """Driver-side: -> (n_rows, {name: (payload, n_items)})."""
+    rows = multi_df.collect()
+    if not rows:
+        raise ValueError("multi-sketch pipeline produced no rows")
+    row = rows[0]
+    return int(row["n_rows"]), {
+        name: (bytes(row[f"payload_{name}"]), int(row[f"n_{name}"]))
+        for name, *_ in specs
+    }
+
+
 def build_multi_by_key(
     df: DataFrame,
     key_col: str,

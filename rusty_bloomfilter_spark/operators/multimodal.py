@@ -181,12 +181,166 @@ def decode_bmp24(payload: bytes) -> np.ndarray:
     return rgb[::-1] if flip else rgb
 
 
+# ---------------------------------------------------------------------------
+# PNG: stdlib zlib inflate + numpy defilter — a real COMPRESSED format
+# with no external codec library (PNG spec: RFC 2083 / W3C PNG v1.2)
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type -> samples/pixel
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + typ
+        + data
+        + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(pixels: np.ndarray, *, filter_type: int = 0, level: int = 6) -> bytes:
+    """(H, W), (H, W, 1|2|3|4) uint8 -> PNG (bit depth 8, non-interlaced).
+
+    ``filter_type`` applies one of the five spec scanline filters
+    (0 None, 1 Sub, 2 Up, 3 Average, 4 Paeth) to EVERY row — useful to
+    exercise each defilter path in decode_png round-trip tests; real
+    encoders pick per-row, which decode_png also handles."""
+    import zlib
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    if px.ndim != 3 or px.shape[2] not in (1, 2, 3, 4):
+        raise ValueError("expected (H, W[, 1|2|3|4]) uint8 pixels")
+    h, w, ch = px.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    bpp = ch
+    if filter_type not in (0, 1, 2, 3, 4):
+        raise ValueError(f"bad PNG filter type {filter_type}")
+    prev = np.zeros(w * ch, dtype=np.int32)
+    lines = []
+    zero = np.zeros(bpp, dtype=np.int32)
+    for r in range(h):
+        row = px[r].reshape(-1).astype(np.int32)
+        left = np.concatenate([zero, row[:-bpp]])
+        upleft = np.concatenate([zero, prev[:-bpp]])
+        if filter_type == 0:
+            filt = row
+        elif filter_type == 1:
+            filt = row - left
+        elif filter_type == 2:
+            filt = row - prev
+        elif filter_type == 3:
+            filt = row - ((left + prev) >> 1)
+        else:  # Paeth (vectorized predictor)
+            p = left + prev - upleft
+            pa_, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+            pred = np.where((pa_ <= pb) & (pa_ <= pc), left, np.where(pb <= pc, prev, upleft))
+            filt = row - pred
+        lines.append(bytes([filter_type]) + (filt % 256).astype(np.uint8).tobytes())
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"".join(lines), level))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG (bit depth 8, non-interlaced; gray/gray+alpha/RGB/RGBA) ->
+    (H, W, channels) uint8. Full scanline defiltering: None/Up/Sub are
+    vectorized (Sub is a per-lane cumulative sum); Average/Paeth walk
+    the row (left-recon dependency is inherently sequential)."""
+    import zlib
+
+    if len(payload) < 8 or payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    ihdr = None
+    idat: list[bytes] = []
+    while pos + 12 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if len(data) < length:
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+            raise ValueError("PNG chunk CRC mismatch")
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT chunk")
+    w, h, depth, color, comp, filt_method, interlace = ihdr
+    if depth != 8 or comp != 0 or filt_method != 0:
+        raise NotImplementedError(
+            f"only 8-bit depth, deflate, filter-method-0 PNGs supported "
+            f"(depth={depth}, compression={comp}, filter={filt_method})"
+        )
+    if interlace != 0:
+        raise NotImplementedError("Adam7-interlaced PNG not supported")
+    ch = _PNG_CHANNELS.get(color)
+    if ch is None:
+        raise NotImplementedError(f"PNG color type {color} (palette?) not supported")
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        raise ValueError(f"corrupt PNG IDAT stream: {e}") from None
+    stride = w * ch
+    if len(raw) != h * (1 + stride):
+        raise ValueError("PNG scanline data length mismatch")
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, 1 + stride)
+    filters = arr[:, 0]
+    data_rows = arr[:, 1:].astype(np.int32)
+    bpp = ch
+    out = np.zeros((h, stride), dtype=np.int32)
+    prev = np.zeros(stride, dtype=np.int32)
+    for r in range(h):
+        f = int(filters[r])
+        row = data_rows[r]
+        if f == 0:
+            rec = row
+        elif f == 1:  # Sub: Recon(x) = Filt(x) + Recon(x-bpp) -> lane cumsum
+            rec = (np.cumsum(row.reshape(-1, bpp), axis=0) % 256).reshape(-1)
+        elif f == 2:  # Up
+            rec = (row + prev) % 256
+        elif f in (3, 4):
+            rec = np.zeros(stride, dtype=np.int32)
+            for i in range(stride):
+                left = rec[i - bpp] if i >= bpp else 0
+                up = prev[i]
+                if f == 3:
+                    pred = (left + up) >> 1
+                else:
+                    ul = prev[i - bpp] if i >= bpp else 0
+                    p = left + up - ul
+                    pa_, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                    pred = left if (pa_ <= pb and pa_ <= pc) else (up if pb <= pc else ul)
+                rec[i] = (row[i] + pred) % 256
+        else:
+            raise ValueError(f"bad PNG scanline filter {f}")
+        out[r] = rec
+        prev = rec
+    return out.astype(np.uint8).reshape(h, w, ch)
+
+
 def decode_media(payload: bytes, kind: str, *, fake: bool = False) -> np.ndarray:
     """Decode one media payload to a raw uint8 sample array.
 
     Real paths (magic-byte dispatch, no codec libraries): RIFF/WAVE
-    PCM16 -> the PCM bytes; BMP 24-bit -> flattened RGB pixels. Other
-    formats (JPEG/PNG/MP3/MP4) need PIL/ffmpeg — absent here — so they
+    PCM16 -> the PCM bytes; BMP 24-bit -> flattened RGB pixels; PNG
+    (zlib inflate + numpy defilter) -> flattened pixels. Remaining
+    formats (JPEG/MP3/MP4) need PIL/ffmpeg — absent here — so they
     raise NotImplementedError unless ``fake=True``, which yields a
     deterministic uint8 array derived from the payload so pipelines
     stay testable end to end.
@@ -196,9 +350,11 @@ def decode_media(payload: bytes, kind: str, *, fake: bool = False) -> np.ndarray
         return (np.clip(pcm, -1.0, 1.0) * 32767.0).astype("<i2").view(np.uint8)
     if len(payload) >= 2 and payload[:2] == b"BM":
         return decode_bmp24(payload).reshape(-1)
+    if len(payload) >= 8 and payload[:8] == _PNG_SIG:
+        return decode_png(payload).reshape(-1)
     if not fake:
         raise NotImplementedError(
-            "only WAV(PCM16)/BMP payloads decode natively; JPEG/PNG/MP3/MP4 "
+            "only WAV(PCM16)/BMP/PNG payloads decode natively; JPEG/MP3/MP4 "
             "require codec libraries not present in this environment — pass "
             "fake=True for the deterministic test decoder"
         )
@@ -208,8 +364,11 @@ def decode_media(payload: bytes, kind: str, *, fake: bool = False) -> np.ndarray
 
 def synthetic_real_media(spark: SparkSession, n_rows: int) -> DataFrame:
     """Deterministic media table with REAL decodable payloads: even ids
-    are WAV (PCM16 sine + hash noise), odd ids are BMP (hash-gradient
-    pixels). Pure function of the id — partition-layout independent."""
+    are WAV (PCM16 sine + hash noise); ids ≡ 1 (mod 4) are BMP and
+    ids ≡ 3 (mod 4) are PNG (same hash-gradient pixels; PNG rows cycle
+    through all five scanline filters) — so the table exercises a real
+    COMPRESSED format end to end. Pure function of the id —
+    partition-layout independent."""
 
     def gen(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
         import pyarrow as pa
@@ -244,7 +403,10 @@ def synthetic_real_media(spark: SparkSession, n_rows: int) -> DataFrame:
                     px[:, :, 2] = np.linspace(0, 255, h, dtype=np.uint8)[:, None]
                     rows["media_id"].append(int(i))
                     rows["kind"].append("image")
-                    rows["payload"].append(encode_bmp24(px))
+                    if i % 4 == 3:
+                        rows["payload"].append(encode_png(px, filter_type=int(i) % 5))
+                    else:
+                        rows["payload"].append(encode_bmp24(px))
                     rows["width"].append(w)
                     rows["height"].append(h)
                     rows["duration_ms"].append(None)
@@ -325,10 +487,13 @@ def media_stats(media: DataFrame, *, media_batch_hint: int = 256) -> DataFrame:
                             row["zero_cross_rate"] = round(
                                 float(np.mean(np.signbit(pcm[1:]) != np.signbit(pcm[:-1]))), 6
                             )
-                        elif b[:2] == b"BM":
-                            px = decode_bmp24(b)
+                        elif b[:2] == b"BM" or b[:8] == _PNG_SIG:
+                            px = decode_bmp24(b) if b[:2] == b"BM" else decode_png(b)
                             row["height"], row["width"] = px.shape[0], px.shape[1]
-                            means = px.reshape(-1, 3).mean(axis=0)
+                            ch = px.shape[2]
+                            means = px.reshape(-1, ch).astype(np.float64).mean(axis=0)
+                            if ch == 1 or ch == 2:  # gray(+alpha): replicate luma
+                                means = np.array([means[0]] * 3)
                             row["mean_r"] = round(float(means[0]), 6)
                             row["mean_g"] = round(float(means[1]), 6)
                             row["mean_b"] = round(float(means[2]), 6)

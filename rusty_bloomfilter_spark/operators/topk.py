@@ -87,7 +87,23 @@ def topk_exact_candidates(
     """Two-pass exact top-k: candidates from local tops, then an exact
     recount restricted to candidates (broadcast IN-filter pushed into
     the exploded scan). Equals full groupBy top-k whenever the margin
-    covers partition skew — pinned by tests."""
+    covers partition skew — pinned by tests.
+
+    MARGIN CONTRACT (when this can be wrong): a global heavy hitter is
+    found iff it reaches the local top-(k*margin) of at least one
+    partition. A token spread THIN across partitions — below every
+    partition's k*margin'th local count — never becomes a candidate
+    even when its global sum belongs in the top k. Formally, with P
+    partitions, a missed hitter must have local count < the k*margin'th
+    local count in every partition, so its global count is < P * that
+    threshold; equivalently, the result is exact whenever
+    k*margin >= the number of tokens that locally out-count any true
+    top-k member in each partition. Zipf-ish token distributions
+    satisfy this with margin of a few; adversarial uniform-noise
+    distributions (each partition dominated by partition-local tokens)
+    do not — raise margin toward the per-partition distinct count, or
+    fall back to the full groupBy (tests/test_topk_margin.py pins both
+    the failure mode and the recovery)."""
     cand = (
         _local_top_candidates(df, col, k * margin)
         .groupBy("tok")

@@ -184,3 +184,71 @@ def test_keyed_build_null_keys(spark):
     oracle = HyperLogLog(8)
     oracle.add_tokens(np.array([3, 5, 6]))
     assert bytes(rows[None]["payload"]) == oracle.to_bytes()
+
+
+def test_build_multi_bitwise_equals_individual_builds(spark, sequences_pdf):
+    """The unkeyed fused builder (one corpus scan for N sketches) must
+    produce byte-identical payloads to N separate builds — the merge
+    algebra guarantees it; this pins the wiring."""
+    from rusty_bloomfilter_spark.operators.aggregate import (
+        build_multi,
+        collect_multi_bytes,
+        collect_sketch_bytes,
+    )
+    from rusty_bloomfilter_spark.operators.sketches import (
+        CmsSketch,
+        HllSketch,
+        KllQuantiles,
+    )
+
+    seq = spark.createDataFrame(sequences_pdf.head(500)).repartition(5)
+    hll = HllSketch(p=12)
+    cms = CmsSketch(d=3, w=1 << 12)
+    kll = KllQuantiles(k=128, col="n_tok")
+    specs = [
+        ("hll", hll._empty, hll._update, hll._merge),
+        ("cms", cms._empty, cms._update, cms._merge),
+        ("kll", kll._empty, kll._update, kll._merge),
+    ]
+    n_rows, got = collect_multi_bytes(
+        build_multi(seq, specs, columns=["tokens", "n_tok"], fanout=4), specs
+    )
+    assert n_rows == 500
+    # Bloom/HLL/CMS merges are canonical (OR/max/add): bitwise equal
+    for name, sk in (("hll", hll), ("cms", cms)):
+        payload, n_items = collect_sketch_bytes(sk.build(seq, fanout=4))
+        assert got[name][0] == payload, name
+        assert got[name][1] == n_items, name
+    # KLL is rank-accurate but merge-order-sensitive in its bytes:
+    # same item count, quantiles within the sketch's rank error
+    from rusty_bloomfilter_spark.sketch import KLLSketch
+
+    kll_payload, kll_n = collect_sketch_bytes(kll.build(seq, fanout=4))
+    assert got["kll"][1] == kll_n == 500
+    fused_q = KLLSketch.from_bytes(got["kll"][0]).quantile(0.5)
+    solo_q = KLLSketch.from_bytes(kll_payload).quantile(0.5)
+    n_tok = sequences_pdf.head(500)["n_tok"].to_numpy()
+    exact = float(__import__("numpy").quantile(n_tok, 0.5))
+    assert abs(fused_q - exact) <= 8 and abs(solo_q - exact) <= 8
+
+
+def test_build_multi_empty_input_emits_identities(spark):
+    from rusty_bloomfilter_spark.operators.aggregate import (
+        build_multi,
+        collect_multi_bytes,
+    )
+    from rusty_bloomfilter_spark.operators.sketches import HllSketch, KllQuantiles
+
+    hll = HllSketch(p=12)
+    kll = KllQuantiles(k=128, col="n_tok")
+    specs = [
+        ("hll", hll._empty, hll._update, hll._merge),
+        ("kll", kll._empty, kll._update, kll._merge),
+    ]
+    empty = spark.createDataFrame([], "tokens array<int>, n_tok int")
+    n_rows, got = collect_multi_bytes(
+        build_multi(empty, specs, columns=["tokens", "n_tok"], fanout=4), specs
+    )
+    assert n_rows == 0
+    assert got["hll"][0] == hll._empty().to_bytes() and got["hll"][1] == 0
+    assert got["kll"][0] == kll._empty().to_bytes() and got["kll"][1] == 0

@@ -100,3 +100,51 @@ def test_ivf_recall_and_exact_degeneration(spark):
         for r in ann_bruteforce_topk(emb, qids, k=5).collect()
     }
     assert exact == bf
+
+
+def test_ivf_index_parquet_roundtrip_and_no_retrain(spark, tmp_path, monkeypatch):
+    """Train once, persist, reload, probe — the probe path must run NO
+    Lloyd/assignment stages (train is monkeypatched to explode), and the
+    reloaded index must reproduce the fresh ann_ivf_topk result."""
+    import rusty_bloomfilter_spark.operators.similarity as sim
+    from rusty_bloomfilter_spark.operators.similarity import IvfIndex, ann_ivf_topk
+    from rusty_bloomfilter_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    qids = [0, 7, 42, 99, 123]
+    fresh = {
+        (r["query_id"], r["neighbor_id"], r["cosine"], r["rank"])
+        for r in ann_ivf_topk(emb, qids, k=5, n_centroids=8, nprobe=8).collect()
+    }
+
+    idx = IvfIndex.train(emb, n_centroids=8, iters=4)
+    path = str(tmp_path / "ivf_idx")
+    idx.write(path)
+    reloaded = IvfIndex.read(spark, path)
+    assert np.allclose(reloaded.centroids, idx.centroids, atol=1e-15)
+
+    # no second training: any Lloyd/assignment call now explodes
+    def boom(*a, **kw):
+        raise AssertionError("probe path must not retrain/reassign")
+
+    monkeypatch.setattr(sim, "ivf_train_centroids", boom)
+    monkeypatch.setattr(sim, "ivf_assign", boom)
+    got = {
+        (r["query_id"], r["neighbor_id"], r["cosine"], r["rank"])
+        for r in reloaded.probe(emb, qids, k=5, nprobe=8).collect()
+    }
+    assert got == fresh
+    # second batch, still no retraining, partition pruning on cluster
+    got2 = reloaded.probe(emb, [3, 55], k=3, nprobe=2)
+    assert got2.count() == 6
+
+
+def test_ann_ivf_topk_accepts_prebuilt_index(spark):
+    from rusty_bloomfilter_spark.operators.similarity import IvfIndex, ann_ivf_topk
+    from rusty_bloomfilter_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    idx = IvfIndex.train(emb, n_centroids=8, iters=4)
+    a = ann_ivf_topk(emb, [5, 9], k=4, nprobe=8, index=idx).collect()
+    b = ann_ivf_topk(emb, [5, 9], k=4, n_centroids=8, nprobe=8).collect()
+    assert {tuple(r) for r in a} == {tuple(r) for r in b}
