@@ -187,6 +187,10 @@ def main() -> None:
                     queries[name] = dt
     queries = {k: round(v, 3) for k, v in queries.items()}
 
+    # cross-round comparability: q_sketch_profile supersedes the three
+    # separate scans r01/r02 timed as q_hll_distinct + q_cms_build +
+    # q_kll_ntok (same sketches, ONE pass over the corpus)
+    extra["sketch_profile_replaces"] = "q_hll_distinct+q_cms_build+q_kll_ntok"
     extra["bloom_build_tokens_per_sec"] = round(n_tokens / queries["q_bloom_build"], 1)
     extra["bloom_probe_tokens_per_sec"] = round(n_tokens / queries["q_bloom_probe"], 1)
     extra["bloom_classic_tokens_per_sec"] = round(

@@ -1197,6 +1197,57 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_kmv_overlap",
+    oracle="""
+    WITH hashed AS (
+        SELECT DISTINCT event_type AS grp,
+               CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        FROM events
+    ), topk AS (
+        SELECT grp, h FROM hashed
+        QUALIFY row_number() OVER (PARTITION BY grp ORDER BY h) <= 64
+    ), pairs AS (
+        SELECT a.grp AS ga, b.grp AS gb
+        FROM (SELECT DISTINCT grp FROM topk) a
+        JOIN (SELECT DISTINCT grp FROM topk) b ON a.grp < b.grp
+    ), sides AS (
+        SELECT p.ga, p.gb, t.h, 1 AS in_a, 0 AS in_b
+        FROM pairs p JOIN topk t ON t.grp = p.ga
+        UNION ALL
+        SELECT p.ga, p.gb, t.h, 0, 1
+        FROM pairs p JOIN topk t ON t.grp = p.gb
+    ), merged AS (
+        SELECT ga, gb, h, max(in_a) AS ia, max(in_b) AS ib
+        FROM sides GROUP BY ga, gb, h
+    ), x AS (
+        SELECT * FROM merged
+        QUALIFY row_number() OVER (PARTITION BY ga, gb ORDER BY h) <= 64
+    ), stats AS (
+        SELECT ga, gb, count(*) AS n, max(h) AS kth, sum(ia * ib) AS n_both
+        FROM x GROUP BY ga, gb
+    )
+    SELECT ga AS source_a, gb AS source_b, n AS n_union_sample,
+           round(CASE WHEN n < 64 THEN CAST(n AS DOUBLE)
+                      ELSE 63.0 * 1152921504606846976.0 / kth END, 6) AS est_union,
+           round((CAST(n_both AS DOUBLE) / n) *
+                 CASE WHEN n < 64 THEN CAST(n AS DOUBLE)
+                      ELSE 63.0 * 1152921504606846976.0 / kth END, 6) AS est_intersection,
+           round(CAST(n_both AS DOUBLE) / n, 6) AS jaccard
+    FROM stats
+    """,
+)
+def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV pairwise set-operation ESTIMATES (union / intersection /
+    Jaccard of distinct users across event types, Beyer et al. 2007)
+    that hash-match a SQL oracle exactly — like q_kmv_distinct, the
+    bottom-k hash sketch is a pure deterministic function of the data,
+    so even the estimates are cross-engine reproducible."""
+    from .operators.sampling import kmv_overlap
+
+    return kmv_overlap(load_table(spark, sf_dir, "events"), "event_type", "user_id", k=64)
+
+
+@register(
     "q_bpe_merge_pairs",
     oracle=_SEQ_CTE
     + """

@@ -14,7 +14,13 @@ from .aggregate import (
 )
 from .bpe import learn_bpe_merges
 from .cache import free, tie
-from .sampling import bottom_k_by, bottom_k_sample, kmv_distinct
+from .sampling import (
+    bottom_k_by,
+    bottom_k_sample,
+    kmv_distinct,
+    kmv_group_sketches,
+    kmv_overlap,
+)
 from .sketches import (
     BlockedBloomSketch,
     BloomSketch,
@@ -47,6 +53,8 @@ __all__ = [
     "flatten_tokens",
     "free",
     "kmv_distinct",
+    "kmv_group_sketches",
+    "kmv_overlap",
     "tie",
     "learn_bpe_merges",
     "partition_sketches",

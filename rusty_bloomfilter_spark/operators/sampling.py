@@ -68,6 +68,84 @@ def bottom_k_by(df: DataFrame, strata_col: str, key_col: str, k: int) -> DataFra
     )
 
 
+def kmv_group_sketches(df: DataFrame, group_col: str, key_col: str, k: int) -> DataFrame:
+    """Per-group KMV sketch rows: the k smallest distinct key hashes of
+    each group. -> (grp, h). One shuffle on the group key; window top-k
+    inside — the sketch frame is <= k rows per group regardless of
+    group size."""
+    hashed = (
+        df.select(
+            F.col(group_col).cast("string").alias("grp"),
+            F.col(key_col).cast("string").alias("key"),
+        )
+        .select("grp", content_hash60(F.col("key")).alias("h"))
+        .distinct()
+    )
+    w = Window.partitionBy("grp").orderBy("h")
+    return hashed.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
+
+
+def kmv_overlap(df: DataFrame, group_col: str, key_col: str, k: int = 256) -> DataFrame:
+    """Pairwise set-operation estimates from per-group KMV sketches
+    (Beyer et al. 2007, "On Synopses for Distinct-Value Estimation
+    Under Multiset Operations"): for each group pair, X = the k
+    smallest hashes of the union of the two bottom-k sketches;
+    D_union = (k-1) * 2^60 / max(X); rho = |{h in X present in BOTH
+    sketches}| / |X|; D_intersection = rho * D_union; Jaccard = rho.
+    Exact (not an estimate) whenever a pair's union has < k distinct
+    keys.
+
+    Deterministic — like kmv_distinct, the whole computation renders
+    verbatim in SQL, so a DuckDB oracle reproduces the ESTIMATES
+    bit-for-bit (contract q_kmv_overlap).
+
+    Scale shape: everything after the first per-group top-k runs on
+    <= k rows per group — the pair expansion is O(groups^2 * k) sketch
+    rows, never row data.
+
+    -> (source_a, source_b, n_union_sample, est_union,
+        est_intersection, jaccard) per unordered group pair.
+    """
+    if k < 2:
+        raise ValueError(f"KMV needs k >= 2 (estimator uses k-1), got {k}")
+    sk = kmv_group_sketches(df, group_col, key_col, k)
+    groups = sk.select("grp").distinct()
+    pairs = (
+        groups.select(F.col("grp").alias("ga"))
+        .join(groups.select(F.col("grp").alias("gb")), F.col("ga") < F.col("gb"))
+    )
+    a_side = pairs.join(sk.withColumnRenamed("grp", "ga"), "ga").select(
+        "ga", "gb", "h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b")
+    )
+    b_side = pairs.join(sk.withColumnRenamed("grp", "gb"), "gb").select(
+        "ga", "gb", "h", F.lit(0).alias("in_a"), F.lit(1).alias("in_b")
+    )
+    merged = (
+        a_side.unionByName(b_side)
+        .groupBy("ga", "gb", "h")
+        .agg(F.max("in_a").alias("ia"), F.max("in_b").alias("ib"))
+    )
+    w = Window.partitionBy("ga", "gb").orderBy("h")
+    x = merged.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    stats = x.groupBy("ga", "gb").agg(
+        F.count("*").alias("n"),
+        F.max("h").alias("kth"),
+        F.sum(F.col("ia") * F.col("ib")).alias("n_both"),
+    )
+    est_union = F.when(F.col("n") < k, F.col("n").cast("double")).otherwise(
+        F.lit(float(k - 1)) * F.lit(float(HASH_DOMAIN)) / F.col("kth").cast("double")
+    )
+    rho = F.col("n_both").cast("double") / F.col("n").cast("double")
+    return stats.select(
+        F.col("ga").alias("source_a"),
+        F.col("gb").alias("source_b"),
+        F.col("n").alias("n_union_sample"),
+        F.round(est_union, 6).alias("est_union"),
+        F.round(rho * est_union, 6).alias("est_intersection"),
+        F.round(rho, 6).alias("jaccard"),
+    )
+
+
 def kmv_distinct(df: DataFrame, key_col: str, k: int = 256) -> DataFrame:
     """KMV distinct-count estimate: D_hat = (k-1) * 2^60 / h_(k) over
     the k smallest DISTINCT key hashes. Deterministic — the estimate is

@@ -77,3 +77,49 @@ def test_kmv_small_domain_exact(spark):
     df = spark.range(1000).select((F.col("id") % 37).alias("k"))
     row = kmv_distinct(df, "k", k=256).collect()[0]
     assert row["n_hashes"] == 37 and row["est_distinct"] == 37.0
+
+
+def test_kmv_overlap_exact_when_union_fits(spark):
+    """Pairs whose union has < k distinct keys: estimates are EXACT."""
+    from rusty_bloomfilter_spark.operators.sampling import kmv_overlap
+
+    rows = [("A", f"k{i}") for i in range(30)] + [("B", f"k{i}") for i in range(20, 60)]
+    df = spark.createDataFrame(rows, "grp string, key string")
+    out = kmv_overlap(df, "grp", "key", k=256).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["source_a"], r["source_b"]) == ("A", "B")
+    assert r["n_union_sample"] == 60
+    assert r["est_union"] == 60.0
+    assert r["est_intersection"] == 10.0
+    assert r["jaccard"] == pytest.approx(10 / 60, abs=1e-6)
+
+
+def test_kmv_overlap_estimates_within_bound(spark):
+    """Planted overlap, union >> k: estimates land within the KMV
+    relative-error envelope (~1/sqrt(k-2), generous 3x here)."""
+    from rusty_bloomfilter_spark.operators.sampling import kmv_overlap
+
+    k = 256
+    n, shared = 5000, 1500
+    rows = [("A", f"a{i}") for i in range(n - shared)]
+    rows += [("B", f"b{i}") for i in range(n - shared)]
+    rows += [(g, f"s{i}") for g in ("A", "B") for i in range(shared)]
+    df = spark.createDataFrame(rows, "grp string, key string").repartition(7)
+    r = kmv_overlap(df, "grp", "key", k=k).collect()[0]
+    true_union = 2 * (n - shared) + shared
+    rel = 3 / (k - 2) ** 0.5
+    assert abs(r["est_union"] - true_union) / true_union < rel
+    assert abs(r["est_intersection"] - shared) / shared < 3 * rel  # rho compounds
+    assert abs(r["jaccard"] - shared / true_union) < 0.1
+
+
+def test_kmv_overlap_partition_invariant(spark):
+    """Deterministic: identical output for any input partitioning."""
+    from rusty_bloomfilter_spark.operators.sampling import kmv_overlap
+
+    rows = [(f"g{i % 3}", f"key-{i % 400}") for i in range(2000)]
+    df = spark.createDataFrame(rows, "grp string, key string")
+    a = sorted(map(tuple, kmv_overlap(df.repartition(2), "grp", "key", k=64).collect()))
+    b = sorted(map(tuple, kmv_overlap(df.repartition(13), "grp", "key", k=64).collect()))
+    assert a == b and len(a) == 3
