@@ -10,11 +10,12 @@ watermark discarding late state.
 """
 
 from .sketch_stream import StreamingSketchState, streaming_bloom_build, windowed_distinct_users
-from .stateful import running_distinct_by_key, windowed_topk_tokens
+from .stateful import running_distinct_by_key, windowed_distinct, windowed_topk_tokens
 
 __all__ = [
     "StreamingSketchState",
     "running_distinct_by_key",
+    "windowed_distinct",
     "windowed_topk_tokens",
     "streaming_bloom_build",
     "windowed_distinct_users",

@@ -70,6 +70,78 @@ def running_distinct_by_key(
     )
 
 
+_WINDIST_OUTPUT = "window_start timestamp, distinct_est double, n_items bigint"
+_WINDIST_STATE = "payload binary"
+
+
+def windowed_distinct(
+    stream_df: DataFrame,
+    *,
+    ts_col: str = "ts",
+    value_col: str = "user_id",
+    window: str = "1 hour",
+    p: int = 14,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Streaming per-event-time-window distinct estimate via an HLL
+    held as group state: O(2^p) bytes per window regardless of stream
+    length — the built-in windowed approx_count_distinct can't expose
+    or checkpoint its sketch, this one IS the sketch (mergeable with
+    any batch-built HLL payload of the same p).
+
+    Emits (window_start, distinct_est, n_items) per window per
+    micro-batch (output mode update). ``watermark`` bounds total state
+    exactly like windowed_topk_tokens: a window's HLL is dropped once
+    the watermark passes its end."""
+
+    def update(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            (payload,) = state.get
+            hll = HyperLogLog.from_bytes(bytes(payload))
+        else:
+            hll = HyperLogLog(p)
+        for pdf in pdfs:
+            vals = pdf[value_col].to_numpy(dtype=np.int64, na_value=0)
+            if len(vals):
+                hll.add_tokens(vals)
+        state.update((hll.to_bytes(),))
+        if timeout:
+            state.setTimeoutTimestamp(key[1])  # expire at window end
+        yield pd.DataFrame(
+            {
+                "window_start": [key[0]],
+                "distinct_est": [hll.estimate()],
+                "n_items": [hll.n_items],
+            }
+        )
+
+    from pyspark.sql import functions as F
+
+    timeout = watermark is not None
+    if timeout:
+        stream_df = stream_df.withWatermark(ts_col, watermark)
+    win = F.window(ts_col, window)
+    windowed = stream_df.select(
+        "*", win["start"].alias("window_start"), win["end"].alias("window_end")
+    )
+    return windowed.groupBy("window_start", "window_end").applyInPandasWithState(
+        update,
+        outputStructType=_WINDIST_OUTPUT,
+        stateStructType=_WINDIST_STATE,
+        outputMode="update",
+        timeoutConf=(
+            GroupStateTimeout.EventTimeTimeout if timeout else GroupStateTimeout.NoTimeout
+        ),
+    )
+
+
 _TOPK_OUTPUT = "window_start timestamp, tok bigint, est_freq bigint, rank int"
 _TOPK_STATE = "payload binary, cand array<bigint>"
 

@@ -333,3 +333,91 @@ def test_windowed_topk_with_watermark_expiry(spark, tmp_path):
     exact = [(int(uniq[i]), int(counts[i])) for i in order[:5]]
     got = [(best[r]["tok"], best[r]["est_freq"]) for r in sorted(best)]
     assert got == exact
+
+
+def test_windowed_distinct_hll_state(spark, tmp_path):
+    """Custom-state windowed HLL distinct across micro-batches: the
+    final emission per window must match the exact distinct count
+    (small range -> HLL linear counting is near-exact), and the state
+    payload is a REAL mergeable HLL (n_items accumulates)."""
+    import numpy as np
+    import pandas as pd
+
+    from rusty_bloomfilter_spark.streaming import windowed_distinct
+
+    rng = np.random.default_rng(31)
+    n = 2000
+    ts = pd.to_datetime("2024-01-01 00:00:00") + pd.to_timedelta(
+        rng.integers(0, 7200, n), unit="s"
+    )
+    pdf = pd.DataFrame({"ts": ts, "user_id": rng.integers(0, 300, n).astype(np.int64)})
+    src = str(tmp_path / "wd_src")
+    batch_df = spark.createDataFrame(pdf)
+    batch_df.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema(batch_df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = windowed_distinct(stream, window="1 hour", p=14)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("win_dist_hll")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("select * from win_dist_hll").collect()
+    assert rows
+    # final emission per window = the one with the largest n_items
+    final: dict = {}
+    for r in rows:
+        cur = final.get(r["window_start"])
+        if cur is None or r["n_items"] > cur["n_items"]:
+            final[r["window_start"]] = r
+    win = pdf.assign(w=pdf["ts"].dt.floor("h"))
+    for wstart, grp in win.groupby("w"):
+        exact = grp["user_id"].nunique()
+        r = final[wstart]
+        assert abs(r["distinct_est"] - exact) / exact < 0.03, (wstart, r, exact)
+        assert r["n_items"] == len(grp)  # every row of the window folded in
+
+
+def test_windowed_distinct_watermark_variant(spark, tmp_path):
+    """Watermarked variant runs through EventTimeTimeout wiring and
+    still matches the exact distinct count."""
+    import numpy as np
+    import pandas as pd
+
+    from rusty_bloomfilter_spark.streaming import windowed_distinct
+
+    rng = np.random.default_rng(37)
+    n = 800
+    ts = pd.to_datetime("2024-01-01 00:00:00") + pd.to_timedelta(
+        rng.integers(0, 3600, n), unit="s"
+    )
+    pdf = pd.DataFrame({"ts": ts, "user_id": rng.integers(0, 120, n).astype(np.int64)})
+    src = str(tmp_path / "wd_wm_src")
+    batch_df = spark.createDataFrame(pdf)
+    batch_df.repartition(2).write.parquet(src)
+    stream = (
+        spark.readStream.schema(batch_df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = windowed_distinct(stream, window="1 hour", p=14, watermark="30 minutes")
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("win_dist_wm")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("select * from win_dist_wm").collect()
+    assert rows
+    exact = pdf["user_id"].nunique()
+    best = max(rows, key=lambda r: r["n_items"])
+    assert best["n_items"] == n
+    assert abs(best["distinct_est"] - exact) / exact < 0.03
