@@ -736,6 +736,48 @@ def q_bloom_doc_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q_sharded_bloom")
+def q_sharded_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharded blocked-Bloom membership (operators/sharded.py) — the
+    scale path for filters too big for one task at 10^12 tokens. Builds
+    via the routed plan (token hashes shuffled once by shard, per-task
+    memory = one partition's shard filters), probes every corpus token
+    (zero FN asserted) plus a disjoint domain (observed FPR)."""
+    from .operators.sharded import ShardedBloomSketch
+
+    seq = sequences_from_documents(spark, sf_dir)
+    sk = ShardedBloomSketch(n_total=500_000, p=1e-4, n_shards=16)
+    sketch_df = sk.build(seq, routed=True).persist()
+    stats = sk.stats(sketch_df).agg(
+        F.count("*").alias("n_shards"),
+        F.sum("n_items").alias("n_inserted"),
+        F.max("fill_ratio").alias("max_fill"),
+    ).collect()[0]
+    hits, total = sk.count_contained(seq, sketch_df, spark)
+    assert hits == total, (hits, total)  # zero FN through shard routing
+    import numpy as np
+    import pandas as pd
+
+    absent = spark.createDataFrame(
+        pd.DataFrame(
+            {"tokens": [np.arange(10**8 + i * 10_000, 10**8 + (i + 1) * 10_000, dtype=np.int64) for i in range(10)]}
+        )
+    )
+    fp_hits, fp_total = sk.count_contained(absent, sketch_df, spark)
+    sketch_df.unpersist()
+    return spark.createDataFrame(
+        [
+            (
+                int(stats["n_shards"]), int(stats["n_inserted"]),
+                round(float(stats["max_fill"]), 8), hits, total,
+                fp_hits, fp_total, round(fp_hits / fp_total, 8),
+            )
+        ],
+        "n_shards bigint, n_inserted bigint, max_fill double, present_hits bigint, "
+        "present_probes bigint, false_hits bigint, n_probes bigint, observed_fpr double",
+    )
+
+
 @register(
     "q_topk_two_pass",
     oracle=_SEQ_CTE

@@ -14,6 +14,7 @@ from .aggregate import (
 )
 from .bpe import learn_bpe_merges
 from .cache import free, tie
+from .sharded import ShardedBloomSketch
 from .sampling import (
     bottom_k_by,
     bottom_k_sample,
@@ -39,6 +40,7 @@ __all__ = [
     "CmsSketch",
     "HllSketch",
     "KllQuantiles",
+    "ShardedBloomSketch",
     "TDigestQuantiles",
     "asof_join",
     "bottom_k_by",

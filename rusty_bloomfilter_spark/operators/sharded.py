@@ -1,0 +1,297 @@
+"""Sharded Bloom filter: membership at filter sizes no single task
+could hold.
+
+The north rule targets 10^12-sequence corpora. A single Bloom filter
+for 10^12 distinct items at p=1e-4 is ~2.2 TB of bits — no executor
+(or driver broadcast) can hold it. The standard scale-out is hash
+sharding: route every token by an independent 64-bit hash into one of
+S shards, keep one correctly-sized filter per shard
+(n_per_shard = n_total/S), and make BOTH build and probe route by the
+same hash:
+
+- build, two plans with an explicit memory/shuffle trade:
+  * map-side combine (``routed=False``): each input partition folds
+    its tokens into local shard accumulators and a groupBy(shard)
+    merge ORs the partials. Zero row shuffle — but uniform hashing
+    means every partition touches every shard, so a task holds ALL S
+    shard filters (the full filter size). Right only when the total
+    filter fits a task: it parallelizes the merge, nothing more.
+  * routed (``routed=True``): token hashes shuffle ONCE by shard
+    (narrow (shard, h) rows, 12 bytes each) into shard-hash-partitioned
+    tasks, and each task folds ONLY the shards that land in it
+    (~S/P shards): per-task filter memory = total/(P) — THE plan for
+    filters bigger than any executor. No second merge: a shard's rows
+    all land in one partition, so the partition's accumulators are
+    final.
+- probe: tokens shuffle ONCE by shard (same narrow rows) and cogroup
+  against the sketch frame — each task decodes exactly one shard's
+  filter. Broadcasting the whole filter set would be the same TBs as
+  the unsharded filter; the shuffle-by-shard is the only probe plan
+  that scales past executor memory.
+
+Zero false negatives survive sharding (a token probes the shard it was
+inserted into — same routing hash); the FPR of each shard follows its
+own shape, so the configured p holds globally. The routing hash
+(splitmix64 of token XOR a fixed salt) is independent of the filter's
+K-M index hashes, so shard membership doesn't bias within-shard bit
+positions.
+
+Merge algebra is shard-wise OR: two sharded builds with the same
+(S, shape) merge by unioning their sketch frames and re-merging per
+shard — associative/commutative like every sketch here.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sketch import BlockedBloomFilter, sketch_from_bytes
+from ..sketch.hashing import splitmix64
+from .sketches import arrow_flat_tokens, flat_ngram_hashes
+
+SHARD_SALT = np.uint64(0xA076_1D64_78BD_642F)  # splitmix64 increment constant
+
+SHARDED_SCHEMA = "shard int, payload binary, n_items bigint"
+
+
+def shard_of(hashes: np.ndarray, n_shards: int) -> np.ndarray:
+    """Routing hash, independent of the filter's index hashes: one
+    extra splitmix64 mix of the token hash XOR a fixed salt."""
+    return (splitmix64(hashes ^ SHARD_SALT) % np.uint64(n_shards)).astype(np.int64)
+
+
+class ShardedBloomSketch:
+    """S independent blocked Bloom filters keyed by token-hash shard.
+
+    ``n_total`` is the expected TOTAL distinct count; each shard is
+    sized for n_total/n_shards (hash routing is uniform, so per-shard
+    load concentrates tightly around the mean — at n/S >= 10^6 the
+    imbalance is < 1%).
+    """
+
+    def __init__(
+        self,
+        n_total: int,
+        p: float,
+        n_shards: int,
+        *,
+        col: str = "tokens",
+        ngram: int = 1,
+    ):
+        if n_shards < 1:
+            raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+        self.n_shards = int(n_shards)
+        self.p = float(p)
+        self.n_per_shard = max(1, int(np.ceil(n_total / n_shards)))
+        self.col = col
+        self.ngram = int(ngram)
+
+    def _empty(self) -> BlockedBloomFilter:
+        return BlockedBloomFilter.for_np(n=self.n_per_shard, p=self.p)
+
+    def _flat_hashes(self, batch) -> np.ndarray:
+        """Fully-mixed uint64 hashes of every within-row n-gram (for
+        ngram=1: splitmix64 of each token) — the form add_hashes/
+        contains_hashes expect."""
+        from .sketches import arrow_row_lengths
+
+        flat = arrow_flat_tokens(batch, self.col)
+        lengths = arrow_row_lengths(batch, self.col)
+        return flat_ngram_hashes(flat, lengths, self.ngram)
+
+    # -- build ---------------------------------------------------------
+
+    def build(
+        self, df: DataFrame, *, routed: bool = False, shuffle_partitions: int | None = None
+    ) -> DataFrame:
+        """-> (shard, payload, n_items), one row per shard.
+
+        ``routed=False`` (map-side combine): per-partition fold (sort +
+        segment slice, no per-token Python) then groupBy(shard) merge —
+        zero row shuffle, but each task holds all S shard accumulators;
+        use when the TOTAL filter fits a task.
+        ``routed=True``: shuffle narrow (shard, h) rows by shard first,
+        fold inside the shard-partitioned tasks — per-task memory is
+        one partition's share of the filter; use when it doesn't.
+        """
+        if routed:
+            return self._build_routed(df, shuffle_partitions)
+        n_shards = self.n_shards
+        make_empty = self._empty
+        flat_hashes = self._flat_hashes
+
+        def build_partition(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+            import pyarrow as pa
+
+            accs: dict[int, BlockedBloomFilter] = {}
+            for batch in batches:
+                h = flat_hashes(batch)
+                if not h.size:
+                    continue
+                shards = shard_of(h, n_shards)
+                order = np.argsort(shards, kind="stable")
+                sh = shards[order]
+                hh = h[order]
+                starts = np.concatenate(([0], np.flatnonzero(sh[1:] != sh[:-1]) + 1))
+                bounds = np.concatenate((starts, [len(sh)]))
+                for i, s in enumerate(sh[starts]):
+                    acc = accs.get(int(s))
+                    if acc is None:
+                        acc = accs[int(s)] = make_empty()
+                    acc.add_hashes(hh[bounds[i] : bounds[i + 1]])
+            if accs:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(list(accs.keys()), type=pa.int32()),
+                        pa.array([a.to_bytes() for a in accs.values()], type=pa.binary()),
+                        pa.array([a.n_items for a in accs.values()], type=pa.int64()),
+                    ],
+                    names=["shard", "payload", "n_items"],
+                )
+
+        partial = df.select(self.col).mapInArrow(build_partition, schema=SHARDED_SCHEMA)
+
+        def merge_shard(pdf):
+            import pandas as pd
+
+            from ..sketch import merge_sketch_payloads
+
+            return pd.DataFrame(
+                {
+                    "shard": [int(pdf["shard"].iloc[0])],
+                    "payload": [merge_sketch_payloads([bytes(p) for p in pdf["payload"]])],
+                    "n_items": [int(pdf["n_items"].sum())],
+                }
+            )
+
+        return partial.groupBy("shard").applyInPandas(merge_shard, SHARDED_SCHEMA)
+
+    def _hash_rows(self, df: DataFrame) -> DataFrame:
+        """(shard, h) per token — the narrow routing frame both the
+        routed build and the probe shuffle."""
+        n_shards = self.n_shards
+        flat_hashes = self._flat_hashes
+
+        def rows(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+            import pyarrow as pa
+
+            for batch in batches:
+                h = flat_hashes(batch)
+                if not h.size:
+                    continue
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(shard_of(h, n_shards), type=pa.int32()),
+                        pa.array(h.view(np.int64), type=pa.int64()),
+                    ],
+                    names=["shard", "h"],
+                )
+
+        return df.select(self.col).mapInArrow(rows, schema="shard int, h bigint")
+
+    def _build_routed(self, df: DataFrame, shuffle_partitions: int | None) -> DataFrame:
+        make_empty = self._empty
+        n_parts = int(shuffle_partitions or self.n_shards)
+        routedf = self._hash_rows(df).repartition(n_parts, "shard")
+
+        def fold(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+            import pyarrow as pa
+
+            accs: dict[int, BlockedBloomFilter] = {}
+            for batch in batches:
+                sh = batch.column("shard").to_numpy(zero_copy_only=False)
+                h = batch.column("h").to_numpy(zero_copy_only=False).view(np.uint64)
+                order = np.argsort(sh, kind="stable")
+                ss = sh[order]
+                hh = h[order]
+                starts = np.concatenate(([0], np.flatnonzero(ss[1:] != ss[:-1]) + 1))
+                bounds = np.concatenate((starts, [len(ss)]))
+                for i, s in enumerate(ss[starts]):
+                    acc = accs.get(int(s))
+                    if acc is None:
+                        acc = accs[int(s)] = make_empty()
+                    acc.add_hashes(hh[bounds[i] : bounds[i + 1]])
+            if accs:
+                # hash partitioning puts ALL of a shard's rows in this
+                # partition — these accumulators are final, no re-merge
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(list(accs.keys()), type=pa.int32()),
+                        pa.array([a.to_bytes() for a in accs.values()], type=pa.binary()),
+                        pa.array([a.n_items for a in accs.values()], type=pa.int64()),
+                    ],
+                    names=["shard", "payload", "n_items"],
+                )
+
+        return routedf.mapInArrow(fold, schema=SHARDED_SCHEMA)
+
+    # -- probe ---------------------------------------------------------
+
+    def count_contained(
+        self, df: DataFrame, sketch_df: DataFrame, spark: SparkSession | None = None
+    ) -> tuple[int, int]:
+        """(hits, total) over every token of ``df`` probed against the
+        sharded filter. Probe hashes shuffle ONCE by shard (narrow
+        (shard, h) rows) and cogroup with the sketch frame — each task
+        decodes exactly one shard's filter, so probe memory is bounded
+        by one shard regardless of the total filter size."""
+        probes = self._hash_rows(df)
+
+        def probe_shard(key, probe_pdf, sketch_pdf):
+            import pandas as pd
+
+            total = int(len(probe_pdf))
+            if total == 0:
+                return pd.DataFrame({"shard": [int(key[0])], "hits": [0], "total": [0]})
+            if len(sketch_pdf) == 0:
+                # no filter for this shard: nothing was ever inserted
+                return pd.DataFrame({"shard": [int(key[0])], "hits": [0], "total": [total]})
+            bf = sketch_from_bytes(bytes(sketch_pdf["payload"].iloc[0]))
+            h = probe_pdf["h"].to_numpy(dtype=np.int64).view(np.uint64)
+            hits = int(bf.contains_hashes(h).sum())
+            return pd.DataFrame({"shard": [int(key[0])], "hits": [hits], "total": [total]})
+
+        out = (
+            probes.groupBy("shard")
+            .cogroup(sketch_df.select("shard", "payload").groupBy("shard"))
+            .applyInPandas(probe_shard, "shard int, hits bigint, total bigint")
+            .agg(F.sum("hits").alias("hits"), F.sum("total").alias("total"))
+            .collect()[0]
+        )
+        return int(out["hits"] or 0), int(out["total"] or 0)
+
+    # -- stats ---------------------------------------------------------
+
+    def stats(self, sketch_df: DataFrame) -> DataFrame:
+        """Per-shard (shard, n_items, fill_ratio, bytes) — the
+        north-rule sketch-size/fill metrics, one narrow row per shard."""
+
+        def per_shard(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+            import pyarrow as pa
+
+            for batch in batches:
+                shards = batch.column("shard").to_pylist()
+                payloads = batch.column("payload").to_pylist()
+                items = batch.column("n_items").to_pylist()
+                fills, sizes = [], []
+                for p in payloads:
+                    bf = sketch_from_bytes(bytes(p))
+                    fills.append(round(bf.fill_ratio(), 8))
+                    sizes.append(len(bytes(p)))
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(shards, type=pa.int32()),
+                        pa.array(items, type=pa.int64()),
+                        pa.array(fills, type=pa.float64()),
+                        pa.array(sizes, type=pa.int64()),
+                    ],
+                    names=["shard", "n_items", "fill_ratio", "n_bytes"],
+                )
+
+        return sketch_df.mapInArrow(
+            per_shard, schema="shard int, n_items bigint, fill_ratio double, n_bytes bigint"
+        )
