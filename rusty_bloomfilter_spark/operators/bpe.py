@@ -125,12 +125,16 @@ def learn_bpe_merges(
         F.col("doc_id").cast("string").alias("doc_id"), F.col("tokens")
     ).persist()
     # materialize so each iteration counts over stable input, and check
-    # the token-id contract in the same pass
-    max_tok = cur.agg(F.max(F.array_max("tokens"))).collect()[0][0]
-    if max_tok is not None and max_tok >= vocab:
+    # the token-id contract in the same pass (BOTH bounds: a negative
+    # id collides pair keys just as silently as an oversized one)
+    bounds = cur.agg(
+        F.max(F.array_max("tokens")).alias("mx"), F.min(F.array_min("tokens")).alias("mn")
+    ).collect()[0]
+    if bounds["mx"] is not None and (bounds["mx"] >= vocab or bounds["mn"] < 0):
         cur.unpersist()
         raise ValueError(
-            f"token id {max_tok} >= vocab={vocab}; ids must be in [0, vocab)"
+            f"token ids must be in [0, vocab={vocab}); saw min={bounds['mn']}, "
+            f"max={bounds['mx']}"
         )
     merges: list[tuple[int, int, int, int]] = []
     try:

@@ -7,25 +7,36 @@ plan, but without a lifecycle each call would leak a cached RDD for
 the session's lifetime. This module ties every returned DataFrame to
 its persisted dependencies:
 
-- ``tie(result, *deps)`` records the deps and installs a weakref
-  finalizer: when the RESULT DataFrame is garbage-collected, its deps
-  unpersist (non-blocking) — long-running pipelines stop accumulating
-  executor storage even when callers never think about caching.
+- ``tie(result, *deps)`` stores the deps on the result object and in a
+  bounded FIFO of live dep-sets. When more than ``MAX_LIVE`` tied
+  results exist, the OLDEST dep-set is unpersisted — so a long-running
+  pipeline's cached-RDD footprint is bounded by the newest MAX_LIVE
+  operator calls, while the frames a just-built plan needs stay
+  persisted through materialization.
 - ``free(result)`` unpersists the deps explicitly, for deterministic
   cleanup once the caller has materialized (collected / written) the
   result. After ``free`` the result stays CORRECT but re-materializing
   it recomputes the producing stage per join side.
+
+A GC finalizer on the returned wrapper was tried and REVERTED: callers
+chain transformations off the result (``minhash_dedup(df).orderBy(...)``),
+so the tied wrapper is garbage-collected at plan-construction time and
+the deps would unpersist before any action runs — silently nullifying
+the persist the self-join plan requires. Lifetime here is therefore
+call-ordered (FIFO cap), not GC-ordered.
 """
 
 from __future__ import annotations
 
-import weakref
+from collections import deque
 
 from pyspark.sql import DataFrame
 
-_FINALIZERS: "weakref.WeakKeyDictionary[DataFrame, weakref.finalize]" = (
-    weakref.WeakKeyDictionary()
-)
+_DEPS_ATTR = "_rbf_tied_deps"
+
+# Bounded FIFO of (deps list) for live tied results, oldest first.
+MAX_LIVE = 8
+_LIVE: deque[list[DataFrame]] = deque()
 
 
 def _unpersist_all(deps: list[DataFrame]) -> None:
@@ -37,17 +48,26 @@ def _unpersist_all(deps: list[DataFrame]) -> None:
 
 
 def tie(result: DataFrame, *deps: DataFrame) -> DataFrame:
-    """Return ``result`` with ``deps`` scheduled for unpersist when the
-    result is garbage-collected (or ``free``d explicitly)."""
-    fin = weakref.finalize(result, _unpersist_all, list(deps))
-    fin.atexit = False  # never block interpreter shutdown on the JVM
-    _FINALIZERS[result] = fin
+    """Return ``result`` with ``deps`` registered for bounded-lifetime
+    unpersist (evicted FIFO after MAX_LIVE further tied calls, or
+    freed explicitly via ``free``)."""
+    dep_list = list(deps)
+    setattr(result, _DEPS_ATTR, dep_list)
+    _LIVE.append(dep_list)
+    while len(_LIVE) > MAX_LIVE:
+        _unpersist_all(_LIVE.popleft())
     return result
 
 
 def free(result: DataFrame) -> None:
     """Unpersist the persisted dependencies tied to ``result`` now.
     No-op for DataFrames with no tied deps."""
-    fin = _FINALIZERS.pop(result, None)
-    if fin is not None:
-        fin()
+    dep_list = getattr(result, _DEPS_ATTR, None)
+    if dep_list is None:
+        return
+    try:
+        _LIVE.remove(dep_list)
+    except ValueError:
+        pass  # already evicted by the FIFO cap
+    _unpersist_all(dep_list)
+    delattr(result, _DEPS_ATTR)

@@ -47,6 +47,8 @@ def bottom_k_sample(df: DataFrame, key_col: str, k: int) -> DataFrame:
     return (
         df.select(F.col(key_col).cast("string").alias("key"))
         .select("key", content_hash60(F.col("key")).alias("h"))
+        .where(F.col("h").isNotNull())  # NULL keys carry no identity; Spark
+        # sorts NULLS FIRST but DuckDB NULLS LAST — filtering keeps parity
         .orderBy("h", "key")
         .limit(k)
     )
@@ -60,6 +62,7 @@ def bottom_k_by(df: DataFrame, strata_col: str, key_col: str, k: int) -> DataFra
         F.col(strata_col).cast("string").alias("stratum"),
         F.col(key_col).cast("string").alias("key"),
     ).select("stratum", "key", content_hash60(F.col("key")).alias("h"))
+    hashed = hashed.where(F.col("h").isNotNull())
     w = Window.partitionBy("stratum").orderBy("h", "key")
     return (
         hashed.withColumn("rn", F.row_number().over(w))
@@ -79,6 +82,7 @@ def kmv_group_sketches(df: DataFrame, group_col: str, key_col: str, k: int) -> D
             F.col(key_col).cast("string").alias("key"),
         )
         .select("grp", content_hash60(F.col("key")).alias("h"))
+        .where(F.col("h").isNotNull())
         .distinct()
     )
     w = Window.partitionBy("grp").orderBy("h")
@@ -161,6 +165,7 @@ def kmv_distinct(df: DataFrame, key_col: str, k: int = 256) -> DataFrame:
     hashes = (
         df.select(F.col(key_col).cast("string").alias("key"))
         .select(content_hash60(F.col("key")).alias("h"))
+        .where(F.col("h").isNotNull())
         .distinct()
         .orderBy("h")
         .limit(k)

@@ -250,7 +250,16 @@ class ShardedBloomSketch:
             if len(sketch_pdf) == 0:
                 # no filter for this shard: nothing was ever inserted
                 return pd.DataFrame({"shard": [int(key[0])], "hits": [0], "total": [total]})
-            bf = sketch_from_bytes(bytes(sketch_pdf["payload"].iloc[0]))
+            # a unioned-but-not-yet-remerged sketch frame has multiple
+            # rows per shard: merge them here rather than silently
+            # probing one (which would be a false-negative hole)
+            if len(sketch_pdf) > 1:
+                from ..sketch import merge_sketch_payloads
+
+                payload = merge_sketch_payloads([bytes(p) for p in sketch_pdf["payload"]])
+            else:
+                payload = bytes(sketch_pdf["payload"].iloc[0])
+            bf = sketch_from_bytes(payload)
             h = probe_pdf["h"].to_numpy(dtype=np.int64).view(np.uint64)
             hits = int(bf.contains_hashes(h).sum())
             return pd.DataFrame({"shard": [int(key[0])], "hits": [hits], "total": [total]})

@@ -204,19 +204,45 @@ def test_lsh_bucket_frames_freed_after_free(spark, sequences_pdf):
     assert _persistent_rdd_count(spark) == base
 
 
-def test_lsh_bucket_frames_freed_on_gc(spark, sequences_pdf):
+def test_persist_survives_chained_transformations(spark, sequences_pdf):
+    """The code-review finding that killed the GC-finalizer design:
+    contract queries chain (.orderBy/.agg) off the operator result, so
+    the tied wrapper dies at plan-construction time. The persist must
+    still be LIVE when the chained plan materializes (else the
+    self-join recomputes the signature stage per side)."""
     from rusty_bloomfilter_spark.operators.dedup import simhash_near_dups, simhash_signatures
 
     spark.catalog.clearCache()
     gc.collect()
     base = _persistent_rdd_count(spark)
     seq = spark.createDataFrame(sequences_pdf.head(300))
-    out = simhash_near_dups(simhash_signatures(seq), max_hamming=3)
-    out.count()
+    # chain immediately and drop the tied wrapper — mirrors contract.py
+    chained = simhash_near_dups(simhash_signatures(seq), max_hamming=3).groupBy().count()
+    gc.collect()  # under the old GC-finalizer design this unpersisted the deps
+    chained.collect()  # materialize through the (still-)persisted frame
+    # the cached RDD exists iff the persist was live during execution
     assert _persistent_rdd_count(spark) > base
-    del out
+    spark.catalog.clearCache()
+
+
+def test_tied_deps_evicted_fifo_beyond_cap(spark, sequences_pdf):
+    """Session storage is bounded: after MAX_LIVE further tied calls,
+    the oldest dep-set is unpersisted automatically."""
+    from rusty_bloomfilter_spark.operators import cache
+    from rusty_bloomfilter_spark.operators.dedup import minhash_dedup
+
+    spark.catalog.clearCache()
     gc.collect()
+    base = _persistent_rdd_count(spark)
+    seq = spark.createDataFrame(sequences_pdf.head(120))
+    first = minhash_dedup(seq, n_hashes=16, bands=4)
+    first.count()
+    after_first = _persistent_rdd_count(spark)
+    assert after_first > base
+    for _ in range(cache.MAX_LIVE):
+        cache.tie(seq.limit(1), seq.limit(1))  # dummy tied calls age it out
     assert _persistent_rdd_count(spark) == base
+    spark.catalog.clearCache()
 
 
 # ---------------------------------------------------------------------------
@@ -242,3 +268,11 @@ def test_bigram_lm_plan_has_no_bigram_broadcast(spark, sequences_pdf):
     tree = plan.split("\n\n")[0]
     smj_keys = [ln for ln in plan.splitlines() if "Left keys" in ln]
     assert any("pair" in ln for ln in smj_keys), plan
+
+
+def test_bpe_rejects_negative_token_ids(spark):
+    from rusty_bloomfilter_spark.operators.bpe import learn_bpe_merges
+
+    df = spark.createDataFrame([("d0", [1, -1, 3])], "doc_id string, tokens array<int>")
+    with pytest.raises(ValueError, match="min=-1"):
+        learn_bpe_merges(df, n_merges=1, vocab=100)

@@ -123,3 +123,26 @@ def test_kmv_overlap_partition_invariant(spark):
     a = sorted(map(tuple, kmv_overlap(df.repartition(2), "grp", "key", k=64).collect()))
     b = sorted(map(tuple, kmv_overlap(df.repartition(13), "grp", "key", k=64).collect()))
     assert a == b and len(a) == 3
+
+
+def test_null_keys_ignored_everywhere(spark):
+    """NULL keys carry no identity: Spark sorts NULLS FIRST but DuckDB
+    NULLS LAST, so keeping them would silently break cross-engine
+    parity and occupy sketch slots. All four entry points drop them."""
+    from rusty_bloomfilter_spark.operators.sampling import (
+        bottom_k_by,
+        bottom_k_sample,
+        kmv_distinct,
+        kmv_group_sketches,
+        kmv_overlap,
+    )
+
+    rows = [("A", "k1"), ("A", None), ("B", "k2"), ("B", None), ("A", "k3")]
+    df = spark.createDataFrame(rows, "grp string, key string")
+    assert all(r["h"] is not None for r in bottom_k_sample(df, "key", 10).collect())
+    assert all(r["h"] is not None for r in bottom_k_by(df, "grp", "key", 10).collect())
+    assert all(r["h"] is not None for r in kmv_group_sketches(df, "grp", "key", 10).collect())
+    kd = kmv_distinct(df, "key", k=5).collect()[0]
+    assert kd["n_hashes"] == 3 and kd["est_distinct"] == 3.0
+    ov = kmv_overlap(df, "grp", "key", k=5).collect()[0]
+    assert ov["n_union_sample"] == 3  # k1,k2,k3 — no NULL slot

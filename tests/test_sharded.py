@@ -149,3 +149,17 @@ def test_shard_routing_independent_of_filter_bits():
         sel = shards[blocks % 2 == b]
         counts = np.bincount(sel, minlength=16)
         assert counts.std() / counts.mean() < 0.1
+
+
+def test_probe_merges_unremerged_union_frames(spark, shard_corpus):
+    """Probing a unioned-but-not-remerged sketch frame (two rows per
+    shard) must merge in the probe task — zero FN over BOTH corpora."""
+    df, pdf = shard_corpus
+    half = len(pdf) // 2
+    d1 = spark.createDataFrame(pdf.iloc[:half])
+    d2 = spark.createDataFrame(pdf.iloc[half:])
+    sk = ShardedBloomSketch(n_total=200_000, p=1e-4, n_shards=8)
+    unioned = sk.build(d1).unionByName(sk.build(d2))  # no re-merge
+    hits, total = sk.count_contained(df, unioned, spark)
+    assert total == len(_all_tokens(pdf))
+    assert hits == total  # would show false negatives before the fix
