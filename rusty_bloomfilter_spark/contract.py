@@ -778,6 +778,86 @@ def q_sharded_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _snapshot_split(spark: SparkSession, sf_dir: str):
+    """Deterministic prev/new snapshot construction over documents:
+    prev = doc_id % 4 != 1; new = doc_id % 4 == 1 PLUS re-identified
+    copies (doc_id + 10^9) of every doc_id % 10 == 0 doc — planted
+    cross-snapshot duplicates. Reproducible verbatim in DuckDB."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    prev = docs.filter(F.col("doc_id") % 4 != 1)
+    planted = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + F.lit(10**9)).alias("doc_id"), "text"
+    )
+    new = docs.filter(F.col("doc_id") % 4 == 1).unionByName(planted)
+    return prev, new
+
+
+_SNAPSHOT_CTE = """
+    WITH prev AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 != 1),
+         new_docs AS (
+            SELECT doc_id, text FROM documents WHERE doc_id % 4 = 1
+            UNION ALL
+            SELECT doc_id + 1000000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+         )
+"""
+
+
+@register(
+    "q_incremental_dedup_exact",
+    oracle=_SNAPSHOT_CTE
+    + """
+    SELECT n.doc_id AS doc_id FROM new_docs n
+    WHERE md5(n.text) IN (SELECT md5(text) FROM prev)
+    ORDER BY doc_id
+    """,
+)
+def q_incremental_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT companion of the incremental-dedup sketch: new-snapshot
+    docs whose content fingerprint appears in the previous snapshot
+    (hash-matched vs DuckDB)."""
+    prev, new = _snapshot_split(spark, sf_dir)
+    return (
+        new.join(
+            prev.select(F.md5("text").alias("fp")).distinct(),
+            F.md5(new["text"]) == F.col("fp"),
+            "left_semi",
+        )
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+@register("q_incremental_dedup")
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental cross-snapshot dedup via the sharded fingerprint
+    filter (plans/incremental.py): zero FN (every true duplicate
+    flagged — asserted in-query against the exact companion), FP-rate
+    bounded over-removal. Summary row so the driver check is stable."""
+    from .plans.incremental import incremental_dedup
+
+    prev, new = _snapshot_split(spark, sf_dir)
+    out = incremental_dedup(prev, new, expected_docs=500_000, p=1e-6, n_shards=8)
+    flagged = {
+        r["doc_id"] for r in out["flags"].filter("probably_seen").collect()
+    }
+    exact = {r["doc_id"] for r in q_incremental_dedup_exact(spark, sf_dir).collect()}
+    assert exact <= flagged, "zero-FN violated: a true duplicate was not flagged"
+    n_new = new.count()
+    out["seen"].unpersist()
+    return spark.createDataFrame(
+        [
+            (
+                n_new,
+                len(exact),
+                len(flagged),
+                len(flagged) - len(exact),  # false positives (over-removal)
+                n_new - len(flagged),
+            )
+        ],
+        "n_new bigint, n_true_dups bigint, n_flagged bigint, n_false_pos bigint, n_novel bigint",
+    )
+
+
 @register(
     "q_topk_two_pass",
     oracle=_SEQ_CTE

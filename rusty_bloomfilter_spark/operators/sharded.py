@@ -81,24 +81,34 @@ class ShardedBloomSketch:
         *,
         col: str = "tokens",
         ngram: int = 1,
+        scalar: bool = False,
     ):
         if n_shards < 1:
             raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+        if scalar and ngram != 1:
+            raise ValueError("ngram applies to array columns only")
         self.n_shards = int(n_shards)
         self.p = float(p)
         self.n_per_shard = max(1, int(np.ceil(n_total / n_shards)))
         self.col = col
         self.ngram = int(ngram)
+        self.scalar = bool(scalar)
 
     def _empty(self) -> BlockedBloomFilter:
         return BlockedBloomFilter.for_np(n=self.n_per_shard, p=self.p)
 
     def _flat_hashes(self, batch) -> np.ndarray:
-        """Fully-mixed uint64 hashes of every within-row n-gram (for
-        ngram=1: splitmix64 of each token) — the form add_hashes/
+        """Fully-mixed uint64 hashes of every item: each within-row
+        n-gram of an array column (ngram=1: splitmix64 per token), or
+        each value of a scalar int64 column — the form add_hashes/
         contains_hashes expect."""
-        from .sketches import arrow_row_lengths
+        from .sketches import _scalar_values, arrow_row_lengths
 
+        if self.scalar:
+            vals = _scalar_values(batch, self.col)
+            if vals.size == 0:
+                return np.empty(0, dtype=np.uint64)
+            return splitmix64(vals.view(np.uint64))
         flat = arrow_flat_tokens(batch, self.col)
         lengths = arrow_row_lengths(batch, self.col)
         return flat_ngram_hashes(flat, lengths, self.ngram)
@@ -272,6 +282,69 @@ class ShardedBloomSketch:
             .collect()[0]
         )
         return int(out["hits"] or 0), int(out["total"] or 0)
+
+    def flag_contained(
+        self, df: DataFrame, sketch_df: DataFrame, *, id_col: str
+    ) -> DataFrame:
+        """Per-row membership verdict for a SCALAR sketch: -> (id_col,
+        probably_seen boolean). Zero FN: every value that was inserted
+        flags True; a True on a novel value is a false positive at the
+        configured p. Same shuffle-by-shard shape as count_contained —
+        the id rides the narrow probe row, one shard's filter per task.
+        """
+        if not self.scalar:
+            raise ValueError("flag_contained requires a scalar-column sketch")
+        n_shards = self.n_shards
+        col = self.col
+
+        def hash_rows(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+            import pyarrow as pa
+
+            from .sketches import _scalar_values
+
+            for batch in batches:
+                vals = _scalar_values(batch, col)
+                if vals.size == 0:
+                    continue
+                ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+                h = splitmix64(vals.view(np.uint64))
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(shard_of(h, n_shards), type=pa.int32()),
+                        pa.array(h.view(np.int64), type=pa.int64()),
+                        pa.array(ids.astype(np.int64), type=pa.int64()),
+                    ],
+                    names=["shard", "h", "rid"],
+                )
+
+        probes = df.select(id_col, col).mapInArrow(
+            hash_rows, schema="shard int, h bigint, rid bigint"
+        )
+
+        def probe_shard(key, probe_pdf, sketch_pdf):
+            import pandas as pd
+
+            if len(probe_pdf) == 0:
+                return pd.DataFrame({"rid": [], "probably_seen": []})
+            rid = probe_pdf["rid"].to_numpy(dtype=np.int64)
+            if len(sketch_pdf) == 0:
+                return pd.DataFrame({"rid": rid, "probably_seen": np.zeros(len(rid), bool)})
+            if len(sketch_pdf) > 1:
+                from ..sketch import merge_sketch_payloads
+
+                payload = merge_sketch_payloads([bytes(p) for p in sketch_pdf["payload"]])
+            else:
+                payload = bytes(sketch_pdf["payload"].iloc[0])
+            bf = sketch_from_bytes(payload)
+            h = probe_pdf["h"].to_numpy(dtype=np.int64).view(np.uint64)
+            return pd.DataFrame({"rid": rid, "probably_seen": bf.contains_hashes(h)})
+
+        out = (
+            probes.groupBy("shard")
+            .cogroup(sketch_df.select("shard", "payload").groupBy("shard"))
+            .applyInPandas(probe_shard, "rid bigint, probably_seen boolean")
+        )
+        return out.select(F.col("rid").alias(id_col), "probably_seen")
 
     # -- stats ---------------------------------------------------------
 
