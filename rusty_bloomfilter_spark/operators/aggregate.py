@@ -105,6 +105,12 @@ def tree_merge(
         elif payloads:
             yield pd.DataFrame({"payload": [merge_payloads(payloads)], "n_items": [n_items]})
 
+    # the intermediate level only helps when it REDUCES fan-in: with
+    # P <= fanout partial rows it's a pure extra shuffle + python
+    # round-trip over the same rows (measured ~2.7s of overhead on 8x
+    # 5 MB payloads) — go straight to the final merge then
+    if sketch_df.rdd.getNumPartitions() <= fanout:
+        return sketch_df.repartition(1).mapInPandas(merge_final, schema=SKETCH_SCHEMA)
     level1 = sketch_df.repartition(fanout).mapInPandas(merge_partition, schema=SKETCH_SCHEMA)
     return level1.repartition(1).mapInPandas(merge_final, schema=SKETCH_SCHEMA)
 
@@ -316,6 +322,10 @@ def build_multi(
     def merge_final(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield from merge_rows(batches, emit_empty=True)
 
+    # same single-stage shortcut as tree_merge: a level that doesn't
+    # reduce fan-in is pure shuffle overhead
+    if partial.rdd.getNumPartitions() <= fanout:
+        return partial.repartition(1).mapInPandas(merge_final, schema=schema)
     level1 = partial.repartition(fanout).mapInPandas(merge_partial, schema=schema)
     return level1.repartition(1).mapInPandas(merge_final, schema=schema)
 
