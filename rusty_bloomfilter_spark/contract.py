@@ -1276,6 +1276,27 @@ def q_bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_weighted_sample",
+    oracle="""
+    SELECT CAST(doc_id AS VARCHAR) AS key,
+           CAST(n_chars AS DOUBLE) AS weight,
+           round(-ln((CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS DOUBLE) + 1.0)
+                     / 1152921504606846976.0) / CAST(n_chars AS DOUBLE), 10) AS score
+    FROM documents WHERE n_chars > 0
+    ORDER BY score, key LIMIT 50
+    """,
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sample without replacement (Efraimidis–Spirakis A-ES,
+    weight = document length): P(doc sampled) ∝ n_chars — the
+    quality-weighted corpus-mixing primitive, deterministic enough to
+    hash-match a SQL oracle (the randomness IS the content hash)."""
+    from .operators.sampling import weighted_bottom_k
+
+    return weighted_bottom_k(load_table(spark, sf_dir, "documents"), "doc_id", "n_chars", 50)
+
+
+@register(
     "q_stratified_sample",
     oracle="""
     SELECT source AS stratum, key, h FROM (

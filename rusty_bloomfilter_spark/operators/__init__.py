@@ -21,6 +21,7 @@ from .sampling import (
     kmv_distinct,
     kmv_group_sketches,
     kmv_overlap,
+    weighted_bottom_k,
 )
 from .sketches import (
     BlockedBloomSketch,
@@ -58,6 +59,7 @@ __all__ = [
     "kmv_group_sketches",
     "kmv_overlap",
     "tie",
+    "weighted_bottom_k",
     "learn_bpe_merges",
     "partition_sketches",
     "range_join",

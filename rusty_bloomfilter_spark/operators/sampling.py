@@ -71,6 +71,54 @@ def bottom_k_by(df: DataFrame, strata_col: str, key_col: str, k: int) -> DataFra
     )
 
 
+def weighted_bottom_k(
+    df: DataFrame, key_col: str, weight_col: str, k: int
+) -> DataFrame:
+    """Deterministic weighted sample without replacement (Efraimidis &
+    Spirakis 2006, A-ES): every key gets u = (h + 1) / 2^60 in (0, 1]
+    from its content hash and score = -ln(u) / w; the k SMALLEST
+    scores are the sample, with P(key sampled) proportional to its
+    weight — the standard quality-weighted corpus-mixing primitive
+    (sample documents ∝ quality score).
+
+    Same properties as bottom_k_sample: reproducible across runs,
+    engines, and partitionings (the randomness IS the content hash);
+    mergeable (bottom-k of a union = bottom-k of the parts' bottom-ks);
+    executes as TakeOrderedAndProject — local k per task, no full sort.
+    Rows with NULL keys, NULL/non-positive weights are excluded (a
+    weight of 0 means "never sample"; negative weights are undefined).
+
+    -> (key, weight, score) ordered by score asc.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    hashed = (
+        df.select(
+            F.col(key_col).cast("string").alias("key"),
+            F.col(weight_col).cast("double").alias("weight"),
+        )
+        .select("key", "weight", content_hash60(F.col("key")).alias("h"))
+        .where(F.col("h").isNotNull() & (F.col("weight") > 0))
+    )
+    u = (F.col("h").cast("double") + F.lit(1.0)) / F.lit(float(HASH_DOMAIN))
+    return (
+        hashed.select(
+            "key", "weight", F.round(-F.log(u) / F.col("weight"), 10).alias("score")
+        )
+        .orderBy("score", "key")
+        .limit(k)
+    )
+
+
+def duckdb_weighted_score(key_expr: str, weight_expr: str) -> str:
+    """DuckDB rendering of the A-ES score (same IEEE arithmetic)."""
+    h = duckdb_hash60(key_expr)
+    return (
+        f"round(-ln((CAST({h} AS DOUBLE) + 1.0) / 1152921504606846976.0)"
+        f" / CAST({weight_expr} AS DOUBLE), 10)"
+    )
+
+
 def kmv_group_sketches(df: DataFrame, group_col: str, key_col: str, k: int) -> DataFrame:
     """Per-group KMV sketch rows: the k smallest distinct key hashes of
     each group. -> (grp, h). One shuffle on the group key; window top-k

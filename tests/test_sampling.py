@@ -146,3 +146,52 @@ def test_null_keys_ignored_everywhere(spark):
     assert kd["n_hashes"] == 3 and kd["est_distinct"] == 3.0
     ov = kmv_overlap(df, "grp", "key", k=5).collect()[0]
     assert ov["n_union_sample"] == 3  # k1,k2,k3 — no NULL slot
+
+
+def test_weighted_sample_proportional_to_weight(spark):
+    """A-ES property: inclusion probability scales with weight. With
+    weights 10:1 over two equal-size populations and k = 10% of keys,
+    heavy keys must dominate the sample (binomial bound, det. hash)."""
+    from rusty_bloomfilter_spark.operators.sampling import weighted_bottom_k
+
+    rows = [(f"heavy-{i}", 10.0) for i in range(1000)]
+    rows += [(f"light-{i}", 1.0) for i in range(1000)]
+    df = spark.createDataFrame(rows, "key string, w double")
+    out = weighted_bottom_k(df, "key", "w", 200).collect()
+    heavy = sum(1 for r in out if r["key"].startswith("heavy"))
+    # E[heavy] ~ 183 of 200 at 10:1 odds (without-replacement tilt);
+    # any deterministic-hash draw lands well above 150
+    assert heavy >= 150, heavy
+    assert all(r["score"] >= 0 for r in out)
+    # ordered output, scores ascending
+    scores = [r["score"] for r in out]
+    assert scores == sorted(scores)
+
+
+def test_weighted_sample_partition_invariant_and_mergeable(spark):
+    from rusty_bloomfilter_spark.operators.sampling import weighted_bottom_k
+
+    rows = [(f"k{i}", 1.0 + (i % 7)) for i in range(3000)]
+    df = spark.createDataFrame(rows, "key string, w double")
+    a = [tuple(r) for r in weighted_bottom_k(df.repartition(3), "key", "w", 64).collect()]
+    b = [tuple(r) for r in weighted_bottom_k(df.repartition(11), "key", "w", 64).collect()]
+    assert a == b
+    # merge property: bottom-k of (bottom-k of halves) == bottom-k of whole
+    h1 = spark.createDataFrame(rows[:1500], "key string, w double")
+    h2 = spark.createDataFrame(rows[1500:], "key string, w double")
+    part = weighted_bottom_k(h1, "key", "w", 64).unionByName(
+        weighted_bottom_k(h2, "key", "w", 64)
+    )
+    merged = [
+        tuple(r) for r in part.orderBy("score", "key").limit(64).collect()
+    ]
+    assert merged == a
+
+
+def test_weighted_sample_excludes_nulls_and_nonpositive(spark):
+    from rusty_bloomfilter_spark.operators.sampling import weighted_bottom_k
+
+    rows = [("a", 2.0), (None, 5.0), ("b", 0.0), ("c", -1.0), ("d", 1.0)]
+    df = spark.createDataFrame(rows, "key string, w double")
+    keys = {r["key"] for r in weighted_bottom_k(df, "key", "w", 10).collect()}
+    assert keys == {"a", "d"}
