@@ -154,7 +154,11 @@ def main() -> None:
         state["kll_payload"] = got["kll"][0]
 
     def run_minhash():
-        minhash_dedup(dedup_seq, threshold=0.35).count()
+        from rusty_bloomfilter_spark.operators.cache import free
+
+        pairs = minhash_dedup(dedup_seq, threshold=0.35)
+        pairs.count()
+        free(pairs)  # drop this rep's bucket frame before the next
 
     def run_ann():
         ann_bruteforce_topk(embeddings, [0, 7, 42, 99, 123], k=5).collect()
