@@ -80,6 +80,7 @@ def tree_merge(
     *,
     fanout: int = 16,
     empty_payload: bytes | None = None,
+    n_parts: int | None = None,
 ) -> DataFrame:
     """Stages 2+3: depth-2 tree reduction over sketch rows. Returns a
     single-row DataFrame (payload, n_items). ``empty_payload`` (the
@@ -108,8 +109,14 @@ def tree_merge(
     # the intermediate level only helps when it REDUCES fan-in: with
     # P <= fanout partial rows it's a pure extra shuffle + python
     # round-trip over the same rows (measured ~2.7s of overhead on 8x
-    # 5 MB payloads) — go straight to the final merge then
-    if sketch_df.rdd.getNumPartitions() <= fanout:
+    # 5 MB payloads) — go straight to the final merge then.
+    # Callers that know the upstream partition count pass n_parts so we
+    # never touch .rdd here: with AQE, .rdd on a post-shuffle plan can
+    # eagerly materialize upstream query stages at plan-construction
+    # time (round-3 ADVICE).
+    if n_parts is None:
+        n_parts = sketch_df.rdd.getNumPartitions()
+    if n_parts <= fanout:
         return sketch_df.repartition(1).mapInPandas(merge_final, schema=SKETCH_SCHEMA)
     level1 = sketch_df.repartition(fanout).mapInPandas(merge_partition, schema=SKETCH_SCHEMA)
     return level1.repartition(1).mapInPandas(merge_final, schema=SKETCH_SCHEMA)
@@ -125,11 +132,15 @@ def build_sketch(
     fanout: int = 16,
 ) -> DataFrame:
     """Full pipeline: partition build -> tree merge -> single sketch row."""
+    # partition count measured on the INPUT (pre-mapInArrow, narrow) so
+    # tree_merge never pokes .rdd on a post-transform plan under AQE
+    n_parts = df.rdd.getNumPartitions()
     return tree_merge(
         partition_sketches(df, make_empty, update, columns=columns),
         merge_payloads,
         fanout=fanout,
         empty_payload=make_empty().to_bytes(),
+        n_parts=n_parts,
     )
 
 
@@ -280,6 +291,8 @@ def build_multi(
     """
     df = df.select(*columns)
     schema = _multi_schema(specs)
+    # measured on the input before mapInArrow (see tree_merge note)
+    n_parts = df.rdd.getNumPartitions()
 
     def build(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         accs = [mk() for _, mk, _, _ in specs]
@@ -324,7 +337,7 @@ def build_multi(
 
     # same single-stage shortcut as tree_merge: a level that doesn't
     # reduce fan-in is pure shuffle overhead
-    if partial.rdd.getNumPartitions() <= fanout:
+    if n_parts <= fanout:
         return partial.repartition(1).mapInPandas(merge_final, schema=schema)
     level1 = partial.repartition(fanout).mapInPandas(merge_partial, schema=schema)
     return level1.repartition(1).mapInPandas(merge_final, schema=schema)

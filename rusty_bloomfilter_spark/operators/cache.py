@@ -28,6 +28,8 @@ call-ordered (FIFO cap), not GC-ordered.
 
 from __future__ import annotations
 
+import os
+import threading
 from collections import deque
 
 from pyspark.sql import DataFrame
@@ -35,8 +37,26 @@ from pyspark.sql import DataFrame
 _DEPS_ATTR = "_rbf_tied_deps"
 
 # Bounded FIFO of (deps list) for live tied results, oldest first.
-MAX_LIVE = 8
+# NOTE: eviction is call-ordered, not materialization-ordered — a driver
+# that constructs more than MAX_LIVE tied plans before running any action
+# loses the oldest persist (recompute on use, never wrong results). Size
+# the cap to the pipeline's plan fan-out via RBF_CACHE_MAX_LIVE or
+# set_max_live() when that pattern applies.
+MAX_LIVE = int(os.environ.get("RBF_CACHE_MAX_LIVE", "8"))
 _LIVE: deque[list[DataFrame]] = deque()
+_LOCK = threading.Lock()  # multi-threaded drivers share the FIFO
+
+
+def set_max_live(n: int) -> None:
+    """Resize the live-dep-set cap (evicting oldest if shrinking)."""
+    global MAX_LIVE
+    evicted: list[list[DataFrame]] = []
+    with _LOCK:
+        MAX_LIVE = int(n)
+        while len(_LIVE) > MAX_LIVE:
+            evicted.append(_LIVE.popleft())
+    for deps in evicted:
+        _unpersist_all(deps)
 
 
 def _unpersist_all(deps: list[DataFrame]) -> None:
@@ -53,9 +73,13 @@ def tie(result: DataFrame, *deps: DataFrame) -> DataFrame:
     freed explicitly via ``free``)."""
     dep_list = list(deps)
     setattr(result, _DEPS_ATTR, dep_list)
-    _LIVE.append(dep_list)
-    while len(_LIVE) > MAX_LIVE:
-        _unpersist_all(_LIVE.popleft())
+    evicted: list[list[DataFrame]] = []
+    with _LOCK:
+        _LIVE.append(dep_list)
+        while len(_LIVE) > MAX_LIVE:
+            evicted.append(_LIVE.popleft())
+    for deps_ in evicted:  # unpersist outside the lock (py4j call)
+        _unpersist_all(deps_)
     return result
 
 
@@ -65,9 +89,10 @@ def free(result: DataFrame) -> None:
     dep_list = getattr(result, _DEPS_ATTR, None)
     if dep_list is None:
         return
-    try:
-        _LIVE.remove(dep_list)
-    except ValueError:
-        pass  # already evicted by the FIFO cap
+    with _LOCK:
+        try:
+            _LIVE.remove(dep_list)
+        except ValueError:
+            pass  # already evicted by the FIFO cap
     _unpersist_all(dep_list)
     delattr(result, _DEPS_ATTR)

@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .cache import tie
+
 HASH_BITS = 60
 HASH_DOMAIN = 1 << HASH_BITS
 
@@ -160,7 +162,10 @@ def kmv_overlap(df: DataFrame, group_col: str, key_col: str, k: int = 256) -> Da
     """
     if k < 2:
         raise ValueError(f"KMV needs k >= 2 (estimator uses k-1), got {k}")
-    sk = kmv_group_sketches(df, group_col, key_col, k)
+    # The sketch frame is referenced three times below (groups, a_side,
+    # b_side); without persist the distinct + window top-k shuffle would
+    # recompute per reference. Tied to the result for bounded lifetime.
+    sk = kmv_group_sketches(df, group_col, key_col, k).persist()
     groups = sk.select("grp").distinct()
     pairs = (
         groups.select(F.col("grp").alias("ga"))
@@ -188,7 +193,7 @@ def kmv_overlap(df: DataFrame, group_col: str, key_col: str, k: int = 256) -> Da
         F.lit(float(k - 1)) * F.lit(float(HASH_DOMAIN)) / F.col("kth").cast("double")
     )
     rho = F.col("n_both").cast("double") / F.col("n").cast("double")
-    return stats.select(
+    out = stats.select(
         F.col("ga").alias("source_a"),
         F.col("gb").alias("source_b"),
         F.col("n").alias("n_union_sample"),
@@ -196,6 +201,7 @@ def kmv_overlap(df: DataFrame, group_col: str, key_col: str, k: int = 256) -> Da
         F.round(rho * est_union, 6).alias("est_intersection"),
         F.round(rho, 6).alias("jaccard"),
     )
+    return tie(out, sk)
 
 
 def kmv_distinct(df: DataFrame, key_col: str, k: int = 256) -> DataFrame:

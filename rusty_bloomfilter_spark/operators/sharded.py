@@ -306,7 +306,15 @@ class ShardedBloomSketch:
                 vals = _scalar_values(batch, col)
                 if vals.size == 0:
                     continue
-                ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+                id_arr = batch.column(id_col)
+                if id_arr.null_count:
+                    # A NULL id would round-trip through float NaN and
+                    # silently cast to INT64_MIN — fail loudly instead.
+                    raise ValueError(
+                        f"flag_contained: {id_arr.null_count} NULL values in "
+                        f"id column {id_col!r}; ids must be non-null"
+                    )
+                ids = id_arr.to_numpy(zero_copy_only=False)
                 h = splitmix64(vals.view(np.uint64))
                 yield pa.RecordBatch.from_arrays(
                     [

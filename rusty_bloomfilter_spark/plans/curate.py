@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import quality_exprs, tokenize_md5
+from ..operators.cache import tie
 from ..operators.dedup import exact_dedup_groups, minhash_dedup
 from ..operators.sketches import BlockedBloomSketch
 from ..sketch import BlockedBloomFilter
@@ -64,17 +65,28 @@ def curate_corpus(
         "left_semi",
     )
 
+    # Persist the stage outputs that the plan reads MORE THAN ONCE:
+    # gated feeds both sides of the exact-dedup self-join, seq feeds both
+    # the MinHash candidate branch and the survivor join, survivors feeds
+    # the bloom build + stats + the caller. Without these, every count
+    # below re-ran the full pipeline (round-3 verdict: ~5 corpus-scale
+    # recomputes of the MinHash join); with them the pipeline
+    # materializes exactly once (test_curate job-count regression).
+    # Default StorageLevel is MEMORY_AND_DISK(_DESER): at 100 TB the
+    # gated/seq caches spill to local disk rather than OOM.
+    gated = gated.persist()
+
     seq = deduped.select(
         F.col("doc_id").cast("string").alias("doc_id"),
         tokenize_md5(F.col("text")).alias("tokens"),
         F.col("source"),
-    ).withColumn("n_tok", F.size("tokens"))
+    ).withColumn("n_tok", F.size("tokens")).persist()
 
     # near-dedup: drop doc_b of every near-duplicate pair (deterministic
     # keep-lowest rule)
     pairs = minhash_dedup(seq, threshold=jaccard_threshold)
     drop = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
-    survivors = seq.join(drop, "doc_id", "left_anti")
+    survivors = seq.join(drop, "doc_id", "left_anti").persist()
 
     holdout = None
     if holdout_k > 0:
@@ -87,13 +99,15 @@ def curate_corpus(
         survivors = survivors.join(F.broadcast(held_ids), "doc_id", "left_anti")
 
     sk = BlockedBloomSketch.for_np(n=bloom_n, p=bloom_p)
+    # The ONE corpus-scale action: materializes survivors (and, through
+    # its lineage, the gated/seq caches). Every count below hits a cache.
     payload, n_tokens = sk.build_bytes(survivors)
     filt = BlockedBloomFilter.from_bytes(payload)
 
-    n_in = documents.count()
-    n_gated = gated.count()
-    n_exact = deduped.count()
-    n_out = survivors.count()
+    n_in = documents.count()  # column-pruned parquet count, no pipeline
+    n_gated = gated.count()  # cached
+    n_exact = deduped.count()  # join of two reads of the gated cache
+    n_out = survivors.count()  # cached
     stats = {
         "docs_in": n_in,
         "docs_after_quality": n_gated,
@@ -105,7 +119,13 @@ def curate_corpus(
         "bloom_bytes": len(payload),
     }
     if holdout_k > 0:
-        stats["docs_holdout"] = holdout.count()
+        stats["docs_holdout"] = holdout.count()  # split of the survivors cache
+    # gated/seq are only needed while survivors materializes; survivors
+    # itself stays cached for the caller and is tied for bounded lifetime
+    # (free(out["sequences"]) or FIFO eviction reclaims it).
+    gated.unpersist(blocking=False)
+    seq.unpersist(blocking=False)
+    tie(survivors, survivors)
     out = {"sequences": survivors, "bloom_payload": payload, "stats": stats}
     if holdout is not None:
         out["holdout"] = holdout

@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..operators.cache import tie
 from ..operators.sharded import SHARDED_SCHEMA, ShardedBloomSketch
 
 
@@ -84,12 +85,18 @@ def incremental_dedup(
     the frame will eventually hold (all snapshots), not one snapshot.
     In production the "seen" frame is written/read as parquet between
     snapshots (it is an ordinary (shard, payload, n_items) DataFrame).
+
+    Lifecycle: ``seen`` is persisted (the probe cogroup and the merge
+    both reference it) and tied to ``flags`` via operators.cache.tie,
+    so the FIFO cap reclaims it even if the caller ignores the dict
+    entry; callers wanting deterministic cleanup still call
+    ``out["seen"].unpersist()`` (or ``free(out["flags"])``).
     """
     sk = ShardedBloomSketch(expected_docs, p, n_shards, col="fp", scalar=True)
     seen = sk.build(doc_fingerprints(prev_docs, text_col=text_col, id_col=id_col),
                     routed=routed).persist()
     new_fp = doc_fingerprints(new_docs, text_col=text_col, id_col=id_col)
-    flags = sk.flag_contained(new_fp, seen, id_col="doc_id")
+    flags = tie(sk.flag_contained(new_fp, seen, id_col="doc_id"), seen)
     novel_ids = flags.filter(~F.col("probably_seen")).select(
         F.col("doc_id").alias("_novel_id")
     )

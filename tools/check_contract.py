@@ -56,7 +56,9 @@ def main() -> int:
         .appName("contract-check")
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # NO arrow.pyspark.enabled here: the round driver's session does not
+        # set it, and enabling it locally hid the r3 q_sharded_bloom failure
+        # (pandas->Spark ndarray inference only works under Arrow conversion).
         .config("spark.driver.memory", "16g")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
