@@ -751,11 +751,12 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("q_media_stats")
 def q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL media decode, distributed: WAV (PCM16) and BMP (24-bit)
-    payloads are decoded with pure-numpy codecs inside mapInArrow;
-    per-kind aggregate of real audio/image statistics. (JPEG/MP4 remain
-    stubbed — codec libs absent; this query proves the non-stubbed
-    path end to end.)"""
+    """REAL media decode, distributed: WAV (PCM16), BMP (24-bit), PNG
+    (zlib inflate), and baseline JPEG (pure-numpy huffman + IDCT,
+    jpeg.py) payloads are decoded inside mapInArrow — ids ≡ 1 (mod 8)
+    in the synthetic table are 4:2:0 JPEGs, so this query exercises the
+    lossy compressed path end to end. Per-kind aggregate of real
+    audio/image statistics. (MP3/MP4 remain stubbed — ffmpeg absent.)"""
     from .operators.multimodal import media_stats, synthetic_real_media
 
     stats = media_stats(synthetic_real_media(spark, 120))

@@ -5,15 +5,16 @@ Spark-side machinery — schema, partition sizing, Arrow batch shape,
 UDF signatures — is real and tested.
 
 Decode status by format:
-- **WAV (RIFF PCM16) and BMP (uncompressed 24-bit): REAL decoders**,
-  pure struct+numpy (no codec libraries needed) — encode/decode
-  round-trip pinned in tests, real audio features (duration, RMS,
-  zero-crossing rate) and image features (dims, per-channel mean/std)
-  computed distributed via mapInArrow (`media_stats`).
-- JPEG/PNG/MP3/MP4: STUBBED — those need PIL/ffmpeg, absent in this
-  container. ``decode_media`` raises NotImplementedError for them
-  unless ``fake=True``, which yields a deterministic splitmix64 stream
-  so downstream plumbing stays exercisable.
+- **WAV (RIFF PCM16), BMP (uncompressed 24-bit), PNG (zlib inflate +
+  numpy defilter), and baseline JPEG (jpeg.py: huffman + IDCT in pure
+  numpy): REAL decoders** — encode/decode round-trips pinned in tests,
+  real audio features (duration, RMS, zero-crossing rate) and image
+  features (dims, per-channel mean/std) computed distributed via
+  mapInArrow (`media_stats`).
+- MP3/MP4: STUBBED — those need ffmpeg, absent in this container.
+  ``decode_media`` raises NotImplementedError for them unless
+  ``fake=True``, which yields a deterministic splitmix64 stream so
+  downstream plumbing stays exercisable.
 
 Scale notes: media rows are orders of magnitude wider than text rows —
 ``media_batch_hint`` shrinks Arrow batches so a batch of 4K images
@@ -339,9 +340,10 @@ def decode_media(payload: bytes, kind: str, *, fake: bool = False) -> np.ndarray
 
     Real paths (magic-byte dispatch, no codec libraries): RIFF/WAVE
     PCM16 -> the PCM bytes; BMP 24-bit -> flattened RGB pixels; PNG
-    (zlib inflate + numpy defilter) -> flattened pixels. Remaining
-    formats (JPEG/MP3/MP4) need PIL/ffmpeg — absent here — so they
-    raise NotImplementedError unless ``fake=True``, which yields a
+    (zlib inflate + numpy defilter) -> flattened pixels; baseline JPEG
+    (jpeg.py huffman + IDCT) -> flattened pixels. Remaining formats
+    (MP3/MP4) need ffmpeg — absent here — so they raise
+    NotImplementedError unless ``fake=True``, which yields a
     deterministic uint8 array derived from the payload so pipelines
     stay testable end to end.
     """
@@ -352,11 +354,15 @@ def decode_media(payload: bytes, kind: str, *, fake: bool = False) -> np.ndarray
         return decode_bmp24(payload).reshape(-1)
     if len(payload) >= 8 and payload[:8] == _PNG_SIG:
         return decode_png(payload).reshape(-1)
+    if len(payload) >= 3 and payload[:3] == b"\xff\xd8\xff":
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(payload).reshape(-1)
     if not fake:
         raise NotImplementedError(
-            "only WAV(PCM16)/BMP/PNG payloads decode natively; JPEG/MP3/MP4 "
-            "require codec libraries not present in this environment — pass "
-            "fake=True for the deterministic test decoder"
+            "only WAV(PCM16)/BMP/PNG/baseline-JPEG payloads decode natively; "
+            "MP3/MP4 require codec libraries not present in this environment "
+            "— pass fake=True for the deterministic test decoder"
         )
     raw = np.frombuffer(payload, dtype=np.uint8)
     return raw[: 1024 if kind == "image" else 2048]
@@ -364,11 +370,12 @@ def decode_media(payload: bytes, kind: str, *, fake: bool = False) -> np.ndarray
 
 def synthetic_real_media(spark: SparkSession, n_rows: int) -> DataFrame:
     """Deterministic media table with REAL decodable payloads: even ids
-    are WAV (PCM16 sine + hash noise); ids ≡ 1 (mod 4) are BMP and
-    ids ≡ 3 (mod 4) are PNG (same hash-gradient pixels; PNG rows cycle
-    through all five scanline filters) — so the table exercises a real
-    COMPRESSED format end to end. Pure function of the id —
-    partition-layout independent."""
+    are WAV (PCM16 sine + hash noise); odd ids are images with the same
+    hash-gradient pixels — ids ≡ 3 (mod 4) are PNG (cycling through all
+    five scanline filters), ids ≡ 1 (mod 8) are baseline JPEG (4:2:0,
+    quality 90 — lossy, the common crawl layout), the rest BMP — so the
+    table exercises lossless AND lossy compressed formats end to end.
+    Pure function of the id — partition-layout independent."""
 
     def gen(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
         import pyarrow as pa
@@ -405,6 +412,10 @@ def synthetic_real_media(spark: SparkSession, n_rows: int) -> DataFrame:
                     rows["kind"].append("image")
                     if i % 4 == 3:
                         rows["payload"].append(encode_png(px, filter_type=int(i) % 5))
+                    elif i % 8 == 1:
+                        from .jpeg import encode_jpeg
+
+                        rows["payload"].append(encode_jpeg(px, quality=90, subsample="420"))
                     else:
                         rows["payload"].append(encode_bmp24(px))
                     rows["width"].append(w)
@@ -487,8 +498,17 @@ def media_stats(media: DataFrame, *, media_batch_hint: int = 256) -> DataFrame:
                             row["zero_cross_rate"] = round(
                                 float(np.mean(np.signbit(pcm[1:]) != np.signbit(pcm[:-1]))), 6
                             )
-                        elif b[:2] == b"BM" or b[:8] == _PNG_SIG:
-                            px = decode_bmp24(b) if b[:2] == b"BM" else decode_png(b)
+                        elif b[:2] == b"BM" or b[:8] == _PNG_SIG or b[:3] == b"\xff\xd8\xff":
+                            if b[:2] == b"BM":
+                                px = decode_bmp24(b)
+                            elif b[:8] == _PNG_SIG:
+                                px = decode_png(b)
+                            else:
+                                from .jpeg import decode_jpeg
+
+                                px = decode_jpeg(b)
+                                if px.ndim == 2:  # grayscale JPEG
+                                    px = px[:, :, None]
                             row["height"], row["width"] = px.shape[0], px.shape[1]
                             ch = px.shape[2]
                             means = px.reshape(-1, ch).astype(np.float64).mean(axis=0)

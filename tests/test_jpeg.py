@@ -1,0 +1,139 @@
+"""Pure-numpy baseline JPEG codec (operators/jpeg.py): round-trips,
+spec headers, restart markers, error paths, and the distributed
+media_stats integration over real JPEG payloads."""
+
+import numpy as np
+import pytest
+
+from rusty_bloomfilter_spark.operators.jpeg import (
+    QT_LUM,
+    ZIGZAG,
+    decode_jpeg,
+    encode_jpeg,
+    quality_scale,
+)
+
+
+def _gradient(h, w):
+    y, x = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [
+            (x * 255 // max(w - 1, 1)).astype(np.uint8),
+            (y * 255 // max(h - 1, 1)).astype(np.uint8),
+            ((x + y) * 255 // max(w + h - 2, 1)).astype(np.uint8),
+        ],
+        axis=-1,
+    )
+
+
+@pytest.mark.parametrize("subsample", ["444", "420"])
+@pytest.mark.parametrize("quality", [95, 85, 50])
+def test_roundtrip_smooth_content(subsample, quality):
+    px = _gradient(48, 64)
+    enc = encode_jpeg(px, quality=quality, subsample=subsample)
+    dec = decode_jpeg(enc)
+    assert dec.shape == px.shape
+    err = np.abs(dec.astype(int) - px.astype(int))
+    # smooth gradients survive DCT quantization with small error
+    bound = {95: 8, 85: 10, 50: 16}[quality]
+    assert err.max() <= bound, f"max abs err {err.max()} > {bound}"
+    assert err.mean() <= 3.0
+
+
+def test_roundtrip_non_multiple_of_8_dims():
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, (17, 23, 3), dtype=np.uint8)
+    for sub in ("444", "420"):
+        dec = decode_jpeg(encode_jpeg(px, quality=95, subsample=sub))
+        assert dec.shape == px.shape  # edge padding cropped back
+
+
+def test_roundtrip_grayscale():
+    y, x = np.mgrid[0:40, 0:56]
+    g = (x * y * 255 // (55 * 39)).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg(g, quality=90))
+    assert dec.shape == g.shape and dec.ndim == 2
+    assert np.abs(dec.astype(int) - g.astype(int)).max() <= 4
+
+
+@pytest.mark.parametrize("interval", [1, 3, 7])
+def test_restart_markers_do_not_change_pixels(interval):
+    px = _gradient(40, 56)
+    base = decode_jpeg(encode_jpeg(px, quality=90, subsample="420"))
+    with_rst = decode_jpeg(
+        encode_jpeg(px, quality=90, subsample="420", restart_interval=interval)
+    )
+    assert np.array_equal(base, with_rst)
+
+
+def test_header_bytes_pinned():
+    """SOI/JFIF-APP0/EOI and quantization table layout per T.81."""
+    enc = encode_jpeg(_gradient(8, 8), quality=50)
+    assert enc[:2] == b"\xff\xd8"
+    assert enc[2:4] == b"\xff\xe0" and enc[6:11] == b"JFIF\x00"
+    assert enc[-2:] == b"\xff\xd9"
+    # quality=50 leaves the Annex-K luminance table unscaled; DQT stores
+    # it in zigzag order after the (precision<<4 | id) byte
+    dqt = enc.index(b"\xff\xdb")
+    stored = np.frombuffer(enc[dqt + 5 : dqt + 5 + 64], dtype=np.uint8)
+    assert np.array_equal(stored.astype(np.int64), QT_LUM[ZIGZAG])
+
+
+def test_quality_scale_monotone():
+    q10 = quality_scale(QT_LUM, 10)
+    q50 = quality_scale(QT_LUM, 50)
+    q95 = quality_scale(QT_LUM, 95)
+    assert (q10 >= q50).all() and (q50 >= q95).all()
+    assert np.array_equal(q50, QT_LUM)
+    assert q95.min() >= 1
+
+
+def test_progressive_rejected_with_marker_name():
+    enc = bytearray(encode_jpeg(_gradient(16, 16)))
+    sof = enc.index(b"\xff\xc0")
+    enc[sof + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+    with pytest.raises(NotImplementedError, match="0xFFC2"):
+        decode_jpeg(bytes(enc))
+
+
+def test_garbage_rejected():
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\xff\xd8\xff\xe0 not really a jpeg")
+    with pytest.raises(ValueError):
+        decode_jpeg(b"PNG?")
+
+
+def test_decode_media_dispatches_jpeg():
+    from rusty_bloomfilter_spark.operators.multimodal import decode_media
+
+    px = _gradient(24, 24)
+    flat = decode_media(encode_jpeg(px, quality=95), "image")
+    assert flat.shape == (24 * 24 * 3,)
+    assert np.abs(flat.astype(int) - px.reshape(-1).astype(int)).max() <= 8
+
+
+def test_media_stats_decodes_real_jpeg_rows(spark):
+    """ids ≡ 1 (mod 8) in synthetic_real_media are 4:2:0 JPEGs with the
+    same hash-gradient pixels as the BMP twin — stats must come out REAL
+    (dims exact, channel means within lossy tolerance), proving the
+    lossy-compressed decode end to end in the distributed operator."""
+    from rusty_bloomfilter_spark.operators.multimodal import (
+        media_stats,
+        synthetic_real_media,
+    )
+
+    rows = {r["media_id"]: r for r in media_stats(synthetic_real_media(spark, 40)).collect()}
+    jpeg_ids = [i for i in range(40) if i % 8 == 1]
+    assert jpeg_ids
+    for mid in jpeg_ids:
+        r = rows[mid]
+        w, h = 16 + mid % 48, 16 + mid % 32
+        assert r["kind"] == "image"
+        assert (r["width"], r["height"]) == (w, h)
+        expect_g = float(np.linspace(0, 255, w, dtype=np.uint8).mean())
+        assert r["mean_g"] == pytest.approx(expect_g, abs=3.0)
+        # compressed: payload smaller than raw pixels once the image is
+        # big enough for content to dominate the ~600B of fixed headers
+        assert r["n_bytes"] > 0
+        if 3 * w * h > 2500:
+            assert r["n_bytes"] < 3 * w * h
