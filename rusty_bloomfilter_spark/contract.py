@@ -1815,3 +1815,131 @@ def q_cube_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+# ===========================================================================
+# Streaming (Structured Streaming executions inside the batch contract:
+# file-source micro-batches, trigger(availableNow), memory/foreachBatch
+# sinks — deterministic final tables over bounded replays)
+# ===========================================================================
+
+
+def _stream_events_source(spark: SparkSession, sf_dir: str, n_files: int = 4):
+    """Materialize events as an n-file parquet dir so the file stream
+    source yields n micro-batches (maxFilesPerTrigger=1) — a genuine
+    incremental execution, not a single-batch degenerate run."""
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events")
+    src = tempfile.mkdtemp(prefix="rbf_stream_src_")
+    ev.repartition(n_files).write.mode("overwrite").parquet(src)
+    return spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(src)
+
+
+@register(
+    "q_streaming_windowed_counts",
+    oracle="""
+    SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS window_epoch,
+           event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming event-time windowed aggregation, HASH-MATCHED
+    against batch SQL: the events table replayed as 4 file-source
+    micro-batches, groupBy(window(ts, 1h), event_type) with exact
+    count + DECIMAL sum, complete output mode to a memory sink. The
+    final table is split-invariant (complete mode re-emits every
+    window's total state), so it must equal DuckDB's batch answer
+    bit-for-bit — streaming correctness, not just liveness."""
+    import tempfile
+    import uuid
+
+    stream = _stream_events_source(spark, sf_dir)
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,4)")).cast("double").alias("total_value"),
+        )
+    )
+    name = "rbf_stream_counts_" + uuid.uuid4().hex[:8]
+    ckpt = tempfile.mkdtemp(prefix="rbf_stream_ckpt_")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select(
+        F.col("w.start").cast("timestamp").cast("long").alias("window_epoch"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+
+
+@register("q_streaming_windowed_topk")
+def q_streaming_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator in the driver contract:
+    windowed_topk_tokens (applyInPandasWithState, CMS + candidate set
+    per event-time window, O(d*w + 2k) state) over the documents token
+    stream replayed as 3 micro-batches. foreachBatch records every
+    update-mode emission with its batch id; the final table keeps each
+    window's LAST emission — the top-k after the window saw all its
+    data. Registered rows-only (CMS estimates aren't one-shot SQL);
+    estimate accuracy is pinned in tests/test_multimodal_streaming.py
+    (test_windowed_topk_tokens_stream) against exact batch counts."""
+    import tempfile
+
+    from .streaming.stateful import windowed_topk_tokens
+
+    seq = sequences_from_documents(spark, sf_dir).select(
+        # deterministic synthetic event time: hour = doc_id % 6
+        F.timestamp_seconds(
+            F.lit(1704067200) + (F.col("doc_id").cast("long") % 6) * 3600
+        ).alias("ts"),
+        "tokens",
+    )
+    src = tempfile.mkdtemp(prefix="rbf_topk_src_")
+    seq.repartition(3).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(seq.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    out = windowed_topk_tokens(stream, ts_col="ts", tokens_col="tokens", window="1 hour", k=10)
+
+    emissions: list = []
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        for r in batch_df.collect():  # k rows per active window: tiny
+            emissions.append((batch_id, r))
+
+    ckpt = tempfile.mkdtemp(prefix="rbf_topk_ckpt_")
+    q = (
+        out.writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    last_batch: dict = {}
+    for bid, r in emissions:
+        key = r["window_start"]
+        if key not in last_batch or bid > last_batch[key]:
+            last_batch[key] = bid
+    final = [
+        (int(r["window_start"].timestamp()), int(r["tok"]), int(r["est_freq"]), int(r["rank"]))
+        for bid, r in emissions
+        if bid == last_batch[r["window_start"]]
+    ]
+    final.sort()
+    return spark.createDataFrame(
+        final, "window_epoch bigint, tok bigint, est_freq bigint, rank int"
+    )
