@@ -1943,3 +1943,60 @@ def q_streaming_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         final, "window_epoch bigint, tok bigint, est_freq bigint, rank int"
     )
+
+
+# ===========================================================================
+# Catalog-table scan (the Iceberg stand-in: the runtime jar is absent
+# and unvendorable — proof in sources/__init__.py — so the SAME
+# spark.read.table API is exercised against a session-catalog managed
+# table, with partition pruning asserted at runtime)
+# ===========================================================================
+
+
+@register(
+    "q_catalog_scan",
+    oracle=_SEQ_CTE
+    + """
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(len(tokens)) AS BIGINT) AS n_tokens
+    FROM sequences
+    WHERE source IN ('src3', 'src7')
+    GROUP BY source
+    """,
+)
+def q_catalog_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Managed-catalog table read through the same ``spark.read.table``
+    surface an Iceberg catalog serves: sequences written as a
+    source-partitioned managed table, re-read by table NAME with a
+    partition predicate. Self-gating: raises unless the physical plan
+    shows the partition filter reached the scan (so at 10^12 rows only
+    2 of 20 source partitions are listed, not filtered post-read).
+    Hash-matched against DuckDB over the original documents."""
+    import contextlib
+    import io
+
+    table = "rbf_catalog_sequences"
+    seq = sequences_from_documents(spark, sf_dir)
+    # the default metastore is per-session while the warehouse dir is
+    # not: a previous session's orphaned location blocks CREATE, so
+    # clear both the catalog entry and the directory
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    import shutil
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(f"{wh}/{table}", ignore_errors=True)
+    seq.write.mode("overwrite").partitionBy("source").format("parquet").saveAsTable(table)
+    scan = spark.read.table(table).filter(F.col("source").isin("src3", "src7"))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        scan.explain("formatted")
+    plan = buf.getvalue()
+    if "PartitionFilters" not in plan or "source" not in plan.split("PartitionFilters", 1)[1][:200]:
+        raise AssertionError(
+            "partition predicate did not reach the catalog scan:\n" + plan[:2000]
+        )
+    return scan.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens"),
+    )
