@@ -197,6 +197,15 @@ def main() -> None:
     extra["sketch_profile_replaces"] = "q_hll_distinct+q_cms_build+q_kll_ntok"
     extra["bloom_build_tokens_per_sec"] = round(n_tokens / queries["q_bloom_build"], 1)
     extra["bloom_probe_tokens_per_sec"] = round(n_tokens / queries["q_bloom_probe"], 1)
+    # round-over-round visibility for the non-Bloom heavy queries
+    # (round-3 verdict task 10): same corpus tokens / wall time
+    extra["sketch_profile_tokens_per_sec"] = round(
+        n_tokens / queries["q_sketch_profile"], 1
+    )
+    extra["minhash_tokens_per_sec"] = round(n_tokens / queries["q_minhash_dedup"], 1)
+    extra["token_profile_tokens_per_sec"] = round(
+        n_tokens / queries["q_token_profile"], 1
+    )
     extra["bloom_classic_tokens_per_sec"] = round(
         n_tokens / queries["q_bloom_build_classic"], 1
     )
