@@ -180,9 +180,18 @@ class ShardedBloomSketch:
 
         return partial.groupBy("shard").applyInPandas(merge_shard, SHARDED_SCHEMA)
 
-    def _hash_rows(self, df: DataFrame) -> DataFrame:
+    def _hash_rows(self, df: DataFrame, *, with_counts: bool = False) -> DataFrame:
         """(shard, h) per token — the narrow routing frame both the
-        routed build and the probe shuffle."""
+        routed build and the probe shuffle.
+
+        ``with_counts=True`` (build path only): map-side dedup — each
+        Arrow batch emits its DISTINCT hashes plus their multiplicity
+        (shard, h, cnt). Bloom insertion is idempotent, so dropping
+        duplicate hashes before the shuffle changes nothing about the
+        filter while cutting shuffled rows by the batch's repeat factor
+        (~10x on zipf-ish token streams whose batch size exceeds the
+        vocabulary); cnt preserves exact n_items accounting. NOT used
+        for probes — probe counts are per-occurrence semantics."""
         n_shards = self.n_shards
         flat_hashes = self._flat_hashes
 
@@ -193,38 +202,62 @@ class ShardedBloomSketch:
                 h = flat_hashes(batch)
                 if not h.size:
                     continue
-                yield pa.RecordBatch.from_arrays(
-                    [
-                        pa.array(shard_of(h, n_shards), type=pa.int32()),
-                        pa.array(h.view(np.int64), type=pa.int64()),
-                    ],
-                    names=["shard", "h"],
-                )
+                if with_counts:
+                    h, cnt = np.unique(h, return_counts=True)
+                    yield pa.RecordBatch.from_arrays(
+                        [
+                            pa.array(shard_of(h, n_shards), type=pa.int32()),
+                            pa.array(h.view(np.int64), type=pa.int64()),
+                            pa.array(cnt.astype(np.int64), type=pa.int64()),
+                        ],
+                        names=["shard", "h", "cnt"],
+                    )
+                else:
+                    yield pa.RecordBatch.from_arrays(
+                        [
+                            pa.array(shard_of(h, n_shards), type=pa.int32()),
+                            pa.array(h.view(np.int64), type=pa.int64()),
+                        ],
+                        names=["shard", "h"],
+                    )
 
-        return df.select(self.col).mapInArrow(rows, schema="shard int, h bigint")
+        schema = "shard int, h bigint, cnt bigint" if with_counts else "shard int, h bigint"
+        return df.select(self.col).mapInArrow(rows, schema=schema)
 
     def _build_routed(self, df: DataFrame, shuffle_partitions: int | None) -> DataFrame:
         make_empty = self._empty
         n_parts = int(shuffle_partitions or self.n_shards)
-        routedf = self._hash_rows(df).repartition(n_parts, "shard")
+        routedf = self._hash_rows(df, with_counts=True).repartition(n_parts, "shard")
 
         def fold(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
             import pyarrow as pa
 
             accs: dict[int, BlockedBloomFilter] = {}
+            items: dict[int, int] = {}
             for batch in batches:
                 sh = batch.column("shard").to_numpy(zero_copy_only=False)
                 h = batch.column("h").to_numpy(zero_copy_only=False).view(np.uint64)
+                cnt = batch.column("cnt").to_numpy(zero_copy_only=False)
                 order = np.argsort(sh, kind="stable")
                 ss = sh[order]
                 hh = h[order]
+                cc = cnt[order]
                 starts = np.concatenate(([0], np.flatnonzero(ss[1:] != ss[:-1]) + 1))
                 bounds = np.concatenate((starts, [len(ss)]))
                 for i, s in enumerate(ss[starts]):
-                    acc = accs.get(int(s))
+                    s = int(s)
+                    acc = accs.get(s)
                     if acc is None:
-                        acc = accs[int(s)] = make_empty()
+                        acc = accs[s] = make_empty()
+                        items[s] = 0
+                    seg_items = int(cc[bounds[i] : bounds[i + 1]].sum())
                     acc.add_hashes(hh[bounds[i] : bounds[i + 1]])
+                    # n_items = TOKEN insertions (pre-dedup): correct the
+                    # filter's internal counter (baked into the wire
+                    # header, so bitwise parity with the map-side build
+                    # requires it) by the dedup delta
+                    acc.n_items += seg_items - (bounds[i + 1] - bounds[i])
+                    items[s] += seg_items
             if accs:
                 # hash partitioning puts ALL of a shard's rows in this
                 # partition — these accumulators are final, no re-merge
@@ -232,7 +265,7 @@ class ShardedBloomSketch:
                     [
                         pa.array(list(accs.keys()), type=pa.int32()),
                         pa.array([a.to_bytes() for a in accs.values()], type=pa.binary()),
-                        pa.array([a.n_items for a in accs.values()], type=pa.int64()),
+                        pa.array([items[s] for s in accs.keys()], type=pa.int64()),
                     ],
                     names=["shard", "payload", "n_items"],
                 )
