@@ -163,3 +163,37 @@ def test_probe_merges_unremerged_union_frames(spark, shard_corpus):
     hits, total = sk.count_contained(df, unioned, spark)
     assert total == len(_all_tokens(pdf))
     assert hits == total  # would show false negatives before the fix
+
+
+def test_routed_build_shuffles_distinct_hashes_not_tokens(spark):
+    """Round-4 shuffle-width regression: the routed build's routing
+    frame emits per-batch DISTINCT hashes with multiplicities, so on a
+    duplicate-heavy corpus the shuffled row count tracks the vocabulary
+    (50 here), not the token count (50,000) — while cnt still sums to
+    the exact token count and the built filter matches the map-side
+    plan bitwise (covered by test_sharded_routed_equals_mapside_bitwise)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    n_rows, row_len, vocab = 1000, 50, 50
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [str(i) for i in range(n_rows)],
+            "tokens": [
+                np.arange(vocab, dtype=np.int64).tolist() for _ in range(n_rows)
+            ],
+        }
+    )
+    df = spark.createDataFrame(pdf).repartition(4)
+    sk = ShardedBloomSketch(n_total=10_000, p=1e-3, n_shards=4)
+    routing = sk._hash_rows(df, with_counts=True)
+    agg = routing.agg(
+        F.count("*").alias("rows"), F.sum("cnt").alias("tokens")
+    ).collect()[0]
+    assert agg["tokens"] == n_rows * vocab  # exact multiplicity accounting
+    # <= vocab distinct hashes per map partition (4 partitions)
+    assert agg["rows"] <= 4 * vocab, f"shuffle rows {agg['rows']} not deduped"
+    # and the build over this frame still inserts every token exactly
+    sketch_df = sk.build(df, routed=True)
+    total_items = sketch_df.agg(F.sum("n_items")).collect()[0][0]
+    assert total_items == n_rows * vocab
