@@ -1839,7 +1839,7 @@ def _stream_events_source(spark: SparkSession, sf_dir: str, n_files: int = 4):
 @register(
     "q_streaming_windowed_counts",
     oracle="""
-    SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS window_epoch,
+    SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
            event_type,
            count(*) AS n_events,
            CAST(sum(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS total_value
@@ -1877,8 +1877,11 @@ def q_streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination(300)
+    # date_format of the NTZ window start is timezone-FREE (no session-tz
+    # dependence — the driver session may not run in UTC), unlike an
+    # epoch cast which routes NTZ -> LTZ through the session zone
     return spark.table(name).select(
-        F.col("w.start").cast("timestamp").cast("long").alias("window_epoch"),
+        F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
         "event_type",
         "n_events",
         "total_value",
