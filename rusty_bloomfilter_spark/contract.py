@@ -2003,3 +2003,69 @@ def q_catalog_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_tok").cast("bigint").alias("n_tokens"),
     )
+
+
+@register("q_checkpoint_resume")
+def q_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north rule's resumability pillar, driver-visible: the corpus
+    is written as a multi-file parquet input, a partial run checkpoints
+    HALF the files' per-file sketch rows (simulated crash), then
+    build_with_checkpoint resumes — it must rebuild only the missing
+    files and the resumed filter must be BITWISE-IDENTICAL to a direct
+    uncheckpointed build (asserted in-query; merge algebra makes the
+    split invisible). Emits the lineage metrics a production job logs.
+    Rows-only: the payload-equality assert is the real gate."""
+    import tempfile
+
+    from .operators.aggregate import partition_sketches
+    from .operators.checkpoint import build_with_checkpoint
+    from .operators.sketches import BlockedBloomSketch
+    from .sketch import merge_sketch_payloads
+
+    seq = sequences_from_documents(spark, sf_dir).select("tokens")
+    src = tempfile.mkdtemp(prefix="rbf_ckpt_src_")
+    seq.repartition(6).write.mode("overwrite").parquet(src)
+
+    sk = BlockedBloomSketch.for_np(n=500_000, p=1e-4)
+
+    # direct build (no checkpoint) — the bitwise oracle
+    direct = partition_sketches(
+        spark.read.parquet(src), sk._empty, sk._update, columns=["tokens"]
+    )
+    from .operators.aggregate import tree_merge
+
+    drow = tree_merge(direct, merge_sketch_payloads, fanout=8).collect()[0]
+
+    # simulated crash: checkpoint only half the input files
+    files = sorted(spark.read.parquet(src).inputFiles())
+    half = files[: len(files) // 2]
+    ckpt = tempfile.mkdtemp(prefix="rbf_ckpt_dir_") + "/ckpt"
+    from .operators.checkpoint import _file_sketches
+
+    _file_sketches(
+        spark.read.parquet(*half), sk._empty, sk._update, columns=["tokens"]
+    ).write.mode("overwrite").parquet(ckpt)
+
+    report = build_with_checkpoint(
+        spark, src, ckpt, sk._empty, sk._update, merge_sketch_payloads,
+        columns=["tokens"], fanout=8,
+    )
+    assert report.payload == bytes(drow["payload"]), "resume != direct build"
+    assert report.n_items == int(drow["n_items"])
+    assert 0 < report.resumed_files < report.total_files  # genuine resume
+    assert report.built_files == report.total_files - report.resumed_files
+    m = report.metrics()
+    from .sketch import BlockedBloomFilter
+
+    filt = BlockedBloomFilter.from_bytes(report.payload)
+    return spark.createDataFrame(
+        [
+            (
+                m["total_files"], m["resumed_files"], m["built_files"],
+                m["n_items"], m["sketch_bytes"],
+                round(filt.fill_ratio(), 6), 1,
+            )
+        ],
+        "total_files int, resumed_files int, built_files int, n_items bigint, "
+        "sketch_bytes bigint, fill_ratio double, bitwise_equal int",
+    )
