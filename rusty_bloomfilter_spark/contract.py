@@ -1980,16 +1980,18 @@ def q_catalog_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     table = "rbf_catalog_sequences"
     seq = sequences_from_documents(spark, sf_dir)
-    # the default metastore is per-session while the warehouse dir is
-    # not: a previous session's orphaned location blocks CREATE, so
-    # clear both the catalog entry and the directory
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
-    import shutil
-    from urllib.parse import urlparse
+    # EXTERNAL table at a fresh temp location: the default warehouse dir
+    # lives under the driver's CWD (may be read-only) and outlives the
+    # per-session metastore (an orphaned location blocks CREATE), so a
+    # managed table is environment-fragile; the catalog/pruning surface
+    # under test is identical either way
+    import tempfile
 
-    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-    shutil.rmtree(f"{wh}/{table}", ignore_errors=True)
-    seq.write.mode("overwrite").partitionBy("source").format("parquet").saveAsTable(table)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    loc = tempfile.mkdtemp(prefix="rbf_catalog_tbl_")
+    seq.write.mode("overwrite").partitionBy("source").format("parquet").option(
+        "path", loc
+    ).saveAsTable(table)
     scan = spark.read.table(table).filter(F.col("source").isin("src3", "src7"))
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
