@@ -540,62 +540,69 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     restart_interval = 0
     scan = None
 
-    while pos < len(data) - 1:
-        if data[pos] != 0xFF:
-            pos += 1
-            continue
-        marker = data[pos + 1]
-        pos += 2
-        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
-            continue
-        if marker == 0xD9:  # EOI
-            break
-        if pos + 2 > len(data):
-            raise ValueError("truncated JPEG segment")
-        seglen = struct.unpack(">H", data[pos : pos + 2])[0]
-        body = bytes(data[pos + 2 : pos + seglen])
-        if marker == 0xDB:  # DQT (may hold several tables)
-            i = 0
-            while i < len(body):
-                prec, tid = body[i] >> 4, body[i] & 0xF
-                i += 1
-                if prec == 0:
-                    tbl = np.frombuffer(body, dtype=np.uint8, count=64, offset=i).astype(np.int64)
-                    i += 64
-                else:
-                    tbl = np.frombuffer(body, dtype=">u2", count=64, offset=i).astype(np.int64)
-                    i += 128
-                qt[tid] = tbl[_UNZIGZAG]  # stored zigzag -> natural
-        elif marker == 0xC4:  # DHT (may hold several tables)
-            i = 0
-            while i < len(body):
-                cls, tid = body[i] >> 4, body[i] & 0xF
-                bits = list(body[i + 1 : i + 17])
-                n = sum(bits)
-                vals = list(body[i + 17 : i + 17 + n])
-                (huff_dc if cls == 0 else huff_ac)[tid] = _HuffDecoder(bits, vals)
-                i += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
-            prec, h, w, nc = struct.unpack(">BHHB", body[:6])
-            if prec != 8:
-                raise NotImplementedError(f"JPEG precision {prec} (only 8-bit)")
-            comps = []
-            for ci in range(nc):
-                cid, hv, tq = body[6 + 3 * ci : 9 + 3 * ci]
-                comps.append((cid, hv >> 4, hv & 0xF, tq))
-            frame = (h, w, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise NotImplementedError(
-                f"JPEG SOF marker 0xFF{marker:02X} (only baseline SOF0 supported)"
-            )
-        elif marker == 0xDD:  # DRI
-            restart_interval = struct.unpack(">H", body[:2])[0]
-        elif marker == 0xDA:  # SOS
-            ns = body[0]
-            scan = [(body[1 + 2 * i], body[2 + 2 * i] >> 4, body[2 + 2 * i] & 0xF) for i in range(ns)]
+    try:
+        while pos < len(data) - 1:
+            if data[pos] != 0xFF:
+                pos += 1
+                continue
+            marker = data[pos + 1]
+            pos += 2
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                continue
+            if marker == 0xD9:  # EOI
+                break
+            if pos + 2 > len(data):
+                raise ValueError("truncated JPEG segment")
+            seglen = struct.unpack(">H", data[pos : pos + 2])[0]
+            body = bytes(data[pos + 2 : pos + seglen])
+            if marker == 0xDB:  # DQT (may hold several tables)
+                i = 0
+                while i < len(body):
+                    prec, tid = body[i] >> 4, body[i] & 0xF
+                    i += 1
+                    if prec == 0:
+                        tbl = np.frombuffer(body, dtype=np.uint8, count=64, offset=i).astype(np.int64)
+                        i += 64
+                    else:
+                        tbl = np.frombuffer(body, dtype=">u2", count=64, offset=i).astype(np.int64)
+                        i += 128
+                    qt[tid] = tbl[_UNZIGZAG]  # stored zigzag -> natural
+            elif marker == 0xC4:  # DHT (may hold several tables)
+                i = 0
+                while i < len(body):
+                    cls, tid = body[i] >> 4, body[i] & 0xF
+                    bits = list(body[i + 1 : i + 17])
+                    n = sum(bits)
+                    vals = list(body[i + 17 : i + 17 + n])
+                    (huff_dc if cls == 0 else huff_ac)[tid] = _HuffDecoder(bits, vals)
+                    i += 17 + n
+            elif marker == 0xC0:  # SOF0 baseline
+                prec, h, w, nc = struct.unpack(">BHHB", body[:6])
+                if prec != 8:
+                    raise NotImplementedError(f"JPEG precision {prec} (only 8-bit)")
+                comps = []
+                for ci in range(nc):
+                    cid, hv, tq = body[6 + 3 * ci : 9 + 3 * ci]
+                    comps.append((cid, hv >> 4, hv & 0xF, tq))
+                frame = (h, w, comps)
+            elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                raise NotImplementedError(
+                    f"JPEG SOF marker 0xFF{marker:02X} (only baseline SOF0 supported)"
+                )
+            elif marker == 0xDD:  # DRI
+                restart_interval = struct.unpack(">H", body[:2])[0]
+            elif marker == 0xDA:  # SOS
+                ns = body[0]
+                scan = [(body[1 + 2 * i], body[2 + 2 * i] >> 4, body[2 + 2 * i] & 0xF) for i in range(ns)]
+                pos += seglen
+                break
             pos += seglen
-            break
-        pos += seglen
+
+    except (IndexError, struct.error) as e:
+        # short read anywhere in the segment headers (truncated DHT/
+        # DQT/SOF body): surface as ValueError so distributed decoders
+        # degrade to a metadata-only row instead of failing the task
+        raise ValueError("truncated JPEG header segment") from e
 
     if frame is None or scan is None:
         raise ValueError("JPEG missing SOF0/SOS")
@@ -654,8 +661,49 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     reader = _BitReader(entropy)
     pred = {cid: 0 for cid, _, _ in scan}
     rst_iter = iter(rst_positions)
-    mcu_count = 0
 
+    try:
+        _decode_mcus(
+            reader, scan_info, comp_by_id, gdims, grids, pred, rst_iter,
+            restart_interval, mcux, mcuy,
+        )
+    except IndexError as e:
+        # bit reader ran off the end: truncated/corrupt entropy stream.
+        # Surface as ValueError so distributed decoders (media_stats)
+        # degrade to a metadata-only row instead of failing the task.
+        raise ValueError("truncated JPEG entropy stream") from e
+
+    # reconstruct each component plane
+    planes: dict[int, np.ndarray] = {}
+    for cid, hi, vi, tq in comps:
+        bw, bh = gdims[cid]
+        zz = grids[cid]
+        deq = np.empty_like(zz, dtype=np.float64)
+        deq[:, ZIGZAG] = zz * qt[tq][ZIGZAG][None, :]
+        spatial = _idct_blocks(deq.reshape(-1, 8, 8)) + 128.0
+        cw = -(-w * hi // hmax)
+        ch = -(-h * vi // vmax)
+        planes[cid] = np.clip(np.round(_from_blocks(spatial, bw, bh, ch, cw)), 0, 255)
+
+    if len(comps) == 1:
+        return planes[comps[0][0]].astype(np.uint8)
+
+    # upsample chroma to full res (nearest-neighbor) and convert
+    full = np.empty((h, w, 3), dtype=np.float64)
+    for idx, (cid, hi, vi, _tq) in enumerate(comps):
+        p = planes[cid]
+        if hi != hmax or vi != vmax:
+            p = np.repeat(np.repeat(p, vmax // vi, axis=0), hmax // hi, axis=1)
+        full[..., idx] = p[:h, :w]
+    return ycbcr_to_rgb(full)
+
+
+def _decode_mcus(
+    reader, scan_info, comp_by_id, gdims, grids, pred, rst_iter,
+    restart_interval, mcux, mcuy,
+) -> None:
+    """Entropy-decode every MCU into the per-component block grids."""
+    mcu_count = 0
     for my in range(mcuy):
         for mx in range(mcux):
             if restart_interval and mcu_count and mcu_count % restart_interval == 0:
@@ -689,27 +737,3 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                             zz[k] = _extend(reader.read_bits(s), s)
                             k += 1
             mcu_count += 1
-
-    # reconstruct each component plane
-    planes: dict[int, np.ndarray] = {}
-    for cid, hi, vi, tq in comps:
-        bw, bh = gdims[cid]
-        zz = grids[cid]
-        deq = np.empty_like(zz, dtype=np.float64)
-        deq[:, ZIGZAG] = zz * qt[tq][ZIGZAG][None, :]
-        spatial = _idct_blocks(deq.reshape(-1, 8, 8)) + 128.0
-        cw = -(-w * hi // hmax)
-        ch = -(-h * vi // vmax)
-        planes[cid] = np.clip(np.round(_from_blocks(spatial, bw, bh, ch, cw)), 0, 255)
-
-    if len(comps) == 1:
-        return planes[comps[0][0]].astype(np.uint8)
-
-    # upsample chroma to full res (nearest-neighbor) and convert
-    full = np.empty((h, w, 3), dtype=np.float64)
-    for idx, (cid, hi, vi, _tq) in enumerate(comps):
-        p = planes[cid]
-        if hi != hmax or vi != vmax:
-            p = np.repeat(np.repeat(p, vmax // vi, axis=0), hmax // hi, axis=1)
-        full[..., idx] = p[:h, :w]
-    return ycbcr_to_rgb(full)

@@ -137,3 +137,31 @@ def test_media_stats_decodes_real_jpeg_rows(spark):
         assert r["n_bytes"] > 0
         if 3 * w * h > 2500:
             assert r["n_bytes"] < 3 * w * h
+
+
+@pytest.mark.parametrize("cut_frac", [0.5, 0.75, 0.95])
+def test_truncated_entropy_is_valueerror_not_indexerror(cut_frac):
+    """Crawl payloads truncate mid-stream; the bit reader must surface
+    ValueError (which media_stats converts to a metadata-only row), never
+    IndexError (which would fail the whole Spark task)."""
+    px = _gradient(40, 56)
+    enc = encode_jpeg(px, quality=90)
+    cut = int(len(enc) * cut_frac)
+    try:
+        decode_jpeg(enc[:cut])  # tiny cuts can still decode - fine
+    except (ValueError, NotImplementedError):
+        pass
+
+
+def test_media_stats_truncated_jpeg_is_metadata_row(spark):
+    from rusty_bloomfilter_spark.operators.multimodal import media_stats
+
+    enc = encode_jpeg(_gradient(24, 24), quality=90)
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(enc[: len(enc) // 2]))],
+        "media_id long, kind string, payload binary",
+    )
+    rows = media_stats(media).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_bytes"] > 0 and r["width"] is None and r["mean_g"] is None
