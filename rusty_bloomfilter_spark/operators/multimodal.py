@@ -268,7 +268,10 @@ def decode_png(payload: bytes) -> np.ndarray:
         (length,) = struct.unpack_from(">I", payload, pos)
         typ = payload[pos + 4 : pos + 8]
         data = payload[pos + 8 : pos + 8 + length]
-        if len(data) < length:
+        # the CRC word must also fit: a payload cut inside it would raise
+        # struct.error, which distributed decoders don't treat as
+        # "undecodable payload" (round-4 truncation fuzz)
+        if len(data) < length or pos + 12 + length > len(payload):
             raise ValueError("truncated PNG chunk")
         (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
         if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:

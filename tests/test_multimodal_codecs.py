@@ -200,3 +200,31 @@ def test_media_stats_decodes_real_png_rows(spark):
         )
         # PNG payloads are materially smaller than the raw pixel bytes
         assert 0 < r["n_bytes"] < 3 * w * h
+
+
+def test_truncated_payloads_never_raise_non_valueerror():
+    """Round-4 truncation fuzz: every prefix of a valid WAV/BMP/PNG
+    payload must decode or raise ValueError/NotImplementedError — never
+    struct.error/zlib.error/IndexError, which media_stats does not treat
+    as 'undecodable payload' and which would fail the whole Spark task."""
+    from rusty_bloomfilter_spark.operators.multimodal import (
+        decode_bmp24,
+        decode_png,
+        decode_wav_pcm16,
+        encode_bmp24,
+        encode_png,
+        encode_wav_pcm16,
+    )
+
+    px = np.full((12, 10, 3), 128, dtype=np.uint8)
+    cases = [
+        (encode_png(px), decode_png),
+        (encode_bmp24(px), decode_bmp24),
+        (encode_wav_pcm16(np.zeros(4000), 16000), decode_wav_pcm16),
+    ]
+    for enc, dec in cases:
+        for cut in range(9, len(enc)):
+            try:
+                dec(enc[:cut])
+            except (ValueError, NotImplementedError):
+                pass
