@@ -62,6 +62,34 @@ def arrow_row_lengths(batch: "pa.RecordBatch", col: str) -> np.ndarray:
     return np.nan_to_num(lens, nan=0.0).astype(np.int64)
 
 
+def dedup_counts(flat: np.ndarray) -> tuple[np.ndarray, np.ndarray] | None:
+    """(distinct values, multiplicities) via bincount when the value
+    range is narrow relative to the batch — the shape of a token stream,
+    whose values live in a bounded vocabulary (~50k-200k) while a
+    partition's batch holds millions of occurrences. Returns None when
+    dedup wouldn't pay (small batch, or wide-range values like 64-bit
+    ids). O(n + range) sequential passes — no sort (sorting Arrow-batch
+    sized arrays is cache-hostile, see CLAUDE.md).
+
+    Sketch updates are either insert-idempotent (Bloom, HLL — callers
+    must correct the accumulator's n_items by the dedup delta to keep
+    canonical bytes partition-invariant) or accept multiplicity weights
+    (CMS), so folding a batch through its distinct values cuts
+    hash+update work by the batch's repeat factor (~75x on a 50k-vocab
+    4M-token partition) for two linear scans.
+    """
+    n = flat.size
+    if n < (1 << 14) or flat.dtype.kind not in "iu":
+        return None  # small batch, or float (nullable flatten) — decline
+    lo = int(flat.min())
+    rng = int(flat.max()) - lo + 1
+    if rng > (1 << 22) or rng > 4 * n:
+        return None
+    counts = np.bincount(flat - lo, minlength=rng)
+    nz = np.flatnonzero(counts)
+    return (nz + lo).astype(flat.dtype, copy=False), counts[nz]
+
+
 
 def _scalar_values(batch, col: str) -> np.ndarray:
     """Scalar numeric column -> int64 numpy (nulls -> 0).
@@ -134,7 +162,15 @@ class BloomSketch:
         elif self.ngram == 1:
             toks = arrow_flat_tokens(batch, self.col)
             if toks.size:
-                acc.add_tokens(toks)
+                dc = dedup_counts(toks)
+                if dc is None:
+                    acc.add_tokens(toks)
+                else:
+                    # idempotent insert: distinct values set the same
+                    # bits; n_items corrected to the occurrence count
+                    # (baked into the wire header — partition invariance)
+                    acc.add_tokens(dc[0])
+                    acc.n_items += toks.size - dc[0].size
         else:
             flat = arrow_flat_tokens(batch, self.col)
             lengths = arrow_row_lengths(batch, self.col)
@@ -243,7 +279,11 @@ class BloomSketch:
                     _scalar_values(batch, col) if scalar else arrow_flat_tokens(batch, col)
                 )
                 if toks.size:
-                    hits += int(bf.contains_tokens(toks).sum())
+                    dc = None if scalar else dedup_counts(toks)
+                    if dc is None:
+                        hits += int(bf.contains_tokens(toks).sum())
+                    else:  # per-occurrence semantics via multiplicities
+                        hits += int(dc[1][bf.contains_tokens(dc[0])].sum())
                     total += int(toks.size)
             yield pa.RecordBatch.from_pydict({"hits": [hits], "total": [total]})
 
@@ -302,7 +342,12 @@ class BlockedBloomSketch:
         elif self.ngram == 1:
             toks = arrow_flat_tokens(batch, self.col)
             if toks.size:
-                acc.add_tokens(toks)
+                dc = dedup_counts(toks)
+                if dc is None:
+                    acc.add_tokens(toks)
+                else:
+                    acc.add_tokens(dc[0])
+                    acc.n_items += toks.size - dc[0].size
         else:
             flat = arrow_flat_tokens(batch, self.col)
             lengths = arrow_row_lengths(batch, self.col)
@@ -342,7 +387,11 @@ class BlockedBloomSketch:
                     _scalar_values(batch, col) if scalar else arrow_flat_tokens(batch, col)
                 )
                 if toks.size:
-                    hits += int(bf.contains_tokens(toks).sum())
+                    dc = None if scalar else dedup_counts(toks)
+                    if dc is None:
+                        hits += int(bf.contains_tokens(toks).sum())
+                    else:  # per-occurrence semantics via multiplicities
+                        hits += int(dc[1][bf.contains_tokens(dc[0])].sum())
                     total += int(toks.size)
             yield pa.RecordBatch.from_pydict({"hits": [hits], "total": [total]})
 
@@ -395,7 +444,14 @@ class HllSketch:
         else:
             toks = arrow_flat_tokens(batch, self.col)
             if toks.size:
-                acc.add_tokens(toks)
+                dc = dedup_counts(toks)
+                if dc is None:
+                    acc.add_tokens(toks)
+                else:
+                    # register max is insert-idempotent; n_items corrected
+                    # (in the wire header) for partition invariance
+                    acc.add_tokens(dc[0])
+                    acc.n_items += toks.size - dc[0].size
 
     _merge = staticmethod(merge_sketch_payloads)
 
@@ -439,7 +495,13 @@ class CmsSketch:
     def _update(self, acc: CountMinSketch, batch) -> None:
         toks = arrow_flat_tokens(batch, self.col)
         if toks.size:
-            acc.add_tokens(toks)
+            dc = dedup_counts(toks)
+            if dc is None:
+                acc.add_tokens(toks)
+            else:
+                # CMS adds multiplicities natively; bincount weights sum
+                # to small exact ints, so the table bits are identical
+                acc.add_u64(tokens_to_u64(dc[0]), dc[1])
 
     _merge = staticmethod(merge_sketch_payloads)
 

@@ -265,3 +265,54 @@ def test_sql_sketch_aggregates(spark, seq_df, sequences_pdf):
         oracle_bf = BloomFilter.empty(shape)
         oracle_bf.add_tokens(np.concatenate(list(grp["tokens"])).astype(np.int64))
         assert bytes(r["bloom_payload"]) == oracle_bf.to_bytes()
+
+
+def test_dedup_counts_unit():
+    """bincount dedup: exact (values, multiplicities), negatives ok,
+    wide-range and small inputs decline."""
+    from rusty_bloomfilter_spark.operators.sketches import dedup_counts
+
+    rng = np.random.default_rng(5)
+    flat = rng.integers(-50, 2000, 1 << 15, dtype=np.int64)
+    dc = dedup_counts(flat)
+    assert dc is not None
+    uniq, cnt = dc
+    e_uniq, e_cnt = np.unique(flat, return_counts=True)
+    assert np.array_equal(uniq, e_uniq) and np.array_equal(cnt, e_cnt)
+    assert int(cnt.sum()) == flat.size
+    # small batch: not worth two scans
+    assert dedup_counts(flat[:100]) is None
+    # wide-range values (64-bit-hash-like): decline
+    wide = rng.integers(0, 2**62, 1 << 15, dtype=np.int64)
+    assert dedup_counts(wide) is None
+
+
+def test_dedup_build_bitwise_equal_and_probe_counts(spark):
+    """The dedup fast path must be invisible: payload bytes (incl. the
+    n_items header word) and per-occurrence probe counts identical to a
+    build/probe over the raw stream. Forced by comparing a duplicate-
+    heavy corpus (batch >> vocab, dedup fires) against a unique-valued
+    one built through the same code (dedup declines)."""
+    import pandas as pd
+
+    from rusty_bloomfilter_spark.operators.sketches import BlockedBloomSketch, BloomSketch
+
+    n_rows, row_len, vocab = 600, 40, 500
+    rng = np.random.default_rng(11)
+    toks = [rng.integers(0, vocab, row_len).astype(np.int64) for _ in range(n_rows)]
+    pdf = pd.DataFrame({"doc_id": [str(i) for i in range(n_rows)], "tokens": [t.tolist() for t in toks]})
+    df = spark.createDataFrame(pdf).repartition(2)
+    flat = np.concatenate(toks)
+
+    for sk in (BloomSketch.for_np(n=10_000, p=1e-3), BlockedBloomSketch.for_np(n=10_000, p=1e-3)):
+        payload, n = sk.build_bytes(df, fanout=4)
+        assert n == flat.size  # occurrence count survives dedup
+        # numpy oracle: insert the raw (duplicate-heavy) stream directly
+        oracle = sk._empty()
+        oracle.add_tokens(flat)
+        if hasattr(oracle, "to_filter"):
+            assert payload == oracle.to_filter().to_bytes()
+        else:
+            assert payload == oracle.to_bytes()
+        hits, total = sk.count_contained(df, payload, spark)
+        assert (hits, total) == (flat.size, flat.size)  # zero FN, per-occurrence
