@@ -772,6 +772,85 @@ def q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_mp4_frame_plan",
+    oracle="""
+    WITH vids AS (
+      SELECT i AS media_id,
+             CAST(24 + (i % 40) AS BIGINT) AS n_frames,
+             CAST(20 + (i % 5) * 10 AS BIGINT) AS delta_ms
+      FROM range(0, 90) t(i) WHERE i % 3 <> 2
+    ),
+    frames AS (
+      SELECT v.media_id, v.delta_ms, g.j AS frame_idx,
+             CAST(200 + ((v.media_id*31 + g.j*17) % 512) AS BIGINT) AS byte_len,
+             CAST(32 + COALESCE(SUM(200 + ((v.media_id*31 + g.j*17) % 512))
+                OVER (PARTITION BY v.media_id ORDER BY g.j
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS byte_off
+      FROM vids v, LATERAL (SELECT unnest(generate_series(0, v.n_frames - 1)) AS j) g
+    ),
+    ticks AS (
+      SELECT v.media_id, g.tick_ms
+      FROM vids v, LATERAL (
+        SELECT unnest(generate_series(0, v.n_frames * v.delta_ms - 1, 250)) AS tick_ms
+      ) g
+    )
+    SELECT t.media_id, t.tick_ms, f.frame_idx,
+           f.frame_idx * f.delta_ms AS frame_ts_ms, f.byte_off, f.byte_len
+    FROM ticks t JOIN frames f
+      ON f.media_id = t.media_id AND f.frame_idx = t.tick_ms // f.delta_ms
+    """,
+)
+def q_mp4_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MP4 container parsing with an arithmetic cross-check: the
+    synthetic video table's payloads are structurally valid ISO BMFF
+    files whose sample tables (stts/stsc/stsz/stco) are closed-form
+    functions of the id. Spark PARSES THE BYTES (operators.containers)
+    and emits a ranged-read frame-sampling plan — one row per 250 ms
+    tick with the covering frame's absolute byte range — while the
+    DuckDB oracle re-derives the identical rows from the closed form
+    without touching a byte. A hash match proves the box walker,
+    chunk-offset expansion, and timestamp math end to end. At 100 TB
+    this plan is what turns "decode every video" into "ranged-read only
+    the sampled frames"."""
+    from .operators.multimodal import frame_sample_plan_bytes, synthetic_video_media
+
+    media = synthetic_video_media(spark, 90)
+    return frame_sample_plan_bytes(media, every_ms=250)
+
+
+@register(
+    "q_container_stats",
+    oracle="""
+    SELECT i AS media_id,
+           CASE WHEN i % 3 = 2 THEN 'mp3' ELSE 'mp4' END AS container,
+           CASE WHEN i % 3 = 2 THEN 'mp3' ELSE 'avc1' END AS codec,
+           CAST(CASE WHEN i % 3 = 2 THEN 20 + (i % 30)
+                     ELSE 24 + (i % 40) END AS BIGINT) AS n_frames,
+           CASE WHEN i % 3 = 2
+                THEN round((20 + (i % 30)) * 1152 * 1000.0 / 44100, 6)
+                ELSE CAST((24 + (i % 40)) * (20 + (i % 5) * 10) AS DOUBLE)
+           END AS duration_ms,
+           CAST(CASE WHEN i % 3 = 2 THEN 44100 END AS INTEGER) AS sample_rate,
+           CAST(CASE WHEN i % 3 <> 2 THEN 160 + (i % 4) * 80 END AS INTEGER) AS width,
+           CAST(CASE WHEN i % 3 <> 2 THEN 120 + (i % 3) * 60 END AS INTEGER) AS height
+    FROM range(0, 90) t(i)
+    """,
+)
+def q_container_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-media container metadata, no sample decode: MP4 box-tree
+    walk (mvhd/tkhd/mdhd/stsd + sample tables) and MPEG-1 Layer III
+    frame-header walk (bitrate/samplerate tables, ID3v2 skip), both
+    pure byte-structure parsers in operators.containers. The oracle
+    re-derives every field from the generator's closed form — a hash
+    match pins frame counts, durations (exact integer-sample
+    arithmetic), dimensions, and codec fourcc extraction."""
+    from .operators.multimodal import container_stats, synthetic_video_media
+
+    return container_stats(synthetic_video_media(spark, 90))
+
+
+@register(
     "q_source_overlap_exact",
     oracle=_SEQ_CTE
     + """

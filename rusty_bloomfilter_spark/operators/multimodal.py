@@ -364,8 +364,10 @@ def decode_media(payload: bytes, kind: str, *, fake: bool = False) -> np.ndarray
     if not fake:
         raise NotImplementedError(
             "only WAV(PCM16)/BMP/PNG/baseline-JPEG payloads decode natively; "
-            "MP3/MP4 require codec libraries not present in this environment "
-            "— pass fake=True for the deterministic test decoder"
+            "MP3/MP4 SAMPLE decode requires codec libraries not present in "
+            "this environment (their CONTAINER structure parses for real via "
+            "operators.containers.parse_mp4/parse_mp3) — pass fake=True for "
+            "the deterministic test decoder"
         )
     raw = np.frombuffer(payload, dtype=np.uint8)
     return raw[: 1024 if kind == "image" else 2048]
@@ -589,10 +591,12 @@ def extract_features(
 
 
 def frame_sample_plan(media: DataFrame, *, every_ms: int = 1000) -> DataFrame:
-    """Video frame-sampling PLAN: one output row per sampled frame
-    timestamp (decode stubbed; timestamps & partitioning real).
-    Demonstrates the explode-then-process shape that keeps each frame an
-    independent row for downstream (narrow) feature extraction."""
+    """Video frame-sampling PLAN from METADATA columns: one output row
+    per sampled frame timestamp (decode stubbed; timestamps &
+    partitioning real). Demonstrates the explode-then-process shape that
+    keeps each frame an independent row for downstream (narrow) feature
+    extraction. See frame_sample_plan_bytes for the payload-parsing
+    variant that yields real byte ranges."""
     return (
         media.filter(F.col("kind") == "video")
         .select(
@@ -601,4 +605,187 @@ def frame_sample_plan(media: DataFrame, *, every_ms: int = 1000) -> DataFrame:
                 F.sequence(F.lit(0), F.greatest(F.col("duration_ms") - 1, F.lit(0)), F.lit(every_ms))
             ).alias("frame_ts_ms"),
         )
+    )
+
+
+def synthetic_video_media(spark: SparkSession, n_rows: int) -> DataFrame:
+    """Deterministic media table with REAL container payloads: ids ≡ 2
+    (mod 3) are MPEG-1 Layer III CBR audio streams, the rest are
+    single-track MP4s (ftyp + mdat + trailing moov with full
+    stts/stsc/stsz/stco sample tables). Every structural byte is real
+    and parsed back by operators.containers; sample payloads are
+    deterministic filler (codec libs absent — documented there). All
+    fields are closed-form functions of the id, so an independent SQL
+    oracle can re-derive frame counts, durations, and byte ranges
+    without touching the bytes (contract.q_mp4_frame_plan)."""
+    from .containers import encode_mp3_cbr, encode_mp4
+
+    def gen(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        import pyarrow as pa
+
+        for batch in batches:
+            ids = batch.column("id").to_numpy(zero_copy_only=False).astype(np.int64)
+            out = {"media_id": [], "kind": [], "payload": [], "source": []}
+            for i in ids:
+                i = int(i)
+                if i % 3 == 2:
+                    payload = encode_mp3_cbr(
+                        20 + i % 30, bitrate_kbps=128, sample_rate=44100,
+                        id3=b"\x00" * (i % 17),
+                    )
+                    kind = "audio"
+                else:
+                    n = 24 + i % 40
+                    sizes = 200 + ((i * 31 + np.arange(n, dtype=np.int64) * 17) % 512)
+                    payload = encode_mp4(
+                        sizes,
+                        delta_ticks=20 + (i % 5) * 10,
+                        timescale=1000,
+                        width=160 + (i % 4) * 80,
+                        height=120 + (i % 3) * 60,
+                    )
+                    kind = "video"
+                out["media_id"].append(i)
+                out["kind"].append(kind)
+                out["payload"].append(payload)
+                out["source"].append("cc" if i % 5 == 0 else "crawl")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out["media_id"], type=pa.int64()),
+                    pa.array(out["kind"], type=pa.string()),
+                    pa.array(out["payload"], type=pa.binary()),
+                    pa.array(out["source"], type=pa.string()),
+                ],
+                names=list(out),
+            )
+
+    return spark.range(n_rows).mapInArrow(
+        gen, schema="media_id bigint, kind string, payload binary, source string"
+    )
+
+
+FRAME_PLAN_SCHEMA = (
+    "media_id bigint, tick_ms bigint, frame_idx bigint, frame_ts_ms bigint, "
+    "byte_off bigint, byte_len bigint"
+)
+
+
+def frame_sample_plan_bytes(
+    media: DataFrame, *, every_ms: int = 1000, media_batch_hint: int = 256
+) -> DataFrame:
+    """REAL frame-sampling plan: parse each MP4 payload's sample tables
+    (stts/stsc/stsz/stco) and emit, for every ``every_ms`` tick inside
+    the track duration, the frame covering that tick with its absolute
+    byte range in the file — exactly what a 100-TB sampler needs to
+    issue ranged reads into object storage and ship ONLY the selected
+    frames to a decoder fleet. Non-MP4 payloads are skipped. Narrow
+    rows out; no codec work, no full-payload shuffle."""
+    from .containers import mp4_sample_table
+
+    hint = int(media_batch_hint)
+    step = int(every_ms)
+
+    def plan(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        import pyarrow as pa
+
+        for batch in _sliced(batches, hint):
+            ids = batch.column("media_id").to_pylist()
+            payloads = batch.column("payload").to_pylist()
+            cols: dict[str, list] = {
+                k.split()[0]: [] for k in FRAME_PLAN_SCHEMA.split(", ")
+            }
+            for mid, pl in zip(ids, payloads):
+                if pl is None or bytes(pl)[4:8] != b"ftyp":
+                    continue
+                try:
+                    t = mp4_sample_table(bytes(pl))
+                except ValueError:
+                    continue  # corrupt container: skip, never fail the task
+                ts_ms = (t["ts_ticks"] * 1000) // int(t["timescale"])
+                if len(ts_ms) == 0:
+                    continue
+                dur_ms = max(int(t["duration_ticks"] * 1000 // int(t["timescale"])), 1)
+                ticks = np.arange(0, dur_ms, step, dtype=np.int64)
+                idx = np.searchsorted(ts_ms, ticks, side="right") - 1
+                cols["media_id"].extend([mid] * len(ticks))
+                cols["tick_ms"].extend(ticks.tolist())
+                cols["frame_idx"].extend(idx.tolist())
+                cols["frame_ts_ms"].extend(ts_ms[idx].tolist())
+                cols["byte_off"].extend(t["offsets"][idx].tolist())
+                cols["byte_len"].extend(t["sizes"][idx].tolist())
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(cols[k], type=pa.int64()) for k in cols], names=list(cols)
+            )
+
+    return media.select("media_id", "payload").mapInArrow(plan, schema=FRAME_PLAN_SCHEMA)
+
+
+CONTAINER_STATS_SCHEMA = (
+    "media_id bigint, container string, codec string, n_frames bigint, "
+    "duration_ms double, sample_rate int, width int, height int"
+)
+
+
+def container_stats(media: DataFrame, *, media_batch_hint: int = 256) -> DataFrame:
+    """Per-media CONTAINER metadata (no sample decode): MP4 box-tree
+    walk and MP3 frame-header walk via operators.containers. Rows with
+    unparseable payloads yield (media_id, container=null) — metadata
+    queries never fail on crawl garbage."""
+    from .containers import parse_mp3, parse_mp4
+
+    hint = int(media_batch_hint)
+
+    def stats(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        import pyarrow as pa
+
+        for batch in _sliced(batches, hint):
+            ids = batch.column("media_id").to_pylist()
+            payloads = batch.column("payload").to_pylist()
+            cols: dict[str, list] = {
+                k.split()[0]: [] for k in CONTAINER_STATS_SCHEMA.split(", ")
+            }
+            for mid, pl in zip(ids, payloads):
+                row = dict.fromkeys(cols)
+                row["media_id"] = mid
+                if pl is not None:
+                    b = bytes(pl)
+                    try:
+                        if b[4:8] == b"ftyp":
+                            m = parse_mp4(b)
+                            row["container"] = "mp4"
+                            row["codec"] = m["codec"]
+                            row["n_frames"] = int(m["n_samples"])
+                            ts = m["media_timescale"] or m["timescale"]
+                            if ts and m["media_duration"] is not None:
+                                row["duration_ms"] = round(
+                                    m["media_duration"] * 1000.0 / ts, 6
+                                )
+                            row["width"] = m["width"]
+                            row["height"] = m["height"]
+                        elif b[:3] == b"ID3" or (
+                            len(b) >= 2 and b[0] == 0xFF and (b[1] & 0xE0) == 0xE0
+                        ):
+                            m = parse_mp3(b)
+                            row["container"] = "mp3"
+                            row["codec"] = "mp3"
+                            row["n_frames"] = m["n_frames"]
+                            row["duration_ms"] = round(m["duration_ms"], 6)
+                            row["sample_rate"] = m["sample_rate"]
+                    except ValueError:
+                        row["container"] = None
+                for k, v in row.items():
+                    cols[k].append(v)
+            types = {
+                "media_id": pa.int64(), "container": pa.string(),
+                "codec": pa.string(), "n_frames": pa.int64(),
+                "duration_ms": pa.float64(), "sample_rate": pa.int32(),
+                "width": pa.int32(), "height": pa.int32(),
+            }
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(cols[k], type=t) for k, t in types.items()],
+                names=list(types),
+            )
+
+    return media.select("media_id", "payload").mapInArrow(
+        stats, schema=CONTAINER_STATS_SCHEMA
     )

@@ -1,0 +1,279 @@
+"""MP4 (ISO BMFF) + MP3 container parsers: structure walk, sample-table
+expansion, crawl-garbage robustness, and the Spark frame-plan /
+container-stats operators built on them."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from rusty_bloomfilter_spark.operators.containers import (
+    MP4_DATA_START,
+    encode_mp3_cbr,
+    encode_mp4,
+    mp4_sample_table,
+    parse_mp3,
+    parse_mp4,
+)
+
+
+def _box(typ: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+
+def _full(typ: bytes, version: int, flags: int, payload: bytes) -> bytes:
+    return _box(typ, struct.pack(">I", (version << 24) | flags) + payload)
+
+
+# ---------------------------------------------------------------------------
+# MP4
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("i", [0, 1, 7, 38, 63])
+def test_mp4_roundtrip_closed_form(i):
+    n = 24 + i % 40
+    delta = 20 + (i % 5) * 10
+    sizes = 200 + ((i * 31 + np.arange(n, dtype=np.int64) * 17) % 512)
+    w, h = 160 + (i % 4) * 80, 120 + (i % 3) * 60
+    payload = encode_mp4(sizes, delta_ticks=delta, timescale=1000, width=w, height=h)
+
+    meta = parse_mp4(payload)
+    assert meta["brand"] == "isom"
+    assert meta["codec"] == "avc1"
+    assert meta["handler"] == "vide"
+    assert (meta["width"], meta["height"]) == (w, h)
+    assert meta["timescale"] == 1000 and meta["duration"] == n * delta
+    assert meta["n_samples"] == n
+
+    t = mp4_sample_table(payload)
+    assert (t["sizes"] == sizes).all()
+    assert (t["ts_ticks"] == np.arange(n) * delta).all()
+    assert t["duration_ticks"] == n * delta
+    expected_off = MP4_DATA_START + np.concatenate(([0], np.cumsum(sizes)[:-1]))
+    assert (t["offsets"] == expected_off).all()
+    # the byte ranges really address the mdat payload
+    last_end = int(t["offsets"][-1] + t["sizes"][-1])
+    moov_start = payload.index(b"moov") - 4
+    assert last_end == moov_start
+
+
+def test_mp4_truncation_raises_valueerror():
+    """Every truncation point raises ValueError from parse_mp4 (mid-box
+    cut) or, for cuts landing exactly on a box boundary (a structurally
+    complete prefix missing moov), from mp4_sample_table (incomplete
+    sample tables) — never a crash or a silent wrong answer."""
+    payload = encode_mp4(np.array([100, 200, 300]), delta_ticks=40)
+    for cut in list(range(0, 64)) + list(range(64, len(payload), 53)):
+        with pytest.raises(ValueError):
+            mp4_sample_table(payload[:cut] if cut else b"")
+
+
+def test_mp4_not_bmff_raises():
+    with pytest.raises(ValueError):
+        parse_mp4(b"\x00" * 64)
+    # valid box grammar but no ftyp
+    with pytest.raises(ValueError):
+        parse_mp4(_box(b"free", b"\x00" * 8))
+
+
+def test_mp4_largesize_and_co64():
+    """64-bit box sizes and 64-bit chunk offsets both parse."""
+    base = encode_mp4(np.array([64, 64]), delta_ticks=10)
+    meta = parse_mp4(base)
+    assert meta["n_samples"] == 2
+
+    # rebuild the mdat with a largesize header (size=1 + 64-bit size)
+    ftyp_len = 24
+    mdat_size = struct.unpack_from(">I", base, ftyp_len)[0]
+    mdat_body = base[ftyp_len + 8 : ftyp_len + mdat_size]
+    big_mdat = struct.pack(">I", 1) + b"mdat" + struct.pack(">Q", 16 + len(mdat_body)) + mdat_body
+    moov = base[ftyp_len + mdat_size :]
+    # chunk data moved 8 bytes later; swap stco for co64 with the new offset
+    old_stco = _full(b"stco", 0, 0, struct.pack(">II", 1, ftyp_len + 8))
+    new_co64 = _full(b"co64", 0, 0, struct.pack(">IQ", 1, ftyp_len + 16))
+    assert old_stco in moov
+    moov = moov.replace(old_stco, new_co64)
+    # stbl/minf/mdia/trak/moov sizes grew by 4 (co64 is 4 bytes larger)
+    for typ in (b"moov", b"trak", b"mdia", b"minf", b"stbl"):
+        at = moov.index(typ) - 4
+        moov = (
+            moov[:at]
+            + struct.pack(">I", struct.unpack_from(">I", moov, at)[0] + 4)
+            + moov[at + 4 :]
+        )
+    patched = base[:ftyp_len] + big_mdat + moov
+    t = mp4_sample_table(patched)
+    assert (t["offsets"] == np.array([40, 104])).all()
+    assert (t["sizes"] == np.array([64, 64])).all()
+
+
+def test_mp4_multichunk_stsc_expansion():
+    """Hand-built sample tables: 5 samples over chunks of 2+2+1 with a
+    two-run stsc — offsets reset per chunk."""
+    sizes = np.array([10, 20, 30, 40, 50], dtype=np.int64)
+    chunk_offsets = [1000, 2000, 3000]
+    stsd = _full(
+        b"stsd", 0, 0,
+        struct.pack(">I", 1) + struct.pack(">I", 16) + b"avc1" + b"\x00" * 8,
+    )
+    stts = _full(b"stts", 0, 0, struct.pack(">III", 1, 5, 100))
+    stsc = _full(
+        b"stsc", 0, 0,
+        struct.pack(">I", 2)
+        + struct.pack(">III", 1, 2, 1)  # chunks 1-2: 2 samples each
+        + struct.pack(">III", 3, 1, 1),  # chunk 3: 1 sample
+    )
+    stsz = _full(b"stsz", 0, 0, struct.pack(">II", 0, 5) + sizes.astype(">u4").tobytes())
+    stco = _full(b"stco", 0, 0, struct.pack(">I", 3) + struct.pack(">III", *chunk_offsets))
+    mdhd = _full(b"mdhd", 0, 0, struct.pack(">IIII", 0, 0, 1000, 500) + struct.pack(">HH", 0x55C4, 0))
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    moov = _box(b"moov", _box(b"trak", _box(b"mdia", mdhd + _box(b"minf", stbl))))
+    payload = _box(b"ftyp", b"isom" + struct.pack(">I", 0) + b"isom") + moov
+
+    t = mp4_sample_table(payload)
+    assert (t["offsets"] == np.array([1000, 1010, 2000, 2030, 3000])).all()
+    assert (t["ts_ticks"] == np.array([0, 100, 200, 300, 400])).all()
+
+
+def test_mp4_stsc_count_mismatch_raises():
+    payload = encode_mp4(np.array([10, 10, 10]), delta_ticks=5)
+    # corrupt stsc: claim 2 samples per chunk over 1 chunk (!= stsz's 3)
+    good = _full(b"stsc", 0, 0, struct.pack(">IIII", 1, 1, 3, 1))
+    bad = _full(b"stsc", 0, 0, struct.pack(">IIII", 1, 1, 2, 1))
+    assert good in payload
+    with pytest.raises(ValueError):
+        mp4_sample_table(payload.replace(good, bad))
+
+
+# ---------------------------------------------------------------------------
+# MP3
+# ---------------------------------------------------------------------------
+
+
+def test_mp3_cbr_roundtrip():
+    payload = encode_mp3_cbr(30, bitrate_kbps=128, sample_rate=44100)
+    m = parse_mp3(payload)
+    assert m["n_frames"] == 30
+    assert m["sample_rate"] == 44100
+    assert m["bitrate_kbps"] == 128 and not m["vbr"]
+    assert m["n_samples"] == 30 * 1152
+    assert m["duration_ms"] == 30 * 1152 * 1000.0 / 44100
+    assert m["junk_bytes"] == 0 and m["id3v2_bytes"] == 0
+
+
+def test_mp3_id3v2_skip_and_trailing_tag():
+    payload = encode_mp3_cbr(8, id3=b"\x00" * 100) + b"TAG" + b"\x00" * 125
+    m = parse_mp3(payload)
+    assert m["n_frames"] == 8
+    assert m["id3v2_bytes"] == 110
+    assert m["junk_bytes"] == 128  # the ID3v1 block, counted not parsed
+
+
+def test_mp3_resync_across_junk():
+    a = encode_mp3_cbr(5)
+    payload = b"\xde\xad\xbe\xef" * 3 + a[: len(a) // 2] + b"\x00" * 7 + a
+    m = parse_mp3(payload)
+    # first half ends mid-frame: its final partial frame doesn't count
+    assert m["n_frames"] >= 7
+    assert m["junk_bytes"] > 0
+
+
+def test_mp3_vbr_detection():
+    payload = encode_mp3_cbr(4, bitrate_kbps=128) + encode_mp3_cbr(4, bitrate_kbps=192)
+    m = parse_mp3(payload)
+    assert m["n_frames"] == 8
+    assert m["vbr"] and m["bitrate_kbps"] is None
+
+
+def test_mp3_mpeg2_frames():
+    """Hand-built MPEG-2 Layer III header: 576 samples, 72-coefficient
+    frame length."""
+    kbps, sr = 64, 22050
+    flen = 72 * kbps * 1000 // sr
+    hdr = bytes([0xFF, 0xF3, (8 << 4) | (0 << 2), 0x44])  # idx8=64k, idx0=22050
+    payload = (hdr + b"\x00" * (flen - 4)) * 6
+    m = parse_mp3(payload)
+    assert m["n_frames"] == 6
+    assert m["sample_rate"] == 22050
+    assert m["n_samples"] == 6 * 576
+    assert m["duration_ms"] == 6 * 576 * 1000.0 / 22050
+
+
+def test_mp3_garbage_raises():
+    with pytest.raises(ValueError):
+        parse_mp3(b"\x00" * 256)
+    with pytest.raises(ValueError):
+        parse_mp3(b"", )
+
+
+# ---------------------------------------------------------------------------
+# Spark operators
+# ---------------------------------------------------------------------------
+
+
+def test_synthetic_video_media_parses(spark):
+    from rusty_bloomfilter_spark.operators.multimodal import (
+        container_stats,
+        synthetic_video_media,
+    )
+
+    media = synthetic_video_media(spark, 30)
+    rows = {r["media_id"]: r for r in container_stats(media).collect()}
+    assert len(rows) == 30
+    for i, r in rows.items():
+        if i % 3 == 2:
+            assert r["container"] == "mp3"
+            assert r["n_frames"] == 20 + i % 30
+            assert r["sample_rate"] == 44100
+        else:
+            assert r["container"] == "mp4"
+            assert r["codec"] == "avc1"
+            assert r["n_frames"] == 24 + i % 40
+            assert r["duration_ms"] == (24 + i % 40) * (20 + (i % 5) * 10)
+            assert r["width"] == 160 + (i % 4) * 80
+
+
+def test_frame_plan_bytes_matches_closed_form(spark):
+    from rusty_bloomfilter_spark.operators.multimodal import (
+        frame_sample_plan_bytes,
+        synthetic_video_media,
+    )
+
+    media = synthetic_video_media(spark, 12)
+    plan = frame_sample_plan_bytes(media, every_ms=250).collect()
+    assert plan  # non-empty
+    by_media: dict[int, list] = {}
+    for r in plan:
+        by_media.setdefault(r["media_id"], []).append(r)
+    for i, rows in by_media.items():
+        assert i % 3 != 2  # only mp4 rows
+        n, delta = 24 + i % 40, 20 + (i % 5) * 10
+        sizes = 200 + ((i * 31 + np.arange(n, dtype=np.int64) * 17) % 512)
+        offs = MP4_DATA_START + np.concatenate(([0], np.cumsum(sizes)[:-1]))
+        expect_ticks = list(range(0, n * delta, 250))
+        assert [r["tick_ms"] for r in sorted(rows, key=lambda r: r["tick_ms"])] == expect_ticks
+        for r in rows:
+            idx = r["tick_ms"] // delta
+            assert r["frame_idx"] == idx
+            assert r["frame_ts_ms"] == idx * delta
+            assert r["byte_off"] == offs[idx]
+            assert r["byte_len"] == sizes[idx]
+
+
+def test_frame_plan_skips_corrupt_payloads(spark):
+    """A corrupt mp4 row is skipped, never a task failure."""
+    from pyspark.sql import functions as F  # noqa: N812
+
+    from rusty_bloomfilter_spark.operators.multimodal import frame_sample_plan_bytes
+
+    good = encode_mp4(np.array([100, 100]), delta_ticks=500)
+    bad = good[:40]  # truncated mid-mdat
+    df = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(bad)), (3, None)],
+        "media_id bigint, payload binary",
+    )
+    out = frame_sample_plan_bytes(df, every_ms=400).collect()
+    assert {r["media_id"] for r in out} == {1}
