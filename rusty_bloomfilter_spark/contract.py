@@ -756,7 +756,9 @@ def q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     jpeg.py) payloads are decoded inside mapInArrow — ids ≡ 1 (mod 8)
     in the synthetic table are 4:2:0 JPEGs, so this query exercises the
     lossy compressed path end to end. Per-kind aggregate of real
-    audio/image statistics. (MP3/MP4 remain stubbed — ffmpeg absent.)"""
+    audio/image statistics. (MP3/MP4 container parsing lives in
+    q_container_stats / q_mp4_frame_plan; their codec-payload decode
+    stays stubbed — ffmpeg absent.)"""
     from .operators.multimodal import media_stats, synthetic_real_media
 
     stats = media_stats(synthetic_real_media(spark, 120))
