@@ -210,6 +210,59 @@ def test_mp3_garbage_raises():
 
 
 # ---------------------------------------------------------------------------
+# Property tests (hypothesis)
+# ---------------------------------------------------------------------------
+
+from hypothesis import assume, given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    sizes=st.lists(st.integers(1, 4000), min_size=1, max_size=80),
+    delta=st.integers(1, 5000),
+    timescale=st.sampled_from([600, 1000, 90000]),
+    w=st.integers(1, 8192),
+    h=st.integers(1, 8192),
+)
+def test_mp4_roundtrip_property(sizes, delta, timescale, w, h):
+    arr = np.array(sizes, dtype=np.int64)
+    payload = encode_mp4(arr, delta_ticks=delta, timescale=timescale, width=w, height=h)
+    t = mp4_sample_table(payload)
+    assert (t["sizes"] == arr).all()
+    assert (t["ts_ticks"] == np.arange(len(arr)) * delta).all()
+    assert t["timescale"] == timescale
+    assert (np.diff(t["offsets"]) == arr[:-1]).all()
+    assert t["offsets"][0] == MP4_DATA_START
+    meta = parse_mp4(payload)
+    assert (meta["width"], meta["height"]) == (w, h)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    n_frames=st.integers(1, 60),
+    kbps=st.sampled_from([32, 64, 128, 192, 320]),
+    sr=st.sampled_from([44100, 48000, 32000]),
+    id3_len=st.integers(0, 300),
+    # junk with no 0xFF can never alias to a frame sync, so the parse
+    # stays EXACT no matter what precedes the stream (a random 0xFF in
+    # junk may legitimately swallow real bytes as a plausible frame —
+    # that lossy resync behavior is covered by test_mp3_resync_across_junk)
+    junk_prefix=st.lists(st.integers(0, 0xFE), max_size=40).map(bytes),
+)
+def test_mp3_roundtrip_property(n_frames, kbps, sr, id3_len, junk_prefix):
+    assume(not junk_prefix.startswith(b"ID3"))  # junk must not form a tag header
+    payload = encode_mp3_cbr(n_frames, bitrate_kbps=kbps, sample_rate=sr, id3=b"\x01" * id3_len)
+    if junk_prefix:
+        payload = junk_prefix + payload  # junk hides the ID3 tag; frames still parse
+    m = parse_mp3(payload)
+    assert m["n_frames"] == n_frames
+    assert m["sample_rate"] == sr
+    assert m["bitrate_kbps"] == kbps and not m["vbr"]
+    assert m["duration_ms"] == n_frames * 1152 * 1000.0 / sr
+
+
+# ---------------------------------------------------------------------------
 # Spark operators
 # ---------------------------------------------------------------------------
 
