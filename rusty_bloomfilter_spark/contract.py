@@ -35,6 +35,26 @@ _QUERIES: dict[str, QueryFn] = {}
 _ORACLES: dict[str, str] = {}
 
 
+def _scratch_dir(kind: str) -> str:
+    """Deterministic per-process scratch dir, WIPED on every call.
+
+    The streaming/catalog/checkpoint queries run repeatedly (driver
+    sweep + local gate + smoke suite); a mkdtemp per invocation
+    accumulated an unbounded pile of full table copies under /tmp
+    (round-4 review finding). Fresh CONTENT per call is still required
+    — a stale streaming checkpoint would skip already-processed files
+    and emit an empty table — so the fixed path is removed and
+    recreated rather than reused."""
+    import os
+    import shutil
+    import tempfile
+
+    path = os.path.join(tempfile.gettempdir(), f"rbf_contract_{os.getpid()}_{kind}")
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
 def register(name: str, oracle: str | None = None):
     def deco(fn: QueryFn) -> QueryFn:
         _QUERIES[name] = fn
@@ -1909,10 +1929,8 @@ def _stream_events_source(spark: SparkSession, sf_dir: str, n_files: int = 4):
     """Materialize events as an n-file parquet dir so the file stream
     source yields n micro-batches (maxFilesPerTrigger=1) — a genuine
     incremental execution, not a single-batch degenerate run."""
-    import tempfile
-
     ev = load_table(spark, sf_dir, "events")
-    src = tempfile.mkdtemp(prefix="rbf_stream_src_")
+    src = _scratch_dir("stream_src")
     ev.repartition(n_files).write.mode("overwrite").parquet(src)
     return spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(src)
 
@@ -1936,7 +1954,6 @@ def q_streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     final table is split-invariant (complete mode re-emits every
     window's total state), so it must equal DuckDB's batch answer
     bit-for-bit — streaming correctness, not just liveness."""
-    import tempfile
     import uuid
 
     stream = _stream_events_source(spark, sf_dir)
@@ -1948,7 +1965,7 @@ def q_streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = "rbf_stream_counts_" + uuid.uuid4().hex[:8]
-    ckpt = tempfile.mkdtemp(prefix="rbf_stream_ckpt_")
+    ckpt = _scratch_dir("stream_ckpt")
     q = (
         agg.writeStream.outputMode("complete")
         .format("memory")
@@ -1980,8 +1997,6 @@ def q_streaming_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     data. Registered rows-only (CMS estimates aren't one-shot SQL);
     estimate accuracy is pinned in tests/test_multimodal_streaming.py
     (test_windowed_topk_tokens_stream) against exact batch counts."""
-    import tempfile
-
     from .streaming.stateful import windowed_topk_tokens
 
     seq = sequences_from_documents(spark, sf_dir).select(
@@ -1991,7 +2006,7 @@ def q_streaming_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ts"),
         "tokens",
     )
-    src = tempfile.mkdtemp(prefix="rbf_topk_src_")
+    src = _scratch_dir("topk_src")
     seq.repartition(3).write.mode("overwrite").parquet(src)
     stream = (
         spark.readStream.schema(seq.schema).option("maxFilesPerTrigger", 1).parquet(src)
@@ -2004,7 +2019,7 @@ def q_streaming_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in batch_df.collect():  # k rows per active window: tiny
             emissions.append((batch_id, r))
 
-    ckpt = tempfile.mkdtemp(prefix="rbf_topk_ckpt_")
+    ckpt = _scratch_dir("topk_ckpt")
     q = (
         out.writeStream.outputMode("update")
         .foreachBatch(sink)
@@ -2066,10 +2081,8 @@ def q_catalog_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-session metastore (an orphaned location blocks CREATE), so a
     # managed table is environment-fragile; the catalog/pruning surface
     # under test is identical either way
-    import tempfile
-
     spark.sql(f"DROP TABLE IF EXISTS {table}")
-    loc = tempfile.mkdtemp(prefix="rbf_catalog_tbl_")
+    loc = _scratch_dir("catalog_tbl")
     seq.write.mode("overwrite").partitionBy("source").format("parquet").option(
         "path", loc
     ).saveAsTable(table)
@@ -2098,15 +2111,13 @@ def q_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     uncheckpointed build (asserted in-query; merge algebra makes the
     split invisible). Emits the lineage metrics a production job logs.
     Rows-only: the payload-equality assert is the real gate."""
-    import tempfile
-
     from .operators.aggregate import partition_sketches
     from .operators.checkpoint import build_with_checkpoint
     from .operators.sketches import BlockedBloomSketch
     from .sketch import merge_sketch_payloads
 
     seq = sequences_from_documents(spark, sf_dir).select("tokens")
-    src = tempfile.mkdtemp(prefix="rbf_ckpt_src_")
+    src = _scratch_dir("ckpt_src")
     seq.repartition(6).write.mode("overwrite").parquet(src)
 
     sk = BlockedBloomSketch.for_np(n=500_000, p=1e-4)
@@ -2122,7 +2133,7 @@ def q_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     # simulated crash: checkpoint only half the input files
     files = sorted(spark.read.parquet(src).inputFiles())
     half = files[: len(files) // 2]
-    ckpt = tempfile.mkdtemp(prefix="rbf_ckpt_dir_") + "/ckpt"
+    ckpt = _scratch_dir("ckpt_dir") + "/ckpt"
     from .operators.checkpoint import _file_sketches
 
     _file_sketches(

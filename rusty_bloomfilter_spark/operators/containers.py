@@ -178,6 +178,14 @@ def _full_header(buf: bytes, start: int, end: int) -> tuple[int, int]:
     return vf >> 24, start + 4
 
 
+def _need(p: int, n: int, pe: int, typ: str) -> None:
+    """Guard every fixed-field read against the BOX end, not just the
+    buffer end: a box whose declared size is smaller than its fixed
+    fields must raise, not silently read the next box's bytes."""
+    if p + n > pe:
+        raise ValueError(f"mp4: '{typ}' box too small for its fixed fields")
+
+
 def parse_mp4(payload: bytes) -> dict:
     """Walk the box tree; return container metadata + raw sample tables.
 
@@ -206,35 +214,44 @@ def parse_mp4(payload: bytes) -> dict:
             elif typ == b"mvhd":
                 v, p = _full_header(buf, ps, pe)
                 if v == 1:
+                    _need(p, 28, pe, "mvhd")
                     out["timescale"] = struct.unpack_from(">I", buf, p + 16)[0]
                     out["duration"] = struct.unpack_from(">Q", buf, p + 20)[0]
                 else:
+                    _need(p, 16, pe, "mvhd")
                     out["timescale"] = struct.unpack_from(">I", buf, p + 8)[0]
                     out["duration"] = struct.unpack_from(">I", buf, p + 12)[0]
             elif typ == b"tkhd":
                 v, p = _full_header(buf, ps, pe)
                 # width/height are the last 8 payload bytes (16.16 fixed)
+                _need(p, 8, pe, "tkhd")
                 w, h = struct.unpack_from(">II", buf, pe - 8)
                 out["width"], out["height"] = w >> 16, h >> 16
             elif typ == b"mdhd":
                 v, p = _full_header(buf, ps, pe)
                 if v == 1:
+                    _need(p, 28, pe, "mdhd")
                     out["media_timescale"] = struct.unpack_from(">I", buf, p + 16)[0]
                     out["media_duration"] = struct.unpack_from(">Q", buf, p + 20)[0]
                 else:
+                    _need(p, 16, pe, "mdhd")
                     out["media_timescale"] = struct.unpack_from(">I", buf, p + 8)[0]
                     out["media_duration"] = struct.unpack_from(">I", buf, p + 12)[0]
             elif typ == b"hdlr":
+                _need(ps, 12, pe, "hdlr")
                 out["handler"] = buf[ps + 8 : ps + 12].decode("latin1")
             elif typ == b"stsd":
                 _, p = _full_header(buf, ps, pe)
+                _need(p, 4, pe, "stsd")
                 if struct.unpack_from(">I", buf, p)[0] >= 1:
+                    _need(p, 8, pe, "stsd")
                     esize = struct.unpack_from(">I", buf, p + 4)[0]
                     if esize < 16 or p + 4 + esize > pe:
                         raise ValueError("mp4: stsd entry overruns box")
                     out["codec"] = buf[p + 8 : p + 12].decode("latin1")
             elif typ == b"stts":
                 _, p = _full_header(buf, ps, pe)
+                _need(p, 4, pe, "stts")
                 cnt = struct.unpack_from(">I", buf, p)[0]
                 if p + 4 + 8 * cnt > pe:
                     raise ValueError("mp4: stts entries overrun box")
@@ -242,6 +259,7 @@ def parse_mp4(payload: bytes) -> dict:
                 out["stts"] = [(int(ent[2 * i]), int(ent[2 * i + 1])) for i in range(cnt)]
             elif typ == b"stsc":
                 _, p = _full_header(buf, ps, pe)
+                _need(p, 4, pe, "stsc")
                 cnt = struct.unpack_from(">I", buf, p)[0]
                 if p + 4 + 12 * cnt > pe:
                     raise ValueError("mp4: stsc entries overrun box")
@@ -252,6 +270,7 @@ def parse_mp4(payload: bytes) -> dict:
                 ]
             elif typ == b"stsz":
                 _, p = _full_header(buf, ps, pe)
+                _need(p, 8, pe, "stsz")
                 fixed, cnt = struct.unpack_from(">II", buf, p)
                 out["n_samples"] = cnt
                 if fixed:
@@ -264,6 +283,7 @@ def parse_mp4(payload: bytes) -> dict:
                     ).astype(np.int64)
             elif typ == b"stco":
                 _, p = _full_header(buf, ps, pe)
+                _need(p, 4, pe, "stco")
                 cnt = struct.unpack_from(">I", buf, p)[0]
                 if p + 4 + 4 * cnt > pe:
                     raise ValueError("mp4: stco entries overrun box")
@@ -272,6 +292,7 @@ def parse_mp4(payload: bytes) -> dict:
                 ).astype(np.int64)
             elif typ == b"co64":
                 _, p = _full_header(buf, ps, pe)
+                _need(p, 4, pe, "co64")
                 cnt = struct.unpack_from(">I", buf, p)[0]
                 if p + 4 + 8 * cnt > pe:
                     raise ValueError("mp4: co64 entries overrun box")
@@ -279,7 +300,14 @@ def parse_mp4(payload: bytes) -> dict:
                     buf, dtype=">u8", count=cnt, offset=p + 4
                 ).astype(np.int64)
 
-    walk(0, len(buf))
+    try:
+        walk(0, len(buf))
+    except struct.error as exc:
+        # a box whose declared size is smaller than the fixed fields the
+        # parser reads (e.g. an mvhd of size 12): unpack_from runs past
+        # the buffer — surface it as the same ValueError every caller
+        # (container_stats, frame_sample_plan_bytes) already handles
+        raise ValueError(f"mp4: box too small for its fixed fields: {exc}") from exc
     if not seen_any or out["brand"] is None:
         raise ValueError("mp4: no ftyp box (not an ISO BMFF file)")
     return out

@@ -546,6 +546,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 pos += 1
                 continue
             marker = data[pos + 1]
+            if marker == 0xFF:  # B.1.1.2: optional FF fill bytes before a marker
+                pos += 1
+                continue
             pos += 2
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                 continue
@@ -606,6 +609,15 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
 
     if frame is None or scan is None:
         raise ValueError("JPEG missing SOF0/SOS")
+    if len(scan) < len(frame[2]):
+        # spec-legal baseline multi-scan file (one SOS per component):
+        # this decoder only implements the single interleaved scan —
+        # refuse loudly rather than walk non-interleaved MCUs with
+        # interleaved geometry and emit garbage pixels
+        raise NotImplementedError(
+            f"multi-scan baseline JPEG ({len(scan)} of {len(frame[2])} "
+            "components in first scan; only one interleaved scan supported)"
+        )
 
     # entropy-coded bytes: destuff FF00, stop collecting at a non-RST marker
     raw = np.frombuffer(payload, dtype=np.uint8)
@@ -656,6 +668,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     for cid, td, ta in scan:
         if cid not in comp_by_id:
             raise ValueError(f"scan references unknown component {cid}")
+        if td not in huff_dc or ta not in huff_ac:
+            # stripped/garbled DHT: ValueError (not KeyError) so
+            # media_stats degrades to a metadata-only row
+            raise ValueError(f"scan references undefined Huffman table dc={td} ac={ta}")
         scan_info.append((cid, huff_dc[td], huff_ac[ta]))
 
     reader = _BitReader(entropy)
@@ -676,6 +692,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     # reconstruct each component plane
     planes: dict[int, np.ndarray] = {}
     for cid, hi, vi, tq in comps:
+        if tq not in qt:
+            raise ValueError(f"component {cid} references undefined quant table {tq}")
         bw, bh = gdims[cid]
         zz = grids[cid]
         deq = np.empty_like(zz, dtype=np.float64)

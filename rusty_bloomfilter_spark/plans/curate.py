@@ -86,17 +86,23 @@ def curate_corpus(
     # keep-lowest rule)
     pairs = minhash_dedup(seq, threshold=jaccard_threshold)
     drop = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
-    survivors = seq.join(drop, "doc_id", "left_anti").persist()
+    # survivors_all is THE persisted frame; when a holdout split is
+    # requested, `survivors` below is rebound to a frame DERIVED from it,
+    # so lifecycle calls (tie/free) must keep targeting survivors_all —
+    # tying the derived frame would leave this cache stranded for the
+    # session (round-4 review finding).
+    survivors_all = seq.join(drop, "doc_id", "left_anti").persist()
+    survivors = survivors_all
 
     holdout = None
     if holdout_k > 0:
         from ..operators.sampling import bottom_k_sample
 
-        held_ids = bottom_k_sample(survivors, "doc_id", holdout_k).select(
+        held_ids = bottom_k_sample(survivors_all, "doc_id", holdout_k).select(
             F.col("key").alias("doc_id")
         )
-        holdout = survivors.join(F.broadcast(held_ids), "doc_id", "left_semi")
-        survivors = survivors.join(F.broadcast(held_ids), "doc_id", "left_anti")
+        holdout = survivors_all.join(F.broadcast(held_ids), "doc_id", "left_semi")
+        survivors = survivors_all.join(F.broadcast(held_ids), "doc_id", "left_anti")
 
     sk = BlockedBloomSketch.for_np(n=bloom_n, p=bloom_p)
     # The ONE corpus-scale action: materializes survivors (and, through
@@ -107,7 +113,7 @@ def curate_corpus(
     n_in = documents.count()  # column-pruned parquet count, no pipeline
     n_gated = gated.count()  # cached
     n_exact = deduped.count()  # join of two reads of the gated cache
-    n_out = survivors.count()  # cached
+    n_out = survivors.count()  # cached (holdout case: split of the cache)
     stats = {
         "docs_in": n_in,
         "docs_after_quality": n_gated,
@@ -125,7 +131,7 @@ def curate_corpus(
     # (free(out["sequences"]) or FIFO eviction reclaims it).
     gated.unpersist(blocking=False)
     seq.unpersist(blocking=False)
-    tie(survivors, survivors)
+    tie(survivors, survivors_all)
     out = {"sequences": survivors, "bloom_payload": payload, "stats": stats}
     if holdout is not None:
         out["holdout"] = holdout

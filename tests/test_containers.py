@@ -71,6 +71,22 @@ def test_mp4_truncation_raises_valueerror():
             mp4_sample_table(payload[:cut] if cut else b"")
 
 
+def test_mp4_undersized_boxes_raise_valueerror():
+    """A box whose DECLARED size is smaller than its fixed fields must
+    raise ValueError — not struct.error (escapes the Spark operators'
+    except clause) and not a silent read of the next box's bytes
+    (mid-file case). Round-4 review finding."""
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0) + b"isom")
+    for typ in (b"mvhd", b"mdhd", b"tkhd", b"stts", b"stsc", b"stsz", b"stco", b"co64", b"hdlr", b"stsd"):
+        tiny = struct.pack(">I", 12) + typ + struct.pack(">I", 0)  # only a version word
+        # as last box (reads would run past EOF) ...
+        with pytest.raises(ValueError):
+            parse_mp4(ftyp + _box(b"moov", tiny))
+        # ... and mid-file (reads would land in the NEXT box's bytes)
+        with pytest.raises(ValueError):
+            parse_mp4(ftyp + _box(b"moov", tiny + _box(b"free", b"\x00" * 64)))
+
+
 def test_mp4_not_bmff_raises():
     with pytest.raises(ValueError):
         parse_mp4(b"\x00" * 64)

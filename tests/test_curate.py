@@ -133,3 +133,38 @@ def test_curate_single_materialization(spark):
     assert acc.value <= 3 * n, f"pipeline re-executed: {acc.value} text reads for {n} docs"
     assert out["stats"]["docs_out"] == n
     free(out["sequences"])
+
+
+def test_curate_holdout_cache_freed(spark):
+    """Round-4 review regression: with holdout_k > 0 the returned
+    sequences frame is DERIVED from the persisted survivors frame, so
+    free(out["sequences"]) must unpersist the underlying cache (tie
+    targets survivors_all, not the derived plan) — no session-lifetime
+    cache leak."""
+    import numpy as np
+
+    from rusty_bloomfilter_spark.operators.cache import free
+
+    jsc = spark.sparkContext._jsc.sc()
+    baseline = jsc.getPersistentRDDs().size()
+
+    rng = np.random.default_rng(23)
+    letters = list("abcdefghijklmnop")
+    words = ["".join(rng.choice(letters, size=6)) for _ in range(300)]
+    rows = [(i, " ".join(rng.choice(words, size=40)), "en", "cc", 100) for i in range(120)]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source", "n_chars"])
+    out = curate_corpus(
+        spark, spark.createDataFrame(pdf).repartition(4),
+        min_tokens=8, min_alpha_ratio=0.5, jaccard_threshold=0.5,
+        bloom_n=50_000, bloom_p=1e-3, holdout_k=10,
+    )
+    assert out["stats"]["docs_holdout"] == 10
+    free(out["sequences"])
+    import time
+    for _ in range(40):  # unpersist is async
+        if jsc.getPersistentRDDs().size() <= baseline:
+            break
+        time.sleep(0.25)
+    assert jsc.getPersistentRDDs().size() <= baseline, (
+        "survivors cache leaked after free() in the holdout path"
+    )

@@ -165,3 +165,64 @@ def test_media_stats_truncated_jpeg_is_metadata_row(spark):
     assert len(rows) == 1
     r = rows[0]
     assert r["n_bytes"] > 0 and r["width"] is None and r["mean_g"] is None
+
+
+def _strip_segments(enc: bytes, marker: int) -> bytes:
+    """Remove every 0xFF<marker> segment (with its length body)."""
+    out = bytearray()
+    data = bytes(enc)
+    pos = 0
+    while pos < len(data) - 1:
+        if data[pos] == 0xFF and data[pos + 1] == marker:
+            seglen = int.from_bytes(data[pos + 2 : pos + 4], "big")
+            pos += 2 + seglen
+            continue
+        out.append(data[pos])
+        pos += 1
+    out.extend(data[pos:])
+    return bytes(out)
+
+
+def test_missing_dht_is_valueerror_not_keyerror():
+    """Stripped Huffman tables (crawl garbage) must raise ValueError so
+    media_stats degrades to a metadata-only row. Round-4 review finding:
+    huff_dc[td] used to raise KeyError, escaping the except clause."""
+    enc = encode_jpeg(_gradient(16, 16), quality=90)
+    with pytest.raises(ValueError, match="Huffman"):
+        decode_jpeg(_strip_segments(enc, 0xC4))
+
+
+def test_missing_dqt_is_valueerror_not_keyerror():
+    enc = encode_jpeg(_gradient(16, 16), quality=90)
+    with pytest.raises(ValueError):
+        decode_jpeg(_strip_segments(enc, 0xDB))
+
+
+def test_fill_bytes_before_markers_accepted():
+    """B.1.1.2 allows any number of 0xFF fill bytes before a marker;
+    real encoders emit them. Round-4 review finding: the scan used to
+    misparse marker=0xFF as a segment and reject the file."""
+    enc = bytes(encode_jpeg(_gradient(16, 16), quality=90))
+    sof = enc.index(b"\xff\xc0")
+    sos = enc.index(b"\xff\xda")
+    padded = enc[:sof] + b"\xff\xff\xff" + enc[sof:sos] + b"\xff" + enc[sos:]
+    base = decode_jpeg(enc)
+    assert (decode_jpeg(padded) == base).all()
+
+
+def test_multiscan_baseline_rejected_loudly():
+    """A first SOS covering fewer components than the frame (spec-legal
+    baseline multi-scan layout) must raise NotImplementedError, never
+    decode with interleaved geometry and emit garbage."""
+    enc = bytearray(encode_jpeg(_gradient(16, 16), quality=90))
+    sos = bytes(enc).index(b"\xff\xda")
+    # original SOS: len=12, ns=3, then 3x(cid, tables), then Ss/Se/AhAl
+    assert enc[sos + 4] == 3
+    single = (
+        b"\xff\xda" + (8).to_bytes(2, "big") + b"\x01"
+        + bytes(enc[sos + 5 : sos + 7])  # first component's (cid, tables)
+        + bytes(enc[sos + 11 : sos + 14])  # Ss, Se, AhAl
+    )
+    patched = bytes(enc[:sos]) + single + bytes(enc[sos + 14 :])
+    with pytest.raises(NotImplementedError, match="multi-scan"):
+        decode_jpeg(patched)

@@ -295,14 +295,24 @@ def test_dedup_build_bitwise_equal_and_probe_counts(spark):
     one built through the same code (dedup declines)."""
     import pandas as pd
 
-    from rusty_bloomfilter_spark.operators.sketches import BlockedBloomSketch, BloomSketch
+    from rusty_bloomfilter_spark.operators.sketches import (
+        BlockedBloomSketch,
+        BloomSketch,
+        dedup_counts,
+    )
 
-    n_rows, row_len, vocab = 600, 40, 500
+    # one partition, one Arrow batch of 36,000 tokens: ABOVE the 1<<14
+    # dedup_counts threshold, so the fast path demonstrably fires (the
+    # round-4 review caught an earlier version of this test at 12,000
+    # tokens/batch, where dedup always declined and the assertions were
+    # vacuous)
+    n_rows, row_len, vocab = 900, 40, 500
     rng = np.random.default_rng(11)
     toks = [rng.integers(0, vocab, row_len).astype(np.int64) for _ in range(n_rows)]
     pdf = pd.DataFrame({"doc_id": [str(i) for i in range(n_rows)], "tokens": [t.tolist() for t in toks]})
-    df = spark.createDataFrame(pdf).repartition(2)
+    df = spark.createDataFrame(pdf).repartition(1)
     flat = np.concatenate(toks)
+    assert dedup_counts(flat) is not None, "test input must trigger the fast path"
 
     for sk in (BloomSketch.for_np(n=10_000, p=1e-3), BlockedBloomSketch.for_np(n=10_000, p=1e-3)):
         payload, n = sk.build_bytes(df, fanout=4)
