@@ -274,6 +274,14 @@ def parse_mp4(payload: bytes) -> dict:
                 fixed, cnt = struct.unpack_from(">II", buf, p)
                 out["n_samples"] = cnt
                 if fixed:
+                    # fixed-size stsz carries no per-sample table, so cnt
+                    # is not bounded by the box size — cap it against the
+                    # FILE size (each sample needs >= 1 byte somewhere)
+                    # or a corrupt count allocates cnt int64s here
+                    if cnt > len(buf):
+                        raise ValueError(
+                            f"mp4: stsz claims {cnt} samples in a {len(buf)}-byte file"
+                        )
                     out["sample_sizes"] = np.full(cnt, fixed, dtype=np.int64)
                 else:
                     if p + 8 + 4 * cnt > pe:
@@ -346,11 +354,14 @@ def mp4_sample_table(payload: bytes) -> dict:
     within = csum - csum[chunk_start_idx[chunk_of]]
     offsets = offs_tbl[chunk_of] + within
 
+    # validate the stts run counts BEFORE expanding them: each run count
+    # is an arbitrary u32, so a corrupt entry would otherwise drive a
+    # multi-GB np.full allocation here
+    if sum(cnt for cnt, _ in meta["stts"]) != n:
+        raise ValueError("mp4: stts covers a different sample count than stsz")
     deltas = np.concatenate(
         [np.full(cnt, delta, dtype=np.int64) for cnt, delta in meta["stts"]]
-    ) if meta["stts"] else np.empty(0, dtype=np.int64)
-    if deltas.size != n:
-        raise ValueError("mp4: stts covers a different sample count than stsz")
+    )
     ts = np.concatenate(([0], np.cumsum(deltas)[:-1]))
 
     return {

@@ -87,6 +87,50 @@ def test_mp4_undersized_boxes_raise_valueerror():
             parse_mp4(ftyp + _box(b"moov", tiny + _box(b"free", b"\x00" * 64)))
 
 
+def test_mp4_corrupt_counts_never_allocate():
+    """Corrupt sample counts must raise ValueError BEFORE any
+    count-driven allocation: a fixed-size stsz or an stts run count is
+    an arbitrary u32, and expanding it first would np.full gigabytes on
+    one crawl-garbage payload (found by fuzzing — the mutated file hung
+    the process before the guards)."""
+    base = encode_mp4(np.array([50, 60, 70]), delta_ticks=30)
+    # fixed-size stsz claiming 2^31 samples
+    old = _full(b"stsz", 0, 0, struct.pack(">II", 0, 3) + np.array([50, 60, 70], dtype=">u4").tobytes())
+    fixed_huge = _full(b"stsz", 0, 0, struct.pack(">II", 8, 1 << 31) + b"\x00" * 12)
+    assert old in base and len(fixed_huge) == len(old)
+    with pytest.raises(ValueError):
+        parse_mp4(base.replace(old, fixed_huge))
+    # stts run count of 2^31 (box still well-formed)
+    old_stts = _full(b"stts", 0, 0, struct.pack(">III", 1, 3, 30))
+    huge_stts = _full(b"stts", 0, 0, struct.pack(">III", 1, 1 << 31, 30))
+    assert old_stts in base
+    with pytest.raises(ValueError):
+        mp4_sample_table(base.replace(old_stts, huge_stts))
+
+
+def test_parsers_fuzz_exception_hygiene():
+    """Mutated real files and raw noise raise ONLY ValueError /
+    NotImplementedError (the types the Spark operators catch) — never
+    struct.error/KeyError/IndexError, never a multi-second stall."""
+    rng = np.random.default_rng(7)
+    base = encode_mp4(np.array([50, 60, 70]), delta_ticks=30)
+    for _ in range(300):
+        buf = bytearray(base)
+        for _ in range(int(rng.integers(1, 6))):
+            buf[int(rng.integers(0, len(buf)))] = int(rng.integers(0, 256))
+        for fn in (parse_mp4, mp4_sample_table):
+            try:
+                fn(bytes(buf))
+            except (ValueError, NotImplementedError):
+                pass
+        noise = rng.integers(0, 256, int(rng.integers(4, 300)), dtype=np.uint8).tobytes()
+        for fn in (parse_mp4, parse_mp3, mp4_sample_table):
+            try:
+                fn(noise)
+            except (ValueError, NotImplementedError):
+                pass
+
+
 def test_mp4_not_bmff_raises():
     with pytest.raises(ValueError):
         parse_mp4(b"\x00" * 64)
