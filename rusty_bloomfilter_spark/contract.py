@@ -554,6 +554,41 @@ def q_bloom_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_profile(spark, sequences_from_documents(spark, sf_dir))
 
 
+@register(
+    "q_salted_skew_build",
+    oracle=f"""
+    SELECT CASE WHEN CAST(doc_id AS BIGINT) % 5 < 4 THEN 'head' ELSE source END AS skew_key,
+           CAST(sum(len({DUCKDB_TOKENIZE("text")})) AS BIGINT) AS n_tokens
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def q_salted_skew_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north rule's explicit skew handling, driver-visible: 80% of
+    documents collapse onto one 'head' key, then per-key Bloom sketches
+    build through the SALTED two-level merge (groupBy(key, salt) then
+    groupBy(key) — aggregate.build_by_key salt=4, plan shape gated in
+    tests/test_plans.py). Per-key n_items is an exact occurrence count
+    that must survive both merge levels, so the query hash-matches a
+    plain SQL GROUP BY — correctness of the skew path, not just
+    liveness. Hot-key row data never concentrates: stage 1 emits one
+    sketch row per (partition, key), and the salt bounds any single
+    merge task's fan-in."""
+    from .operators.sketches import BlockedBloomSketch
+
+    seq = sequences_from_documents(spark, sf_dir).withColumn(
+        "skew_key",
+        F.when(F.col("doc_id").cast("long") % 5 < 4, F.lit("head")).otherwise(
+            F.col("source")
+        ),
+    )
+    sk = BlockedBloomSketch.for_np(n=200_000, p=1e-3)
+    keyed = sk.build_by_key(seq.select("skew_key", "tokens"), "skew_key", salt=4)
+    return keyed.select(
+        F.col("key").alias("skew_key"), F.col("n_items").alias("n_tokens")
+    )
+
+
 @register("q_bloom_probe")
 def q_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Build a Bloom over all tokens, probe present + disjoint-domain
