@@ -908,6 +908,36 @@ def q_container_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_video_near_dups",
+    oracle="""
+    SELECT i AS media_a,
+           i + 100 AS media_b,
+           CAST(((24 + (i % 40)) * (20 + (i % 5) * 10) - 1) // 250 + 1 AS BIGINT)
+             AS n_common_frames
+    FROM range(0, 60) t(i) WHERE i % 3 <> 2
+    """,
+)
+def q_video_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-duplicate detection by sampled-frame CONTENT hashes,
+    hash-matched: each synthetic MP4 is unioned with an exact copy
+    under media_id+100, frames are sampled every 250 ms, their byte
+    ranges sliced out of mdat via the parsed sample tables and
+    md5-hashed, and pairs sharing >= 2 frame hashes are emitted. Every
+    (i, i+100) pair must appear with n_common_frames equal to the
+    closed-form sampling-tick count — and NO cross-video pair may
+    appear (the deterministic filler guarantees distinct content across
+    ids; the oracle would catch any spurious hash collision or a
+    candidate-generation bug). The video analogue of MinHash-LSH text
+    dedup: candidates meet only inside a frame-hash bucket, no
+    all-pairs work, only 3-column rows shuffle."""
+    from .operators.multimodal import frame_hash_near_dups, synthetic_video_media
+
+    m = synthetic_video_media(spark, 60)
+    copies = m.withColumn("media_id", F.col("media_id") + F.lit(100))
+    return frame_hash_near_dups(m.unionByName(copies), every_ms=250, min_common=2)
+
+
+@register(
     "q_source_overlap_exact",
     oracle=_SEQ_CTE
     + """

@@ -720,6 +720,103 @@ def frame_sample_plan_bytes(
     return media.select("media_id", "payload").mapInArrow(plan, schema=FRAME_PLAN_SCHEMA)
 
 
+FRAME_HASH_SCHEMA = "media_id bigint, frame_ts_ms bigint, frame_hash bigint"
+
+
+def sampled_frame_hashes(
+    media: DataFrame, *, every_ms: int = 1000, media_batch_hint: int = 256
+) -> DataFrame:
+    """Content hash of every SAMPLED frame: parse each MP4's sample
+    tables, slice the payload at the sampled frames' byte ranges, and
+    emit a 64-bit hash of each frame's raw bytes. Content-addressed —
+    the hash covers only the ``mdat`` sample bytes, so re-muxed copies
+    (same frames, rewritten moov metadata / different brand or track
+    ids) produce identical hashes. Narrow (3-column) rows out; the
+    payloads never shuffle."""
+    import hashlib
+
+    from .containers import mp4_sample_table
+
+    hint = int(media_batch_hint)
+    step = int(every_ms)
+
+    def hashes(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        import pyarrow as pa
+
+        for batch in _sliced(batches, hint):
+            ids = batch.column("media_id").to_pylist()
+            payloads = batch.column("payload").to_pylist()
+            cols: dict[str, list] = {k.split()[0]: [] for k in FRAME_HASH_SCHEMA.split(", ")}
+            for mid, pl in zip(ids, payloads):
+                if pl is None or bytes(pl)[4:8] != b"ftyp":
+                    continue
+                b = bytes(pl)
+                try:
+                    t = mp4_sample_table(b)
+                except ValueError:
+                    continue
+                ts_ms = (t["ts_ticks"] * 1000) // int(t["timescale"])
+                if len(ts_ms) == 0:
+                    continue
+                dur_ms = max(int(t["duration_ticks"] * 1000 // int(t["timescale"])), 1)
+                ticks = np.arange(0, dur_ms, step, dtype=np.int64)
+                idx = np.unique(np.searchsorted(ts_ms, ticks, side="right") - 1)
+                seen: set[int] = set()  # repeated identical frames in ONE
+                # video emit once, so the pair join counts distinct shared
+                # content, not multiplicity products
+                for j in idx:
+                    off, ln = int(t["offsets"][j]), int(t["sizes"][j])
+                    if off + ln > len(b):
+                        continue  # table points past EOF: corrupt, skip frame
+                    h = int.from_bytes(
+                        hashlib.md5(b[off : off + ln]).digest()[:8], "big", signed=True
+                    )
+                    if h in seen:
+                        continue
+                    seen.add(h)
+                    cols["media_id"].append(mid)
+                    cols["frame_ts_ms"].append(int(ts_ms[j]))
+                    cols["frame_hash"].append(h)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(cols[k], type=pa.int64()) for k in cols], names=list(cols)
+            )
+
+    return media.select("media_id", "payload").mapInArrow(hashes, schema=FRAME_HASH_SCHEMA)
+
+
+def frame_hash_near_dups(
+    media: DataFrame, *, every_ms: int = 1000, min_common: int = 2
+) -> DataFrame:
+    """Video near-duplicate pairs by shared sampled-frame content:
+    hash sampled frames (sampled_frame_hashes), self-join on
+    frame_hash — the video analogue of the banded-LSH shape used for
+    text (dedup.py): candidates meet only inside a hash bucket, so no
+    all-pairs comparison and only 3-column rows shuffle. Emits
+    (media_a, media_b, n_common_frames) with media_a < media_b and
+    n_common_frames >= min_common. Catches exact copies AND re-muxed
+    copies whose container metadata differs, since the hashes cover
+    only frame bytes."""
+    from .cache import tie
+
+    # persist: a self-join on a mapInArrow output would otherwise
+    # re-decode every container once PER SIDE (project invariant)
+    fh = sampled_frame_hashes(media, every_ms=every_ms).persist()
+    a = fh.select(
+        F.col("media_id").alias("media_a"), F.col("frame_hash").alias("fh")
+    )
+    b = fh.select(
+        F.col("media_id").alias("media_b"), F.col("frame_hash").alias("fh")
+    )
+    pairs = (
+        a.join(b, "fh")
+        .filter(F.col("media_a") < F.col("media_b"))
+        .groupBy("media_a", "media_b")
+        .agg(F.count("*").alias("n_common_frames"))
+        .filter(F.col("n_common_frames") >= int(min_common))
+    )
+    return tie(pairs, fh)
+
+
 CONTAINER_STATS_SCHEMA = (
     "media_id bigint, container string, codec string, n_frames bigint, "
     "duration_ms double, sample_rate int, width int, height int"

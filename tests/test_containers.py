@@ -376,6 +376,38 @@ def test_frame_plan_bytes_matches_closed_form(spark):
             assert r["byte_len"] == sizes[idx]
 
 
+def test_frame_hash_near_dups_catches_remuxed_copies(spark):
+    """Video near-dup via sampled-frame content hashes: an exact byte
+    copy AND a re-muxed copy (identical mdat frames, different
+    container metadata — width/codec/timescale rewritten) must both
+    pair with the original; an unrelated video must not."""
+    from rusty_bloomfilter_spark.operators.cache import free
+    from rusty_bloomfilter_spark.operators.multimodal import frame_hash_near_dups
+
+    sizes = np.array([300, 400, 500, 350, 450])
+    orig = encode_mp4(sizes, delta_ticks=400, timescale=1000, width=320, height=240)
+    # re-mux: same sample sizes -> identical deterministic mdat bytes,
+    # but different track metadata and a rescaled clock
+    remux = encode_mp4(
+        sizes, delta_ticks=24000, timescale=60000, width=640, height=480, codec=b"mp4v"
+    )
+    other = encode_mp4(np.array([301, 401, 501, 351, 451]), delta_ticks=400)
+    rows = [
+        (1, bytearray(orig)),
+        (2, bytearray(orig)),   # exact copy
+        (3, bytearray(remux)),  # re-muxed copy
+        (4, bytearray(other)),  # different frames
+    ]
+    df = spark.createDataFrame(rows, "media_id bigint, payload binary")
+    pairs = {
+        (r["media_a"], r["media_b"]): r["n_common_frames"]
+        for r in frame_hash_near_dups(df, every_ms=400, min_common=2).collect()
+    }
+    assert set(pairs) == {(1, 2), (1, 3), (2, 3)}
+    assert all(v == len(sizes) for v in pairs.values())
+    free(frame_hash_near_dups(df, every_ms=400))  # lifecycle smoke
+
+
 def test_frame_plan_skips_corrupt_payloads(spark):
     """A corrupt mp4 row is skipped, never a task failure."""
     from pyspark.sql import functions as F  # noqa: N812
