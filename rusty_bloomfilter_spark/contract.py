@@ -925,9 +925,15 @@ def q_video_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5-hashed, and pairs sharing >= 2 frame hashes are emitted. Every
     (i, i+100) pair must appear with n_common_frames equal to the
     closed-form sampling-tick count — and NO cross-video pair may
-    appear (the deterministic filler guarantees distinct content across
-    ids; the oracle would catch any spurious hash collision or a
-    candidate-generation bug). The video analogue of MinHash-LSH text
+    appear. Cross-video distinctness is a VERIFIED property of the
+    generator, not a construction guarantee: the filler is
+    position-derived, so two videos sharing a frame at the same
+    (offset, length) would hash equal — tests/test_containers.py::
+    test_synthetic_videos_have_distinct_frames pins that the sizes
+    formula never aligns two ids' frames, so a formula tweak fails in
+    pytest rather than as a confusing oracle mismatch here. The
+    oracle catches spurious collisions or a candidate-generation bug.
+    The video analogue of MinHash-LSH text
     dedup: candidates meet only inside a frame-hash bucket, no
     all-pairs work, only 3-column rows shuffle."""
     from .operators.multimodal import frame_hash_near_dups, synthetic_video_media

@@ -334,6 +334,13 @@ def mp4_sample_table(payload: bytes) -> dict:
     n = int(meta["n_samples"])
     if n != sizes.size:
         raise ValueError("mp4: stsz count mismatch")
+    if n == 0:
+        # a zero-sample track is useless for sampling AND would produce
+        # inconsistent arrays below (the ts prepend makes ts_ticks length
+        # max(n,1) while offsets/sizes are length 0 — an IndexError trap
+        # for callers; round-4 review finding). Metadata-only callers use
+        # parse_mp4 directly.
+        raise ValueError("mp4: track has zero samples")
 
     # stsc run-length -> samples-per-chunk for every chunk
     n_chunks = int(offs_tbl.size)

@@ -669,6 +669,39 @@ FRAME_PLAN_SCHEMA = (
     "byte_off bigint, byte_len bigint"
 )
 
+# sampling-tick sanity bound: more than this many ticks per frame means
+# the (untrusted) stts deltas / timescale imply an implausible duration
+# for the sample count — treat as corrupt rather than allocate the grid
+_MAX_TICKS_PER_FRAME = 64
+
+
+def _mp4_tick_frames(payload: bytes, step: int):
+    """Shared frame-sampling core for frame_sample_plan_bytes and
+    sampled_frame_hashes: parse the sample table, derive ms timestamps
+    and duration, and return (table, ts_ms, ticks, idx) where idx[k] is
+    the frame covering ticks[k]. Returns None for non-MP4 / corrupt /
+    zero-sample payloads, and — critically — for payloads whose
+    DURATION-derived tick grid would be implausibly large relative to
+    the sample count (corrupt stts delta or timescale would otherwise
+    drive a multi-TB np.arange; same allocation-guard class as
+    containers.py's count checks, round-4 review finding)."""
+    if payload[4:8] != b"ftyp":
+        return None
+    from .containers import mp4_sample_table
+
+    try:
+        t = mp4_sample_table(payload)
+    except ValueError:
+        return None
+    ts_ms = (t["ts_ticks"] * 1000) // int(t["timescale"])
+    n = len(ts_ms)
+    dur_ms = max(int(t["duration_ticks"] * 1000 // int(t["timescale"])), 1)
+    if (dur_ms + step - 1) // step > _MAX_TICKS_PER_FRAME * n:
+        return None
+    ticks = np.arange(0, dur_ms, step, dtype=np.int64)
+    idx = np.searchsorted(ts_ms, ticks, side="right") - 1
+    return t, ts_ms, ticks, idx
+
 
 def frame_sample_plan_bytes(
     media: DataFrame, *, every_ms: int = 1000, media_batch_hint: int = 256
@@ -680,8 +713,6 @@ def frame_sample_plan_bytes(
     issue ranged reads into object storage and ship ONLY the selected
     frames to a decoder fleet. Non-MP4 payloads are skipped. Narrow
     rows out; no codec work, no full-payload shuffle."""
-    from .containers import mp4_sample_table
-
     hint = int(media_batch_hint)
     step = int(every_ms)
 
@@ -695,18 +726,12 @@ def frame_sample_plan_bytes(
                 k.split()[0]: [] for k in FRAME_PLAN_SCHEMA.split(", ")
             }
             for mid, pl in zip(ids, payloads):
-                if pl is None or bytes(pl)[4:8] != b"ftyp":
+                if pl is None:
                     continue
-                try:
-                    t = mp4_sample_table(bytes(pl))
-                except ValueError:
-                    continue  # corrupt container: skip, never fail the task
-                ts_ms = (t["ts_ticks"] * 1000) // int(t["timescale"])
-                if len(ts_ms) == 0:
-                    continue
-                dur_ms = max(int(t["duration_ticks"] * 1000 // int(t["timescale"])), 1)
-                ticks = np.arange(0, dur_ms, step, dtype=np.int64)
-                idx = np.searchsorted(ts_ms, ticks, side="right") - 1
+                tf = _mp4_tick_frames(bytes(pl), step)
+                if tf is None:
+                    continue  # non-MP4/corrupt: skip, never fail the task
+                t, ts_ms, ticks, idx = tf
                 cols["media_id"].extend([mid] * len(ticks))
                 cols["tick_ms"].extend(ticks.tolist())
                 cols["frame_idx"].extend(idx.tolist())
@@ -735,8 +760,6 @@ def sampled_frame_hashes(
     payloads never shuffle."""
     import hashlib
 
-    from .containers import mp4_sample_table
-
     hint = int(media_batch_hint)
     step = int(every_ms)
 
@@ -748,19 +771,14 @@ def sampled_frame_hashes(
             payloads = batch.column("payload").to_pylist()
             cols: dict[str, list] = {k.split()[0]: [] for k in FRAME_HASH_SCHEMA.split(", ")}
             for mid, pl in zip(ids, payloads):
-                if pl is None or bytes(pl)[4:8] != b"ftyp":
+                if pl is None:
                     continue
                 b = bytes(pl)
-                try:
-                    t = mp4_sample_table(b)
-                except ValueError:
+                tf = _mp4_tick_frames(b, step)
+                if tf is None:
                     continue
-                ts_ms = (t["ts_ticks"] * 1000) // int(t["timescale"])
-                if len(ts_ms) == 0:
-                    continue
-                dur_ms = max(int(t["duration_ticks"] * 1000 // int(t["timescale"])), 1)
-                ticks = np.arange(0, dur_ms, step, dtype=np.int64)
-                idx = np.unique(np.searchsorted(ts_ms, ticks, side="right") - 1)
+                t, ts_ms, _ticks, raw_idx = tf
+                idx = np.unique(raw_idx)
                 seen: set[int] = set()  # repeated identical frames in ONE
                 # video emit once, so the pair join counts distinct shared
                 # content, not multiplicity products

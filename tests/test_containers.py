@@ -408,6 +408,73 @@ def test_frame_hash_near_dups_catches_remuxed_copies(spark):
     free(frame_hash_near_dups(df, every_ms=400))  # lifecycle smoke
 
 
+def test_synthetic_videos_have_distinct_frames():
+    """Pin the property q_video_near_dups' oracle silently depends on:
+    encode_mp4's filler is POSITION-derived (id-independent), so two
+    synthetic videos would share a frame hash iff some frame occupies
+    the same (offset, length) byte range in both. Verify the sizes
+    formula never aligns any two of the contract's 60 ids — if a future
+    tweak to the formula breaks this, fail here with a clear message
+    rather than as a confusing oracle mismatch in the driver."""
+    ranges: dict[tuple[int, int], int] = {}
+    for i in range(60):
+        if i % 3 == 2:
+            continue
+        n = 24 + i % 40
+        sizes = 200 + ((i * 31 + np.arange(n, dtype=np.int64) * 17) % 512)
+        offs = MP4_DATA_START + np.concatenate(([0], np.cumsum(sizes)[:-1]))
+        for off, ln in zip(offs.tolist(), sizes.tolist()):
+            prev = ranges.setdefault((off, ln), i)
+            assert prev == i, (
+                f"ids {prev} and {i} share frame byte-range ({off},{ln}): "
+                "position-derived filler would hash-collide across videos"
+            )
+
+
+def test_tick_frames_guard_rejects_implausible_duration():
+    """A parseable MP4 whose stts delta / timescale imply a duration
+    grossly out of proportion to its sample count must be skipped (not
+    drive a huge tick-grid allocation): round-4 review finding."""
+    from rusty_bloomfilter_spark.operators.multimodal import _mp4_tick_frames
+
+    sane = encode_mp4(np.array([100, 100, 100]), delta_ticks=40, timescale=1000)
+    assert _mp4_tick_frames(sane, 250) is not None
+    # 3 samples but ~3.2e6 ms per frame: > _MAX_TICKS_PER_FRAME ticks/frame
+    corrupt = encode_mp4(
+        np.array([100, 100, 100]), delta_ticks=3_200_000, timescale=1000
+    )
+    assert _mp4_tick_frames(corrupt, 250) is None
+
+
+def test_zero_sample_mp4_raises_and_is_skipped(spark):
+    """stsz cnt=0 with consistent tables must raise ValueError in
+    mp4_sample_table (offsets/ts arrays would disagree in length — an
+    IndexError trap, round-4 review finding) and be skipped by the
+    Spark operators."""
+    stsd = _full(b"stsd", 0, 0, struct.pack(">I", 1) + struct.pack(">I", 16) + b"avc1" + b"\x00" * 8)
+    stts = _full(b"stts", 0, 0, struct.pack(">III", 1, 0, 100))
+    stsc = _full(b"stsc", 0, 0, struct.pack(">IIII", 1, 1, 0, 1))
+    stsz = _full(b"stsz", 0, 0, struct.pack(">II", 0, 0))
+    stco = _full(b"stco", 0, 0, struct.pack(">II", 1, 32))
+    mdhd = _full(b"mdhd", 0, 0, struct.pack(">IIII", 0, 0, 1000, 0) + struct.pack(">HH", 0x55C4, 0))
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    moov = _box(b"moov", _box(b"trak", _box(b"mdia", mdhd + _box(b"minf", stbl))))
+    payload = _box(b"ftyp", b"isom" + struct.pack(">I", 0) + b"isom") + moov
+    with pytest.raises(ValueError, match="zero samples"):
+        mp4_sample_table(payload)
+
+    from rusty_bloomfilter_spark.operators.multimodal import (
+        frame_sample_plan_bytes,
+        sampled_frame_hashes,
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytearray(payload))], "media_id bigint, payload binary"
+    )
+    assert frame_sample_plan_bytes(df, every_ms=250).count() == 0
+    assert sampled_frame_hashes(df, every_ms=250).count() == 0
+
+
 def test_frame_plan_skips_corrupt_payloads(spark):
     """A corrupt mp4 row is skipped, never a task failure."""
     from pyspark.sql import functions as F  # noqa: N812
