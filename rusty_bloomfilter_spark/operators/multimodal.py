@@ -470,10 +470,12 @@ MEDIA_STATS_SCHEMA = (
 
 def media_stats(media: DataFrame, *, media_batch_hint: int = 256) -> DataFrame:
     """Real decoded per-media statistics, distributed: WAV -> sample
-    rate / duration / RMS / zero-crossing rate; BMP -> dims and
-    per-channel means. Non-decodable payloads yield a row with only
-    (media_id, kind, n_bytes) — nulls elsewhere, never a task failure.
-    Narrow rows out, so the expensive shuffle happens post-decode."""
+    rate / duration / RMS / zero-crossing rate; BMP/PNG/JPEG -> dims
+    and per-channel means; MP4/MP3 -> container-level duration / dims /
+    sample rate (box-tree and frame-header walks, no sample decode).
+    Undecodable payloads yield a row with only (media_id, kind,
+    n_bytes) — nulls elsewhere, never a task failure. Narrow rows out,
+    so the expensive shuffle happens post-decode."""
 
     hint = int(media_batch_hint)
 
@@ -503,6 +505,27 @@ def media_stats(media: DataFrame, *, media_batch_hint: int = 256) -> DataFrame:
                             row["zero_cross_rate"] = round(
                                 float(np.mean(np.signbit(pcm[1:]) != np.signbit(pcm[:-1]))), 6
                             )
+                        elif b[4:8] == b"ftyp":
+                            # container-level metadata (no sample decode):
+                            # duration + dimensions from the box tree
+                            from .containers import parse_mp4
+
+                            m4 = parse_mp4(b)
+                            ts = m4["media_timescale"] or m4["timescale"]
+                            if ts and m4["media_duration"] is not None:
+                                row["duration_ms"] = round(
+                                    m4["media_duration"] * 1000.0 / ts, 6
+                                )
+                            row["width"] = m4["width"]
+                            row["height"] = m4["height"]
+                        elif b[:3] == b"ID3" or (
+                            len(b) >= 2 and b[0] == 0xFF and (b[1] & 0xE0) == 0xE0
+                        ):
+                            from .containers import parse_mp3
+
+                            m3 = parse_mp3(b)
+                            row["sample_rate"] = m3["sample_rate"]
+                            row["duration_ms"] = round(m3["duration_ms"], 6)
                         elif b[:2] == b"BM" or b[:8] == _PNG_SIG or b[:3] == b"\xff\xd8\xff":
                             if b[:2] == b"BM":
                                 px = decode_bmp24(b)

@@ -489,3 +489,27 @@ def test_frame_plan_skips_corrupt_payloads(spark):
     )
     out = frame_sample_plan_bytes(df, every_ms=400).collect()
     assert {r["media_id"] for r in out} == {1}
+
+
+def test_media_stats_fills_container_metadata(spark):
+    """media_stats (the general per-media stats operator) fills
+    duration/dims for MP4 and duration/sample-rate for MP3 from the
+    container parsers instead of emitting metadata-only rows."""
+    from rusty_bloomfilter_spark.operators.multimodal import (
+        media_stats,
+        synthetic_video_media,
+    )
+
+    rows = {r["media_id"]: r for r in media_stats(synthetic_video_media(spark, 12)).collect()}
+    assert len(rows) == 12
+    for i, r in rows.items():
+        assert r["n_bytes"] > 0
+        if i % 3 == 2:  # mp3
+            assert r["sample_rate"] == 44100
+            assert abs(r["duration_ms"] - (20 + i % 30) * 1152 * 1000.0 / 44100) < 1e-6
+            assert r["width"] is None
+        else:  # mp4
+            assert r["duration_ms"] == (24 + i % 40) * (20 + (i % 5) * 10)
+            assert r["width"] == 160 + (i % 4) * 80
+            assert r["height"] == 120 + (i % 3) * 60
+            assert r["rms"] is None  # no sample decode claimed
