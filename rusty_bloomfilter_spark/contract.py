@@ -938,7 +938,10 @@ def q_video_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs work, only 3-column rows shuffle."""
     from .operators.multimodal import frame_hash_near_dups, synthetic_video_media
 
-    m = synthetic_video_media(spark, 60)
+    # video rows only: sampled_frame_hashes also handles MP3 audio (the
+    # retagged-copy dedup case, pinned in pytest), which would add
+    # audio pairs this oracle's closed form does not model
+    m = synthetic_video_media(spark, 60).filter(F.col("kind") == "video")
     copies = m.withColumn("media_id", F.col("media_id") + F.lit(100))
     return frame_hash_near_dups(m.unionByName(copies), every_ms=250, min_common=2)
 

@@ -394,12 +394,20 @@ _MP3_RATES = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000), 0: (11025, 120
 
 
 def encode_mp3_cbr(
-    n_frames: int, *, bitrate_kbps: int = 128, sample_rate: int = 44100, id3: bytes = b""
+    n_frames: int,
+    *,
+    bitrate_kbps: int = 128,
+    sample_rate: int = 44100,
+    id3: bytes = b"",
+    seed: int = 0,
 ) -> bytes:
     """Structurally valid MPEG-1 Layer III CBR stream: every frame
     header (sync, version, layer, bitrate/samplerate indices, padding=0)
-    is real; frame bodies are deterministic filler (module docstring).
-    Optional ``id3`` bytes are prefixed as an ID3v2 tag."""
+    is real; frame bodies are deterministic filler derived from
+    ``(seed, frame index, position)``, so every frame's content is
+    DISTINCT and two encodes share frame bytes iff they share the seed
+    — the property audio content-hash dedup tests rely on. Optional
+    ``id3`` bytes are prefixed as an ID3v2 tag."""
     if bitrate_kbps not in _MP3_BITRATES_V1:
         raise ValueError(f"unsupported CBR bitrate {bitrate_kbps}")
     rates = _MP3_RATES[3]
@@ -420,9 +428,11 @@ def encode_mp3_cbr(
             [(size >> 21) & 0x7F, (size >> 14) & 0x7F, (size >> 7) & 0x7F, size & 0x7F]
         )
         out += b"ID3\x04\x00\x00" + ss + id3
-    filler = (np.arange(body_len, dtype=np.uint64) * np.uint64(0x2545F4914F6CDD1D) >> np.uint64(56)).astype(np.uint8).tobytes()
-    for _ in range(int(n_frames)):
-        out += hdr + filler
+    base = np.uint64(seed) * np.uint64(0x9E3779B97F4A7C15)
+    for j in range(int(n_frames)):
+        pos = np.arange(j * body_len, (j + 1) * body_len, dtype=np.uint64)
+        filler = ((pos + base) * np.uint64(0x2545F4914F6CDD1D) >> np.uint64(56)).astype(np.uint8)
+        out += hdr + filler.tobytes()
     return bytes(out)
 
 
@@ -449,6 +459,10 @@ def parse_mp3(payload: bytes, *, max_junk: int = 1 << 16) -> dict:
     bitrates: set[int] = set()
     sample_rate = None
     rate_samples: dict[int, int] = {}  # sr -> total samples at that rate
+    frame_offsets: list[int] = []
+    frame_sizes: list[int] = []
+    frame_ts: list[float] = []  # start time of each frame, ms
+    t_ms = 0.0
     while pos + 4 <= len(buf):
         b0, b1, b2, _b3 = buf[pos : pos + 4]
         ok = False
@@ -470,6 +484,10 @@ def parse_mp3(payload: bytes, *, max_junk: int = 1 << 16) -> dict:
                     bitrates.add(kbps)
                     sample_rate = sr
                     rate_samples[sr] = rate_samples.get(sr, 0) + spf
+                    frame_offsets.append(pos)
+                    frame_sizes.append(flen)
+                    frame_ts.append(t_ms)
+                    t_ms += spf * 1000.0 / sr
                     pos += flen
                     ok = True
         if not ok:
@@ -489,6 +507,9 @@ def parse_mp3(payload: bytes, *, max_junk: int = 1 << 16) -> dict:
     return {
         "container": "mp3",
         "n_frames": n_frames,
+        "frame_offsets": np.array(frame_offsets, dtype=np.int64),
+        "frame_sizes": np.array(frame_sizes, dtype=np.int64),
+        "frame_ts_ms": np.array(frame_ts, dtype=np.float64),
         "sample_rate": sample_rate,
         "bitrate_kbps": next(iter(bitrates)) if len(bitrates) == 1 else None,
         "vbr": len(bitrates) > 1,

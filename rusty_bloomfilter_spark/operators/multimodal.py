@@ -698,6 +698,32 @@ FRAME_PLAN_SCHEMA = (
 _MAX_TICKS_PER_FRAME = 64
 
 
+def _mp3_tick_frames(payload: bytes, step: int):
+    """MP3 counterpart of _mp4_tick_frames: walk the frame headers
+    (parse_mp3 — offsets/sizes/timestamps come from VALIDATED frames, so
+    counts are inherently bounded by the file size, unlike MP4's
+    declared tables) and return (offsets, sizes, ts_ms, idx) for the
+    frame covering each sampling tick. None for non-MP3/corrupt."""
+    looks_mp3 = payload[:3] == b"ID3" or (
+        len(payload) >= 2 and payload[0] == 0xFF and (payload[1] & 0xE0) == 0xE0
+    )
+    if not looks_mp3:
+        return None
+    from .containers import parse_mp3
+
+    try:
+        m = parse_mp3(payload)
+    except ValueError:
+        return None
+    offs, sizes, ts_ms = m["frame_offsets"], m["frame_sizes"], m["frame_ts_ms"]
+    if len(offs) == 0:
+        return None
+    dur_ms = max(m["duration_ms"], 1.0)
+    ticks = np.arange(0, dur_ms, step, dtype=np.float64)
+    idx = np.searchsorted(ts_ms, ticks, side="right") - 1
+    return offs, sizes, ts_ms, idx
+
+
 def _mp4_tick_frames(payload: bytes, step: int):
     """Shared frame-sampling core for frame_sample_plan_bytes and
     sampled_frame_hashes: parse the sample table, derive ms timestamps
@@ -775,12 +801,13 @@ def sampled_frame_hashes(
     media: DataFrame, *, every_ms: int = 1000, media_batch_hint: int = 256
 ) -> DataFrame:
     """Content hash of every SAMPLED frame: parse each MP4's sample
-    tables, slice the payload at the sampled frames' byte ranges, and
-    emit a 64-bit hash of each frame's raw bytes. Content-addressed —
-    the hash covers only the ``mdat`` sample bytes, so re-muxed copies
-    (same frames, rewritten moov metadata / different brand or track
-    ids) produce identical hashes. Narrow (3-column) rows out; the
-    payloads never shuffle."""
+    tables (or MP3's frame headers), slice the payload at the sampled
+    frames' byte ranges, and emit a 64-bit hash of each frame's raw
+    bytes. Content-addressed — for MP4 the hash covers only ``mdat``
+    sample bytes, so re-muxed copies (same frames, rewritten moov
+    metadata) match; for MP3 it covers whole frames, so retagged copies
+    (same audio, different ID3v2 tag — the canonical audio-dup case)
+    match. Narrow (3-column) rows out; the payloads never shuffle."""
     import hashlib
 
     hint = int(media_batch_hint)
@@ -798,15 +825,20 @@ def sampled_frame_hashes(
                     continue
                 b = bytes(pl)
                 tf = _mp4_tick_frames(b, step)
-                if tf is None:
-                    continue
-                t, ts_ms, _ticks, raw_idx = tf
+                if tf is not None:
+                    t, ts_ms, _ticks, raw_idx = tf
+                    offsets, sizes = t["offsets"], t["sizes"]
+                else:
+                    af = _mp3_tick_frames(b, step)
+                    if af is None:
+                        continue
+                    offsets, sizes, ts_ms, raw_idx = af
                 idx = np.unique(raw_idx)
                 seen: set[int] = set()  # repeated identical frames in ONE
                 # video emit once, so the pair join counts distinct shared
                 # content, not multiplicity products
                 for j in idx:
-                    off, ln = int(t["offsets"][j]), int(t["sizes"][j])
+                    off, ln = int(offsets[j]), int(sizes[j])
                     if off + ln > len(b):
                         continue  # table points past EOF: corrupt, skip frame
                     h = int.from_bytes(

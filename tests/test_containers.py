@@ -513,3 +513,40 @@ def test_media_stats_fills_container_metadata(spark):
             assert r["width"] == 160 + (i % 4) * 80
             assert r["height"] == 120 + (i % 3) * 60
             assert r["rms"] is None  # no sample decode claimed
+
+
+def test_mp3_parse_frame_table():
+    """parse_mp3 returns per-frame byte offsets/sizes/timestamps."""
+    payload = encode_mp3_cbr(6, bitrate_kbps=128, sample_rate=44100, id3=b"\x00" * 20)
+    m = parse_mp3(payload)
+    flen = 144 * 128 * 1000 // 44100
+    assert (m["frame_sizes"] == flen).all()
+    assert (np.diff(m["frame_offsets"]) == flen).all()
+    assert m["frame_offsets"][0] == 30  # after the 30-byte ID3v2 tag
+    assert abs(m["frame_ts_ms"][1] - 1152 * 1000.0 / 44100) < 1e-9
+    # per-frame content is distinct (positional filler)
+    bodies = {bytes(payload[o : o + s]) for o, s in zip(m["frame_offsets"], m["frame_sizes"])}
+    assert len(bodies) == 6
+
+
+def test_audio_near_dups_catch_retagged_copies(spark):
+    """Audio near-dup via frame content hashes: a retagged copy (same
+    frames, different ID3v2 tag) and an exact copy pair with the
+    original; a different recording (different seed) does not."""
+    from rusty_bloomfilter_spark.operators.multimodal import frame_hash_near_dups
+
+    orig = encode_mp3_cbr(40, seed=5, id3=b"\x00" * 64)
+    retag = encode_mp3_cbr(40, seed=5, id3=b"\xaa" * 300)  # same audio, new tag
+    other = encode_mp3_cbr(40, seed=9, id3=b"\x00" * 64)
+    rows = [
+        (1, bytearray(orig)),
+        (2, bytearray(orig)),
+        (3, bytearray(retag)),
+        (4, bytearray(other)),
+    ]
+    df = spark.createDataFrame(rows, "media_id bigint, payload binary")
+    pairs = {
+        (r["media_a"], r["media_b"]): r["n_common_frames"]
+        for r in frame_hash_near_dups(df, every_ms=100, min_common=2).collect()
+    }
+    assert set(pairs) == {(1, 2), (1, 3), (2, 3)}
