@@ -2237,3 +2237,152 @@ def q_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_files int, resumed_files int, built_files int, n_items bigint, "
         "sketch_bytes bigint, fill_ratio double, bitwise_equal int",
     )
+
+
+# ===========================================================================
+# Round 4 additions: cluster resolution, PII scrub, entropy quality
+# ===========================================================================
+
+
+@register(
+    "q_dup_clusters",
+    oracle="""
+    WITH RECURSIVE
+    docs40 AS (
+        SELECT CAST(doc_id AS VARCHAR) AS doc_id, text
+        FROM documents WHERE length(text) >= 40
+    ),
+    pre AS (SELECT doc_id, md5(substr(text, 1, 40)) AS fp FROM docs40),
+    suf AS (
+        SELECT doc_id, md5(substr(text, length(text) - 39, 40)) AS fp
+        FROM docs40
+    ),
+    epairs AS (
+        SELECT a.doc_id AS src, b.doc_id AS dst
+        FROM pre a JOIN pre b ON a.fp = b.fp AND a.doc_id <> b.doc_id
+        UNION
+        SELECT a.doc_id, b.doc_id
+        FROM suf a JOIN suf b ON a.fp = b.fp AND a.doc_id <> b.doc_id
+    ),
+    reach(node, lab) AS (
+        SELECT src, src FROM epairs
+        UNION
+        SELECT e.dst, r.lab FROM reach r JOIN epairs e ON e.src = r.node
+    ),
+    comp AS (SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node)
+    SELECT c.doc_id, c.cluster_id, s.n_members
+    FROM comp c
+    JOIN (SELECT cluster_id, count(*) AS n_members FROM comp GROUP BY cluster_id) s
+      USING (cluster_id)
+    """,
+)
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-CLUSTER resolution: connected components over the union
+    of prefix-fingerprint and suffix-fingerprint candidate pairs, so
+    transitive chains (A~B by prefix, B~C by suffix) land in one group.
+    Spark side runs iterative hash-to-min label propagation
+    (operators/cluster.py) to exact convergence; the oracle computes
+    the same components with a DuckDB recursive CTE — a hash-match
+    pins the whole iterative algorithm, not just one round."""
+    from .operators.cluster import dup_clusters
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 40)
+    docs = docs.select(F.col("doc_id").cast("string").alias("doc_id"), "text")
+    pre = docs.select("doc_id", F.md5(F.substring("text", 1, 40)).alias("fp"))
+    suf = docs.select(
+        "doc_id",
+        F.md5(F.expr("substring(text, length(text) - 39, 40)")).alias("fp"),
+    )
+
+    def _pairs(fps: DataFrame) -> DataFrame:
+        return (
+            fps.alias("a")
+            .join(
+                fps.alias("b"),
+                (F.col("a.fp") == F.col("b.fp"))
+                & (F.col("a.doc_id") != F.col("b.doc_id")),
+            )
+            .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        )
+
+    edges = _pairs(pre).union(_pairs(suf))
+    return dup_clusters(edges)
+
+
+@register(
+    "q_pii_scrub",
+    oracle="""
+    WITH planted AS (
+        SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com or +1-555-'
+                    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text2
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text2,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT)
+               AS n_emails,
+           CAST(len(regexp_extract_all(text2, '\\+?1?-?555-[0-9]{4}')) AS BIGINT)
+               AS n_phones,
+           md5(regexp_replace(regexp_replace(text2,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                   '<EMAIL>', 'g'),
+               '\\+?1?-?555-[0-9]{4}', '<PHONE>', 'g')) AS clean_md5
+    FROM planted
+    """,
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (curation-pipeline scrub pass): plant
+    deterministic emails/phones keyed by doc_id, then count and redact
+    them with pure-Catalyst regexp_count/regexp_replace (JVM regex and
+    DuckDB RE2 agree on this pattern subset). Hash-matching md5(clean
+    text) pins the exact redaction output per row. Scale: one narrow
+    projection, no shuffle, no Python."""
+    from .functions.text import pii_redact, pii_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text2"),
+    )
+    n_emails, n_phones = pii_counts(F.col("text2"))
+    return planted.select(
+        "doc_id",
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+        F.md5(pii_redact(F.col("text2"))).alias("clean_md5"),
+    )
+
+
+@register(
+    "q_token_entropy",
+    oracle=_SEQ_CTE
+    + """
+    , t AS (
+        SELECT doc_id, len(tokens) AS n_tok, unnest(tokens) AS token
+        FROM sequences WHERE len(tokens) > 0
+    ),
+    c AS (SELECT doc_id, n_tok, token, count(*) AS c FROM t GROUP BY ALL)
+    SELECT doc_id,
+           round(ln(n_tok) - sum(c * ln(c)) / n_tok, 6) AS entropy
+    FROM c GROUP BY doc_id, n_tok
+    """,
+)
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution — the
+    low-entropy filter every curation pipeline runs (boilerplate and
+    repeated-phrase docs score low). H = ln(n) - sum(c·ln c)/n over
+    token multiplicities; pure Catalyst (explode + two hash
+    aggregates, map-side partial agg shrinks the shuffle to distinct
+    (doc, token) rows). Hash-matched to 1e-6 against DuckDB."""
+    from .functions.text import doc_token_entropy
+
+    seq = sequences_from_documents(spark, sf_dir).filter(F.size("tokens") > 0)
+    return doc_token_entropy(seq)

@@ -7,7 +7,7 @@ row-at-a-time execution.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 DEFAULT_VOCAB = 50257  # GPT-2-style vocab size for token-id domain
@@ -261,3 +261,53 @@ def duckdb_repetition(tokens_expr: str) -> dict[str, str]:
         f"ELSE 0.0 END"
     )
     return {"dup_3gram_ratio": dup, "top_token_ratio": top}
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction (curation scrub pass)
+# ---------------------------------------------------------------------------
+
+# Pattern subset chosen to mean the same thing in Java regex (Spark) and
+# RE2 (DuckDB): char classes, bounded repetition, optional literals.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?1?-?555-[0-9]{4}"
+
+
+def pii_counts(text: Column) -> tuple[Column, Column]:
+    """(n_emails, n_phones) occurrence counts — JVM-side regexp_count."""
+    return (
+        F.regexp_count(text, F.lit(EMAIL_RE)).cast("bigint"),
+        F.regexp_count(text, F.lit(PHONE_RE)).cast("bigint"),
+    )
+
+
+def pii_redact(text: Column) -> Column:
+    """Replace every email with <EMAIL>, then every phone with <PHONE>.
+    Order matters: emails first so an address containing digits can't be
+    half-eaten by the phone pass."""
+    out = F.regexp_replace(text, EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(out, PHONE_RE, "<PHONE>")
+
+
+# ---------------------------------------------------------------------------
+# Token-distribution entropy (low-entropy = boilerplate/repetition)
+# ---------------------------------------------------------------------------
+
+
+def doc_token_entropy(seq: DataFrame) -> DataFrame:
+    """sequences(doc_id, tokens, n_tok, ...) -> (doc_id, entropy) with
+    Shannon entropy H = ln(n_tok) − Σ c·ln(c) / n_tok over per-doc token
+    multiplicities (natural log, rounded to 1e-6 for cross-engine float
+    parity). Explode + two hash aggregates: the first combines map-side
+    to distinct (doc_id, token) rows before its shuffle, the second is
+    one row per doc — both partial-agg friendly, no Python."""
+    counts = (
+        seq.select("doc_id", "n_tok", F.explode("tokens").alias("token"))
+        .groupBy("doc_id", "n_tok", "token")
+        .agg(F.count("*").alias("c"))
+    )
+    return counts.groupBy("doc_id", "n_tok").agg(
+        F.round(
+            F.log("n_tok") - F.sum(F.col("c") * F.log("c")) / F.col("n_tok"), 6
+        ).alias("entropy")
+    ).select("doc_id", "entropy")

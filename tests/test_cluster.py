@@ -1,0 +1,110 @@
+"""Connected-components cluster resolution + PII/entropy text ops."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _cc(spark, pairs, **kw):
+    from rusty_bloomfilter_spark.operators.cluster import connected_components
+
+    df = spark.createDataFrame(pairs, "doc_a string, doc_b string")
+    rows = connected_components(df, **kw).collect()
+    return {r["node"]: r["cluster_id"] for r in rows}
+
+
+def test_chain_transitivity(spark):
+    # A-B, B-C, C-D: one component even though A-C / A-D never paired.
+    got = _cc(spark, [("a", "b"), ("b", "c"), ("c", "d")])
+    assert got == {"a": "a", "b": "a", "c": "a", "d": "a"}
+
+
+def test_two_components_and_self_loop_ignored(spark):
+    got = _cc(spark, [("a", "b"), ("x", "y"), ("y", "z"), ("q", "q")])
+    assert got == {"a": "a", "b": "a", "x": "x", "y": "x", "z": "x"}
+    assert "q" not in got  # self-loop only => no edge, not returned
+
+
+def test_long_chain_converges(spark):
+    # Diameter 9 chain: needs ~9 propagation rounds; also direction-
+    # agnostic (min label is at the far end from where edges point).
+    names = [f"n{i:02d}" for i in range(10)]
+    pairs = [(names[i + 1], names[i]) for i in range(9)]
+    got = _cc(spark, pairs)
+    assert set(got.values()) == {"n00"}
+    assert len(got) == 10
+
+
+def test_partitioning_invariance(spark):
+    from rusty_bloomfilter_spark.operators.cluster import connected_components
+
+    pairs = [("a", "b"), ("b", "c"), ("p", "q"), ("q", "r"), ("r", "a")]
+    df = spark.createDataFrame(pairs, "doc_a string, doc_b string")
+    one = {
+        (r["node"], r["cluster_id"])
+        for r in connected_components(df.coalesce(1)).collect()
+    }
+    many = {
+        (r["node"], r["cluster_id"])
+        for r in connected_components(df.repartition(7)).collect()
+    }
+    assert one == many
+    assert {c for _, c in one} == {"a"}  # ring fused through shared node
+
+
+def test_dup_clusters_sizes(spark):
+    from rusty_bloomfilter_spark.operators.cluster import dup_clusters
+
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], "doc_a string, doc_b string"
+    )
+    rows = {r["doc_id"]: (r["cluster_id"], r["n_members"]) for r in dup_clusters(df).collect()}
+    assert rows == {
+        "a": ("a", 3),
+        "b": ("a", 3),
+        "c": ("a", 3),
+        "x": ("x", 2),
+        "y": ("x", 2),
+    }
+    # the curation rule: drop doc_id != cluster_id keeps exactly one per group
+    keep = [d for d, (c, _) in rows.items() if d == c]
+    assert sorted(keep) == ["a", "x"]
+
+
+def test_pii_counts_and_redact(spark):
+    from rusty_bloomfilter_spark.functions.text import pii_counts, pii_redact
+
+    df = spark.createDataFrame(
+        [
+            ("no pii here",),
+            ("mail a.b_c%x@sub.example.org and +1-555-1234 twice 555-0000",),
+            ("bare user@example.com",),
+        ],
+        "t string",
+    )
+    n_em, n_ph = pii_counts(F.col("t"))
+    out = df.select(
+        n_em.alias("e"), n_ph.alias("p"), pii_redact(F.col("t")).alias("r")
+    ).collect()
+    assert [(r["e"], r["p"]) for r in out] == [(0, 0), (1, 2), (1, 0)]
+    assert out[1]["r"] == "mail <EMAIL> and <PHONE> twice <PHONE>"
+    assert out[2]["r"] == "bare <EMAIL>"
+
+
+def test_token_entropy_known_values(spark):
+    from rusty_bloomfilter_spark.functions.text import doc_token_entropy
+
+    seq = spark.createDataFrame(
+        [
+            ("uniform", [1, 2, 3, 4], 4),
+            ("constant", [7, 7, 7, 7, 7], 5),
+            ("mixed", [1, 1, 2], 3),
+        ],
+        "doc_id string, tokens array<int>, n_tok int",
+    )
+    got = {r["doc_id"]: r["entropy"] for r in doc_token_entropy(seq).collect()}
+    assert got["uniform"] == pytest.approx(math.log(4), abs=1e-6)
+    assert got["constant"] == pytest.approx(0.0, abs=1e-6)
+    expect = math.log(3) - (2 * math.log(2)) / 3
+    assert got["mixed"] == pytest.approx(expect, abs=1e-6)
