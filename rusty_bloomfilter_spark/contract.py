@@ -2294,18 +2294,23 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.expr("substring(text, length(text) - 39, 40)")).alias("fp"),
     )
 
-    def _pairs(fps: DataFrame) -> DataFrame:
+    def _star_edges(fps: DataFrame) -> DataFrame:
+        # STAR edges (every doc -> min doc sharing its fp), not all
+        # pairs: a D-doc duplicate group yields D-1 edges instead of
+        # D·(D-1) — same connected components, no quadratic blowup on
+        # the hot fingerprint at corpus scale. The oracle builds the
+        # clique pairs (small SF); components are identical by
+        # construction.
+        hubs = fps.groupBy("fp").agg(
+            F.min("doc_id").alias("doc_a"), F.count("*").alias("n_docs")
+        )
         return (
-            fps.alias("a")
-            .join(
-                fps.alias("b"),
-                (F.col("a.fp") == F.col("b.fp"))
-                & (F.col("a.doc_id") != F.col("b.doc_id")),
-            )
-            .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            fps.join(hubs.filter(F.col("n_docs") >= 2), "fp")
+            .filter(F.col("doc_id") != F.col("doc_a"))
+            .select("doc_a", F.col("doc_id").alias("doc_b"))
         )
 
-    edges = _pairs(pre).union(_pairs(suf))
+    edges = _star_edges(pre).union(_star_edges(suf))
     return dup_clusters(edges)
 
 
