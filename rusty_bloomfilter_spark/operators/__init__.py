@@ -14,6 +14,7 @@ from .aggregate import (
 )
 from .bpe import learn_bpe_merges
 from .cache import free, tie
+from .cluster import connected_components, dup_clusters
 from .sharded import ShardedBloomSketch
 from .sampling import (
     bottom_k_by,
@@ -38,6 +39,8 @@ from .temporal import asof_join, range_join, salted_join, session_stats, session
 __all__ = [
     "BlockedBloomSketch",
     "BloomSketch",
+    "connected_components",
+    "dup_clusters",
     "CmsSketch",
     "HllSketch",
     "KllQuantiles",
