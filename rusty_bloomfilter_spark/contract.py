@@ -2391,3 +2391,46 @@ def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     seq = sequences_from_documents(spark, sf_dir).filter(F.size("tokens") > 0)
     return doc_token_entropy(seq)
+
+
+@register(
+    "q_bloom_join_prune",
+    oracle="""
+    SELECT c.c_mktsegment,
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS revenue,
+           count(*) AS n_orders
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_acctbal > 9000
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q_bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-join pruning — the library's flagship join use: build a
+    blocked-Bloom filter over the selective build side's keys
+    (customers with c_acctbal > 9000, ~10%), broadcast the payload,
+    and drop probe-side orders whose o_custkey definitely doesn't
+    match BEFORE the exact join. Zero false negatives ⇒ the pruned
+    join aggregate is bitwise the plain join (the oracle); false
+    positives survive the prune but die in the exact join. At 100 TB
+    with a build side too big to broadcast-join, the O(bytes) filter
+    still broadcasts, cutting the probe-side shuffle by the key
+    selectivity; the small-side count used for sizing is the same
+    cost class as the filter build itself."""
+    from .operators.sketches import BlockedBloomSketch
+
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000)
+    n_keys = cust.count()
+    sk = BlockedBloomSketch.for_np(n=max(n_keys, 1024), p=1e-3, col="h", scalar=True)
+    payload, _ = sk.build_bytes(cust.select(F.col("c_custkey").alias("h")))
+    orders = load_table(spark, sf_dir, "orders")
+    pruned = orders.filter(sk.might_contain_udf(payload, spark)(F.col("o_custkey")))
+    return (
+        pruned.join(cust, pruned.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(38,4)"))
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )

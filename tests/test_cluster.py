@@ -108,3 +108,26 @@ def test_token_entropy_known_values(spark):
     assert got["constant"] == pytest.approx(0.0, abs=1e-6)
     expect = math.log(3) - (2 * math.log(2)) / 3
     assert got["mixed"] == pytest.approx(expect, abs=1e-6)
+
+
+def test_bloom_join_prune_zero_fn_and_prunes(spark):
+    """The prune keeps every true-match order (zero FN) and actually
+    drops most non-matching ones at p=1e-3."""
+    from pyspark.sql import functions as F
+    from rusty_bloomfilter_spark.operators.sketches import BlockedBloomSketch
+    from rusty_bloomfilter_spark.sources import load_table
+
+    sf_dir = "/root/testdata/sf0.001"
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000)
+    keys = {r["c_custkey"] for r in cust.select("c_custkey").collect()}
+    sk = BlockedBloomSketch.for_np(n=max(len(keys), 1024), p=1e-3, col="h", scalar=True)
+    payload, _ = sk.build_bytes(cust.select(F.col("c_custkey").alias("h")))
+    orders = load_table(spark, sf_dir, "orders")
+    pruned = orders.filter(sk.might_contain_udf(payload, spark)(F.col("o_custkey")))
+    kept = [r["o_custkey"] for r in pruned.select("o_custkey").collect()]
+    n_orders = orders.count()
+    true_matches = orders.filter(F.col("o_custkey").isin(keys)).count()
+    assert sum(1 for k in kept if k in keys) == true_matches  # zero FN
+    # FP head-room: kept - true_matches is bounded by p * non-matches * slack
+    assert len(kept) - true_matches <= max(10, 0.01 * n_orders)
+    assert len(kept) < n_orders  # the prune actually pruned
