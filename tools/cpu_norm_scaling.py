@@ -79,13 +79,16 @@ spark = (SparkSession.builder.master(f"local[{{cpus}}]")
          .config("spark.ui.enabled", "false").getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")
 from rusty_bloomfilter_spark.operators.sketches import BlockedBloomSketch, BloomSketch
+from rusty_bloomfilter_spark.operators.sharded import ShardedBloomSketch
 from rusty_bloomfilter_spark.sketch import Shape
 seq = spark.read.parquet("/tmp/bench_seq_scaling.parquet")
 n_tokens = int(seq.agg({{"n_tok": "sum"}}).collect()[0][0])
 bsk = BlockedBloomSketch.for_np(n=2_000_000, p=1e-4)
 csk = BloomSketch(Shape.for_np(n=2_000_000, p=1e-4))
+ssk = ShardedBloomSketch(n_total=2_000_000, p=1e-4, n_shards=max(cpus, 8))
 bsk.build_bytes(seq, fanout=cpus)  # full-size warmups
 csk.build_bytes(seq, fanout=cpus)
+ssk.build(seq, routed=True).count()
 
 def measure(fn, reps=2):
     best = None
@@ -100,12 +103,15 @@ def measure(fn, reps=2):
 
 wb, cb = measure(lambda: bsk.build_bytes(seq, fanout=cpus))
 wc, cc = measure(lambda: csk.build_bytes(seq, fanout=cpus))
+ws, cs = measure(lambda: ssk.build(seq, routed=True).count())
 print(json.dumps({{
     "cpus": cpus, "n_tokens": n_tokens,
     "blocked": {{"wall": round(wb, 3), "cpu_sec": round(cb, 2),
                  "tok_per_cpu_sec": round(n_tokens / cb, 1)}},
     "classic": {{"wall": round(wc, 3), "cpu_sec": round(cc, 2),
                  "tok_per_cpu_sec": round(n_tokens / cc, 1)}},
+    "sharded": {{"wall": round(ws, 3), "cpu_sec": round(cs, 2),
+                 "tok_per_cpu_sec": round(n_tokens / cs, 1)}},
 }}))
 spark.stop()
 """
@@ -135,7 +141,7 @@ def main() -> None:
         )
         out[cpus] = json.loads(r.stdout.strip().splitlines()[-1])
     report = {"n_tokens": out[2]["n_tokens"]}
-    for key in ("blocked", "classic"):
+    for key in ("blocked", "classic", "sharded"):
         r2, r8 = out[2][key], out[8][key]
         report[key] = {
             "local2": r2, "local8": r8,
