@@ -131,3 +131,48 @@ def test_bloom_join_prune_zero_fn_and_prunes(spark):
     # FP head-room: kept - true_matches is bounded by p * non-matches * slack
     assert len(kept) - true_matches <= max(10, 0.01 * n_orders)
     assert len(kept) < n_orders  # the prune actually pruned
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_node = st.integers(min_value=0, max_value=11).map(lambda i: f"n{i:02d}")
+
+
+def _union_find(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comps = {}
+    for a, b in edges:
+        if a != b:
+            for v in (a, b):
+                comps.setdefault(find(v), set()).add(v)
+    return {
+        v: min(members) for members in comps.values() for v in members
+    }
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.tuples(_node, _node), min_size=1, max_size=14))
+def test_cc_matches_union_find(spark, edges):
+    """Spark hash-to-min components == sequential union-find on random
+    small graphs (self-loops, parallel edges, multi-component, cycles)."""
+    from rusty_bloomfilter_spark.operators.cluster import connected_components
+
+    expect = _union_find(edges)
+    df = spark.createDataFrame(edges, "doc_a string, doc_b string")
+    got = {
+        r["node"]: r["cluster_id"] for r in connected_components(df).collect()
+    }
+    assert got == expect

