@@ -76,6 +76,7 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    changed = -1
     for _ in range(max_rounds):
         prop = sym.join(
             labels.withColumnRenamed("node", "src"), "src"
@@ -94,6 +95,15 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # Exact convergence is the contract; returning partial labels
+        # would silently split clusters. Rounds needed = graph diameter,
+        # so only a degenerate chain-shaped graph gets here.
+        raise ValueError(
+            f"connected_components did not converge in {max_rounds} rounds "
+            f"({changed} labels still changing); raise max_rounds for "
+            "long-chain graphs (rounds needed = graph diameter)"
+        )
     return labels.select("node", F.col("label").alias("cluster_id"))
 
 

@@ -176,3 +176,14 @@ def test_cc_matches_union_find(spark, edges):
         r["node"]: r["cluster_id"] for r in connected_components(df).collect()
     }
     assert got == expect
+
+
+def test_nonconvergence_raises(spark):
+    import pytest as _pytest
+    from rusty_bloomfilter_spark.operators.cluster import connected_components
+
+    names = [f"n{i:02d}" for i in range(8)]
+    pairs = [(names[i], names[i + 1]) for i in range(7)]
+    df = spark.createDataFrame(pairs, "doc_a string, doc_b string")
+    with _pytest.raises(ValueError, match="did not converge"):
+        connected_components(df, max_rounds=2)
