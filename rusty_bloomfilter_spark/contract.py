@@ -2434,3 +2434,38 @@ def q_bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_orders"),
         )
     )
+
+
+@register("q_join_size_est")
+def q_join_size_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size estimation from two mergeable CMS sketches
+    (Cormode–Muthukrishnan inner product): |lineitem ⋈ orders| on
+    orderkey estimated WITHOUT touching row pairs — each side is one
+    scan reduced to a d×w table, the estimate is a driver-side inner
+    product of two payloads. At 100 TB this is the planner's
+    join-cardinality probe: O(sketch) bytes moved vs an actual join.
+    In-query asserts pin the one-sided bound (est ≥ exact) and the
+    eps·N_a·N_b error cap at delta confidence; rows-only registration
+    (the estimator is not SQL-expressible), exact side cross-checked
+    by DuckDB through the ``exact_join_size`` column's value hash in
+    pytest instead."""
+    from .operators.sketches import CmsSketch
+    from .sketch.cms import CountMinSketch
+
+    li = load_table(spark, sf_dir, "lineitem").select(F.col("l_orderkey").alias("k"))
+    od = load_table(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("k"))
+    sk = CmsSketch(d=5, w=65536, col="k", scalar=True)
+    pa_bytes, n_a = sk.build_bytes(li)
+    pb_bytes, n_b = sk.build_bytes(od)
+    ca, cb = CountMinSketch.from_bytes(pa_bytes), CountMinSketch.from_bytes(pb_bytes)
+    est = ca.inner_product(cb)
+    exact = li.join(od, "k").count()
+    eps, _delta = ca.error_bound()
+    cap = exact + eps * n_a * n_b
+    assert est >= exact, (est, exact)  # one-sided estimator
+    assert est <= cap, (est, cap)
+    return spark.createDataFrame(
+        [(n_a, n_b, exact, est, round(float(eps), 8), 1 if est <= cap else 0)],
+        "n_left bigint, n_right bigint, exact_join_size bigint, "
+        "est_join_size bigint, eps double, within_bound int",
+    )

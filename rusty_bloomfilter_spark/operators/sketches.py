@@ -482,17 +482,25 @@ class HllSketch:
 
 
 class CmsSketch:
-    """Distributed token-frequency sketch (count-min)."""
+    """Distributed token-frequency sketch (count-min). ``scalar=True``
+    sketches a scalar key column (join-size estimation via
+    ``CountMinSketch.inner_product``) instead of an array column."""
 
-    def __init__(self, d: int = 5, w: int = 65536, *, col: str = "tokens"):
+    def __init__(self, d: int = 5, w: int = 65536, *, col: str = "tokens", scalar: bool = False):
         self.d = d
         self.w = w
         self.col = col
+        self.scalar = scalar
 
     def _empty(self) -> CountMinSketch:
         return CountMinSketch(self.d, self.w)
 
     def _update(self, acc: CountMinSketch, batch) -> None:
+        if self.scalar:
+            vals = _scalar_values(batch, self.col)
+            if vals.size:
+                acc.add_tokens(vals)
+            return
         toks = arrow_flat_tokens(batch, self.col)
         if toks.size:
             dc = dedup_counts(toks)

@@ -129,6 +129,23 @@ class CountMinSketch:
         out = CountMinSketch(self.d, self.w, self.table.copy(), self.n_items)
         return out.merge_in_place(other)
 
+    def inner_product(self, other: "CountMinSketch") -> int:
+        """Estimate the inner product of the two sketched frequency
+        vectors, Σ_k f_self(k)·f_other(k) — which for sketches over the
+        two sides' join keys is exactly the equi-join's output row
+        count. min over rows of Σ_j table_a[i,j]·table_b[i,j]:
+        guaranteed ≥ the true product, and ≤ true + eps·N_a·N_b with
+        probability 1−delta (Cormode & Muthukrishnan 2005 §4.2 — valid
+        because both sketches share the fixed per-(d,w) K-M row-hash
+        family, so colliding keys collide identically in both tables).
+        Products are summed in float64: relative error ~2^-52 is
+        orders below the eps·N_a·N_b sketch bound, while uint64 cell
+        products would overflow at 10^12-token counts."""
+        if (self.d, self.w) != (other.d, other.w):
+            raise ValueError("CMS dimension mismatch")
+        per_row = (self.table.astype(np.float64) * other.table.astype(np.float64)).sum(axis=1)
+        return int(per_row.min())
+
     # -- wire ---------------------------------------------------------------
 
     def to_bytes(self) -> bytes:

@@ -187,3 +187,58 @@ def test_nonconvergence_raises(spark):
     df = spark.createDataFrame(pairs, "doc_a string, doc_b string")
     with _pytest.raises(ValueError, match="did not converge"):
         connected_components(df, max_rounds=2)
+
+
+def test_cms_inner_product_exact_and_bound():
+    """Inner product == brute force when no hash collisions matter
+    (huge w), and stays within [truth, truth + eps*Na*Nb] at small w."""
+    import numpy as np
+    from rusty_bloomfilter_spark.sketch.cms import CountMinSketch
+
+    rng = np.random.default_rng(7)
+    a_keys = rng.integers(0, 200, 5000, dtype=np.int64)
+    b_keys = rng.integers(0, 200, 3000, dtype=np.int64)
+    fa = np.bincount(a_keys, minlength=200)
+    fb = np.bincount(b_keys, minlength=200)
+    truth = int((fa * fb).sum())
+
+    big = CountMinSketch(d=5, w=1 << 16)
+    big2 = CountMinSketch(d=5, w=1 << 16)
+    big.add_tokens(a_keys)
+    big2.add_tokens(b_keys)
+    est = big.inner_product(big2)
+    eps, _ = big.error_bound()
+    assert truth <= est <= truth + eps * 5000 * 3000
+    # 200 distinct keys in 65536 columns: collisions are overwhelmingly
+    # unlikely to survive the min over 5 rows
+    assert est == truth
+
+    small = CountMinSketch(d=5, w=64)
+    small2 = CountMinSketch(d=5, w=64)
+    small.add_tokens(a_keys)
+    small2.add_tokens(b_keys)
+    est_s = small.inner_product(small2)
+    eps_s, _ = small.error_bound()
+    assert truth <= est_s <= truth + eps_s * 5000 * 3000
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        big.inner_product(small)
+
+
+def test_cms_inner_product_merge_consistency():
+    """Inner product commutes with the merge algebra: sketches built
+    from partitioned halves give the same estimate as one-shot."""
+    import numpy as np
+    from rusty_bloomfilter_spark.sketch.cms import CountMinSketch
+
+    rng = np.random.default_rng(11)
+    keys = rng.integers(0, 500, 8000, dtype=np.int64)
+    other = CountMinSketch(d=5, w=4096).add_tokens(
+        rng.integers(0, 500, 6000, dtype=np.int64)
+    )
+    one = CountMinSketch(d=5, w=4096).add_tokens(keys)
+    halves = CountMinSketch(d=5, w=4096).add_tokens(keys[:3000]).merge(
+        CountMinSketch(d=5, w=4096).add_tokens(keys[3000:])
+    )
+    assert one.inner_product(other) == halves.inner_product(other)
