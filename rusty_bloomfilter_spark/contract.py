@@ -2469,3 +2469,87 @@ def q_join_size_est(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_left bigint, n_right bigint, exact_join_size bigint, "
         "est_join_size bigint, eps double, within_bound int",
     )
+
+
+@register(
+    "q_domain_cap",
+    oracle="""
+    WITH ranked AS (
+        SELECT CAST(doc_id AS VARCHAR) AS doc_id, source,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY n_chars DESC, CAST(doc_id AS VARCHAR) ASC
+               ) AS cap_rank
+        FROM documents
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN cap_rank <= 20 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+           md5(string_agg(CASE WHEN cap_rank <= 20 THEN doc_id END,
+                          ',' ORDER BY doc_id)) AS kept_md5
+    FROM ranked GROUP BY source
+    """,
+)
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source frequency capping — the domain-cap pass every crawl
+    curation pipeline runs (keep the best N documents per domain so
+    hot domains can't dominate the training mix). Ranks docs within
+    each source by (n_chars DESC, doc_id ASC) — a total order, so the
+    kept set is deterministic across reruns — and keeps the top 20.
+    md5 over the comma-joined sorted kept ids pins exact MEMBERSHIP,
+    not just counts. Pure Catalyst: one shuffle on source, window
+    rank, hash aggregate (operators/curation.frequency_cap)."""
+    from .operators.curation import frequency_cap
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "source", "n_chars"
+    )
+    ranked = frequency_cap(
+        docs, "source", 20, [F.col("n_chars").desc(), F.col("doc_id").asc()]
+    )
+    return ranked.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("kept"), 1).otherwise(0)).cast("bigint").alias("n_kept"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.sort_array(F.collect_list(F.when(F.col("kept"), F.col("doc_id")))),
+            )
+        ).alias("kept_md5"),
+    )
+
+
+@register(
+    "q_pack_sequences",
+    oracle=_SEQ_CTE
+    + """
+    , s AS (
+        SELECT source, CAST(doc_id AS BIGINT) AS id, len(tokens) AS n_tok
+        FROM sequences
+    ),
+    c AS (
+        SELECT source, n_tok,
+               sum(n_tok) OVER (PARTITION BY source ORDER BY id) AS cum
+        FROM s
+    )
+    SELECT source,
+           CAST(floor((cum - n_tok) / 2048.0) AS BIGINT) AS bin,
+           count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS bin_tokens
+    FROM c GROUP BY source, bin
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for fixed-context pretraining: lay each
+    source's documents end-to-end in doc_id order and bin them into
+    2048-token context windows (bin = floor(start_offset/capacity) —
+    the deterministic concatenate-and-split packer, so shard
+    boundaries are stable across reruns/resumes). Per-key running sum
+    (never a global sort) + map-side-combinable aggregate
+    (operators/curation.pack_sequences); hash-matched against DuckDB
+    computing the same closed form over the parity tokenizer."""
+    from .operators.curation import pack_sequences
+
+    seq = sequences_from_documents(spark, sf_dir)
+    return pack_sequences(seq, capacity=2048, key="source")

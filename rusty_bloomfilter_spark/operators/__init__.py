@@ -15,6 +15,7 @@ from .aggregate import (
 from .bpe import learn_bpe_merges
 from .cache import free, tie
 from .cluster import connected_components, dup_clusters
+from .curation import frequency_cap, pack_sequences
 from .sharded import ShardedBloomSketch
 from .sampling import (
     bottom_k_by,
@@ -57,6 +58,8 @@ __all__ = [
     "collect_sketch_bytes",
     "flat_ngram_hashes",
     "flatten_tokens",
+    "frequency_cap",
+    "pack_sequences",
     "free",
     "kmv_distinct",
     "kmv_group_sketches",

@@ -1,0 +1,105 @@
+"""frequency_cap / pack_sequences (operators/curation.py) unit tests:
+cap semantics, deterministic tiebreak, packing closed form vs a numpy
+re-derivation, and degenerate inputs."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from rusty_bloomfilter_spark.operators.curation import frequency_cap, pack_sequences
+
+
+def _docs(spark):
+    rows = [
+        # (doc_id, source, n_chars) — 'a' has 5 docs incl. an n_chars tie
+        ("d1", "a", 100),
+        ("d2", "a", 300),
+        ("d3", "a", 300),
+        ("d4", "a", 50),
+        ("d5", "a", 200),
+        ("d6", "b", 10),
+        ("d7", "b", 20),
+    ]
+    return spark.createDataFrame(rows, "doc_id string, source string, n_chars long")
+
+
+def test_frequency_cap_keeps_top_n_per_key(spark):
+    out = frequency_cap(
+        _docs(spark), "source", 3, [F.col("n_chars").desc(), F.col("doc_id").asc()]
+    )
+    kept = {r.doc_id for r in out.filter("kept").collect()}
+    # source a top-3 by (n_chars desc, doc_id asc): d2(300), d3(300), d5(200)
+    assert kept == {"d2", "d3", "d5", "d6", "d7"}
+    ranks = {r.doc_id: r.cap_rank for r in out.collect()}
+    assert ranks["d2"] == 1 and ranks["d3"] == 2  # tie broken by doc_id
+    assert ranks["d4"] == 5 and not [
+        r for r in out.collect() if r.doc_id == "d4" and r.kept
+    ]
+
+
+def test_frequency_cap_deterministic_across_runs(spark):
+    df = _docs(spark)
+    order = [F.col("n_chars").desc(), F.col("doc_id").asc()]
+    a = sorted((r.doc_id, r.cap_rank) for r in frequency_cap(df, "source", 2, order).collect())
+    b = sorted((r.doc_id, r.cap_rank) for r in frequency_cap(df, "source", 2, order).collect())
+    assert a == b
+
+
+def _pack_oracle(ids, toks, cap):
+    """numpy closed form: bin = floor(start/cap) in id order."""
+    order = np.argsort(ids, kind="stable")
+    toks = np.asarray(toks)[order]
+    starts = np.cumsum(toks) - toks
+    bins = starts // cap
+    out = {}
+    for b, t in zip(bins, toks):
+        n, s = out.get(int(b), (0, 0))
+        out[int(b)] = (n + 1, s + int(t))
+    return out
+
+
+@pytest.mark.parametrize("cap", [8, 64, 1000])
+def test_pack_sequences_matches_numpy_closed_form(spark, cap):
+    rng = np.random.default_rng(7)
+    ids = np.arange(200)
+    toks = rng.integers(1, 40, size=200)
+    seq = spark.createDataFrame(
+        [(str(i), "s", int(t)) for i, t in zip(ids, toks)],
+        "doc_id string, source string, n_tok long",
+    )
+    got = {
+        int(r.bin): (r.n_docs, r.bin_tokens)
+        for r in pack_sequences(seq, capacity=cap, key="source").collect()
+    }
+    assert got == _pack_oracle(ids, toks, cap)
+
+
+def test_pack_sequences_long_doc_starts_bin(spark):
+    # a doc longer than capacity contributes ALL its tokens to its
+    # starting bin; the next doc starts in the spilled-past window
+    seq = spark.createDataFrame(
+        [("1", "s", 10), ("2", "s", 300), ("3", "s", 10)],
+        "doc_id string, source string, n_tok long",
+    )
+    got = {int(r.bin): (r.n_docs, r.bin_tokens) for r in pack_sequences(seq, 100).collect()}
+    # starts: 0, 10, 310 -> bins 0, 0, 3
+    assert got == {0: (2, 310), 3: (1, 10)}
+
+
+def test_pack_sequences_per_key_independent(spark):
+    seq = spark.createDataFrame(
+        [("1", "a", 60), ("2", "a", 60), ("1", "b", 60), ("2", "b", 60)],
+        "doc_id string, source string, n_tok long",
+    )
+    rows = pack_sequences(seq, 100).collect()
+    by_key = {(r.source, int(r.bin)): (r.n_docs, r.bin_tokens) for r in rows}
+    # each key restarts at offset 0: starts 0 and 60 -> bins 0 and 0
+    assert by_key == {("a", 0): (2, 120), ("b", 0): (2, 120)}
+
+
+def test_pack_sequences_rejects_bad_capacity(spark):
+    seq = spark.createDataFrame(
+        [("1", "s", 1)], "doc_id string, source string, n_tok long"
+    )
+    with pytest.raises(ValueError):
+        pack_sequences(seq, 0)
