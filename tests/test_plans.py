@@ -247,3 +247,31 @@ def test_bloom_join_prune_filters_before_join(spark):
     # children); assert the join exists and no exchange carries the
     # unpruned orders (orders scan is followed by the python probe)
     assert "join" in order, plan
+
+
+def test_domain_cap_one_shuffle_and_pruned_scan(spark):
+    """The window rank and the per-source aggregate share one hash
+    partitioning on source: exactly ONE Exchange in the whole plan —
+    at 100 TB the cap pass costs a single shuffle. The documents scan
+    must not read text (only doc_id/source/n_chars)."""
+    import re
+
+    from rusty_bloomfilter_spark.contract import q_domain_cap
+
+    plan = plan_of(q_domain_cap(spark, SF))
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges == 1, plan
+    read_schema = plan.split("ReadSchema")[1][:200]
+    assert "text" not in read_schema, read_schema
+
+
+def test_pack_sequences_no_global_sort(spark):
+    """Packing's running sum is a PER-KEY window: the plan may sort
+    within hash partitions but must never range-partition (a global
+    sort would serialize the corpus through one ordering at scale).
+    The final (source, bin) aggregate map-side combines."""
+    from rusty_bloomfilter_spark.contract import q_pack_sequences
+
+    plan = plan_of(q_pack_sequences(spark, SF))
+    assert "rangepartitioning" not in plan, plan
+    assert "partial_count" in plan or "partial_sum" in plan, plan
