@@ -2553,3 +2553,120 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     seq = sequences_from_documents(spark, sf_dir)
     return pack_sequences(seq, capacity=2048, key="source")
+
+
+@register(
+    "q_span_dedup",
+    oracle=_SEQ_CTE
+    + """
+    , tok AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, tokens FROM sequences),
+    wins AS (
+        SELECT doc_id,
+               unnest(range(len(tokens) - 7)) AS pos,
+               unnest(list_transform(range(len(tokens) - 7),
+                      i -> md5(array_to_string(tokens[i+1:i+8], '-')))) AS key
+        FROM tok WHERE len(tokens) >= 8
+    ),
+    owners AS (
+        SELECT key, count(*) AS cnt,
+               min(doc_id * 1000000000 + pos) AS min_owner
+        FROM wins GROUP BY key
+    ),
+    dup AS (
+        SELECT w.doc_id, w.pos
+        FROM wins w JOIN owners o USING (key)
+        WHERE o.cnt > 1 AND w.doc_id * 1000000000 + w.pos <> o.min_owner
+    ),
+    brk AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+                    THEN 1 ELSE 0 END AS b
+        FROM dup
+    ),
+    isl AS (
+        SELECT doc_id, pos,
+               sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS island
+        FROM brk
+    ),
+    spans AS (
+        SELECT doc_id, island, min(pos) AS s, max(pos) + 8 AS e
+        FROM isl GROUP BY doc_id, island
+    )
+    SELECT doc_id, count(*) AS n_dup_spans,
+           CAST(sum(e - s) AS BIGINT) AS dup_tokens
+    FROM spans GROUP BY doc_id
+    """,
+)
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated-SPAN dedup (Lee et al. 2022's substring dedup,
+    re-expressed window-granular so it distributes): every 8-token
+    window gets an md5 content key; occurrences whose key repeats
+    corpus-wide — minus the canonical first occurrence, so one copy of
+    every span survives — merge into maximal per-doc spans
+    (gaps-and-islands). Returns per doc the span count and covered
+    token mass a cut pass would remove. Pure Catalyst
+    (operators/spans.py): window rows shuffle once on key (the owner
+    aggregate's exchange feeds the join), duplicated occurrences —
+    a tiny fraction — once on doc_id. Hash-matched against DuckDB
+    computing the identical keys over the parity tokenizer."""
+    from .operators.spans import span_dedup_stats
+
+    seq = sequences_from_documents(spark, sf_dir)
+    return span_dedup_stats(seq, length=8)
+
+
+@register(
+    "q_temperature_mix",
+    oracle=_SEQ_CTE
+    + """
+    , s AS (
+        SELECT source, doc_id, len(tokens) AS n_tok FROM sequences
+    ),
+    agg AS (
+        SELECT source, CAST(sum(n_tok) AS BIGINT) AS n_key_tokens
+        FROM s GROUP BY source
+    ),
+    tot AS (SELECT CAST(sum(n_key_tokens) AS BIGINT) AS total FROM agg),
+    r AS (
+        SELECT source,
+               CAST(floor(least(1.0, 0.25 * sqrt(CAST(total AS DOUBLE)
+                    / CAST(n_key_tokens AS DOUBLE))) * 1000000) AS BIGINT) AS thr
+        FROM agg, tot
+    ),
+    b AS (
+        SELECT source, n_tok,
+               ('0x' || substr(md5(doc_id), 1, 8))::BIGINT % 1000000 AS bucket
+        FROM s
+    )
+    SELECT b.source, count(*) AS n_docs,
+           CAST(sum(CASE WHEN bucket < thr THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN bucket < thr THEN n_tok ELSE 0 END) AS BIGINT)
+               AS kept_tokens,
+           min(thr) AS thr
+    FROM b JOIN r USING (source) GROUP BY b.source
+    """,
+)
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-0.5 domain-mixing sample — the data-mixing pass that
+    flattens the crawl's natural domain skew before pretraining. The
+    alpha=1/2 acceptance rule min(1, 0.25*sqrt(N/n_s)) needs no
+    cross-domain normalizer, so thresholds are exact integers on both
+    engines (correctly-rounded /, sqrt, * over exact integer token
+    counts — no accumulation-order float drift); the keep decision is
+    an int64 comparison of an md5 bucket against the threshold:
+    deterministic across runs, engines, partitionings. One map-side
+    aggregate + one BROADCAST join (operators/curation.py:
+    temperature_sample) — the corpus never shuffles."""
+    from .operators.curation import temperature_sample
+
+    seq = sequences_from_documents(spark, sf_dir)
+    sampled = temperature_sample(seq, key="source", budget_frac=0.25)
+    return sampled.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("kept"), 1).otherwise(0)).cast("bigint").alias("n_kept"),
+        F.sum(F.when(F.col("kept"), F.col("n_tok")).otherwise(0))
+        .cast("bigint")
+        .alias("kept_tokens"),
+        F.min("thr").alias("thr"),
+    )

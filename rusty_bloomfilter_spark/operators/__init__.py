@@ -15,7 +15,8 @@ from .aggregate import (
 from .bpe import learn_bpe_merges
 from .cache import free, tie
 from .cluster import connected_components, dup_clusters
-from .curation import frequency_cap, pack_sequences
+from .curation import frequency_cap, pack_sequences, temperature_rates, temperature_sample
+from .spans import merge_window_spans, span_dedup_stats, token_windows
 from .sharded import ShardedBloomSketch
 from .sampling import (
     bottom_k_by,
@@ -60,6 +61,11 @@ __all__ = [
     "flatten_tokens",
     "frequency_cap",
     "pack_sequences",
+    "temperature_rates",
+    "temperature_sample",
+    "merge_window_spans",
+    "span_dedup_stats",
+    "token_windows",
     "free",
     "kmv_distinct",
     "kmv_group_sketches",

@@ -92,3 +92,82 @@ def pack_sequences(
             F.sum(n_tok_col).cast("bigint").alias("bin_tokens"),
         )
     )
+
+
+# Acceptance thresholds are integer micro-units so the accept decision
+# is an exact int64 comparison, never a float comparison at the
+# boundary (cross-engine/rerun determinism).
+_MICRO = 1_000_000
+
+
+def temperature_rates(
+    seq: DataFrame,
+    key: str = "source",
+    budget_frac: float = 0.25,
+    n_tok_col: str = "n_tok",
+) -> DataFrame:
+    """Per-key acceptance thresholds for temperature-0.5 domain mixing.
+
+    Pretraining mixes flatten the natural domain distribution: with
+    temperature alpha, the sampled token share of domain s should be
+    proportional to share_s^alpha. For alpha = 1/2 the per-domain
+    acceptance rate needs NO cross-domain normalizer:
+
+        r_s = min(1, budget_frac * sqrt(N / n_s))
+        E[kept tokens from s] = n_s * r_s ∝ sqrt(n_s)   (unclamped)
+
+    which is exactly share^0.5 reweighting — hot domains are damped,
+    tail domains sampled at (or near) rate 1. Avoiding the normalizer
+    is what makes the rule cross-engine exact: N and n_s are exact
+    integers, and /, sqrt, * are correctly-rounded IEEE ops, so DuckDB
+    and Spark floor the SAME micro-unit threshold; a sum over domains
+    would instead depend on accumulation order. ``budget_frac`` should
+    be a binary-exact constant (0.25, 0.5) for the same reason.
+
+    Returns (key, n_key_tokens, thr) where thr is in [0, 1e6]; a doc
+    is kept iff its hash bucket (uniform in [0, 1e6)) < thr.
+    Scale: one map-side-combinable aggregate; the rates frame is
+    |domains| rows — always broadcastable.
+    """
+    stats = seq.groupBy(key).agg(F.sum(n_tok_col).cast("bigint").alias("n_key_tokens"))
+    total = F.sum("n_key_tokens").over(Window.partitionBy())
+    rate = F.least(
+        F.lit(1.0),
+        F.lit(float(budget_frac))
+        * F.sqrt(total.cast("double") / F.col("n_key_tokens").cast("double")),
+    )
+    return stats.withColumn("thr", F.floor(rate * F.lit(_MICRO)).cast("bigint"))
+
+
+def hash_bucket_expr(id_col: Column, buckets: int = _MICRO) -> Column:
+    """Uniform deterministic bucket in [0, buckets) from the doc id:
+    first 8 hex chars of md5(id as string) mod buckets — the same
+    bucket DuckDB derives, so sampling decisions are engine-exact."""
+    return (
+        F.conv(F.substring(F.md5(id_col.cast("string")), 1, 8), 16, 10).cast("long")
+        % F.lit(int(buckets))
+    )
+
+
+def temperature_sample(
+    seq: DataFrame,
+    key: str = "source",
+    budget_frac: float = 0.25,
+    id_col: str = "doc_id",
+    n_tok_col: str = "n_tok",
+) -> DataFrame:
+    """Deterministic temperature-0.5 domain-mixing sample.
+
+    Joins the (broadcast) per-key thresholds back onto the corpus and
+    keeps a document iff hash_bucket(doc_id) < thr — reproducible
+    across runs, engines, and partitionings; no RNG state. One
+    aggregate + one broadcast join: at 100 TB the corpus never
+    shuffles, each task filters against a |domains|-row map.
+    """
+    rates = temperature_rates(seq, key=key, budget_frac=budget_frac, n_tok_col=n_tok_col)
+    bucket = hash_bucket_expr(F.col(id_col))
+    return (
+        seq.join(F.broadcast(rates), key)
+        .withColumn("bucket", bucket)
+        .withColumn("kept", F.col("bucket") < F.col("thr"))
+    )

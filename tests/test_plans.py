@@ -265,6 +265,29 @@ def test_domain_cap_one_shuffle_and_pruned_scan(spark):
     assert "text" not in read_schema, read_schema
 
 
+def test_temperature_mix_broadcasts_rates(spark):
+    """The rates frame is |domains| rows: the corpus-side join MUST be
+    a broadcast — a sort-merge join would shuffle the whole corpus to
+    apply a 20-row threshold map."""
+    from rusty_bloomfilter_spark.contract import q_temperature_mix
+
+    plan = plan_of(q_temperature_mix(spark, SF))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_span_dedup_pruned_scan_no_cartesian(spark):
+    """Span dedup touches only doc_id + text: the documents scan must
+    not read lang/source/n_chars, and the key join must be a real
+    equi-join (never a nested-loop/cartesian over window rows)."""
+    from rusty_bloomfilter_spark.contract import q_span_dedup
+
+    plan = plan_of(q_span_dedup(spark, SF))
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
+    read_schema = plan.split("ReadSchema")[1][:200]
+    assert "lang" not in read_schema and "n_chars" not in read_schema, read_schema
+
+
 def test_pack_sequences_no_global_sort(spark):
     """Packing's running sum is a PER-KEY window: the plan may sort
     within hash partitions but must never range-partition (a global
