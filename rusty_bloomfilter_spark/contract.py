@@ -2617,6 +2617,87 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_span_cut",
+    oracle=_SEQ_CTE
+    + """
+    , tok AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, tokens FROM sequences),
+    wins AS (
+        SELECT doc_id,
+               unnest(range(len(tokens) - 7)) AS pos,
+               unnest(list_transform(range(len(tokens) - 7),
+                      i -> md5(array_to_string(tokens[i+1:i+8], '-')))) AS key
+        FROM tok WHERE len(tokens) >= 8
+    ),
+    owners AS (
+        SELECT key, count(*) AS cnt,
+               min(doc_id * 1000000000 + pos) AS min_owner
+        FROM wins GROUP BY key
+    ),
+    dup AS (
+        SELECT w.doc_id, w.pos
+        FROM wins w JOIN owners o USING (key)
+        WHERE o.cnt > 1 AND w.doc_id * 1000000000 + w.pos <> o.min_owner
+    ),
+    brk AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+                    THEN 1 ELSE 0 END AS b
+        FROM dup
+    ),
+    isl AS (
+        SELECT doc_id, pos,
+               sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS island
+        FROM brk
+    ),
+    spans AS (
+        SELECT doc_id, island, min(pos) AS s, max(pos) + 8 AS e
+        FROM isl GROUP BY doc_id, island
+    ),
+    per_doc AS (
+        SELECT doc_id, flatten(list(range(s, e))) AS cov
+        FROM spans GROUP BY doc_id
+    ),
+    cut AS (
+        SELECT t.doc_id, t.tokens,
+               CASE WHEN p.cov IS NULL THEN t.tokens
+                    ELSE list_transform(
+                           list_filter(range(len(t.tokens)),
+                                       i -> NOT list_contains(p.cov, i)),
+                           i -> t.tokens[i+1])
+               END AS clean
+        FROM tok t LEFT JOIN per_doc p USING (doc_id)
+    )
+    SELECT doc_id, CAST(len(tokens) AS BIGINT) AS n_tok,
+           CAST(len(clean) AS BIGINT) AS n_clean,
+           -- array_to_string([]) is NULL in DuckDB but concat_ws over
+           -- an empty array is '' in Spark: coalesce to match
+           md5(coalesce(array_to_string(clean, '-'), '')) AS clean_md5
+    FROM cut
+    """,
+)
+def q_span_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY side of repeated-span dedup: the cleaned token stream with
+    every duplicated span removed and the canonical first occurrence
+    kept (keep-one — no content lost corpus-wide). md5 over the
+    '-'-joined cleaned ids pins the EXACT post-cut content of every
+    document, not just counts; DuckDB re-derives the same spans and
+    the same cut independently. One corpus shuffle on doc_id for the
+    span join (operators/spans.cut_spans); the span side is tiny."""
+    from .operators.spans import cut_spans
+
+    seq = sequences_from_documents(spark, sf_dir)
+    clean = cut_spans(seq, length=8)
+    ids = F.transform(F.col("tokens_clean"), lambda t: t.cast("string"))
+    return clean.select(
+        "doc_id",
+        F.size("tokens").cast("bigint").alias("n_tok"),
+        F.size("tokens_clean").cast("bigint").alias("n_clean"),
+        F.md5(F.concat_ws("-", ids)).alias("clean_md5"),
+    )
+
+
+@register(
     "q_temperature_mix",
     oracle=_SEQ_CTE
     + """

@@ -132,6 +132,52 @@ def merge_window_spans(dup: DataFrame, length: int) -> DataFrame:
     )
 
 
+def cut_spans(
+    seq: DataFrame,
+    length: int,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    min_count: int = 2,
+) -> DataFrame:
+    """Apply side of repeated-span dedup: (doc_id, tokens, tokens_clean)
+    with every duplicated span's tokens removed and the canonical first
+    occurrence of every span kept (keep-one semantics, so no content is
+    lost corpus-wide). Documents with no duplicated spans pass through
+    unchanged.
+
+    The cut is a per-doc positional filter against that doc's merged
+    span list (LEFT join on doc_id, spans aggregated to an array —
+    per-doc span counts are tiny, so the O(n_tok * n_spans) lambda
+    stays cheap and JVM-side). The join key is doc_id: the corpus
+    shuffles once, the span frame is the tiny side.
+    """
+    tokens = F.col(tokens_col)
+    wins = token_windows(seq, length, id_col=id_col, tokens_col=tokens_col)
+    spans = merge_window_spans(duplicated_windows(wins, min_count=min_count), length)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("spans")
+    )
+    base = seq.select(F.col(id_col).cast("bigint").alias("doc_id"), tokens.alias("tokens"))
+    joined = base.join(per_doc, "doc_id", "left").withColumn(
+        "spans", F.coalesce(F.col("spans"), F.array())
+    )
+    covered = lambda i: F.exists(  # noqa: E731 — readability over def
+        F.col("spans"),
+        lambda s: (i >= s["span_start"]) & (i < s["span_end"]),
+    )
+    kept_idx = F.filter(
+        F.sequence(F.lit(0), F.size("tokens") - 1),
+        lambda i: ~covered(i.cast("long")),
+    )
+    # size==0 guard: Spark's sequence(0, -1) is [0, -1] (descending
+    # step), not empty — same trap as rolling_fingerprint_expr
+    clean = F.when(
+        F.size("tokens") > 0,
+        F.transform(kept_idx, lambda i: F.get("tokens", i)),
+    ).otherwise(F.col("tokens"))
+    return joined.select("doc_id", "tokens", clean.alias("tokens_clean"))
+
+
 def span_dedup_stats(
     seq: DataFrame,
     length: int,

@@ -15,6 +15,7 @@ from rusty_bloomfilter_spark.operators.curation import (
     temperature_sample,
 )
 from rusty_bloomfilter_spark.operators.spans import (
+    cut_spans,
     duplicated_windows,
     merge_window_spans,
     span_dedup_stats,
@@ -164,6 +165,53 @@ def test_duplicated_windows_never_drop_all_copies(spark):
         ).count()
     )
     assert flagged.count() == total_dup_occ - n_keys_dup
+
+
+def _clean(df):
+    return {int(r.doc_id): list(r.tokens_clean) for r in df.collect()}
+
+
+def test_cut_spans_removes_shared_run_keeps_owner(spark):
+    seq = _seq(
+        spark,
+        [
+            ("1", [1, 2, 3, 4, 5, 6, 7, 8, 9, 10]),
+            ("2", [100, 1, 2, 3, 4, 5, 200, 300]),
+        ],
+    )
+    got = _clean(cut_spans(seq, length=3))
+    assert got[1] == [1, 2, 3, 4, 5, 6, 7, 8, 9, 10]  # owner untouched
+    assert got[2] == [100, 200, 300]
+
+
+def test_cut_spans_full_duplicate_empties(spark):
+    seq = _seq(spark, [("1", [1, 2, 3, 4]), ("2", [1, 2, 3, 4])])
+    got = _clean(cut_spans(seq, length=3))
+    assert got[1] == [1, 2, 3, 4] and got[2] == []
+
+
+def test_cut_spans_empty_and_short_docs_pass_through(spark):
+    seq = _seq(spark, [("1", []), ("2", [7, 8])])
+    got = _clean(cut_spans(seq, length=3))
+    assert got == {1: [], 2: [7, 8]}
+
+
+def test_cut_spans_accounting_matches_stats(spark):
+    # n_clean == n_tok - dup_tokens for every doc, on random data
+    rng = np.random.default_rng(23)
+    base = rng.integers(0, 30, size=50).tolist()
+    rows = [
+        (str(i), base[(i * 3) % 20 : (i * 3) % 20 + 15 + i % 9]
+         + rng.integers(0, 30, size=4).tolist())
+        for i in range(1, 25)
+    ]
+    seq = _seq(spark, [(d, [int(t) for t in ts]) for d, ts in rows])
+    stats = _stats(span_dedup_stats(seq, length=4))
+    clean = cut_spans(seq, length=4)
+    for r in clean.collect():
+        n_dup = stats.get(int(r.doc_id), (0, 0))[1]
+        assert len(r.tokens_clean) == len(r.tokens) - n_dup, r.doc_id
+    assert stats  # the construction actually planted duplicates
 
 
 # ---------------------------------------------------------------------------
