@@ -120,7 +120,13 @@ def main() -> None:
     # single parquet split — spread the doc rows so signature
     # computation uses the build cores (production inputs arrive
     # multi-split; this mirrors that)
-    dedup_seq = sequences_from_documents(spark, sf_dir).repartition(build_tasks)
+    # materialize the tokenized doc corpus ONCE (same input policy as
+    # bench_seq above: tokenization is input prep, not the measured
+    # dedup query — without this every rep re-runs the md5 tokenizer)
+    sequences_from_documents(spark, sf_dir).repartition(build_tasks).write.mode(
+        "overwrite"
+    ).parquet("/tmp/bench_dedup_seq.parquet")
+    dedup_seq = spark.read.parquet("/tmp/bench_dedup_seq.parquet")
     embeddings = load_table(spark, sf_dir, "embeddings")
 
     state: dict[str, object] = {}
