@@ -2606,13 +2606,18 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     every span survives — merge into maximal per-doc spans
     (gaps-and-islands). Returns per doc the span count and covered
     token mass a cut pass would remove. Pure Catalyst
-    (operators/spans.py): window rows shuffle once on key (the owner
-    aggregate's exchange feeds the join), duplicated occurrences —
-    a tiny fraction — once on doc_id. Hash-matched against DuckDB
-    computing the identical keys over the parity tokenizer."""
+    (operators/spans.py): ONE corpus pass — counts and owners are
+    window functions over the key partition (a groupBy+self-join
+    would run the explode+md5 stage twice) — then the duplicated
+    occurrences, a tiny fraction, shuffle once on doc_id.
+    Hash-matched against DuckDB computing the identical keys over the
+    parity tokenizer (the oracle's arithmetic owner min equals the
+    struct min for pos < 1e9)."""
     from .operators.spans import span_dedup_stats
 
-    seq = sequences_from_documents(spark, sf_dir)
+    seq = sequences_from_documents(spark, sf_dir).withColumn(
+        "doc_id", F.col("doc_id").cast("bigint")
+    )
     return span_dedup_stats(seq, length=8)
 
 
@@ -2686,7 +2691,9 @@ def q_span_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     span join (operators/spans.cut_spans); the span side is tiny."""
     from .operators.spans import cut_spans
 
-    seq = sequences_from_documents(spark, sf_dir)
+    seq = sequences_from_documents(spark, sf_dir).withColumn(
+        "doc_id", F.col("doc_id").cast("bigint")
+    )
     clean = cut_spans(seq, length=8)
     ids = F.transform(F.col("tokens_clean"), lambda t: t.cast("string"))
     return clean.select(

@@ -21,13 +21,20 @@ Spark pipelines) is window-granular:
      maximal spans (gaps-and-islands over pos), giving the spans a
      cleaner would cut.
 
-Pure Catalyst end-to-end: the explode, the key groupBy, the key join
-and the per-doc windows are all JVM-side codegen — no Python in the
-row path. Scale shape: window rows ~= corpus token count; they hash-
-shuffle ONCE on key (the owner aggregate's exchange is reused by the
-join under AQE since both hash the same key), the surviving duplicated
-occurrences (a tiny fraction) shuffle once on doc_id for the island
-merge. No driver-side data, no cartesian products.
+Pure Catalyst end-to-end: the explode, the per-key window aggregates
+and the per-doc island windows are all JVM-side — no Python in the
+row path. Scale shape: window rows ~= corpus token count; they flow
+through ONE corpus pass — occurrence counts and canonical owners come
+from window functions over the key partition, not a groupBy+self-join
+(which would run the explode+md5 stage once per join side: identical
+exchanges are reusable, an aggregate side and a probe side are not).
+The surviving duplicated occurrences — a tiny fraction — shuffle once
+more on doc_id for the island merge. No driver-side data, no
+cartesian products, no persist of corpus-scale intermediates.
+
+Canonical owners are struct-ordered (doc_id, pos) minima, so doc ids
+may be any orderable type — strings, 64-bit hashes — with no
+arithmetic-overflow ceiling.
 
 Reference parity: the reference library (/root/reference/src/
 bloomfilter/mod.rs) has no substring surface; this extends SURVEY
@@ -38,12 +45,6 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
-
-# owner_key = doc_id * _POS_BASE + pos must be injective and order-
-# consistent with (doc_id, pos): requires pos < _POS_BASE (docs under
-# one billion tokens — 3 orders of magnitude above any real document)
-# and doc_id < 2^63 / _POS_BASE ~= 9.2e9.
-_POS_BASE = 1_000_000_000
 
 
 def window_key_expr(tokens: Column, i: Column, length: int) -> Column:
@@ -68,8 +69,8 @@ def token_windows(
     (they cannot contain an L-token duplicate). The explode multiplies
     rows by ~n_tok but each output row is ~50 bytes — the same row
     volume as any shingling pass, and it flows straight into a keyed
-    aggregate without materializing.
-    """
+    window stage without materializing. ``id_col`` keeps its input
+    type (any orderable type works; nothing is cast)."""
     if length < 2:
         raise ValueError(f"window length must be >= 2, got {length}")
     tokens = F.col(tokens_col)
@@ -84,22 +85,28 @@ def token_windows(
         ),
     ).otherwise(F.array().cast("array<struct<pos:bigint,key:string>>"))
     return seq.select(
-        F.col(id_col).cast("bigint").alias("doc_id"), F.explode(wins).alias("w")
+        F.col(id_col).alias("doc_id"), F.explode(wins).alias("w")
     ).select("doc_id", F.col("w.pos").alias("pos"), F.col("w.key").alias("key"))
 
 
 def duplicated_windows(wins: DataFrame, min_count: int = 2) -> DataFrame:
     """Window occurrences whose key repeats corpus-wide, minus each
-    key's canonical first occurrence (min (doc_id, pos)): the set of
-    window starts a span cut would remove. One hash shuffle on key;
-    the join hashes the same key so AQE reuses the exchange."""
-    owner = F.col("doc_id") * F.lit(_POS_BASE) + F.col("pos")
-    owners = wins.groupBy("key").agg(
-        F.count("*").alias("cnt"), F.min(owner).alias("min_owner")
-    )
+    key's canonical first occurrence (struct-min (doc_id, pos)): the
+    set of window starts a span cut would remove.
+
+    Occurrence counts and owners come from window functions over the
+    key partition — ONE shuffle, one pass over the window rows. The
+    groupBy+join alternative reads the corpus (and recomputes the
+    explode+md5 stage) once per join side, because an aggregate plan
+    and a probe plan never share an exchange."""
+    owner = F.struct("doc_id", "pos")
+    wk = Window.partitionBy("key")
     return (
-        wins.join(owners, "key")
-        .where((F.col("cnt") >= F.lit(int(min_count))) & (owner != F.col("min_owner")))
+        wins.withColumn("cnt", F.count(F.lit(1)).over(wk))
+        .withColumn("min_owner", F.min(owner).over(wk))
+        .where(
+            (F.col("cnt") >= F.lit(int(min_count))) & (owner != F.col("min_owner"))
+        )
         .select("doc_id", "pos")
     )
 
@@ -157,7 +164,7 @@ def cut_spans(
     per_doc = spans.groupBy("doc_id").agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("spans")
     )
-    base = seq.select(F.col(id_col).cast("bigint").alias("doc_id"), tokens.alias("tokens"))
+    base = seq.select(F.col(id_col).alias("doc_id"), tokens.alias("tokens"))
     joined = base.join(per_doc, "doc_id", "left").withColumn(
         "spans", F.coalesce(F.col("spans"), F.array())
     )

@@ -276,14 +276,20 @@ def test_temperature_mix_broadcasts_rates(spark):
     assert "SortMergeJoin" not in plan, plan
 
 
-def test_span_dedup_pruned_scan_no_cartesian(spark):
-    """Span dedup touches only doc_id + text: the documents scan must
-    not read lang/source/n_chars, and the key join must be a real
-    equi-join (never a nested-loop/cartesian over window rows)."""
+def test_span_dedup_single_corpus_pass_pruned_scan(spark):
+    """Span dedup reads the corpus exactly ONCE: occurrence counts and
+    canonical owners are window functions over the key partition, not
+    a groupBy+self-join (which re-runs the explode+md5 stage per join
+    side — at 100 TB that doubles the most expensive stage). The scan
+    must also not read lang/source/n_chars (only doc_id + text)."""
+    import re
+
     from rusty_bloomfilter_spark.contract import q_span_dedup
 
     plan = plan_of(q_span_dedup(spark, SF))
-    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
+    assert n_scans == 1, plan
+    assert "Join" not in plan and "CartesianProduct" not in plan, plan
     read_schema = plan.split("ReadSchema")[1][:200]
     assert "lang" not in read_schema and "n_chars" not in read_schema, read_schema
 
