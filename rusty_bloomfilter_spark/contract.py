@@ -2758,3 +2758,108 @@ def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("kept_tokens"),
         F.min("thr").alias("thr"),
     )
+
+
+@register(
+    "q_shard_manifest",
+    oracle=_SEQ_CTE
+    + """
+    , s AS (
+        SELECT doc_id, len(tokens) AS n_tok,
+               ('0x' || substr(md5(doc_id), 1, 8))::BIGINT % 32 AS shard
+        FROM sequences
+    )
+    SELECT shard, count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           md5(string_agg(doc_id, ',' ORDER BY doc_id)) AS ids_md5
+    FROM s GROUP BY shard
+    """,
+)
+def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Output-shard manifest — the write-planning pass at the end of a
+    curation pipeline: route every tokenized document to one of 32
+    balanced output shards by a stable md5 hash of its id (pick
+    n_shards = corpus_bytes / target_shard_bytes at 100 TB; the same
+    expression feeds ``repartition(n, "shard").write``). ids_md5 pins
+    exact shard MEMBERSHIP across engines, not just counts. The
+    assignment is a map-side expression — zero shuffle — and the
+    manifest is one map-side-combinable hash aggregate, so shuffled
+    rows are O(tasks x 32) regardless of corpus size
+    (operators/sharding.shard_manifest)."""
+    from .operators.sharding import shard_manifest
+
+    seq = sequences_from_documents(spark, sf_dir)
+    return shard_manifest(
+        seq, 32, id_col="doc_id", weight_col="n_tok"
+    ).select(
+        "shard",
+        "n_docs",
+        F.col("n_weight").alias("n_tokens"),
+        "ids_md5",
+    )
+
+
+@register(
+    "q_split_manifest",
+    oracle="""
+    WITH b AS (
+        SELECT lang, n_chars,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   % 1000000 AS bucket
+        FROM documents
+    )
+    SELECT CASE WHEN bucket < 980000 THEN 'train'
+                WHEN bucket < 990000 THEN 'val'
+                ELSE 'test' END AS split,
+           lang, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS n_weight
+    FROM b GROUP BY split, lang
+    """,
+)
+def q_split_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leak-free train/val/test assignment audited per language.
+    split = disjoint range test on md5-bucket(doc_id): a document is
+    in exactly one split, forever — re-running the pipeline, adding
+    data, or changing partitioning cannot move a test document into
+    train (the contamination property). The manifest verifies the
+    98/1/1 fractions hold and every language reaches val/test. Pure
+    map-side expression + one hash aggregate
+    (operators/sharding.split_manifest)."""
+    from .operators.sharding import split_manifest
+
+    docs = load_table(spark, sf_dir, "documents")
+    return split_manifest(
+        docs,
+        {"train": 0.98, "val": 0.01, "test": 0.01},
+        id_col="doc_id",
+        weight_col="n_chars",
+        strata_col="lang",
+    )
+
+
+@register(
+    "q_json_props",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
+           CAST(count(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS n_k
+    FROM events GROUP BY event_type
+    """,
+)
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured property extraction — every event pipeline
+    carries a JSON blob column; pulling typed fields out of it must
+    stay JVM-side (Catalyst get_json_object, codegen'd Jackson parse)
+    rather than a Python UDF. Sums stay integer-exact on both engines.
+    At 100 TB the parse is map-side; only the |event_types|-row
+    aggregate shuffles."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum("k").cast("bigint").alias("sum_k"),
+        F.count("k").cast("bigint").alias("n_k"),
+    )

@@ -1,0 +1,113 @@
+"""shard_assignment / split_assignment (operators/sharding.py) tests:
+determinism across partitionings, disjoint-exhaustive splits, manifest
+totals, threshold math, and validation errors."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from rusty_bloomfilter_spark.operators.sharding import (
+    _split_thresholds,
+    shard_assignment,
+    shard_manifest,
+    split_assignment,
+    split_manifest,
+)
+
+
+def _docs(spark, n=400):
+    return spark.range(n).select(
+        F.concat(F.lit("doc-"), F.col("id")).alias("doc_id"),
+        (F.col("id") % 7 + 1).alias("n_tok"),
+        F.concat(F.lit("lang"), F.col("id") % 3).alias("lang"),
+    )
+
+
+def _py_bucket(doc_id: str, mod: int) -> int:
+    return int(hashlib.md5(doc_id.encode()).hexdigest()[:8], 16) % mod
+
+
+def test_shard_assignment_matches_python_md5(spark):
+    rows = shard_assignment(_docs(spark, 50), 32).collect()
+    for r in rows:
+        assert r.shard == _py_bucket(r.doc_id, 32)
+
+
+def test_shard_assignment_stable_under_repartition(spark):
+    df = _docs(spark)
+    a = {r.doc_id: r.shard for r in shard_assignment(df, 16).collect()}
+    b = {
+        r.doc_id: r.shard
+        for r in shard_assignment(df.repartition(13), 16).collect()
+    }
+    assert a == b
+
+
+def test_shard_assignment_rejects_nonpositive(spark):
+    with pytest.raises(ValueError, match="n_shards"):
+        shard_assignment(_docs(spark, 1), 0)
+
+
+def test_shard_manifest_totals_and_membership_digest(spark):
+    df = _docs(spark, 200)
+    man = shard_manifest(df, 8, weight_col="n_tok").collect()
+    assert sum(r.n_docs for r in man) == 200
+    total_tok = df.agg(F.sum("n_tok")).first()[0]
+    assert sum(r.n_weight for r in man) == total_tok
+    # digest pins membership: recompute one shard's digest in python
+    by_shard = {}
+    for r in df.collect():
+        by_shard.setdefault(_py_bucket(r.doc_id, 8), []).append(r.doc_id)
+    for r in man:
+        expect = hashlib.md5(
+            ",".join(sorted(by_shard[r.shard])).encode()
+        ).hexdigest()
+        assert r.ids_md5 == expect
+
+
+def test_split_thresholds_cumulative_and_closed(spark):
+    bounds = _split_thresholds({"train": 0.98, "val": 0.01, "test": 0.01})
+    assert bounds == [("train", 980000), ("val", 990000), ("test", 1000000)]
+    with pytest.raises(ValueError, match="sum to 1"):
+        _split_thresholds({"a": 0.5, "b": 0.4})
+    with pytest.raises(ValueError, match="negative"):
+        _split_thresholds({"a": 1.5, "b": -0.5})
+
+
+def test_split_assignment_disjoint_exhaustive_and_stable(spark):
+    df = _docs(spark, 300)
+    a = {r.doc_id: r.split for r in split_assignment(df).collect()}
+    # every doc gets exactly one split (withColumn guarantees one value;
+    # stability is the real property)
+    assert set(a.values()) <= {"train", "val", "test"}
+    b = {
+        r.doc_id: r.split
+        for r in split_assignment(df.repartition(7)).collect()
+    }
+    assert a == b
+    # adding MORE data cannot move an existing doc's split
+    c = {
+        r.doc_id: r.split
+        for r in split_assignment(_docs(spark, 600)).collect()
+    }
+    for k, v in a.items():
+        assert c[k] == v
+
+
+def test_split_assignment_matches_python_ranges(spark):
+    rows = split_assignment(
+        _docs(spark, 200), {"x": 0.5, "y": 0.3, "z": 0.2}
+    ).collect()
+    for r in rows:
+        b = _py_bucket(r.doc_id, 1_000_000)
+        expect = "x" if b < 500000 else ("y" if b < 800000 else "z")
+        assert r.split == expect
+
+
+def test_split_manifest_strata_totals(spark):
+    df = _docs(spark, 300)
+    man = split_manifest(df, weight_col="n_tok", strata_col="lang").collect()
+    assert sum(r.n_docs for r in man) == 300
+    langs = {r.lang for r in man}
+    assert langs == {"lang0", "lang1", "lang2"}
