@@ -171,16 +171,49 @@ class HyperLogLog:
         return max(0.0, self.estimate() + other.estimate() - self.estimate_union(other))
 
     # -- wire -------------------------------------------------------------
+    #
+    # Two encodings behind one canonical chooser (the HLL analogue of
+    # the reference's sparse/dense Bloom representations, mod.rs
+    # sparse promotion — and of HLL++'s sparse mode, Heule et al.
+    # 2013 §5.3, simplified to the fixed-p register list):
+    #   v1 dense : m raw uint8 registers
+    #   v2 sparse: nnz sorted uint32 words, each (idx << 6) | rank
+    #              (idx <= 2^18 needs 18 bits; rank <= 61 fits 6)
+    # The encoding is picked from register STATE alone (4*nnz < m), so
+    # serialization stays a pure function of content — merge order and
+    # partitioning cannot flip it, preserving canonical-bytes algebra.
+    # In memory the sketch is always dense (update/merge/estimate
+    # kernels untouched); sparse is a wire format, shrinking shuffle
+    # bytes for keyed/windowed sketches whose groups see few distincts
+    # (an empty p=14 payload drops 16 KiB -> 16 B).
 
     def to_bytes(self) -> bytes:
+        idx = np.flatnonzero(self.registers)
+        if 4 * len(idx) < self.m:
+            packed = (idx.astype(np.uint32) << np.uint32(6)) | self.registers[
+                idx
+            ].astype(np.uint32)
+            return (
+                _HEADER.pack(_MAGIC, 2, self.p, self.n_items)
+                + packed.astype("<u4").tobytes()
+            )
         return _HEADER.pack(_MAGIC, 1, self.p, self.n_items) + self.registers.tobytes()
 
     @classmethod
     def from_bytes(cls, data: bytes) -> "HyperLogLog":
         magic, version, p, n_items = _HEADER.unpack_from(data, 0)
-        if magic != _MAGIC or version != 1:
+        if magic != _MAGIC or version not in (1, 2):
             raise ValueError("not a serialized HyperLogLog")
-        regs = np.frombuffer(memoryview(data)[_HEADER.size :], dtype=np.uint8).copy()
+        body = memoryview(data)[_HEADER.size :]
+        if version == 1:
+            regs = np.frombuffer(body, dtype=np.uint8).copy()
+            return cls(p, regs, n_items=n_items)
+        packed = np.frombuffer(body, dtype="<u4").astype(np.uint32)
+        regs = np.zeros(1 << p, dtype=np.uint8)
+        idx = (packed >> np.uint32(6)).astype(np.int64)
+        if len(idx) and (idx >= (1 << p)).any():
+            raise ValueError("sparse HLL register index out of range")
+        regs[idx] = (packed & np.uint32(0x3F)).astype(np.uint8)
         return cls(p, regs, n_items=n_items)
 
     def __eq__(self, other: object) -> bool:
