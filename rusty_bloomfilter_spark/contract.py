@@ -18,6 +18,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from .functions import (
     DUCKDB_TOKENIZE,
@@ -1652,17 +1653,21 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT * FROM merged
         QUALIFY row_number() OVER (PARTITION BY ga, gb ORDER BY h) <= 64
     ), stats AS (
-        SELECT ga, gb, count(*) AS n, max(h) AS kth, sum(ia * ib) AS n_both
+        SELECT ga, gb, count(*) AS n, max(h) AS kth, sum(ia * ib) AS n_both,
+               sum(ia * (1 - ib)) AS n_a_only, sum((1 - ia) * ib) AS n_b_only
         FROM x GROUP BY ga, gb
+    ), est AS (
+        SELECT *, CASE WHEN n < 64 THEN CAST(n AS DOUBLE)
+                       ELSE 63.0 * 1152921504606846976.0 / kth END AS est_union
+        FROM stats
     )
     SELECT ga AS source_a, gb AS source_b, n AS n_union_sample,
-           round(CASE WHEN n < 64 THEN CAST(n AS DOUBLE)
-                      ELSE 63.0 * 1152921504606846976.0 / kth END, 6) AS est_union,
-           round((CAST(n_both AS DOUBLE) / n) *
-                 CASE WHEN n < 64 THEN CAST(n AS DOUBLE)
-                      ELSE 63.0 * 1152921504606846976.0 / kth END, 6) AS est_intersection,
+           round(est_union, 6) AS est_union,
+           round((CAST(n_both AS DOUBLE) / n) * est_union, 6) AS est_intersection,
+           round((CAST(n_a_only AS DOUBLE) / n) * est_union, 6) AS est_a_minus_b,
+           round((CAST(n_b_only AS DOUBLE) / n) * est_union, 6) AS est_b_minus_a,
            round(CAST(n_both AS DOUBLE) / n, 6) AS jaccard
-    FROM stats
+    FROM est
     """,
 )
 def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2924,4 +2929,57 @@ def q_user_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("user_id")
+    )
+
+
+@register(
+    "q_zipf_slope",
+    oracle=_SEQ_CTE
+    + """
+    , freqs AS (
+        SELECT source, tok, count(*) AS freq
+        FROM (SELECT source, unnest(tokens) AS tok FROM sequences) t
+        GROUP BY source, tok
+    ), ranked AS (
+        SELECT source, ln(row_number() OVER (
+                   PARTITION BY source ORDER BY freq DESC, tok)) AS x,
+               ln(CAST(freq AS DOUBLE)) AS y
+        FROM freqs
+    )
+    SELECT source, count(*) AS n_types,
+           round(regr_slope(y, x), 4) AS zipf_slope,
+           round(regr_intercept(y, x), 4) AS zipf_intercept
+    FROM ranked GROUP BY source
+    """,
+)
+def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit per source: OLS slope/intercept of ln(freq) on
+    ln(rank) over the source's token frequency table. Natural corpora
+    sit near slope -1; a synthetic/corrupted source shows up as a
+    flat or cliffed curve — the distributional health check a
+    curation pipeline runs per crawl snapshot. Catalyst end to end:
+    explode -> (source,tok) count -> rank window -> closed-form OLS
+    (slope = covar_pop/var_pop), all map-reducible aggregates; the
+    widest shuffle is |sources| x vocab rows, independent of corpus
+    row count. Rounded to 4 dp: the OLS moments are sums of thousands
+    of ln() terms whose float addition order differs across engines
+    (~1e-13 relative), far inside 1e-4."""
+    seq = sequences_from_documents(spark, sf_dir)
+    freqs = (
+        seq.select("source", F.explode("tokens").alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count("*").alias("freq"))
+    )
+    w = Window.partitionBy("source").orderBy(F.col("freq").desc(), F.col("tok"))
+    ranked = freqs.select(
+        "source",
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log(F.col("freq").cast("double")).alias("y"),
+    )
+    slope = F.covar_pop("x", "y") / F.var_pop("x")
+    mean_y, mean_x = F.avg("y"), F.avg("x")
+    return ranked.groupBy("source").agg(
+        F.count("*").alias("n_types"),
+        F.round(slope, 4).alias("zipf_slope"),
+        F.round(mean_y - slope * mean_x, 4).alias("zipf_intercept"),
     )

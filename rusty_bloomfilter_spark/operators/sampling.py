@@ -188,17 +188,26 @@ def kmv_overlap(df: DataFrame, group_col: str, key_col: str, k: int = 256) -> Da
         F.count("*").alias("n"),
         F.max("h").alias("kth"),
         F.sum(F.col("ia") * F.col("ib")).alias("n_both"),
+        F.sum(F.col("ia") * (F.lit(1) - F.col("ib"))).alias("n_a_only"),
+        F.sum((F.lit(1) - F.col("ia")) * F.col("ib")).alias("n_b_only"),
     )
     est_union = F.when(F.col("n") < k, F.col("n").cast("double")).otherwise(
         F.lit(float(k - 1)) * F.lit(float(HASH_DOMAIN)) / F.col("kth").cast("double")
     )
     rho = F.col("n_both").cast("double") / F.col("n").cast("double")
+    # Set DIFFERENCES from the same union sample (Beyer et al. §4:
+    # any multiset-op selector over X scales D_union by its sample
+    # fraction): rho_a\b = |{h in X: in A, not in B}| / |X|.
+    rho_a = F.col("n_a_only").cast("double") / F.col("n").cast("double")
+    rho_b = F.col("n_b_only").cast("double") / F.col("n").cast("double")
     out = stats.select(
         F.col("ga").alias("source_a"),
         F.col("gb").alias("source_b"),
         F.col("n").alias("n_union_sample"),
         F.round(est_union, 6).alias("est_union"),
         F.round(rho * est_union, 6).alias("est_intersection"),
+        F.round(rho_a * est_union, 6).alias("est_a_minus_b"),
+        F.round(rho_b * est_union, 6).alias("est_b_minus_a"),
         F.round(rho, 6).alias("jaccard"),
     )
     return tie(out, sk)

@@ -92,6 +92,8 @@ def test_kmv_overlap_exact_when_union_fits(spark):
     assert r["n_union_sample"] == 60
     assert r["est_union"] == 60.0
     assert r["est_intersection"] == 10.0
+    assert r["est_a_minus_b"] == 20.0  # k0..k19
+    assert r["est_b_minus_a"] == 30.0  # k30..k59
     assert r["jaccard"] == pytest.approx(10 / 60, abs=1e-6)
 
 
@@ -111,6 +113,13 @@ def test_kmv_overlap_estimates_within_bound(spark):
     rel = 3 / (k - 2) ** 0.5
     assert abs(r["est_union"] - true_union) / true_union < rel
     assert abs(r["est_intersection"] - shared) / shared < 3 * rel  # rho compounds
+    only = n - shared  # |A \ B| == |B \ A| by construction
+    assert abs(r["est_a_minus_b"] - only) / only < 3 * rel
+    assert abs(r["est_b_minus_a"] - only) / only < 3 * rel
+    # the three selectors partition the union sample exactly
+    assert r["est_a_minus_b"] + r["est_b_minus_a"] + r["est_intersection"] == pytest.approx(
+        r["est_union"], rel=1e-9
+    )
     assert abs(r["jaccard"] - shared / true_union) < 0.1
 
 
