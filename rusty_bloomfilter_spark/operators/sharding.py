@@ -40,6 +40,7 @@ __all__ = [
     "shard_manifest",
     "split_assignment",
     "split_manifest",
+    "write_shards",
 ]
 
 
@@ -147,3 +148,51 @@ def split_manifest(
     if weight_col is not None:
         aggs.append(F.sum(weight_col).cast("bigint").alias("n_weight"))
     return assigned.groupBy(*keys).agg(*aggs)
+
+
+def write_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    id_col: str = "doc_id",
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Route every row to its shard and write ONE parquet file per
+    shard under ``path/shard=<i>/``; return the per-shard manifest
+    OBSERVED during the same write job (no second corpus pass).
+
+    ``repartition(n_shards, "shard")`` is the single shuffle — hash on
+    the already-uniform shard key, so the write tasks balance and each
+    task owns exactly one shard (one output file, the property trainer
+    data loaders want). The manifest (counts + weights per shard) is
+    collected with ``df.observe`` ON the write action itself; readers
+    can audit the layout against ``shard_manifest`` of a read-back.
+
+    At 100 TB: n_shards = ceil(corpus_bytes / target_shard_bytes);
+    nothing here is driver-side except the n_shards-row manifest.
+    """
+    from pyspark.sql import Observation
+
+    assigned = shard_assignment(df, n_shards, id_col=id_col)
+    aggs = [
+        F.count("*").alias("n_rows"),
+    ]
+    if weight_col is not None:
+        aggs.append(F.sum(weight_col).cast("bigint").alias("n_weight"))
+    obs = Observation("write_shards")
+    observed = assigned.observe(obs, *aggs)
+    (
+        observed.repartition(n_shards, "shard")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+    spark = df.sparkSession
+    totals = obs.get
+    rows = [
+        (
+            int(totals["n_rows"]),
+            int(totals["n_weight"]) if weight_col is not None else None,
+        )
+    ]
+    return spark.createDataFrame(rows, "n_rows bigint, n_weight bigint")

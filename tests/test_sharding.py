@@ -111,3 +111,33 @@ def test_split_manifest_strata_totals(spark):
     assert sum(r.n_docs for r in man) == 300
     langs = {r.lang for r in man}
     assert langs == {"lang0", "lang1", "lang2"}
+
+
+def test_write_shards_layout_manifest_and_observed_totals(spark, tmp_path):
+    from rusty_bloomfilter_spark.operators.sharding import write_shards
+
+    df = _docs(spark, 240).repartition(9)
+    out = str(tmp_path / "shards")
+    totals = write_shards(df, out, 8, weight_col="n_tok").collect()[0]
+    assert totals.n_rows == 240
+    assert totals.n_weight == df.agg(F.sum("n_tok")).first()[0]
+    # one data file per shard directory
+    import glob
+    import os
+
+    dirs = sorted(glob.glob(os.path.join(out, "shard=*")))
+    assert len(dirs) == 8
+    for d in dirs:
+        files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        assert len(files) == 1, d
+    # read-back membership identical to the planned manifest
+    back = spark.read.parquet(out)
+    planned = {
+        (r.shard, r.n_docs, r.ids_md5)
+        for r in shard_manifest(df, 8).collect()
+    }
+    actual = {
+        (r.shard, r.n_docs, r.ids_md5)
+        for r in shard_manifest(back.drop("shard"), 8).collect()
+    }
+    assert planned == actual
