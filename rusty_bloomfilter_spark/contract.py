@@ -2983,3 +2983,79 @@ def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 4).alias("zipf_slope"),
         F.round(mean_y - slope * mean_x, 4).alias("zipf_intercept"),
     )
+
+
+@register(
+    "q_user_novelty_exact",
+    oracle="""
+    WITH days AS (
+        SELECT strftime(ts, '%Y-%m-%d') AS day, user_id FROM events
+    ), firsts AS (
+        SELECT user_id, min(day) AS first_day FROM days GROUP BY user_id
+    ), per_day AS (
+        SELECT day, count(DISTINCT user_id) AS n_active FROM days GROUP BY day
+    ), novel AS (
+        SELECT first_day AS day, count(*) AS n_new FROM firsts GROUP BY first_day
+    )
+    SELECT p.day, p.n_active,
+           COALESCE(n.n_new, 0) AS n_new,
+           CAST(sum(COALESCE(n.n_new, 0)) OVER (ORDER BY p.day) AS BIGINT)
+               AS cum_distinct
+    FROM per_day p LEFT JOIN novel n ON n.day = p.day
+    """,
+)
+def q_user_novelty_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact novelty curve — per day: active users, NEVER-seen-before
+    users, cumulative distinct users. The exact form needs the
+    min-first-day trick (one extra shuffle on user_id) and at 100 TB
+    the 'distinct so far' recount this replaces is O(days x corpus);
+    the HLL companion (q_user_novelty_hll) gets the same curve from
+    one corpus scan + |days| sketch rows."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), "user_id"
+    )
+    per_day = ev.groupBy("day").agg(
+        F.countDistinct("user_id").alias("n_active")
+    )
+    novel = (
+        ev.groupBy("user_id")
+        .agg(F.min("day").alias("day"))
+        .groupBy("day")
+        .agg(F.count("*").alias("n_new"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per_day.join(novel, "day", "left")
+        .withColumn("n_new", F.coalesce("n_new", F.lit(0)))
+        .withColumn("cum_distinct", F.sum("n_new").over(w).cast("bigint"))
+    )
+
+
+@register("q_user_novelty_hll")
+def q_user_novelty_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL novelty curve (operators/novelty.py): per-day sketches from
+    ONE corpus scan, prefix-merged in day order — est_new(i) =
+    est(prefix_i) - est(prefix_{i-1}); register-max union means each
+    prefix state IS the sketch of the true prefix union. Joined to the
+    exact curve; abs_err columns pin accuracy in-row (rel bound pinned
+    in tests/test_novelty.py). Rows-only: estimates aren't
+    SQL-derivable."""
+    from .operators.novelty import novelty_curve
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), "user_id"
+    )
+    curve = novelty_curve(ev, "day", "user_id").withColumnRenamed(
+        "period", "day"
+    )
+    exact = q_user_novelty_exact(spark, sf_dir).select(
+        "day", "n_active", "cum_distinct"
+    )
+    return (
+        exact.join(curve, "day")
+        .withColumn(
+            "cum_abs_err",
+            F.round(F.abs(F.col("est_cumulative") - F.col("cum_distinct")), 2),
+        )
+        .orderBy("day")
+    )
