@@ -8,8 +8,8 @@ pandas/Arrow UDFs over numpy kernels, explicit tree-merge topology,
 checkpointable per-partition state.
 """
 
-from .sketch import BloomFilter, CountMinSketch, HyperLogLog, KLLSketch, Shape
+from .sketch import BloomFilter, CountingBloomFilter, CountMinSketch, HyperLogLog, KLLSketch, Shape
 
 __version__ = "0.1.0"
 
-__all__ = ["BloomFilter", "CountMinSketch", "HyperLogLog", "KLLSketch", "Shape", "__version__"]
+__all__ = ["BloomFilter", "CountingBloomFilter", "CountMinSketch", "HyperLogLog", "KLLSketch", "Shape", "__version__"]

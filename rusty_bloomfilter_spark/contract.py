@@ -3059,3 +3059,120 @@ def q_user_novelty_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "q_ntok_quantiles_by_source",
+    oracle=_SEQ_CTE
+    + """
+    SELECT source,
+           round(CAST(quantile_cont(len(tokens), 0.5) AS DOUBLE), 6)
+               AS p50_exact,
+           round(CAST(quantile_cont(len(tokens), 0.95) AS DOUBLE), 6)
+               AS p95_exact
+    FROM sequences GROUP BY source
+    """,
+)
+def q_ntok_quantiles_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SOURCE exact sequence-length quantiles — the keyed exact
+    companion of q_kll_ntok_by_source. Spark `percentile` and DuckDB
+    `quantile_cont` share linear interpolation, so the keyed GROUP BY
+    hash-matches. At 100 TB the exact form needs a full sort-per-group
+    (percentile buffers every value); the sketch companion holds
+    O(k log n) per group."""
+    seq = sequences_from_documents(spark, sf_dir)
+    return seq.groupBy("source").agg(
+        F.round(F.expr("percentile(size(tokens), 0.5D)"), 6).alias("p50_exact"),
+        F.round(F.expr("percentile(size(tokens), 0.95D)"), 6).alias("p95_exact"),
+    )
+
+
+@register("q_kll_ntok_by_source")
+def q_kll_ntok_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SOURCE KLL sequence-length quantile ESTIMATES next to the
+    exact values — the keyed mergeable-quantile path (one sketch per
+    source via map-side combine; sketch rows only shuffle). Rank error
+    <= eps(k=200) is pinned in tests/test_sampling.py-style bounds
+    in-row here: err columns stay tiny at sf0.01. Rows-only."""
+    from .operators.sketches import KllQuantiles
+
+    seq = sequences_from_documents(spark, sf_dir).withColumn(
+        "n_tok", F.size("tokens")
+    )
+    est = (
+        KllQuantiles(k=200, col="n_tok")
+        .quantiles_by_key(seq, "source", [0.5, 0.95])
+        .groupBy("key")
+        .pivot("q", [0.5, 0.95])
+        .agg(F.first("value"))
+        .select(
+            F.col("key").alias("source"),
+            F.col("`0.5`").alias("p50_est"),
+            F.col("`0.95`").alias("p95_est"),
+        )
+    )
+    exact = q_ntok_quantiles_by_source(spark, sf_dir)
+    return (
+        exact.join(est, "source")
+        .withColumn(
+            "p50_abs_err", F.round(F.abs(F.col("p50_est") - F.col("p50_exact")), 6)
+        )
+        .withColumn(
+            "p95_abs_err", F.round(F.abs(F.col("p95_est") - F.col("p95_exact")), 6)
+        )
+        .orderBy("source")
+    )
+
+
+@register("q_counting_bloom_revoke")
+def q_counting_bloom_revoke(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETABLE membership — counting Bloom filter revocation
+    (sketch/counting.py, operators/sketches.CountingBloomSketch):
+    build the corpus filter AND the revoke-set filter (docs of one
+    source) through the same mergeable partition-build + tree-merge
+    pipeline, subtract ONCE driver-side on two payloads, then probe
+    every doc distributed. Invariants surfaced in-row: zero false
+    negatives for surviving docs (remaining_present == n_remaining),
+    n_sticky == 0 (no counter saturated, so the deletion was exact),
+    and revoked docs mostly gone (revoked_present small, FP-bounded).
+    At 100 TB this is how DMCA/opt-out removal works WITHOUT
+    rebuilding membership from the survivors. Rows-only: sketch-state
+    semantics; algebra pinned in tests/test_counting.py."""
+    from .operators.sketches import CountingBloomSketch
+    from .sketch import CountingBloomFilter
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.xxhash64("doc_id").alias("key"),
+        (F.col("source") == F.lit("src1")).alias("revoked"),
+    )
+    sk = CountingBloomSketch.for_np(n=50_000, p=1e-6, col="key")
+    corpus_payload, n_docs = sk.build_bytes(docs)
+    revoke_payload, n_revoked = sk.build_bytes(docs.filter("revoked"))
+
+    cbf = CountingBloomFilter.from_bytes(corpus_payload)
+    n_sticky = cbf.subtract_in_place(
+        CountingBloomFilter.from_bytes(revoke_payload)
+    )
+    probe = sk.might_contain_udf(cbf.to_bytes(), spark)
+    flags = docs.withColumn("present", probe(F.col("key")))
+    stats = flags.groupBy("revoked").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("present").cast("long")).alias("n_present"),
+    ).collect()
+    by = {bool(r.revoked): r for r in stats}
+    return spark.createDataFrame(
+        [
+            (
+                int(n_docs),
+                int(n_revoked),
+                int(by[False].n),
+                int(by[False].n_present),
+                int(by.get(True).n_present if True in by else 0),
+                int(n_sticky),
+                round(cbf.saturation_ratio(), 8),
+            )
+        ],
+        "n_docs bigint, n_revoked bigint, n_remaining bigint, "
+        "remaining_present bigint, revoked_present bigint, "
+        "n_sticky bigint, saturation_ratio double",
+    )

@@ -44,12 +44,20 @@ def novelty_curve(
     ``est_cumulative`` the distinct count of the union of all periods
     so far (period order = ascending ``period_col``), ``est_new``
     their forward difference — the novelty the period contributed.
+
+    Period order is STRING order (keyed sketch rows carry stringified
+    keys): use lexicographically ordered period labels — ISO dates
+    ('2024-01-31') or zero-padded counters ('snap-007') — never bare
+    integers ('10' sorts before '2'). NULL periods are dropped.
     Estimates carry the standard 1.04/sqrt(2^p) HLL error; est_new of
     a small period against a large prefix inherits the absolute error
     of the prefix (the published caveat for differences).
     """
     from .sketches import HllSketch
 
+    # NULL periods carry no position in the prefix order; drop them
+    # (mirrors the null-key convention in sampling.kmv_group_sketches)
+    df = df.where(F.col(period_col).isNotNull())
     keyed = HllSketch(p=p, col=key_col, scalar=True).build_by_key(df, period_col)
 
     def prefix(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:

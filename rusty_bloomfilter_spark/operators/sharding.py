@@ -161,12 +161,14 @@ def write_shards(
     shard under ``path/shard=<i>/``; return the per-shard manifest
     OBSERVED during the same write job (no second corpus pass).
 
-    ``repartition(n_shards, "shard")`` is the single shuffle — hash on
-    the already-uniform shard key, so the write tasks balance and each
-    task owns exactly one shard (one output file, the property trainer
-    data loaders want). The manifest (counts + weights per shard) is
-    collected with ``df.observe`` ON the write action itself; readers
-    can audit the layout against ``shard_manifest`` of a read-back.
+    ``repartitionByRange(n_shards, "shard")`` is the single shuffle —
+    RANGE partitioning on the dense integer shard id maps each shard
+    to its own task (hash partitioning would collide shard values
+    balls-in-bins style, idling ~1/e of the writers), so every task
+    writes exactly one file (the property trainer data loaders want).
+    The manifest (counts + weights) is collected with ``df.observe``
+    ON the write action itself; readers can audit the layout against
+    ``shard_manifest`` of a read-back.
 
     At 100 TB: n_shards = ceil(corpus_bytes / target_shard_bytes);
     nothing here is driver-side except the n_shards-row manifest.
@@ -182,7 +184,7 @@ def write_shards(
     obs = Observation("write_shards")
     observed = assigned.observe(obs, *aggs)
     (
-        observed.repartition(n_shards, "shard")
+        observed.repartitionByRange(n_shards, "shard")
         .write.mode("overwrite")
         .partitionBy("shard")
         .parquet(path)

@@ -632,3 +632,67 @@ class KllQuantiles:
                 yield pa.RecordBatch.from_pydict({"key": keys, "q": qcol, "value": vals})
 
         return keyed.mapInArrow(stats, schema="key string, q double, value double")
+
+
+# ---------------------------------------------------------------------------
+# Counting Bloom (deletable membership)
+# ---------------------------------------------------------------------------
+
+
+class CountingBloomSketch:
+    """Distributed counting Bloom filter over a scalar int64 column —
+    the deletable membership sketch (sketch/counting.py). Build the
+    corpus filter AND the revoke-set filter with the same mergeable
+    pipeline, then ``subtract`` once on two payloads; remaining items
+    keep the zero-false-negative guarantee (saturated counters are
+    sticky, never lowered)."""
+
+    def __init__(self, shape: Shape, *, col: str):
+        self.shape = shape
+        self.col = col
+
+    @classmethod
+    def for_np(cls, n: int, p: float, **kw) -> "CountingBloomSketch":
+        return cls(Shape.for_np(n, p), **kw)
+
+    def _empty(self):
+        from ..sketch.counting import CountingBloomFilter
+
+        return CountingBloomFilter.empty(self.shape)
+
+    def _update(self, acc, batch) -> None:
+        vals = _scalar_values(batch, self.col)
+        if vals.size:
+            # NO dedup fold: multiplicity IS the counter state
+            acc.add_tokens(vals)
+
+    def build(self, df: DataFrame, *, fanout: int = 16) -> DataFrame:
+        return build_sketch(
+            df,
+            self._empty,
+            self._update,
+            merge_sketch_payloads,
+            columns=[self.col],
+            fanout=fanout,
+        )
+
+    def build_bytes(self, df: DataFrame, *, fanout: int = 16) -> tuple[bytes, int]:
+        return collect_sketch_bytes(self.build(df, fanout=fanout))
+
+    def might_contain_udf(self, payload: bytes, spark: SparkSession | None = None):
+        """Vectorized membership probe for a scalar int column against
+        a (possibly subtracted) CBF payload."""
+        from ..sketch.counting import CountingBloomFilter
+
+        spark = spark or SparkSession.getActiveSession()
+        bc = spark.sparkContext.broadcast(payload)
+        cache: dict[str, "CountingBloomFilter"] = {}
+
+        @F.pandas_udf("boolean")
+        def probe(s: pd.Series) -> pd.Series:
+            bf = cache.get("bf")
+            if bf is None:
+                bf = cache["bf"] = CountingBloomFilter.from_bytes(bc.value)
+            return pd.Series(bf.contains_tokens(s.to_numpy()))
+
+        return probe

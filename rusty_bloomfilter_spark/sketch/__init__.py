@@ -10,6 +10,7 @@ so distributed tree-merges are order-independent.
 from .blocked import BlockedBloomFilter
 from .bloom import BloomFilter, SparseBloomBuilder, merge_payloads, popcount_words
 from .cms import CountMinSketch
+from .counting import CountingBloomFilter
 from .hashing import hash_pair, km_indices, ngram_hashes, splitmix64, tokens_to_u64
 from .hll import HyperLogLog
 from .kll import KLLSketch
@@ -21,6 +22,7 @@ _KINDS = {
     b"RBKB": BlockedBloomFilter,
     b"RHLL": HyperLogLog,
     b"RCMS": CountMinSketch,
+    b"RCBF": CountingBloomFilter,
     b"RKLL": KLLSketch,
     b"RTDG": TDigest,
 }
@@ -50,6 +52,7 @@ __all__ = [
     "BlockedBloomFilter",
     "BloomFilter",
     "CountMinSketch",
+    "CountingBloomFilter",
     "HyperLogLog",
     "KLLSketch",
     "Shape",

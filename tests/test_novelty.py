@@ -84,3 +84,12 @@ def test_empty_input_yields_empty_curve(spark):
 
     df = spark.createDataFrame([], "period string, key long")
     assert novelty_curve(df, "period", "key").count() == 0
+
+
+def test_null_periods_dropped(spark):
+    from rusty_bloomfilter_spark.operators.novelty import novelty_curve
+
+    rows = [("d1", 1), (None, 2), ("d2", 3)]
+    df = spark.createDataFrame(rows, "period string, key long")
+    out = novelty_curve(df, "period", "key").collect()
+    assert [r.period for r in out] == ["d1", "d2"]
