@@ -161,11 +161,15 @@ def write_shards(
     shard under ``path/shard=<i>/``; return the per-shard manifest
     OBSERVED during the same write job (no second corpus pass).
 
-    ``repartitionByRange(n_shards, "shard")`` is the single shuffle —
-    RANGE partitioning on the dense integer shard id maps each shard
-    to its own task (hash partitioning would collide shard values
-    balls-in-bins style, idling ~1/e of the writers), so every task
-    writes exactly one file (the property trainer data loaders want).
+    ``repartition(2*n_shards, "shard")`` is the single shuffle: every
+    row of a shard hashes to ONE task, so each shard is exactly one
+    file regardless of which task writes it. Hash placement collides
+    shards balls-in-bins style; over-partitioning by 2x halves the
+    collision rate so write tasks stay balanced within a small factor
+    (do NOT use repartitionByRange here — the range partitioner runs
+    a SAMPLING pass over the input, executing the upstream plan
+    twice: at 100 TB that is a second corpus scan, and it double-
+    counts df.observe metrics — measured in the regression test).
     The manifest (counts + weights) is collected with ``df.observe``
     ON the write action itself; readers can audit the layout against
     ``shard_manifest`` of a read-back.
@@ -184,7 +188,7 @@ def write_shards(
     obs = Observation("write_shards")
     observed = assigned.observe(obs, *aggs)
     (
-        observed.repartitionByRange(n_shards, "shard")
+        observed.repartition(2 * n_shards, "shard")
         .write.mode("overwrite")
         .partitionBy("shard")
         .parquet(path)
