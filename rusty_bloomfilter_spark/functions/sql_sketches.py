@@ -8,6 +8,9 @@ pure SQL:
            bloom_estimate_n(bloom_agg(tokens)) AS distinct_est2
     FROM sequences GROUP BY source
 
+plus the deletable-membership pair: ``cbf_agg(key)`` (counting Bloom
+over a scalar int64 key) and ``cbf_subtract(corpus, revoked)``.
+
 The aggregates are Arrow-batched GROUPED_AGG pandas UDFs returning the
 canonical serialized payload (bitwise identical to the tree-merge
 builders — canonical bytes are a pure function of the inserted set).
@@ -78,7 +81,37 @@ def register_sketch_sql(
             ]
         )
 
+    @pandas_udf("binary")
+    def cbf_agg(keys: pd.Series) -> bytes:
+        # counting Bloom over a SCALAR int64 key column (doc ids) —
+        # multiplicity IS the counter state, so no dedup fold
+        from ..sketch import CountingBloomFilter
+
+        cbf = CountingBloomFilter.empty(shape)
+        vals = keys.dropna().to_numpy(dtype=np.int64)
+        if vals.size:
+            cbf.add_tokens(vals)
+        return cbf.to_bytes()
+
+    @pandas_udf("binary")
+    def cbf_subtract(a: pd.Series, b: pd.Series) -> pd.Series:
+        # filter-level revocation: corpus payload minus revoke payload
+        # (sticky-saturation contract, sketch/counting.py)
+        from ..sketch import CountingBloomFilter
+
+        out = []
+        for pa_, pb in zip(a, b):
+            if pa_ is None or pb is None:
+                out.append(None)
+                continue
+            f = CountingBloomFilter.from_bytes(bytes(pa_))
+            f.subtract_in_place(CountingBloomFilter.from_bytes(bytes(pb)))
+            out.append(f.to_bytes())
+        return pd.Series(out)
+
     spark.udf.register(prefix + "hll_agg", hll_agg)
     spark.udf.register(prefix + "hll_estimate", hll_estimate)
     spark.udf.register(prefix + "bloom_agg", bloom_agg)
     spark.udf.register(prefix + "bloom_estimate_n", bloom_estimate_n)
+    spark.udf.register(prefix + "cbf_agg", cbf_agg)
+    spark.udf.register(prefix + "cbf_subtract", cbf_subtract)

@@ -164,3 +164,37 @@ def test_spark_build_partition_invariant_and_revoke(spark):
     by = {bool(r.revoked): r for r in rows}
     assert by[False].p == by[False].n  # zero FN for survivors
     assert by[True].p <= 0.01 * by[True].n  # revoked gone (p=1e-6 slack)
+
+
+def test_sql_cbf_agg_and_subtract(spark):
+    """SQL surface: cbf_agg over a scalar key column + cbf_subtract for
+    revocation, matching the python-level filter bit for bit."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from rusty_bloomfilter_spark.functions.sql_sketches import register_sketch_sql
+
+    register_sketch_sql(spark, bloom_n=10_000, bloom_p=1e-4, prefix="t_")
+    df = spark.range(500).select(
+        F.xxhash64("id").alias("key"), F.expr("id % 5 = 0").alias("revoked")
+    )
+    df.createOrReplaceTempView("cbf_keys")
+    row = spark.sql(
+        """
+        WITH corpus AS (SELECT t_cbf_agg(key) AS c FROM cbf_keys),
+             revoked AS (SELECT t_cbf_agg(key) AS r FROM cbf_keys WHERE revoked)
+        SELECT t_cbf_subtract(c, r) AS remaining FROM corpus CROSS JOIN revoked
+        """
+    ).collect()[0]
+    cbf = CountingBloomFilter.from_bytes(bytes(row["remaining"]))
+    keys = df.toPandas()
+    keep = keys[~keys.revoked]["key"].to_numpy(dtype=np.int64)
+    assert cbf.contains_tokens(keep).all()
+    assert cbf.n_items == len(keep)
+    # bitwise parity with the python-level build/subtract
+    oracle = CountingBloomFilter.empty(Shape.for_np(n=10_000, p=1e-4))
+    oracle.add_tokens(keys["key"].to_numpy(dtype=np.int64))
+    rev = CountingBloomFilter.empty(Shape.for_np(n=10_000, p=1e-4))
+    rev.add_tokens(keys[keys.revoked]["key"].to_numpy(dtype=np.int64))
+    oracle.subtract_in_place(rev)
+    assert cbf.to_bytes() == oracle.to_bytes()
