@@ -2843,6 +2843,39 @@ def q_split_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_epoch_shuffle",
+    oracle="""
+    WITH k AS (
+        SELECT doc_id,
+               ('0x' || substr(md5('3:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   AS ekey
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(ekey % 8 AS INTEGER) AS shard,
+           CAST(row_number() OVER (
+               PARTITION BY ekey % 8 ORDER BY ekey, doc_id
+           ) AS INTEGER) AS pos
+    FROM k
+    """,
+)
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch training order (epoch 3, 8 workers):
+    every document gets a fresh pseudorandom (shard, pos) from
+    md5(epoch:doc_id) — workers stream their shard by pos and jointly
+    reproduce the epoch order with no stored permutation and no RNG
+    state. shard/key are map-side expressions; pos is a window
+    partitioned BY SHARD (one hash shuffle on the uniform key, each
+    task sorts one worker's slice — never a global single-task sort).
+    Hash-matched: both engines derive the identical permutation
+    (operators/sharding.epoch_shuffle)."""
+    from .operators.sharding import epoch_shuffle
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return epoch_shuffle(docs, epoch=3, n_shards=8)
+
+
+@register(
     "q_json_props",
     oracle="""
     SELECT event_type,

@@ -41,6 +41,7 @@ __all__ = [
     "split_assignment",
     "split_manifest",
     "write_shards",
+    "epoch_shuffle",
 ]
 
 
@@ -148,6 +149,58 @@ def split_manifest(
     if weight_col is not None:
         aggs.append(F.sum(weight_col).cast("bigint").alias("n_weight"))
     return assigned.groupBy(*keys).agg(*aggs)
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    epoch: int,
+    n_shards: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-epoch training order: add (shard, pos).
+
+    Trainers need every epoch to visit the corpus in a fresh uniform
+    order, reproducibly, with zero stored RNG state. The shuffle key
+    is the first 8 hex chars of ``md5(epoch || ':' || id)`` — a new
+    pseudorandom permutation per epoch derived purely from the id:
+
+    - ``shard``  = key mod n_shards — which trainer worker streams
+      the doc this epoch (re-dealt every epoch, unlike the static
+      ``shard_assignment`` used for the physical write layout);
+    - ``pos``    = rank of (key, id) WITHIN the shard — the order the
+      worker reads its slice.
+
+    Workers reading their own shard by ``pos`` jointly reproduce the
+    epoch's global order without any coordination or a stored
+    permutation table.
+
+    Scale shape: key/shard are map-side expressions; ``pos`` is a
+    window partitioned BY SHARD — one hash shuffle on the uniform
+    shard key and a per-task sort of ~|df|/n_shards rows. Never a
+    global unpartitioned ``row_number`` (that collapses the corpus
+    onto one task); at 100 TB set n_shards to the trainer world size
+    and each task sorts one worker's slice.
+    """
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    from pyspark.sql import Window
+
+    key = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(":", F.lit(str(int(epoch))), F.col(id_col).cast("string"))
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    with_key = df.withColumn("_ekey", key).withColumn(
+        "shard", (F.col("_ekey") % F.lit(int(n_shards))).cast("int")
+    )
+    w = Window.partitionBy("shard").orderBy("_ekey", id_col)
+    return with_key.withColumn("pos", F.row_number().over(w)).drop("_ekey")
 
 
 def write_shards(

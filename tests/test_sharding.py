@@ -141,3 +141,62 @@ def test_write_shards_layout_manifest_and_observed_totals(spark, tmp_path):
         for r in shard_manifest(back.drop("shard"), 8).collect()
     }
     assert planned == actual
+
+
+# -- epoch_shuffle ----------------------------------------------------------
+
+
+def _py_epoch_key(epoch: int, doc_id: str) -> int:
+    return int(
+        hashlib.md5(f"{epoch}:{doc_id}".encode()).hexdigest()[:8], 16
+    )
+
+
+def test_epoch_shuffle_matches_python_md5(spark):
+    from rusty_bloomfilter_spark.operators.sharding import epoch_shuffle
+
+    rows = epoch_shuffle(_docs(spark, 60), epoch=2, n_shards=4).collect()
+    by_shard = {}
+    for r in rows:
+        k = _py_epoch_key(2, r.doc_id)
+        assert r.shard == k % 4
+        by_shard.setdefault(r.shard, []).append((k, r.doc_id, r.pos))
+    for shard, items in by_shard.items():
+        items.sort()
+        for want_pos, (_, _, got_pos) in enumerate(items, start=1):
+            assert got_pos == want_pos, shard
+
+
+def test_epoch_shuffle_fresh_order_per_epoch_and_stable_per_epoch(spark):
+    from rusty_bloomfilter_spark.operators.sharding import epoch_shuffle
+
+    df = _docs(spark, 200)
+    e1 = {(r.doc_id): (r.shard, r.pos) for r in epoch_shuffle(df, 1, 8).collect()}
+    e1b = {
+        (r.doc_id): (r.shard, r.pos)
+        for r in epoch_shuffle(df.repartition(11), 1, 8).collect()
+    }
+    e2 = {(r.doc_id): (r.shard, r.pos) for r in epoch_shuffle(df, 2, 8).collect()}
+    assert e1 == e1b  # same epoch: identical under repartitioning
+    assert e1 != e2  # different epoch: a different permutation
+    moved = sum(1 for d in e1 if e1[d] != e2[d])
+    assert moved > 150  # nearly every doc re-dealt
+
+
+def test_epoch_shuffle_positions_are_dense_per_shard(spark):
+    from rusty_bloomfilter_spark.operators.sharding import epoch_shuffle
+
+    rows = epoch_shuffle(_docs(spark, 150), epoch=0, n_shards=5).collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r.shard, []).append(r.pos)
+    assert sum(len(v) for v in per.values()) == 150
+    for shard, ps in per.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1)), shard
+
+
+def test_epoch_shuffle_rejects_nonpositive_shards(spark):
+    from rusty_bloomfilter_spark.operators.sharding import epoch_shuffle
+
+    with pytest.raises(ValueError, match="n_shards"):
+        epoch_shuffle(_docs(spark, 1), epoch=0, n_shards=0)
