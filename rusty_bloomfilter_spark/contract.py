@@ -627,21 +627,25 @@ def q_hll_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed = HllSketch(p=14).build_by_key(seq, "source")
 
     def stats(batches):
-        import pandas as pd
         import pyarrow as pa
 
         for b in batches:
             pdf = b.to_pandas()
-            yield pa.RecordBatch.from_pandas(
-                pd.DataFrame(
-                    {
-                        "source": pdf["key"],
-                        "distinct_est": [
+            # explicit types: from_pandas over zero-row / object columns
+            # infers null type and breaks the declared schema at read
+            # time (CLAUDE.md mapInArrow rule)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(pdf["key"].tolist(), type=pa.string()),
+                    pa.array(
+                        [
                             round(HyperLogLog.from_bytes(bytes(p)).estimate(), 2)
                             for p in pdf["payload"]
                         ],
-                    }
-                )
+                        type=pa.float64(),
+                    ),
+                ],
+                names=["source", "distinct_est"],
             )
 
     est = keyed.mapInArrow(stats, schema="source string, distinct_est double")
@@ -2560,10 +2564,12 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(seq, capacity=2048, key="source")
 
 
-@register(
-    "q_span_dedup",
-    oracle=_SEQ_CTE
-    + """
+# Shared window-key / canonical-owner / gaps-and-islands derivation for
+# the two span queries (q_span_dedup finds spans; q_span_cut applies the
+# cut). ONE source of truth for the span semantics — window length 8,
+# the 1e9 owner packing, island gap > 8 — so the two oracles cannot
+# drift apart (appended after _SEQ_CTE).
+_SPAN_CTE = """
     , tok AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, tokens FROM sequences),
     wins AS (
         SELECT doc_id,
@@ -2598,6 +2604,14 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, island, min(pos) AS s, max(pos) + 8 AS e
         FROM isl GROUP BY doc_id, island
     )
+"""
+
+
+@register(
+    "q_span_dedup",
+    oracle=_SEQ_CTE
+    + _SPAN_CTE
+    + """
     SELECT doc_id, count(*) AS n_dup_spans,
            CAST(sum(e - s) AS BIGINT) AS dup_tokens
     FROM spans GROUP BY doc_id
@@ -2629,42 +2643,9 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_span_cut",
     oracle=_SEQ_CTE
+    + _SPAN_CTE
     + """
-    , tok AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, tokens FROM sequences),
-    wins AS (
-        SELECT doc_id,
-               unnest(range(len(tokens) - 7)) AS pos,
-               unnest(list_transform(range(len(tokens) - 7),
-                      i -> md5(array_to_string(tokens[i+1:i+8], '-')))) AS key
-        FROM tok WHERE len(tokens) >= 8
-    ),
-    owners AS (
-        SELECT key, count(*) AS cnt,
-               min(doc_id * 1000000000 + pos) AS min_owner
-        FROM wins GROUP BY key
-    ),
-    dup AS (
-        SELECT w.doc_id, w.pos
-        FROM wins w JOIN owners o USING (key)
-        WHERE o.cnt > 1 AND w.doc_id * 1000000000 + w.pos <> o.min_owner
-    ),
-    brk AS (
-        SELECT doc_id, pos,
-               CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
-                    THEN 1 ELSE 0 END AS b
-        FROM dup
-    ),
-    isl AS (
-        SELECT doc_id, pos,
-               sum(b) OVER (PARTITION BY doc_id ORDER BY pos
-                            ROWS UNBOUNDED PRECEDING) AS island
-        FROM brk
-    ),
-    spans AS (
-        SELECT doc_id, island, min(pos) AS s, max(pos) + 8 AS e
-        FROM isl GROUP BY doc_id, island
-    ),
-    per_doc AS (
+    , per_doc AS (
         SELECT doc_id, flatten(list(range(s, e))) AS cov
         FROM spans GROUP BY doc_id
     ),
@@ -2926,23 +2907,27 @@ def q_user_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def stats(batches):
-        import pandas as pd
         import pyarrow as pa
 
         for b in batches:
             pdf = b.to_pandas()
             payloads = [bytes(p) for p in pdf["payload"]]
-            yield pa.RecordBatch.from_pandas(
-                pd.DataFrame(
-                    {
-                        "user_id": pdf["key"].astype("int64"),
-                        "distinct_est": [
+            # explicit types: from_pandas infers null type for empty /
+            # object columns (CLAUDE.md mapInArrow rule)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    # keyed builds carry the key as string; cast back
+                    pa.array(pdf["key"].astype("int64").tolist(), type=pa.int64()),
+                    pa.array(
+                        [
                             round(HyperLogLog.from_bytes(p).estimate(), 2)
                             for p in payloads
                         ],
-                        "wire_bytes": [len(p) for p in payloads],
-                    }
-                )
+                        type=pa.float64(),
+                    ),
+                    pa.array([len(p) for p in payloads], type=pa.int64()),
+                ],
+                names=["user_id", "distinct_est", "wire_bytes"],
             )
 
     est = keyed.mapInArrow(

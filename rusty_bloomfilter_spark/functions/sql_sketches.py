@@ -88,7 +88,22 @@ def register_sketch_sql(
         from ..sketch import CountingBloomFilter
 
         cbf = CountingBloomFilter.empty(shape)
-        vals = keys.dropna().to_numpy(dtype=np.int64)
+        vals = keys.dropna().to_numpy()
+        if vals.dtype.kind == "f":
+            # int64-with-NULLs arrives as float64 (Arrow->pandas
+            # promotion); floats are exact only below 2^53 — beyond
+            # that the original key is unrecoverable, so fail loudly
+            # instead of silently inserting a rounded key (which would
+            # make the true key probe False: a false negative).
+            if vals.size and np.abs(vals).max() >= 2.0**53:
+                raise ValueError(
+                    "cbf_agg: nullable int64 keys arrive as float64 and "
+                    "|key| >= 2^53 cannot be recovered exactly; filter "
+                    "NULLs out first (WHERE key IS NOT NULL)"
+                )
+            vals = vals.astype(np.int64)
+        else:
+            vals = vals.astype(np.int64, copy=False)
         if vals.size:
             cbf.add_tokens(vals)
         return cbf.to_bytes()

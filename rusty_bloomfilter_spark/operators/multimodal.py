@@ -692,10 +692,14 @@ FRAME_PLAN_SCHEMA = (
     "byte_off bigint, byte_len bigint"
 )
 
-# sampling-tick sanity bound: more than this many ticks per frame means
-# the (untrusted) stts deltas / timescale imply an implausible duration
-# for the sample count — treat as corrupt rather than allocate the grid
-_MAX_TICKS_PER_FRAME = 64
+# sampling-tick allocation bound: the (untrusted) stts deltas /
+# timescale can imply an astronomically long duration and drive a
+# multi-TB tick-grid allocation. Bound the ABSOLUTE grid size (1M
+# ticks ~ 8 MB — harmless), NOT ticks-per-frame: a per-frame ratio
+# also rejects perfectly valid sparse-keyframe files (a slideshow
+# with a handful of frames minutes apart), silently dropping them
+# from the sampling plan and near-dup hashing.
+_MAX_TICKS = 1 << 20
 
 
 def _mp3_tick_frames(payload: bytes, step: int):
@@ -730,10 +734,12 @@ def _mp4_tick_frames(payload: bytes, step: int):
     and duration, and return (table, ts_ms, ticks, idx) where idx[k] is
     the frame covering ticks[k]. Returns None for non-MP4 / corrupt /
     zero-sample payloads, and — critically — for payloads whose
-    DURATION-derived tick grid would be implausibly large relative to
-    the sample count (corrupt stts delta or timescale would otherwise
-    drive a multi-TB np.arange; same allocation-guard class as
-    containers.py's count checks, round-4 review finding)."""
+    DURATION-derived tick grid exceeds an absolute allocation bound
+    (corrupt stts delta or timescale would otherwise drive a multi-TB
+    np.arange; same allocation-guard class as containers.py's count
+    checks). The bound is absolute, not per-frame: valid low-frame-
+    rate files (sparse keyframes, slideshow MP4s) have huge per-frame
+    tick counts and must still produce a plan."""
     if payload[4:8] != b"ftyp":
         return None
     from .containers import mp4_sample_table
@@ -743,9 +749,8 @@ def _mp4_tick_frames(payload: bytes, step: int):
     except ValueError:
         return None
     ts_ms = (t["ts_ticks"] * 1000) // int(t["timescale"])
-    n = len(ts_ms)
     dur_ms = max(int(t["duration_ticks"] * 1000 // int(t["timescale"])), 1)
-    if (dur_ms + step - 1) // step > _MAX_TICKS_PER_FRAME * n:
+    if (dur_ms + step - 1) // step > _MAX_TICKS:
         return None
     ticks = np.arange(0, dur_ms, step, dtype=np.int64)
     idx = np.searchsorted(ts_ms, ticks, side="right") - 1

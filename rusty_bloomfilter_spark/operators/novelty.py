@@ -22,7 +22,6 @@ from __future__ import annotations
 
 from typing import Iterator
 
-import pandas as pd
 import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -82,15 +81,16 @@ def novelty_curve(
             out_cum.append(round(cum, 2))
             out_new.append(round(cum - prev, 2))
             prev = cum
-        yield pa.RecordBatch.from_pandas(
-            pd.DataFrame(
-                {
-                    "period": out_period,
-                    "est_period": out_est,
-                    "est_cumulative": out_cum,
-                    "est_new": out_new,
-                }
-            )
+        # explicit types: from_pandas over list-built columns infers
+        # null type when a column is empty (CLAUDE.md mapInArrow rule)
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(out_period, type=pa.string()),
+                pa.array(out_est, type=pa.float64()),
+                pa.array(out_cum, type=pa.float64()),
+                pa.array(out_new, type=pa.float64()),
+            ],
+            names=["period", "est_period", "est_cumulative", "est_new"],
         )
 
     # one task over |periods| sketch rows — the output size itself

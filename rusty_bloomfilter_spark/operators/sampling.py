@@ -158,7 +158,9 @@ def kmv_overlap(df: DataFrame, group_col: str, key_col: str, k: int = 256) -> Da
     rows, never row data.
 
     -> (source_a, source_b, n_union_sample, est_union,
-        est_intersection, jaccard) per unordered group pair.
+        est_intersection, est_a_minus_b, est_b_minus_a, jaccard)
+    per unordered group pair (the set-difference estimates scale
+    D_union by each side's exclusive fraction of the union sample).
     """
     if k < 2:
         raise ValueError(f"KMV needs k >= 2 (estimator uses k-1), got {k}")

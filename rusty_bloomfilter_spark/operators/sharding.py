@@ -211,8 +211,10 @@ def write_shards(
     weight_col: str | None = None,
 ) -> DataFrame:
     """Route every row to its shard and write ONE parquet file per
-    shard under ``path/shard=<i>/``; return the per-shard manifest
-    OBSERVED during the same write job (no second corpus pass).
+    shard under ``path/shard=<i>/``; return the WRITE-JOB TOTALS
+    (one row: n_rows, n_weight) observed during the same write job —
+    Observation cannot group, so the per-shard breakdown comes from
+    ``shard_manifest`` over a read-back, which the layout test pins.
 
     ``repartition(2*n_shards, "shard")`` is the single shuffle: every
     row of a shard hashes to ONE task, so each shard is exactly one

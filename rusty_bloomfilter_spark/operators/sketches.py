@@ -115,6 +115,54 @@ def _scalar_values(batch, col: str) -> np.ndarray:
     return arr.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
 
 
+def _series_probe_values(s: pd.Series) -> np.ndarray:
+    """Probe Series -> exact int64 (pandas-side mirror of _scalar_values).
+
+    An int64 probe column WITH NULLs reaches a pandas UDF as float64
+    (Arrow->pandas promotion), which silently rounds |v| >= 2^53 — a
+    rounded probe can miss its true filter entry, a false negative.
+    NaNs probe as 0 (same as _scalar_values' null fill); when floats
+    exceed 2^53 the original key is unrecoverable, so fail loudly.
+    """
+    vals = s.to_numpy()
+    if vals.dtype.kind == "f":
+        vals = np.nan_to_num(vals, nan=0.0)
+        if vals.size and np.abs(vals).max() >= 2.0**53:
+            raise ValueError(
+                "probe column arrived as float64 (nullable-int64 promotion) "
+                "with |value| >= 2^53; the original integer key is "
+                "unrecoverable — filter NULLs out of the probe column first"
+            )
+        return vals.astype(np.int64)
+    if vals.dtype.kind in "iu":
+        return vals.astype(np.int64, copy=False)
+    return vals.astype(np.int64)
+
+
+def broadcast_probe_udf(payload: bytes, spark: SparkSession | None = None):
+    """boolean pandas_udf: probe a scalar int column against a broadcast
+    membership-sketch payload (Bloom / blocked / counting — dispatched
+    by wire magic INSIDE the worker via sketch_from_bytes, never by
+    closing over a sketch class: cloudpickle would serialize the class
+    by value and trip on its module-level struct.Struct objects).
+    Deserializes once per python worker; exact int64 probe values via
+    _series_probe_values (nullable-promotion safe)."""
+    spark = spark or SparkSession.getActiveSession()
+    bc = spark.sparkContext.broadcast(payload)
+    cache: dict = {}
+
+    @F.pandas_udf("boolean")
+    def probe(s: pd.Series) -> pd.Series:
+        bf = cache.get("bf")
+        if bf is None:
+            from ..sketch import sketch_from_bytes
+
+            bf = cache["bf"] = sketch_from_bytes(bc.value)
+        return pd.Series(bf.contains_tokens(_series_probe_values(s)))
+
+    return probe
+
+
 def flat_ngram_hashes(flat: np.ndarray, lengths: np.ndarray, n: int) -> np.ndarray:
     """All within-row n-gram hashes, vectorized: hash the concatenated
     stream once, then mask out windows that cross row boundaries."""
@@ -214,18 +262,7 @@ class BloomSketch:
     def might_contain_udf(self, payload: bytes, spark: SparkSession | None = None):
         """Vectorized membership probe for a scalar int token column.
         Deserializes the broadcast filter once per python worker."""
-        spark = spark or SparkSession.getActiveSession()
-        bc = spark.sparkContext.broadcast(payload)
-        cache: dict[str, BloomFilter] = {}
-
-        @F.pandas_udf("boolean")
-        def probe(s: pd.Series) -> pd.Series:
-            bf = cache.get("bf")
-            if bf is None:
-                bf = cache["bf"] = BloomFilter.from_bytes(bc.value)
-            return pd.Series(bf.contains_tokens(s.to_numpy()))
-
-        return probe
+        return broadcast_probe_udf(payload, spark)
 
     def contained_fraction_udf(self, payload: bytes, spark: SparkSession | None = None):
         """For an array<int> column: fraction of the row's tokens present
@@ -404,18 +441,7 @@ class BlockedBloomSketch:
         return int(out["h"]), int(out["t"])
 
     def might_contain_udf(self, payload: bytes, spark: SparkSession | None = None):
-        spark = spark or SparkSession.getActiveSession()
-        bc = spark.sparkContext.broadcast(payload)
-        cache: dict[str, BlockedBloomFilter] = {}
-
-        @F.pandas_udf("boolean")
-        def probe(s: pd.Series) -> pd.Series:
-            bf = cache.get("bf")
-            if bf is None:
-                bf = cache["bf"] = BlockedBloomFilter.from_bytes(bc.value)
-            return pd.Series(bf.contains_tokens(s.to_numpy()))
-
-        return probe
+        return broadcast_probe_udf(payload, spark)
 
 
 # ---------------------------------------------------------------------------
@@ -682,17 +708,4 @@ class CountingBloomSketch:
     def might_contain_udf(self, payload: bytes, spark: SparkSession | None = None):
         """Vectorized membership probe for a scalar int column against
         a (possibly subtracted) CBF payload."""
-        from ..sketch.counting import CountingBloomFilter
-
-        spark = spark or SparkSession.getActiveSession()
-        bc = spark.sparkContext.broadcast(payload)
-        cache: dict[str, "CountingBloomFilter"] = {}
-
-        @F.pandas_udf("boolean")
-        def probe(s: pd.Series) -> pd.Series:
-            bf = cache.get("bf")
-            if bf is None:
-                bf = cache["bf"] = CountingBloomFilter.from_bytes(bc.value)
-            return pd.Series(bf.contains_tokens(s.to_numpy()))
-
-        return probe
+        return broadcast_probe_udf(payload, spark)

@@ -431,18 +431,33 @@ def test_synthetic_videos_have_distinct_frames():
             )
 
 
-def test_tick_frames_guard_rejects_implausible_duration():
-    """A parseable MP4 whose stts delta / timescale imply a duration
-    grossly out of proportion to its sample count must be skipped (not
-    drive a huge tick-grid allocation): round-4 review finding."""
-    from rusty_bloomfilter_spark.operators.multimodal import _mp4_tick_frames
+def test_tick_frames_guard_rejects_huge_grid_keeps_sparse_files():
+    """A parseable MP4 whose stts delta / timescale imply a tick grid
+    beyond the absolute allocation bound must be skipped; but a VALID
+    low-frame-rate file (sparse keyframes — e.g. a slideshow with
+    frames many seconds apart) must still produce a plan: the guard
+    bounds allocation, it does not judge plausibility (round-4 review
+    finding, revised by a second finding)."""
+    from rusty_bloomfilter_spark.operators.multimodal import (
+        _MAX_TICKS,
+        _mp4_tick_frames,
+    )
 
     sane = encode_mp4(np.array([100, 100, 100]), delta_ticks=40, timescale=1000)
     assert _mp4_tick_frames(sane, 250) is not None
-    # 3 samples but ~3.2e6 ms per frame: > _MAX_TICKS_PER_FRAME ticks/frame
-    corrupt = encode_mp4(
-        np.array([100, 100, 100]), delta_ticks=3_200_000, timescale=1000
+    # 3 samples 10 s apart sampled every 100 ms: 300 ticks for 3 frames —
+    # a valid slideshow; a per-frame ratio guard would wrongly drop it
+    sparse = encode_mp4(
+        np.array([100, 100, 100]), delta_ticks=10_000, timescale=1000
     )
+    tf = _mp4_tick_frames(sparse, 100)
+    assert tf is not None
+    assert len(tf[2]) == 300
+    # grid beyond the absolute bound: ~1.2e6 ticks > _MAX_TICKS
+    corrupt = encode_mp4(
+        np.array([100, 100, 100]), delta_ticks=100_000_000, timescale=1000
+    )
+    assert (3 * 100_000_000 + 249) // 250 > _MAX_TICKS
     assert _mp4_tick_frames(corrupt, 250) is None
 
 

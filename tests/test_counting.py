@@ -198,3 +198,88 @@ def test_sql_cbf_agg_and_subtract(spark):
     rev.add_tokens(keys[keys.revoked]["key"].to_numpy(dtype=np.int64))
     oracle.subtract_in_place(rev)
     assert cbf.to_bytes() == oracle.to_bytes()
+
+
+def test_sql_cbf_agg_null_keys_small_ids_exact(spark):
+    """NULL keys drop out and small ids survive the float64 promotion
+    exactly (Arrow int64-with-nulls -> pandas float64 is lossless
+    below 2^53)."""
+    from pyspark.sql import functions as F
+
+    from rusty_bloomfilter_spark.functions.sql_sketches import register_sketch_sql
+
+    register_sketch_sql(spark, bloom_n=10_000, bloom_p=1e-4, prefix="n_")
+    df = spark.range(200).select(
+        F.when(F.col("id") % 7 == 0, None).otherwise(F.col("id")).alias("key")
+    )
+    df.createOrReplaceTempView("cbf_null_keys")
+    row = spark.sql(
+        "SELECT n_cbf_agg(key) AS c FROM cbf_null_keys"
+    ).collect()[0]
+    cbf = CountingBloomFilter.from_bytes(bytes(row["c"]))
+    present = np.array([i for i in range(200) if i % 7 != 0], dtype=np.int64)
+    assert cbf.contains_tokens(present).all()
+    assert cbf.n_items == len(present)
+
+
+def test_sql_cbf_agg_null_plus_unrecoverable_keys_raises(spark):
+    """A NULL alongside |key| >= 2^53 (xxhash64 ids) means the float64
+    round-trip would silently corrupt keys into false negatives — the
+    aggregate must fail loudly instead (round-4 review finding)."""
+    import pytest
+    from pyspark.sql import functions as F
+    from pyspark.errors.exceptions.base import PySparkException
+
+    from rusty_bloomfilter_spark.functions.sql_sketches import register_sketch_sql
+
+    register_sketch_sql(spark, bloom_n=10_000, bloom_p=1e-4, prefix="u_")
+    df = spark.range(50).select(
+        F.when(F.col("id") == 0, None).otherwise(F.xxhash64("id")).alias("key")
+    )
+    df.createOrReplaceTempView("cbf_big_keys")
+    with pytest.raises(Exception, match="2\\^53|NULL"):
+        spark.sql("SELECT u_cbf_agg(key) AS c FROM cbf_big_keys").collect()
+
+
+def test_series_probe_values_nullable_promotion_guard():
+    """_series_probe_values: ints pass through exactly; NaNs (null
+    promotion) probe as 0 like _scalar_values; float values >= 2^53
+    are unrecoverable and must raise, not round (round-4 review
+    finding — shared by all three might_contain_udf paths)."""
+    import pandas as pd
+    import pytest
+
+    from rusty_bloomfilter_spark.operators.sketches import _series_probe_values
+
+    ints = pd.Series(np.array([1, -5, 2**62], dtype=np.int64))
+    out = _series_probe_values(ints)
+    assert out.dtype == np.int64 and out.tolist() == [1, -5, 2**62]
+
+    nullable = pd.Series([1.0, float("nan"), 9007199254740991.0])  # 2^53-1
+    out = _series_probe_values(nullable)
+    assert out.tolist() == [1, 0, 2**53 - 1]
+
+    too_big = pd.Series([float(2**53)])
+    with pytest.raises(ValueError, match="2\\^53"):
+        _series_probe_values(too_big)
+
+
+def test_probe_udf_nullable_column_probes_null_as_zero(spark):
+    """A nullable probe column (small ids) must not crash the probe
+    UDF: NULL probes behave as key 0, non-null flags stay exact."""
+    from pyspark.sql import functions as F
+
+    from rusty_bloomfilter_spark.operators.sketches import CountingBloomSketch
+
+    df = spark.range(300).select(F.col("id").alias("key"))
+    sk = CountingBloomSketch.for_np(n=10_000, p=1e-6, col="key")
+    payload, _ = sk.build_bytes(df.filter("key >= 100"))
+    probe_df = spark.range(300).select(
+        F.when(F.col("id") % 11 == 0, None).otherwise(F.col("id")).alias("key")
+    )
+    rows = probe_df.withColumn(
+        "hit", sk.might_contain_udf(payload, spark)(F.col("key"))
+    ).collect()
+    for r in rows:
+        if r.key is not None and r.key >= 100:
+            assert r.hit  # zero FN
