@@ -2608,6 +2608,35 @@ _SPAN_CTE = """
 
 
 @register(
+    "q_ntok_histogram",
+    oracle=_SEQ_CTE
+    + """
+    , s AS (SELECT source, len(tokens) AS n_tok FROM sequences)
+    SELECT source,
+           CAST(floor(n_tok / 16.0) AS BIGINT) AS bin,
+           CAST(CAST(floor(n_tok / 16.0) AS BIGINT) * 16 AS BIGINT) AS lo,
+           CAST((CAST(floor(n_tok / 16.0) AS BIGINT) + 1) * 16 AS BIGINT) AS hi,
+           count(*) AS n_rows
+    FROM s GROUP BY source, bin
+    """,
+)
+def q_ntok_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source fixed-width histogram of sequence lengths (bin width
+    16 tokens) — the distribution-shape pass run before choosing the
+    packing capacity (where the n_tok mass sits; how fat the tail
+    pack_sequences will split). Exact and mergeable by construction
+    (bin counts add); one map-side-combinable hash aggregate, shuffled
+    rows capped at tasks x bins — shard_manifest's scale shape
+    (operators/sampling.fixed_width_histogram)."""
+    from .operators.sampling import fixed_width_histogram
+
+    seq = sequences_from_documents(spark, sf_dir).withColumn(
+        "n_tok", F.size("tokens")
+    )
+    return fixed_width_histogram(seq, "n_tok", 16, group_col="source")
+
+
+@register(
     "q_span_dedup",
     oracle=_SEQ_CTE
     + _SPAN_CTE

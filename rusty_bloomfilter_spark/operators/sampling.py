@@ -249,3 +249,36 @@ def kmv_distinct(df: DataFrame, key_col: str, k: int = 256) -> DataFrame:
         )
         .alias("est_distinct"),
     )
+
+
+def fixed_width_histogram(
+    df: DataFrame,
+    col: str,
+    width: int,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Fixed-width histogram of an integer column: bin = floor(v/width).
+
+    The distribution-shape pass a packing/curation pipeline runs before
+    choosing its context capacity (where does the n_tok mass sit? how
+    fat is the tail that pack_sequences will split?). Exact, mergeable
+    by construction (bin counts add), and pure Catalyst: one map-side-
+    combinable hash aggregate, shuffled rows capped at tasks x bins —
+    the histogram analogue of shard_manifest's scale shape.
+
+    -> ([group,] bin, lo, hi, n_rows) with lo/hi the inclusive/
+    exclusive bin bounds; empty bins are absent (sparse output).
+    """
+    if width <= 0:
+        raise ValueError(f"width must be positive, got {width}")
+    v = F.col(col).cast("bigint")
+    binned = df.where(v.isNotNull()).withColumn(
+        "bin", F.floor(v / F.lit(int(width))).cast("bigint")
+    )
+    keys = ([group_col] if group_col else []) + ["bin"]
+    return binned.groupBy(*keys).agg(F.count("*").alias("n_rows")).select(
+        *keys,
+        (F.col("bin") * width).alias("lo"),
+        ((F.col("bin") + 1) * width).alias("hi"),
+        "n_rows",
+    )

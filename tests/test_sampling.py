@@ -204,3 +204,65 @@ def test_weighted_sample_excludes_nulls_and_nonpositive(spark):
     df = spark.createDataFrame(rows, "key string, w double")
     keys = {r["key"] for r in weighted_bottom_k(df, "key", "w", 10).collect()}
     assert keys == {"a", "d"}
+
+
+# -- fixed_width_histogram --------------------------------------------------
+
+
+def test_fixed_width_histogram_bins_and_bounds(spark):
+    from pyspark.sql import functions as F
+
+    from rusty_bloomfilter_spark.operators.sampling import fixed_width_histogram
+
+    df = spark.range(100).select(
+        (F.col("id") % 3).cast("string").alias("g"), F.col("id").alias("v")
+    )
+    rows = fixed_width_histogram(df, "v", 10, group_col="g").collect()
+    # every bin: lo = bin*10, hi = lo+10, and counts re-derive exactly
+    import collections
+
+    want = collections.Counter((str(i % 3), i // 10) for i in range(100))
+    got = {(r.g, r.bin): r.n_rows for r in rows}
+    assert got == dict(want)
+    for r in rows:
+        assert r.lo == r.bin * 10 and r.hi == r.lo + 10
+
+
+def test_fixed_width_histogram_ungrouped_nulls_and_total(spark):
+    from pyspark.sql import functions as F
+
+    from rusty_bloomfilter_spark.operators.sampling import fixed_width_histogram
+
+    df = spark.range(50).select(
+        F.when(F.col("id") % 5 == 0, None).otherwise(F.col("id")).alias("v")
+    )
+    rows = fixed_width_histogram(df, "v", 8).collect()
+    assert sum(r.n_rows for r in rows) == 40  # NULLs excluded
+    assert all(r.n_rows > 0 for r in rows)  # sparse: no empty bins
+
+
+def test_fixed_width_histogram_counts_merge(spark):
+    """Mergeability: histogram(A union B) == binwise sum of the parts."""
+    from pyspark.sql import functions as F
+
+    from rusty_bloomfilter_spark.operators.sampling import fixed_width_histogram
+
+    a = spark.range(0, 60).select(F.col("id").alias("v"))
+    b = spark.range(30, 90).select(F.col("id").alias("v"))
+    whole = {
+        r.bin: r.n_rows
+        for r in fixed_width_histogram(a.union(b), "v", 16).collect()
+    }
+    pa_ = {r.bin: r.n_rows for r in fixed_width_histogram(a, "v", 16).collect()}
+    pb = {r.bin: r.n_rows for r in fixed_width_histogram(b, "v", 16).collect()}
+    merged = {k: pa_.get(k, 0) + pb.get(k, 0) for k in set(pa_) | set(pb)}
+    assert whole == merged
+
+
+def test_fixed_width_histogram_rejects_nonpositive_width(spark):
+    import pytest
+
+    from rusty_bloomfilter_spark.operators.sampling import fixed_width_histogram
+
+    with pytest.raises(ValueError, match="width"):
+        fixed_width_histogram(spark.range(1), "id", 0)
