@@ -42,6 +42,15 @@ def merge_sketch_payloads(payloads: list[bytes]) -> bytes:
     merge used by every Spark tree-merge stage."""
     if not payloads:
         raise ValueError("nothing to merge")
+    # fail on mixed kinds up front: one wrong-kind row in a tree-merge
+    # stage must say so, not surface as an AttributeError deep inside
+    # merge_in_place
+    kind = bytes(payloads[0][:4])
+    for p in payloads[1:]:
+        if bytes(p[:4]) != kind:
+            raise ValueError(
+                f"sketch kind mismatch in merge: {kind!r} vs {bytes(p[:4])!r}"
+            )
     acc = sketch_from_bytes(payloads[0])
     for p in payloads[1:]:
         acc.merge_in_place(sketch_from_bytes(p))

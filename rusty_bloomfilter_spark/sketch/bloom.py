@@ -301,12 +301,36 @@ class BloomFilter:
         magic, version, kind, codec, _, m, k, n_items = _HEADER.unpack_from(data, 0)
         if magic != _MAGIC or version != _VERSION or kind != _KIND_BLOOM:
             raise ValueError("not a serialized BloomFilter")
+        # reject unknown codecs loudly: a future codec misread as dense
+        # words would decode to a WRONG bit pattern (false negatives
+        # across versions) instead of an error
+        if codec not in (_CODEC_DENSE, _CODEC_SPARSE):
+            raise ValueError(f"unknown BloomFilter codec byte {codec}")
         shape = Shape(m=m, k=k)
         body = memoryview(data)[_HEADER.size :]
         if codec == _CODEC_SPARSE:
+            if len(body) % 4:
+                raise ValueError("corrupt sparse BloomFilter payload length")
             idx = np.frombuffer(body, dtype=np.uint32).astype(np.int64)
+            # forged/corrupt indices >= m would silently set padding
+            # bits (breaking the canonical-bytes domain) or crash with
+            # a raw IndexError deep in the scatter
+            if idx.size and int(idx.max()) >= m:
+                raise ValueError(
+                    f"corrupt sparse BloomFilter payload: index {int(idx.max())} >= m={m}"
+                )
             return cls.from_indices(shape, idx, n_items=n_items)
+        if len(body) != shape.number_of_bytes():
+            raise ValueError(
+                f"corrupt dense BloomFilter payload: {len(body)} bytes, "
+                f"expected {shape.number_of_bytes()}"
+            )
         words = np.frombuffer(body, dtype=_U64).copy()
+        # padding bits beyond m must be zero — set padding would corrupt
+        # cardinality/estimates far from the decode site
+        tail = m % 64
+        if tail and words.size and int(words[-1]) >> tail:
+            raise ValueError("corrupt dense BloomFilter payload: padding bits set")
         return cls(shape, words, n_items=n_items)
 
     # -- dunder ------------------------------------------------------------------
@@ -403,7 +427,9 @@ class SparseBloomBuilder:
 
     def to_filter(self) -> BloomFilter:
         if self._dense is not None:
-            return BloomFilter(self.shape, self._dense.words, self.n_items)
+            # copy: the builder stays live — returning its words array
+            # would alias the snapshot to every later add_* call
+            return BloomFilter(self.shape, self._dense.words.copy(), self.n_items)
         return BloomFilter.from_indices(self.shape, self.indices(), n_items=self.n_items)
 
     def to_bytes(self) -> bytes:
@@ -458,6 +484,11 @@ def merge_payloads(payloads: list[bytes]) -> bytes:
                 [np.frombuffer(memoryview(p)[_HEADER.size :], dtype=np.uint32) for p in payloads]
             )
         )
+        # same bounds check as from_bytes: never re-emit forged indices
+        if idx.size and int(idx[-1]) >= m:
+            raise ValueError(
+                f"corrupt sparse BloomFilter payload: index {int(idx[-1])} >= m={m}"
+            )
         n_items = sum(h[7] for h in headers)
         if shape.is_sparse(len(idx)):
             header = _HEADER.pack(

@@ -153,10 +153,17 @@ class CountMinSketch:
 
     @classmethod
     def from_bytes(cls, data: bytes) -> "CountMinSketch":
+        if len(data) < _HEADER.size:
+            raise ValueError("not a serialized CountMinSketch (truncated header)")
         magic, version, d, w, n_items = _HEADER.unpack_from(data, 0)
         if magic != _MAGIC or version != 1:
             raise ValueError("not a serialized CountMinSketch")
-        table = np.frombuffer(memoryview(data)[_HEADER.size :], dtype=_U64).reshape(d, w).copy()
+        body = memoryview(data)[_HEADER.size :]
+        if len(body) != 8 * d * w:
+            raise ValueError(
+                f"corrupt CountMinSketch payload: {len(body)} bytes for d={d}, w={w}"
+            )
+        table = np.frombuffer(body, dtype=_U64).reshape(d, w).copy()
         return cls(d, w, table, n_items=n_items)
 
     def __eq__(self, other: object) -> bool:

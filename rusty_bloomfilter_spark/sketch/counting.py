@@ -83,18 +83,32 @@ class CountingBloomFilter:
         return cls(shape)
 
     # -- update --------------------------------------------------------
+    #
+    # Memory hygiene (CLAUDE.md first-touch-fault note): updates never
+    # materialize an m-length temporary — batches are chunked (page
+    # reuse) and counters mutate IN PLACE on the touched indices only.
+    # Chunked saturating add equals the one-shot add because the clamp
+    # composes (min(min(a+b,255)+c,255) == min(a+b+c,255) for c >= 0),
+    # so canonical bytes are unchanged by the chunking.
 
-    def _index_counts(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+    _CHUNK = 1 << 18  # items per update slice
+
+    def _touched_counts(
+        self, h1: np.ndarray, h2: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """(unique indices, per-index multiplicities) for one chunk."""
         idx = km_indices(h1, h2, self.shape).ravel()
-        return np.bincount(idx, minlength=self.shape.m).astype(np.int64)
+        return np.unique(idx, return_counts=True)
 
     def add_hashes(self, h1: np.ndarray, h2: np.ndarray) -> "CountingBloomFilter":
         if len(h1) == 0:
             return self
-        delta = self._index_counts(h1, h2)
-        self.counters = np.minimum(
-            self.counters.astype(np.int64) + delta, _SAT
-        ).astype(np.uint8)
+        for s in range(0, len(h1), self._CHUNK):
+            uu, cc = self._touched_counts(
+                h1[s : s + self._CHUNK], h2[s : s + self._CHUNK]
+            )
+            cur = self.counters[uu].astype(np.int64)
+            self.counters[uu] = np.minimum(cur + cc, _SAT).astype(np.uint8)
         self.n_items += len(h1)
         return self
 
@@ -102,13 +116,17 @@ class CountingBloomFilter:
         h1, h2 = hash_pair(tokens_to_u64(np.asarray(tokens)))
         return self.add_hashes(h1, h2)
 
-    def _apply_decrement(self, delta: np.ndarray, n_removed: int) -> int:
-        sat = self.counters == _SAT
-        n_sticky = int(delta[sat].sum())
-        lowered = np.maximum(self.counters.astype(np.int64) - delta, 0)
-        lowered[sat] = _SAT
-        self.counters = lowered.astype(np.uint8)
-        self.n_items = max(0, self.n_items - n_removed)
+    def _decrement_at(self, uu: np.ndarray, cc: np.ndarray) -> int:
+        """Sticky-saturation decrement at the touched indices; returns
+        n_sticky. A counter saturated NOW stays untouched (decrements
+        can't re-saturate, so per-chunk stickiness equals one-shot)."""
+        cur = self.counters[uu]
+        sat = cur == _SAT
+        n_sticky = int(cc[sat].sum())
+        ns = ~sat
+        if ns.any():
+            lowered = np.maximum(cur[ns].astype(np.int64) - cc[ns], 0)
+            self.counters[uu[ns]] = lowered.astype(np.uint8)
         return n_sticky
 
     def remove_hashes(self, h1: np.ndarray, h2: np.ndarray) -> int:
@@ -121,7 +139,14 @@ class CountingBloomFilter:
         """
         if len(h1) == 0:
             return 0
-        return self._apply_decrement(self._index_counts(h1, h2), len(h1))
+        n_sticky = 0
+        for s in range(0, len(h1), self._CHUNK):
+            uu, cc = self._touched_counts(
+                h1[s : s + self._CHUNK], h2[s : s + self._CHUNK]
+            )
+            n_sticky += self._decrement_at(uu, cc)
+        self.n_items = max(0, self.n_items - len(h1))
+        return n_sticky
 
     def subtract_in_place(self, other: "CountingBloomFilter") -> int:
         """Filter-level removal — the DISTRIBUTED revocation path: the
@@ -138,9 +163,10 @@ class CountingBloomFilter:
         """
         if self.shape != other.shape:
             raise ValueError(f"shape mismatch: {self.shape} vs {other.shape}")
-        return self._apply_decrement(
-            other.counters.astype(np.int64), other.n_items
-        )
+        uu = np.flatnonzero(other.counters)  # touched indices only
+        n_sticky = self._decrement_at(uu, other.counters[uu].astype(np.int64))
+        self.n_items = max(0, self.n_items - other.n_items)
+        return n_sticky
 
     def remove_tokens(self, tokens: np.ndarray) -> int:
         h1, h2 = hash_pair(tokens_to_u64(np.asarray(tokens)))
@@ -163,9 +189,11 @@ class CountingBloomFilter:
     def merge_in_place(self, other: "CountingBloomFilter") -> "CountingBloomFilter":
         if self.shape != other.shape:
             raise ValueError(f"shape mismatch: {self.shape} vs {other.shape}")
-        self.counters = np.minimum(
-            self.counters.astype(np.int64) + other.counters, _SAT
-        ).astype(np.uint8)
+        # saturating add in uint8 (no 8x int64 temp): the sum wraps mod
+        # 256 exactly when a+b > 255, detectable as s < a (b <= 255)
+        s = self.counters + other.counters
+        s[s < self.counters] = _SAT
+        self.counters = s
         self.n_items += other.n_items
         return self
 
@@ -196,6 +224,8 @@ class CountingBloomFilter:
 
     @classmethod
     def from_bytes(cls, data: bytes) -> "CountingBloomFilter":
+        if len(data) < _HEADER.size:
+            raise ValueError("not a serialized CountingBloomFilter (truncated header)")
         magic, version, m, k, n_items = _HEADER.unpack_from(data, 0)
         if magic != _MAGIC or version != 1:
             raise ValueError("not a serialized CountingBloomFilter")

@@ -201,19 +201,38 @@ class HyperLogLog:
 
     @classmethod
     def from_bytes(cls, data: bytes) -> "HyperLogLog":
+        if len(data) < _HEADER.size:
+            raise ValueError("not a serialized HyperLogLog (truncated header)")
         magic, version, p, n_items = _HEADER.unpack_from(data, 0)
         if magic != _MAGIC or version not in (1, 2):
             raise ValueError("not a serialized HyperLogLog")
         body = memoryview(data)[_HEADER.size :]
         if version == 1:
             regs = np.frombuffer(body, dtype=np.uint8).copy()
+            if regs.size != 1 << p:
+                raise ValueError(
+                    f"corrupt HyperLogLog payload: {regs.size} registers, expected {1 << p}"
+                )
             return cls(p, regs, n_items=n_items)
+        if len(body) % 4:
+            raise ValueError("corrupt sparse HyperLogLog payload length")
         packed = np.frombuffer(body, dtype="<u4").astype(np.uint32)
         regs = np.zeros(1 << p, dtype=np.uint8)
         idx = (packed >> np.uint32(6)).astype(np.int64)
         if len(idx) and (idx >= (1 << p)).any():
             raise ValueError("sparse HLL register index out of range")
-        regs[idx] = (packed & np.uint32(0x3F)).astype(np.uint8)
+        # forged states must not enter the merge algebra: a rank above
+        # the reachable cap (64-p+1) is unproducible by any insert and
+        # would inflate every downstream max-merge permanently; dup
+        # indices would silently last-win
+        if len(idx) != len(np.unique(idx)):
+            raise ValueError("sparse HLL payload has duplicate register indices")
+        ranks = (packed & np.uint32(0x3F)).astype(np.uint8)
+        if len(ranks) and int(ranks.max()) > 64 - p + 1:
+            raise ValueError(
+                f"sparse HLL register rank {int(ranks.max())} exceeds cap {64 - p + 1}"
+            )
+        regs[idx] = ranks
         return cls(p, regs, n_items=n_items)
 
     def __eq__(self, other: object) -> bool:

@@ -163,6 +163,8 @@ class KLLSketch:
 
     @classmethod
     def from_bytes(cls, data: bytes) -> "KLLSketch":
+        if len(data) < _HEADER.size:
+            raise ValueError("not a serialized KLLSketch (truncated header)")
         magic, version, k, n_levels, n_items = _HEADER.unpack_from(data, 0)
         if magic != _MAGIC or version != 1:
             raise ValueError("not a serialized KLLSketch")
@@ -171,8 +173,14 @@ class KLLSketch:
         out.parities = []
         off = _HEADER.size
         for _ in range(n_levels):
+            # level lengths are untrusted: validate before every read so
+            # a forged n_levels/n dies as ValueError, not struct.error
+            if off + 5 > len(data):
+                raise ValueError("corrupt KLLSketch payload: truncated level header")
             n, parity = struct.unpack_from("<IB", data, off)
             off += 5
+            if off + 8 * n > len(data):
+                raise ValueError("corrupt KLLSketch payload: truncated level buffer")
             buf = np.frombuffer(data, dtype=np.float64, count=n, offset=off).copy()
             off += 8 * n
             out.compactors.append(buf)

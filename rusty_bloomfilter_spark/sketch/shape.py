@@ -65,7 +65,10 @@ class Shape:
         if not (0.0 < p < 1.0):
             raise ValueError(f"p must be in (0,1), got {p}")
         m = math.ceil(-n * math.log(p) / (_LN2 * _LN2))
-        k = max(1, round((m / n) * _LN2))
+        # clamp to the representable hash count: extreme p (< ~6e-20)
+        # yields optimal k > 64; 64 hashes is the closest valid shape
+        # (marginally conservative on m, never a constructor crash)
+        k = min(64, max(1, round((m / n) * _LN2)))
         return cls(m=m, k=k)
 
     # -- physical width ---------------------------------------------------
