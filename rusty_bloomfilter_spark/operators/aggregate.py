@@ -48,6 +48,39 @@ KEYED_SKETCH_SCHEMA = "key string, payload binary, n_items bigint"
 UpdateFn = Callable[[Any, pa.RecordBatch], None]
 MergePayloadsFn = Callable[[list[bytes]], bytes]
 
+# merge stages fold their payload buffer down to one whenever it grows
+# past this many live payloads — bounds task memory at FLUSH_AT
+# payloads regardless of fan-in (merges are associative, so folding
+# early yields the same canonical bytes)
+_FLUSH_AT = 64
+
+
+def safe_partition_count(df: DataFrame, default: int) -> int:
+    """Partition count of ``df`` WITHOUT the AQE materialization trap.
+
+    ``df.rdd.getNumPartitions()`` on a post-shuffle plan eagerly
+    materializes upstream query stages at plan-construction time
+    (whole Spark jobs before the caller ever runs an action — round-3
+    ADVICE + round-4 review, both measured). Touch ``.rdd`` only when
+    the physical plan contains no Exchange; otherwise return
+    ``default`` (callers pass the shuffle-partition conf — the
+    pre-AQE-coalesce upper bound, so the tree conservatively keeps its
+    merge level)."""
+    try:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    except Exception:  # plan stringification is best-effort only
+        return default
+    if "Exchange" in plan:
+        return default
+    return df.rdd.getNumPartitions()
+
+
+def _shuffle_conf(df: DataFrame, fallback: int = 200) -> int:
+    try:
+        return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        return fallback
+
 
 def partition_sketches(
     df: DataFrame,
@@ -86,40 +119,52 @@ def tree_merge(
     single-row DataFrame (payload, n_items). ``empty_payload`` (the
     sketch identity) is emitted when the input has no rows at all."""
 
-    def merge_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def _fold(batches: Iterator[pd.DataFrame]) -> tuple[list[bytes], int]:
+        # stream-fold: never hold more than _FLUSH_AT payloads live —
+        # a stage task at P=100k partitions would otherwise buffer its
+        # whole fan-in (GBs of payloads) before the first merge call
         payloads: list[bytes] = []
         n_items = 0
         for pdf in batches:
             payloads.extend(bytes(p) for p in pdf["payload"])
             n_items += int(pdf["n_items"].sum())
+            if len(payloads) >= _FLUSH_AT:
+                payloads = [merge_payloads(payloads)]
+        return payloads, n_items
+
+    def merge_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        payloads, n_items = _fold(batches)
         if payloads:
             yield pd.DataFrame({"payload": [merge_payloads(payloads)], "n_items": [n_items]})
 
     def merge_final(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        payloads: list[bytes] = []
-        n_items = 0
-        for pdf in batches:
-            payloads.extend(bytes(p) for p in pdf["payload"])
-            n_items += int(pdf["n_items"].sum())
+        payloads, n_items = _fold(batches)
         if not payloads and empty_payload is not None:
             yield pd.DataFrame({"payload": [empty_payload], "n_items": [0]})
         elif payloads:
             yield pd.DataFrame({"payload": [merge_payloads(payloads)], "n_items": [n_items]})
 
-    # the intermediate level only helps when it REDUCES fan-in: with
-    # P <= fanout partial rows it's a pure extra shuffle + python
+    # Intermediate levels only help when they REDUCE fan-in: with
+    # P <= fanout partial rows they're pure extra shuffle + python
     # round-trip over the same rows (measured ~2.7s of overhead on 8x
-    # 5 MB payloads) — go straight to the final merge then.
-    # Callers that know the upstream partition count pass n_parts so we
-    # never touch .rdd here: with AQE, .rdd on a post-shuffle plan can
-    # eagerly materialize upstream query stages at plan-construction
-    # time (round-3 ADVICE).
+    # 5 MB payloads) — go straight to the final merge then. Above that,
+    # repartition(ceil(P/fanout)) per level keeps EVERY task's expected
+    # fan-in at ~fanout (a fixed repartition(fanout) would give stage-2
+    # tasks P/fanout payloads each — unbounded in P), looping levels
+    # until one task can finish the job: depth grows as log_fanout(P).
+    # Callers that know the upstream partition count pass n_parts;
+    # otherwise it is derived WITHOUT touching .rdd on a shuffled plan
+    # (safe_partition_count — the AQE eager-materialization trap).
     if n_parts is None:
-        n_parts = sketch_df.rdd.getNumPartitions()
-    if n_parts <= fanout:
-        return sketch_df.repartition(1).mapInPandas(merge_final, schema=SKETCH_SCHEMA)
-    level1 = sketch_df.repartition(fanout).mapInPandas(merge_partition, schema=SKETCH_SCHEMA)
-    return level1.repartition(1).mapInPandas(merge_final, schema=SKETCH_SCHEMA)
+        n_parts = safe_partition_count(sketch_df, default=_shuffle_conf(sketch_df))
+    level = sketch_df
+    while n_parts > fanout:
+        n_tasks = -(-n_parts // fanout)  # ceil
+        level = level.repartition(n_tasks).mapInPandas(
+            merge_partition, schema=SKETCH_SCHEMA
+        )
+        n_parts = n_tasks
+    return level.repartition(1).mapInPandas(merge_final, schema=SKETCH_SCHEMA)
 
 
 def build_sketch(
@@ -132,9 +177,11 @@ def build_sketch(
     fanout: int = 16,
 ) -> DataFrame:
     """Full pipeline: partition build -> tree merge -> single sketch row."""
-    # partition count measured on the INPUT (pre-mapInArrow, narrow) so
-    # tree_merge never pokes .rdd on a post-transform plan under AQE
-    n_parts = df.rdd.getNumPartitions()
+    # partition count measured on the INPUT (pre-mapInArrow) via the
+    # Exchange-probing helper: the input itself may be post-shuffle (a
+    # join output, as in plans/curate.py), where .rdd would eagerly run
+    # the upstream pipeline at plan-construction time
+    n_parts = safe_partition_count(df, default=_shuffle_conf(df))
     return tree_merge(
         partition_sketches(df, make_empty, update, columns=columns),
         merge_payloads,
@@ -247,12 +294,10 @@ def build_by_key(
         )
 
     if salt > 0:
+        # merge_group ignores the extra _salt column, so it serves both
+        # levels directly (no wrapper indirection)
         salted = partial.withColumn("_salt", F.pmod(F.xxhash64(F.col("payload")), F.lit(salt)))
-
-        def merge_salted(pdf: pd.DataFrame) -> pd.DataFrame:
-            return merge_group(pdf)
-
-        level1 = salted.groupBy("key", "_salt").applyInPandas(merge_salted, KEYED_SKETCH_SCHEMA)
+        level1 = salted.groupBy("key", "_salt").applyInPandas(merge_group, KEYED_SKETCH_SCHEMA)
         return level1.groupBy("key").applyInPandas(merge_group, KEYED_SKETCH_SCHEMA)
     return partial.groupBy("key").applyInPandas(merge_group, KEYED_SKETCH_SCHEMA)
 
@@ -291,8 +336,9 @@ def build_multi(
     """
     df = df.select(*columns)
     schema = _multi_schema(specs)
-    # measured on the input before mapInArrow (see tree_merge note)
-    n_parts = df.rdd.getNumPartitions()
+    # measured on the input before mapInArrow, shuffle-safely (see
+    # tree_merge note)
+    n_parts = safe_partition_count(df, default=_shuffle_conf(df))
 
     def build(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         accs = [mk() for _, mk, _, _ in specs]
@@ -318,6 +364,11 @@ def build_multi(
             for name, *_rest in specs:
                 payloads[name].extend(bytes(p) for p in pdf[f"payload_{name}"])
                 n_items[name] += int(pdf[f"n_{name}"].sum())
+            # stream-fold per spec: bound live payloads at _FLUSH_AT
+            # each regardless of this task's fan-in (see tree_merge)
+            for name, _mk, _upd, mrg in specs:
+                if len(payloads[name]) >= _FLUSH_AT:
+                    payloads[name] = [mrg(payloads[name])]
         have_rows = any(payloads[name] for name, *_ in specs)
         if not have_rows and not emit_empty:
             return
@@ -335,12 +386,15 @@ def build_multi(
     def merge_final(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield from merge_rows(batches, emit_empty=True)
 
-    # same single-stage shortcut as tree_merge: a level that doesn't
-    # reduce fan-in is pure shuffle overhead
-    if n_parts <= fanout:
-        return partial.repartition(1).mapInPandas(merge_final, schema=schema)
-    level1 = partial.repartition(fanout).mapInPandas(merge_partial, schema=schema)
-    return level1.repartition(1).mapInPandas(merge_final, schema=schema)
+    # same level topology as tree_merge: skip levels that don't reduce
+    # fan-in; otherwise ceil(P/fanout) tasks per level (~fanout payloads
+    # each) looping until one task can finish
+    level = partial
+    while n_parts > fanout:
+        n_tasks = -(-n_parts // fanout)
+        level = level.repartition(n_tasks).mapInPandas(merge_partial, schema=schema)
+        n_parts = n_tasks
+    return level.repartition(1).mapInPandas(merge_final, schema=schema)
 
 
 def collect_multi_bytes(
@@ -417,13 +471,13 @@ def build_multi_by_key(
 
     if salt > 0:
         # same skew bound as build_by_key: intermediate (key, salt) merge
-        # level caps any single task's fan-in at partitions/salt
+        # level caps any single task's fan-in at partitions/salt;
+        # merge_group ignores the extra _salt column so it serves both
+        # levels directly
         first_payload = f"payload_{specs[0][0]}"
         salted = partial.withColumn(
             "_salt", F.pmod(F.xxhash64(F.col(first_payload)), F.lit(salt))
         )
-        level1 = salted.groupBy("key", "_salt").applyInPandas(
-            lambda pdf: merge_group(pdf), schema
-        )
+        level1 = salted.groupBy("key", "_salt").applyInPandas(merge_group, schema)
         return level1.groupBy("key").applyInPandas(merge_group, schema)
     return partial.groupBy("key").applyInPandas(merge_group, schema)

@@ -58,6 +58,26 @@ SHARD_SALT = np.uint64(0xA076_1D64_78BD_642F)  # splitmix64 increment constant
 SHARDED_SCHEMA = "shard int, payload binary, n_items bigint"
 
 
+def merge_shard_group(pdf: "pd.DataFrame") -> "pd.DataFrame":
+    """OR-merge sketch rows sharing one shard id -> one row.
+
+    THE shard-wise merge: the build fan-in (ShardedBloomSketch.build)
+    and the cross-snapshot union (plans/incremental.merge_shard_frames)
+    both go through this single function so their semantics cannot
+    diverge (payload validation, schema, n_items accounting)."""
+    import pandas as pd
+
+    from ..sketch import merge_sketch_payloads
+
+    return pd.DataFrame(
+        {
+            "shard": [int(pdf["shard"].iloc[0])],
+            "payload": [merge_sketch_payloads([bytes(p) for p in pdf["payload"]])],
+            "n_items": [int(pdf["n_items"].sum())],
+        }
+    )
+
+
 def shard_of(hashes: np.ndarray, n_shards: int) -> np.ndarray:
     """Routing hash, independent of the filter's index hashes: one
     extra splitmix64 mix of the token hash XOR a fixed salt."""
@@ -164,21 +184,7 @@ class ShardedBloomSketch:
                 )
 
         partial = df.select(self.col).mapInArrow(build_partition, schema=SHARDED_SCHEMA)
-
-        def merge_shard(pdf):
-            import pandas as pd
-
-            from ..sketch import merge_sketch_payloads
-
-            return pd.DataFrame(
-                {
-                    "shard": [int(pdf["shard"].iloc[0])],
-                    "payload": [merge_sketch_payloads([bytes(p) for p in pdf["payload"]])],
-                    "n_items": [int(pdf["n_items"].sum())],
-                }
-            )
-
-        return partial.groupBy("shard").applyInPandas(merge_shard, SHARDED_SCHEMA)
+        return partial.groupBy("shard").applyInPandas(merge_shard_group, SHARDED_SCHEMA)
 
     def _hash_rows(self, df: DataFrame, *, with_counts: bool = False) -> DataFrame:
         """(shard, h) per token — the narrow routing frame both the

@@ -105,32 +105,44 @@ def curate_corpus(
         survivors = survivors_all.join(F.broadcast(held_ids), "doc_id", "left_anti")
 
     sk = BlockedBloomSketch.for_np(n=bloom_n, p=bloom_p)
-    # The ONE corpus-scale action: materializes survivors (and, through
-    # its lineage, the gated/seq caches). Every count below hits a cache.
-    payload, n_tokens = sk.build_bytes(survivors)
-    filt = BlockedBloomFilter.from_bytes(payload)
+    # try/finally: an action failure (task OOM, bad input rows) must not
+    # leak the two corpus-scale caches for the session — gated/seq are
+    # not tied to anything, so nothing else would ever reclaim them
+    # (round-4 review finding)
+    try:
+        # The ONE corpus-scale action: materializes survivors (and,
+        # through its lineage, the gated/seq caches). Every count below
+        # hits a cache.
+        payload, n_tokens = sk.build_bytes(survivors)
+        filt = BlockedBloomFilter.from_bytes(payload)
 
-    n_in = documents.count()  # column-pruned parquet count, no pipeline
-    n_gated = gated.count()  # cached
-    n_exact = deduped.count()  # join of two reads of the gated cache
-    n_out = survivors.count()  # cached (holdout case: split of the cache)
-    stats = {
-        "docs_in": n_in,
-        "docs_after_quality": n_gated,
-        "docs_after_exact_dedup": n_exact,
-        "docs_out": n_out,
-        "tokens_out": n_tokens,
-        "distinct_tokens_est": round(filt.estimate_n(), 1),
-        "bloom_fill_ratio": round(filt.fill_ratio(), 6),
-        "bloom_bytes": len(payload),
-    }
-    if holdout_k > 0:
-        stats["docs_holdout"] = holdout.count()  # split of the survivors cache
-    # gated/seq are only needed while survivors materializes; survivors
-    # itself stays cached for the caller and is tied for bounded lifetime
-    # (free(out["sequences"]) or FIFO eviction reclaims it).
-    gated.unpersist(blocking=False)
-    seq.unpersist(blocking=False)
+        n_in = documents.count()  # column-pruned parquet count, no pipeline
+        n_gated = gated.count()  # cached
+        n_exact = deduped.count()  # join of two reads of the gated cache
+        n_out = survivors.count()  # cached (holdout case: split of the cache)
+        stats = {
+            "docs_in": n_in,
+            "docs_after_quality": n_gated,
+            "docs_after_exact_dedup": n_exact,
+            "docs_out": n_out,
+            "tokens_out": n_tokens,
+            "distinct_tokens_est": round(filt.estimate_n(), 1),
+            "bloom_fill_ratio": round(filt.fill_ratio(), 6),
+            "bloom_bytes": len(payload),
+        }
+        if holdout_k > 0:
+            stats["docs_holdout"] = holdout.count()  # split of the survivors cache
+    except BaseException:
+        # on failure the caller never receives the dict, so the tie()
+        # below never runs — reclaim the survivors cache too
+        survivors_all.unpersist(blocking=False)
+        raise
+    finally:
+        # gated/seq are only needed while survivors materializes;
+        # survivors itself stays cached for the caller and is tied for
+        # bounded lifetime (free(out["sequences"]) or FIFO eviction).
+        gated.unpersist(blocking=False)
+        seq.unpersist(blocking=False)
     tie(survivors, survivors_all)
     out = {"sequences": survivors, "bloom_payload": payload, "stats": stats}
     if holdout is not None:

@@ -31,33 +31,42 @@ from ..operators.cache import tie
 from ..operators.sharded import SHARDED_SCHEMA, ShardedBloomSketch
 
 
+def _id_key(df: DataFrame, id_col: str):
+    """int64 document key: numeric ids pass through exactly; any other
+    type (string doc ids are the common case in crawl corpora) is keyed
+    by xxhash64 of its string form — the probe frame needs an int64 id,
+    and a raw cast("long") on strings either crashes (ANSI) or NULLs
+    every id (non-ANSI) [round-4 review, CONFIRMED repro]. Collision
+    odds 2^-64 per pair, far below the filter's own FPR."""
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    dt = df.schema[id_col].dataType
+    if isinstance(dt, (ByteType, ShortType, IntegerType, LongType)):
+        return F.col(id_col).cast("long")
+    return F.xxhash64(F.col(id_col).cast("string"))
+
+
 def doc_fingerprints(
     docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """-> (doc_id, fp): 64-bit content fingerprint, pure Catalyst."""
+    """-> (doc_id, fp): 64-bit content fingerprint, pure Catalyst.
+    ``doc_id`` is the int64 key from ``_id_key`` (hashed for non-numeric
+    id columns)."""
     return docs.select(
-        F.col(id_col).cast("long").alias("doc_id"),
+        _id_key(docs, id_col).alias("doc_id"),
         F.xxhash64(F.md5(F.col(text_col))).alias("fp"),
     )
 
 
 def merge_shard_frames(a: DataFrame, b: DataFrame) -> DataFrame:
     """Shard-wise OR of two sharded sketch frames (same n_shards and
-    per-shard shape) -> one row per shard."""
-    import pandas as pd
+    per-shard shape) -> one row per shard. Shares the single shard-merge
+    function with ShardedBloomSketch.build."""
+    from ..operators.sharded import merge_shard_group
 
-    from ..sketch import merge_sketch_payloads
-
-    def merge_shard(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        return pd.DataFrame(
-            {
-                "shard": [int(pdf["shard"].iloc[0])],
-                "payload": [merge_sketch_payloads([bytes(p) for p in pdf["payload"]])],
-                "n_items": [int(pdf["n_items"].sum())],
-            }
-        )
-
-    return a.unionByName(b).groupBy("shard").applyInPandas(merge_shard, SHARDED_SCHEMA)
+    return a.unionByName(b).groupBy("shard").applyInPandas(
+        merge_shard_group, SHARDED_SCHEMA
+    )
 
 
 def incremental_dedup(
@@ -76,7 +85,9 @@ def incremental_dedup(
         {
           "sketch":  ShardedBloomSketch (reusable prober),
           "seen":    sharded sketch frame over prev fingerprints,
-          "flags":   (doc_id, probably_seen) for every NEW doc,
+          "flags":   (doc_id, probably_seen) for every NEW doc
+                     (doc_id is the int64 _id_key: the id itself for
+                     numeric columns, xxhash64(id) for string ids),
           "novel":   new_docs rows not flagged (ready to ingest),
           "updated": seen OR novel-fps  (the frame to persist for V3),
         }
@@ -102,7 +113,7 @@ def incremental_dedup(
     )
     novel = new_docs.join(
         novel_ids,
-        on=new_docs[id_col].cast("long") == novel_ids["_novel_id"],
+        on=_id_key(new_docs, id_col) == novel_ids["_novel_id"],
         how="left_semi",
     )
     novel_fp = doc_fingerprints(novel, text_col=text_col, id_col=id_col)

@@ -44,6 +44,12 @@ def source_overlap(
     ``sketch``: "bloom" (reference estimators, O(m/8) per key) or
     "hll" (16 KB per key at p=14 regardless of m — the cheaper wire
     format when only cardinalities are needed, no membership)."""
+    # a NULL key cannot pair (NULL < x is NULL, so the join would drop
+    # it silently) — exclude unlabeled rows BEFORE the build so they
+    # don't pay for a sketch that can never appear in the output
+    # (round-4 review finding; common in crawl data with missing
+    # source labels)
+    sequences = sequences.where(F.col(key_col).isNotNull())
     if sketch == "hll":
         keyed = HllSketch(p=14).build_by_key(sequences, key_col)
     elif sketch == "bloom":

@@ -90,3 +90,35 @@ def test_second_snapshot_only_scans_itself(spark, snapshots):
     # not a rebuild of prev's fingerprints
     assert "InMemoryTableScan" in plan
     out["seen"].unpersist()
+
+
+def test_incremental_dedup_string_doc_ids(spark):
+    """String doc ids (the curate plan and crawl corpora emit them) must
+    work end-to-end: a raw cast('long') crashed under ANSI or NULLed
+    every id (round-4 review, CONFIRMED repro). Ids are keyed by
+    xxhash64; planted dups still flag with zero FN."""
+    from pyspark.sql import functions as F
+
+    from rusty_bloomfilter_spark.plans.incremental import incremental_dedup
+
+    prev = spark.range(100).select(
+        F.concat(F.lit("doc-"), F.col("id")).alias("doc_id"),
+        F.concat(F.lit("text body number "), F.col("id")).alias("text"),
+    )
+    # 30 new docs; ids 0-9 repeat prev CONTENT (planted dups)
+    new = spark.range(200, 230).select(
+        F.concat(F.lit("doc-"), F.col("id")).alias("doc_id"),
+        F.when(
+            F.col("id") < 210,
+            F.concat(F.lit("text body number "), F.col("id") - 200),
+        )
+        .otherwise(F.concat(F.lit("fresh text "), F.col("id")))
+        .alias("text"),
+    )
+    out = incremental_dedup(prev, new, expected_docs=1000, n_shards=4)
+    flags = {r.doc_id: r.probably_seen for r in out["flags"].collect()}
+    assert len(flags) == 30
+    assert sum(flags.values()) >= 10  # zero FN on the planted dups
+    novel = out["novel"].collect()
+    assert {r.doc_id for r in novel} <= {f"doc-{i}" for i in range(210, 230)}
+    out["seen"].unpersist()

@@ -118,3 +118,20 @@ def test_hll_union_intersection_estimates():
 
     with _pytest.raises(ValueError, match="precision mismatch"):
         a.estimate_union(HyperLogLog(p=12))
+
+
+def test_source_overlap_null_keys_excluded_cheaply(spark, overlap_df):
+    """Rows with a NULL group key can never appear in a pair (NULL < x
+    is NULL) — they are filtered BEFORE the keyed build so no sketch is
+    built for them, and the named-source pairs still come out."""
+    from pyspark.sql import functions as F
+
+    df, _pools = overlap_df
+    with_null = df.withColumn(
+        "source",
+        F.when(F.xxhash64("doc_id") % 7 == 0, None).otherwise(F.col("source")),
+    )
+    rows = source_overlap(spark, with_null, sketch="hll").collect()
+    assert len(rows) == 3  # a-b, a-c, b-c
+    for r in rows:
+        assert r.source_a is not None and r.source_b is not None

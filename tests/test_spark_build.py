@@ -326,3 +326,52 @@ def test_dedup_build_bitwise_equal_and_probe_counts(spark):
             assert payload == oracle.to_bytes()
         hits, total = sk.count_contained(df, payload, spark)
         assert (hits, total) == (flat.size, flat.size)  # zero FN, per-occurrence
+
+
+def test_build_sketch_no_jobs_at_plan_construction_on_shuffled_input(spark):
+    """build_sketch on a post-shuffle input must not launch Spark jobs
+    while CONSTRUCTING the plan (.rdd under AQE eagerly materializes
+    upstream query stages — round-3 ADVICE + round-4 review, both
+    measured). safe_partition_count probes the plan string instead."""
+    from pyspark.sql import functions as F
+
+    from rusty_bloomfilter_spark.operators.sketches import BloomSketch
+
+    tracker = spark.sparkContext.statusTracker()
+
+    def n_jobs():
+        return len(tracker.getJobIdsForGroup(None) or [])
+
+    shuffled = (
+        spark.range(2000)
+        .groupBy((F.col("id") % 97).alias("token"))
+        .agg(F.count("*"))
+        .select("token")
+    )
+    sk = BloomSketch.for_np(n=10_000, p=1e-4, col="token", scalar=True)
+    before = n_jobs()
+    plan = sk.build(shuffled)  # plan construction only — no action
+    assert n_jobs() == before, "plan construction launched Spark jobs"
+    # and the result is still correct once the action runs
+    payload = bytes(plan.collect()[0]["payload"])
+    from rusty_bloomfilter_spark.sketch import BloomFilter
+    import numpy as np
+
+    f = BloomFilter.from_bytes(payload)
+    assert f.contains_tokens(np.arange(97, dtype=np.int64)).all()
+
+
+def test_tree_merge_multi_level_matches_single_stage(spark):
+    """fanout smaller than sqrt(P) forces >2 merge levels; canonical
+    bytes must match the single-stage result (associativity)."""
+    from pyspark.sql import functions as F
+
+    from rusty_bloomfilter_spark.operators.sketches import BloomSketch
+
+    df = spark.range(5000).select(
+        (F.col("id") % 211).alias("token")
+    ).repartition(20)
+    sk = BloomSketch.for_np(n=10_000, p=1e-4, col="token", scalar=True)
+    p_deep, n_deep = sk.build_bytes(df, fanout=2)  # 20 -> 10 -> 5 -> 3 -> 2 -> 1
+    p_flat, n_flat = sk.build_bytes(df, fanout=64)  # single stage
+    assert p_deep == p_flat and n_deep == n_flat
