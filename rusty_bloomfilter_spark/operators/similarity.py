@@ -31,6 +31,24 @@ from .cache import tie
 from .dedup import _cosine_expr
 
 
+def _stack_rows(col, dim: int) -> tuple[np.ndarray, np.ndarray]:
+    """Arrow list column -> (matrix, valid_mask): rows that are NULL or
+    not exactly ``dim`` wide are masked out instead of crashing
+    np.stack with a ragged object array (round-4 review, CONFIRMED —
+    one NULL embedding aborted the whole LSH/IVF job while the
+    brute-force path tolerated it)."""
+    arrs = col.to_numpy(zero_copy_only=False)
+    valid = np.fromiter(
+        (a is not None and len(a) == dim for a in arrs),
+        dtype=bool,
+        count=len(arrs),
+    )
+    if not valid.any():
+        return np.empty((0, dim), dtype=np.float64), valid
+    mat = np.stack([np.asarray(a, dtype=np.float64) for a in arrs[valid]])
+    return mat, valid
+
+
 def ann_bruteforce_topk(
     embeddings: DataFrame,
     query_ids: list[int],
@@ -84,6 +102,11 @@ def ann_lsh_topk(
     Pass ``dim`` (the embedding width) to keep plan construction lazy;
     omitting it falls back to a driver ``first()`` — an extra Spark job.
     """
+    if n_planes % bands:
+        raise ValueError(
+            f"n_planes ({n_planes}) must be divisible by bands ({bands}); "
+            "the remainder planes would be computed but never bucketed"
+        )
     if dim is None:
         dim = len(embeddings.select(vec_col).first()[0])
     rng = np.random.default_rng(seed)
@@ -95,12 +118,21 @@ def ann_lsh_topk(
 
         for batch in batches:
             ids = batch.column("id").to_numpy(zero_copy_only=False)
-            vecs = np.stack(batch.column("v").to_numpy(zero_copy_only=False))
+            vecs, valid = _stack_rows(batch.column("v"), dim)
+            ids = ids[valid]  # NULL/ragged rows drop out, like brute force
+            if not len(ids):
+                continue
             proj = (vecs @ planes.T) > 0
             sig = np.zeros(len(ids), dtype=np.int64)
             for j in range(n_planes):
                 sig |= proj[:, j].astype(np.int64) << j
-            yield pa.RecordBatch.from_pydict({"id": ids.tolist(), "sig": sig.tolist()})
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids.tolist(), type=pa.int64()),
+                    pa.array(sig.tolist(), type=pa.int64()),
+                ],
+                names=["id", "sig"],
+            )
 
     base = embeddings.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
@@ -192,7 +224,9 @@ def ivf_train_centroids(
             for b in batches:
                 if b.num_rows == 0:
                     continue
-                V = np.stack(b.column("v").to_numpy(zero_copy_only=False))
+                V, _valid = _stack_rows(b.column("v"), Cl.shape[1])
+                if not len(V):
+                    continue
                 Vn = V / (np.linalg.norm(V, axis=1, keepdims=True) + 1e-12)
                 assign = np.argmax(Vn @ Cl.T, axis=1)
                 np.add.at(sums, assign, Vn)  # n_centroids rows: tiny target
@@ -209,6 +243,10 @@ def ivf_train_centroids(
         rows = base.select("v").mapInArrow(
             partials, schema="cid int, s array<double>, n bigint"
         ).collect()
+        # the broadcast is fully consumed by the collect — destroy it or
+        # every Lloyd iteration leaks one (n_centroids x dim) matrix on
+        # driver + executors for the session (round-4 review)
+        bc.destroy()
         sums = np.zeros_like(C)
         counts = np.zeros(len(C), dtype=np.int64)
         for r in rows:
@@ -239,12 +277,18 @@ def ivf_assign(
         for b in batches:
             if b.num_rows == 0:
                 continue
-            ids = b.column("id").to_pylist()
-            V = np.stack(b.column("v").to_numpy(zero_copy_only=False))
+            ids = np.asarray(b.column("id").to_pylist(), dtype=object)
+            V, valid = _stack_rows(b.column("v"), Cl.shape[1])
+            ids = ids[valid]  # NULL/ragged rows get no assignment
+            if not len(ids):
+                continue
             Vn = V / (np.linalg.norm(V, axis=1, keepdims=True) + 1e-12)
             a = np.argmax(Vn @ Cl.T, axis=1)
             yield pa.RecordBatch.from_arrays(
-                [pa.array(ids, type=pa.int64()), pa.array(a.tolist(), type=pa.int32())],
+                [
+                    pa.array([int(i) for i in ids], type=pa.int64()),
+                    pa.array(a.tolist(), type=pa.int32()),
+                ],
                 names=["id", "cluster"],
             )
 
@@ -291,7 +335,18 @@ class IvfIndex:
             embeddings, n_centroids=n_centroids, iters=iters,
             id_col=id_col, vec_col=vec_col,
         )
-        return cls(C, ivf_assign(embeddings, C, id_col=id_col, vec_col=vec_col))
+        # persist: every probe() references the assignment frame — left
+        # lazy, each probe would re-run the corpus-wide assignment scan,
+        # exactly the waste this artifact exists to avoid (round-4
+        # review). The artifact OWNS the cache: free() releases it
+        # (write()+read() gives the parquet-backed layout instead).
+        assigned = ivf_assign(embeddings, C, id_col=id_col, vec_col=vec_col).persist()
+        return cls(C, assigned)
+
+    def free(self) -> None:
+        """Release the persisted assignment frame (train() path only;
+        a read() index scans its pruned parquet instead)."""
+        self.assignments.unpersist(blocking=False)
 
     def write(self, path: str) -> None:
         spark = self.assignments.sparkSession

@@ -81,6 +81,8 @@ def dedup_counts(flat: np.ndarray) -> tuple[np.ndarray, np.ndarray] | None:
     n = flat.size
     if n < (1 << 14) or flat.dtype.kind not in "iu":
         return None  # small batch, or float (nullable flatten) — decline
+    if flat.dtype == np.uint64:
+        return None  # bincount can't safe-cast uint64 — decline, not crash
     lo = int(flat.min())
     rng = int(flat.max()) - lo + 1
     if rng > (1 << 22) or rng > 4 * n:
@@ -163,6 +165,57 @@ def broadcast_probe_udf(payload: bytes, spark: SparkSession | None = None):
     return probe
 
 
+def count_contained_in(
+    df: DataFrame,
+    payload: bytes,
+    col: str,
+    *,
+    scalar: bool = False,
+    spark: SparkSession | None = None,
+) -> tuple[int, int]:
+    """(hits, total): probe EVERY token of ``col`` against a broadcast
+    membership-sketch payload without exploding rows — Arrow-flatten
+    each batch, vectorized membership, per-partition (hits, total)
+    rows, tiny final agg. One implementation for every filter kind
+    (magic dispatch via sketch_from_bytes — previously a verbatim copy
+    per sketch class, round-4 review); per-occurrence semantics via
+    dedup multiplicity weighting on token-array columns."""
+    spark = spark or SparkSession.getActiveSession()
+    bc = spark.sparkContext.broadcast(payload)
+
+    def probe(batches):
+        import pyarrow as pa
+
+        from ..sketch import sketch_from_bytes
+
+        bf = sketch_from_bytes(bc.value)
+        hits = 0
+        total = 0
+        for batch in batches:
+            toks = (
+                _scalar_values(batch, col) if scalar else arrow_flat_tokens(batch, col)
+            )
+            if toks.size:
+                dc = None if scalar else dedup_counts(toks)
+                if dc is None:
+                    hits += int(bf.contains_tokens(toks).sum())
+                else:  # per-occurrence semantics via multiplicities
+                    hits += int(dc[1][bf.contains_tokens(dc[0])].sum())
+                total += int(toks.size)
+        yield pa.RecordBatch.from_arrays(
+            [pa.array([hits], type=pa.int64()), pa.array([total], type=pa.int64())],
+            names=["hits", "total"],
+        )
+
+    out = (
+        df.select(col)
+        .mapInArrow(probe, schema="hits bigint, total bigint")
+        .agg(F.sum("hits").alias("h"), F.sum("total").alias("t"))
+        .collect()[0]
+    )
+    return int(out["h"]), int(out["t"])
+
+
 def flat_ngram_hashes(flat: np.ndarray, lengths: np.ndarray, n: int) -> np.ndarray:
     """All within-row n-gram hashes, vectorized: hash the concatenated
     stream once, then mask out windows that cross row boundaries."""
@@ -224,7 +277,11 @@ class BloomSketch:
             lengths = arrow_row_lengths(batch, self.col)
             h = flat_ngram_hashes(flat, lengths, self.ngram)
             if h.size:
-                h1, h2 = splitmix64(h), splitmix64(h ^ np.uint64(0xD6E8FEB86659FD93))
+                # the canonical pair derivation — must stay bit-identical
+                # to BloomFilter.add_ngrams / every contains_u64 probe
+                from ..sketch import hash_pair
+
+                h1, h2 = hash_pair(h)
                 acc.add_hashes(h1, h2)
 
     def _empty(self):
@@ -275,7 +332,12 @@ class BloomSketch:
         def probe(col: pd.Series) -> pd.Series:
             bf = cache.get("bf")
             if bf is None:
-                bf = cache["bf"] = BloomFilter.from_bytes(bc.value)
+                # magic dispatch inside the worker — closing over the
+                # sketch class trips cloudpickle's by-value path on the
+                # module-level struct.Struct objects (CLAUDE.md)
+                from ..sketch import sketch_from_bytes
+
+                bf = cache["bf"] = sketch_from_bytes(bc.value)
             arrs = col.to_numpy()
             lengths = np.fromiter(
                 (0 if a is None else len(a) for a in arrs), dtype=np.int64, count=len(arrs)
@@ -297,40 +359,8 @@ class BloomSketch:
 
     def count_contained(self, df: DataFrame, payload: bytes, spark: SparkSession | None = None) -> tuple[int, int]:
         """Probe EVERY token of the array column against the filter
-        without exploding rows: Arrow-flatten each batch, vectorized
-        membership, per-partition (hits, total) rows, tiny final agg.
-        Returns (hits, total)."""
-        spark = spark or SparkSession.getActiveSession()
-        bc = spark.sparkContext.broadcast(payload)
-        col = self.col
-        scalar = self.scalar
-
-        def probe(batches):
-            import pyarrow as pa
-
-            bf = BloomFilter.from_bytes(bc.value)
-            hits = 0
-            total = 0
-            for batch in batches:
-                toks = (
-                    _scalar_values(batch, col) if scalar else arrow_flat_tokens(batch, col)
-                )
-                if toks.size:
-                    dc = None if scalar else dedup_counts(toks)
-                    if dc is None:
-                        hits += int(bf.contains_tokens(toks).sum())
-                    else:  # per-occurrence semantics via multiplicities
-                        hits += int(dc[1][bf.contains_tokens(dc[0])].sum())
-                    total += int(toks.size)
-            yield pa.RecordBatch.from_pydict({"hits": [hits], "total": [total]})
-
-        out = (
-            df.select(col)
-            .mapInArrow(probe, schema="hits bigint, total bigint")
-            .agg(F.sum("hits").alias("h"), F.sum("total").alias("t"))
-            .collect()[0]
-        )
-        return int(out["h"]), int(out["t"])
+        without exploding rows; returns (hits, total)."""
+        return count_contained_in(df, payload, self.col, scalar=self.scalar, spark=spark)
 
     def semi_join_filter(self, probe_df: DataFrame, payload: bytes, col: str) -> DataFrame:
         """Bloom-filtered semi join: keep rows whose `col` might be in the
@@ -408,37 +438,7 @@ class BlockedBloomSketch:
         )
 
     def count_contained(self, df: DataFrame, payload: bytes, spark: SparkSession | None = None) -> tuple[int, int]:
-        spark = spark or SparkSession.getActiveSession()
-        bc = spark.sparkContext.broadcast(payload)
-        col = self.col
-        scalar = self.scalar
-
-        def probe(batches):
-            import pyarrow as pa
-
-            bf = BlockedBloomFilter.from_bytes(bc.value)
-            hits = 0
-            total = 0
-            for batch in batches:
-                toks = (
-                    _scalar_values(batch, col) if scalar else arrow_flat_tokens(batch, col)
-                )
-                if toks.size:
-                    dc = None if scalar else dedup_counts(toks)
-                    if dc is None:
-                        hits += int(bf.contains_tokens(toks).sum())
-                    else:  # per-occurrence semantics via multiplicities
-                        hits += int(dc[1][bf.contains_tokens(dc[0])].sum())
-                    total += int(toks.size)
-            yield pa.RecordBatch.from_pydict({"hits": [hits], "total": [total]})
-
-        out = (
-            df.select(col)
-            .mapInArrow(probe, schema="hits bigint, total bigint")
-            .agg(F.sum("hits").alias("h"), F.sum("total").alias("t"))
-            .collect()[0]
-        )
-        return int(out["h"]), int(out["t"])
+        return count_contained_in(df, payload, self.col, scalar=self.scalar, spark=spark)
 
     def might_contain_udf(self, payload: bytes, spark: SparkSession | None = None):
         return broadcast_probe_udf(payload, spark)

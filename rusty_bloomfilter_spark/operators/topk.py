@@ -24,27 +24,46 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .sketches import CmsSketch, arrow_flat_tokens
+from .sketches import CmsSketch, arrow_flat_tokens, dedup_counts
 
 
 def _local_top_candidates(df: DataFrame, col: str, k_local: int) -> DataFrame:
     """Per-partition exact counts -> local top-k_local candidate rows
-    (tok, local_freq). No shuffle of token data."""
+    (tok, local_freq). No shuffle of token data.
+
+    Counts fold PER BATCH into a running (distinct, count) pair — the
+    task never buffers the partition's flattened token stream (GBs at
+    the 10^12-token framing) and never sorts it whole (cache-hostile
+    at 10M+ int64, CLAUDE.md); memory is O(partition distinct), the
+    same bound the exact count itself needs. Each batch counts via the
+    bincount fold (dedup_counts) when its value range allows, batch-
+    local np.unique otherwise."""
 
     def tops(batches):
         import pyarrow as pa
 
-        flats = []
+        rv = np.empty(0, dtype=np.int64)  # running distinct values
+        rc = np.empty(0, dtype=np.int64)  # running counts
         for batch in batches:
-            flats.append(arrow_flat_tokens(batch, col))
-        if flats:
-            flat = np.concatenate(flats)
-            vals, cnts = np.unique(flat, return_counts=True)
-            if len(vals) > k_local:
-                sel = np.argpartition(cnts, -k_local)[-k_local:]
-                vals, cnts = vals[sel], cnts[sel]
-            yield pa.RecordBatch.from_pydict(
-                {"tok": vals.astype(np.int64).tolist(), "local_freq": cnts.tolist()}
+            flat = arrow_flat_tokens(batch, col)
+            if not flat.size:
+                continue
+            dc = dedup_counts(flat)
+            bv, bcnt = dc if dc is not None else np.unique(flat, return_counts=True)
+            both = np.concatenate([rv, bv.astype(np.int64, copy=False)])
+            w = np.concatenate([rc, bcnt.astype(np.int64, copy=False)])
+            rv, inv = np.unique(both, return_inverse=True)
+            rc = np.bincount(inv, weights=w).astype(np.int64)
+        if rv.size:
+            if rv.size > k_local:
+                sel = np.argpartition(rc, -k_local)[-k_local:]
+                rv, rc = rv[sel], rc[sel]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(rv.tolist(), type=pa.int64()),
+                    pa.array(rc.tolist(), type=pa.int64()),
+                ],
+                names=["tok", "local_freq"],
             )
 
     return df.select(col).mapInArrow(tops, schema="tok bigint, local_freq bigint")

@@ -148,3 +148,66 @@ def test_ann_ivf_topk_accepts_prebuilt_index(spark):
     a = ann_ivf_topk(emb, [5, 9], k=4, nprobe=8, index=idx).collect()
     b = ann_ivf_topk(emb, [5, 9], k=4, n_centroids=8, nprobe=8).collect()
     assert {tuple(r) for r in a} == {tuple(r) for r in b}
+
+
+def test_lsh_tolerates_null_and_ragged_embeddings(spark, emb_df):
+    """One NULL or wrong-width embedding row must not abort the LSH job
+    (round-4 review, CONFIRMED crash): invalid rows drop out, matching
+    the brute-force path's tolerance."""
+    from pyspark.sql import functions as F
+
+    df, _vecs = emb_df
+    dirty = df.withColumn(
+        "embedding",
+        F.when(F.col("vec_id") == 150, F.lit(None))
+        .when(F.col("vec_id") == 151, F.expr("slice(embedding, 1, 5)"))
+        .otherwise(F.col("embedding")),
+    )
+    out = ann_lsh_topk(dirty, [0, 17], k=3, dim=32).collect()
+    assert out, "valid rows must still produce neighbors"
+    ids = {r.neighbor_id for r in out}
+    assert 150 not in ids and 151 not in ids
+
+
+def test_lsh_rejects_indivisible_bands(spark, emb_df):
+    df, _ = emb_df
+    with pytest.raises(ValueError, match="divisible"):
+        ann_lsh_topk(df, [0], k=2, n_planes=20, bands=8, dim=32)
+
+
+def test_ivf_assign_tolerates_null_embeddings(spark, emb_df):
+    from pyspark.sql import functions as F
+
+    from rusty_bloomfilter_spark.operators.similarity import (
+        ivf_assign,
+        ivf_train_centroids,
+    )
+
+    df, _ = emb_df
+    dirty = df.withColumn(
+        "embedding",
+        F.when(F.col("vec_id") == 7, F.lit(None)).otherwise(F.col("embedding")),
+    )
+    C = ivf_train_centroids(dirty, n_centroids=4, iters=2)
+    assigned = ivf_assign(dirty, C).collect()
+    ids = {r.id for r in assigned}
+    assert 7 not in ids and len(ids) == 199
+
+
+def test_ivf_index_train_persists_assignments(spark, emb_df):
+    """train() must persist the assignment frame (probe() reuses it
+    without re-running the corpus assignment scan) and free() must
+    release it."""
+    from rusty_bloomfilter_spark.operators.similarity import IvfIndex
+
+    df, _ = emb_df
+    jsc = spark.sparkContext._jsc
+    base = jsc.getPersistentRDDs().size()
+    idx = IvfIndex.train(df, n_centroids=4, iters=1)
+    try:
+        assert idx.probe(df, [0], k=2).count() > 0  # materializes the cache
+        assert jsc.getPersistentRDDs().size() == base + 1
+        assert idx.assignments.storageLevel.useMemory
+    finally:
+        idx.free()
+    assert jsc.getPersistentRDDs().size() == base

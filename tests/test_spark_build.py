@@ -375,3 +375,11 @@ def test_tree_merge_multi_level_matches_single_stage(spark):
     p_deep, n_deep = sk.build_bytes(df, fanout=2)  # 20 -> 10 -> 5 -> 3 -> 2 -> 1
     p_flat, n_flat = sk.build_bytes(df, fanout=64)  # single stage
     assert p_deep == p_flat and n_deep == n_flat
+
+
+def test_dedup_counts_declines_uint64():
+    """uint64 can't safe-cast into bincount — decline (None), never a
+    mid-build TypeError (round-4 review, CONFIRMED crash)."""
+    from rusty_bloomfilter_spark.operators.sketches import dedup_counts
+
+    assert dedup_counts(np.arange(1 << 15, dtype=np.uint64) % 100) is None
