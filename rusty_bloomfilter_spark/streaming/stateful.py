@@ -18,6 +18,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from ..operators.sketches import _series_probe_values
 from ..sketch import HyperLogLog
 
 _OUTPUT_SCHEMA = "key string, distinct_est double, n_items bigint"
@@ -46,7 +47,7 @@ def running_distinct_by_key(
         else:
             hll = HyperLogLog(p)
         for pdf in pdfs:
-            vals = pdf[value_col].to_numpy(dtype=np.int64, na_value=0)
+            vals = _series_probe_values(pdf[value_col])
             if len(vals):
                 hll.add_tokens(vals)
         state.update((hll.to_bytes(),))
@@ -108,7 +109,7 @@ def windowed_distinct(
         else:
             hll = HyperLogLog(p)
         for pdf in pdfs:
-            vals = pdf[value_col].to_numpy(dtype=np.int64, na_value=0)
+            vals = _series_probe_values(pdf[value_col])
             if len(vals):
                 hll.add_tokens(vals)
         state.update((hll.to_bytes(),))

@@ -421,3 +421,46 @@ def test_windowed_distinct_watermark_variant(spark, tmp_path):
     best = max(rows, key=lambda r: r["n_items"])
     assert best["n_items"] == n
     assert abs(best["distinct_est"] - exact) / exact < 0.03
+
+
+def test_running_distinct_tolerates_null_values(spark, tmp_path):
+    """Nullable int64 value columns reach the stateful UDF as float64
+    (Arrow->pandas promotion); NULLs fold to token 0 via the shared
+    _series_probe_values guard instead of crashing — and |v| >= 2^53
+    would fail loudly rather than silently rounding (round-4 audit:
+    the streaming path previously bypassed the guard every batch
+    probe uses)."""
+    from rusty_bloomfilter_spark.streaming import running_distinct_by_key
+
+    pdf = pd.DataFrame(
+        {
+            "user_id": pd.array([1, 2, None, 3, None, 2], dtype="Int64"),
+            "event_type": ["a", "a", "a", "b", "b", "b"],
+        }
+    )
+    src = str(tmp_path / "null_src")
+    batch_df = spark.createDataFrame(pdf)
+    batch_df.repartition(2).write.parquet(src)
+    stream = (
+        spark.readStream.schema(batch_df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = running_distinct_by_key(stream, key_col="event_type", value_col="user_id", p=12)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("running_distinct_nulls")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("select * from running_distinct_nulls").collect()
+    last = {}
+    for r in rows:
+        if r["key"] not in last or r["n_items"] > last[r["key"]]["n_items"]:
+            last[r["key"]] = r
+    # key a: {1, 2, 0(null)} = 3 distinct; key b: {3, 0(null), 2} = 3
+    assert last["a"]["n_items"] == 3 and last["b"]["n_items"] == 3
+    assert abs(last["a"]["distinct_est"] - 3) < 0.5
+    assert abs(last["b"]["distinct_est"] - 3) < 0.5
