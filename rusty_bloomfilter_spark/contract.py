@@ -3223,3 +3223,43 @@ def q_counting_bloom_revoke(spark: SparkSession, sf_dir: str) -> DataFrame:
         "remaining_present bigint, revoked_present bigint, "
         "n_sticky bigint, saturation_ratio double",
     )
+
+
+@register(
+    "q_bloom_pruned_read",
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        WHERE o_orderkey % 997 = 0
+    """,
+)
+def q_bloom_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-indexed FILE PRUNING (operators/pruning.py): lay orders out
+    range-partitioned across 8 parquet files, build one Bloom sketch per
+    FILE over o_orderkey (the user-controlled analogue of Iceberg /
+    parquet row-group Bloom metadata, reusing checkpoint._file_sketches),
+    then answer a point-lookup by reading ONLY the files whose filter
+    might contain a probe key. Zero false negatives (reference contract
+    mod.rs:199-228) make the pruned scan provably equal to the oracle's
+    full-scan IN-filter — which is exactly what the hash check verifies.
+    At 100 TB this turns a corpus-wide point lookup into a handful of
+    file reads."""
+    from .operators.pruning import bloom_file_index, bloom_pruned_read
+    from .sketch import Shape
+
+    orders = load_table(spark, sf_dir, "orders")
+    scratch = _scratch_dir("prune")
+    orders.repartitionByRange(8, "o_orderkey").write.mode("overwrite").parquet(scratch)
+    laid = spark.read.parquet(scratch)
+    # n sized for ~sf1 per-file counts; zero-FN holds regardless of n
+    index = bloom_file_index(laid, Shape.for_np(250_000, 0.001), key_col="o_orderkey")
+    keys = [
+        r["o_orderkey"]
+        for r in laid.filter(F.col("o_orderkey") % 997 == 0)
+        .select("o_orderkey")
+        .collect()
+    ]
+    rows, _files_read = bloom_pruned_read(
+        spark, scratch, index, keys, key_col="o_orderkey"
+    )
+    return rows.select("o_orderkey", "o_custkey", "o_totalprice")

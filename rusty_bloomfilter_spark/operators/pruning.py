@@ -1,0 +1,109 @@
+"""Bloom-indexed file pruning: skip parquet files that cannot contain
+any probe key.
+
+The 100-TB point-lookup pattern: a corpus lands as many parquet files;
+a per-FILE Bloom filter over the lookup key (one tiny sketch row per
+file, built in one corpus pass and stored next to the data, exactly
+like Iceberg/parquet row-group Bloom metadata — but user-controlled
+and mergeable) lets a probe read ONLY the files whose filter might
+contain a key. Zero false negatives make the pruned scan's output
+provably equal to the full scan's; false positives only cost extra
+files, bounded by the configured p per file.
+
+Reuses the per-file sketch machinery the resumable checkpoint build
+already has (operators/checkpoint.py::_file_sketches) — the index IS a
+checkpoint-shaped frame (file, payload, n_items, n_rows), so it can be
+parqueted, unioned across snapshots, and OR-merged per file on
+compaction.
+
+Reference semantics: `contains` zero-FN contract
+(/root/reference/src/bloomfilter/mod.rs:199-228); the file-pruning
+composition is ours (no reference analogue — it has no I/O).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sketch import Shape
+from .checkpoint import _file_sketches
+from .sketches import BloomSketch
+
+
+def bloom_file_index(
+    df: DataFrame,
+    shape: Shape,
+    *,
+    key_col: str,
+) -> DataFrame:
+    """One Bloom-sketch row per input parquet file over an integral
+    ``key_col`` -> (file, payload, n_items, n_rows).
+
+    ``df`` must come straight from a file source (input_file_name()
+    must be non-empty). ``shape`` sizes the per-file filter: n ≈ the
+    expected keys per file. String ids: add an integral key column at
+    write time (e.g. xxhash64) and probe with the same values — the
+    index never sees raw strings.
+    """
+    sk = BloomSketch(shape, col=key_col, scalar=True)
+    return _file_sketches(df, sk._empty, sk._update, columns=[key_col])
+
+
+def prune_files(index: DataFrame, keys: Sequence[int]) -> list[str]:
+    """Files whose filter might contain ANY of ``keys`` (zero FN: every
+    file that truly holds a key survives; FPs add files at rate ≤ p
+    each). The probe runs DISTRIBUTED over the index frame — at 100k+
+    files the payload column is GBs and must never be collected; only
+    the matching file NAMES (tiny) come back to the driver."""
+    probe = np.asarray(list(keys), dtype=np.int64)
+    if probe.size == 0:
+        return []
+
+    def hit(batches):
+        import pyarrow as pa
+
+        from ..sketch import sketch_from_bytes
+
+        for batch in batches:
+            files = batch.column("file").to_pylist()
+            payloads = batch.column("payload").to_pylist()
+            kept = [
+                f
+                for f, p in zip(files, payloads)
+                if sketch_from_bytes(bytes(p)).contains_tokens(probe).any()
+            ]
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(kept, type=pa.string())], names=["file"]
+            )
+
+    rows = index.select("file", "payload").mapInArrow(hit, schema="file string").collect()
+    # a file read as several splits has several index rows (checkpoint.py
+    # _file_sketches contract) — dedup so the pruned read never lists a
+    # file twice (parquet(*files) would duplicate its rows)
+    return sorted({r["file"] for r in rows})
+
+
+def bloom_pruned_read(
+    spark: SparkSession,
+    input_path: str,
+    index: DataFrame,
+    keys: Sequence[int],
+    *,
+    key_col: str,
+) -> tuple[DataFrame, int]:
+    """Point-lookup via the file index: read only the files that might
+    contain a key, then filter exactly. Returns (rows, files_read);
+    the rows are IDENTICAL to a full-scan ``key_col IN keys`` filter
+    (zero FN), with files_read ≤ total files (usually ≪).
+    """
+    files = prune_files(index, keys)
+    key_list = [int(k) for k in keys]
+    if not files:
+        empty = spark.read.parquet(input_path).filter(F.lit(False))
+        return empty, 0
+    rows = spark.read.parquet(*files).filter(F.col(key_col).isin(key_list))
+    return rows, len(files)
