@@ -53,6 +53,48 @@ def bloom_file_index(
     return _file_sketches(df, sk._empty, sk._update, columns=[key_col])
 
 
+def compact_index(*indexes: DataFrame) -> DataFrame:
+    """Union index snapshots and OR-merge per FILE -> one row per file.
+
+    Two sources of multi-row files: a big file read as several splits
+    (several rows in ONE snapshot), and the same file re-indexed across
+    snapshots. The merge algebra (associative/commutative OR, canonical
+    bytes) makes both collapse to the sketch of the file's full
+    contents. n_items/n_rows add INSERT counts — exact when the rows
+    cover disjoint slices (splits, partial builds); re-indexing the
+    same content double-counts them but leaves the bits (and therefore
+    pruning decisions and estimate_n-from-popcount) unchanged.
+    Shuffle is one hash exchange on `file` over SKETCH rows only.
+    """
+    import pandas as pd  # noqa: F401 (applyInPandas contract)
+
+    if not indexes:
+        raise ValueError("compact_index needs at least one index frame")
+
+    def merge_file_group(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        from ..sketch import merge_sketch_payloads
+
+        return pd.DataFrame(
+            {
+                "file": [str(pdf["file"].iloc[0])],
+                "payload": [
+                    merge_sketch_payloads([bytes(p) for p in pdf["payload"]])
+                ],
+                "n_items": [int(pdf["n_items"].sum())],
+                "n_rows": [int(pdf["n_rows"].sum())],
+            }
+        )
+
+    unioned = indexes[0]
+    for extra in indexes[1:]:
+        unioned = unioned.unionByName(extra)
+    from .checkpoint import CKPT_SCHEMA
+
+    return unioned.groupBy("file").applyInPandas(merge_file_group, CKPT_SCHEMA)
+
+
 def prune_files(index: DataFrame, keys: Sequence[int]) -> list[str]:
     """Files whose filter might contain ANY of ``keys`` (zero FN: every
     file that truly holds a key survives; FPs add files at rate ≤ p

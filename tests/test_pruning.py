@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 from rusty_bloomfilter_spark.operators.pruning import (
     bloom_file_index,
     bloom_pruned_read,
+    compact_index,
     prune_files,
 )
 from rusty_bloomfilter_spark.sketch import Shape
@@ -81,21 +82,84 @@ def test_pruned_read_equals_full_scan(spark, corpus, index):
     assert 0 < files_read < 16
 
 
-def test_no_duplicate_rows_when_file_split(spark, tmp_path, index):
+def _split_file_index(spark, path, shape):
+    """Index one physical file read as MANY splits (session conf —
+    the per-read option of the same name is silently ignored)."""
+    old_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    old_cost = spark.conf.get("spark.sql.files.openCostInBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "8192")
+    spark.conf.set("spark.sql.files.openCostInBytes", "0")
+    try:
+        idx = bloom_file_index(spark.read.parquet(path), shape, key_col="key")
+        idx = idx.persist()
+        idx.count()  # materialize under the split conf
+        return idx
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old_mpb)
+        spark.conf.set("spark.sql.files.openCostInBytes", old_cost)
+
+
+def test_no_duplicate_rows_when_file_split(spark, tmp_path):
     # a single large file read as several splits yields several index
     # rows for the same file; the pruned read must still see each row once
     path = str(tmp_path / "onefile")
-    spark.range(20_000).select(F.col("id").alias("key")).coalesce(1).write.parquet(path)
-    small = spark.read.parquet(path)
-    # force multi-split read of the one file
-    split_df = (
-        spark.read.option("maxPartitionBytes", "1024")
-        .parquet(path)
-    )
-    idx = bloom_file_index(split_df, Shape.for_np(25_000, 0.01), key_col="key")
-    rows, files_read = bloom_pruned_read(spark, path, idx, [7, 19_999], key_col="key")
-    assert sorted(r["key"] for r in rows.collect()) == [7, 19_999]
-    assert files_read == 1
+    spark.range(20_000).select(F.col("id").alias("key")).coalesce(1).write.option(
+        "parquet.block.size", "4096"
+    ).parquet(path)
+    idx = _split_file_index(spark, path, Shape.for_np(25_000, 0.01))
+    try:
+        rows, files_read = bloom_pruned_read(
+            spark, path, idx, [7, 19_999], key_col="key"
+        )
+        assert sorted(r["key"] for r in rows.collect()) == [7, 19_999]
+        assert files_read == 1
+    finally:
+        idx.unpersist()
+
+
+def test_compact_index_collapses_split_rows(spark, tmp_path):
+    # one physical file forced into many read splits -> many index rows;
+    # compaction must collapse them to ONE row covering every key
+    path = str(tmp_path / "splitfile")
+    spark.range(20_000).select(F.col("id").alias("key")).coalesce(1).write.option(
+        "parquet.block.size", "4096"
+    ).parquet(path)
+    idx = _split_file_index(spark, path, Shape.for_np(25_000, 0.01))
+    try:
+        assert idx.count() > 1
+        compacted = compact_index(idx)
+        rows = compacted.collect()
+        assert len(rows) == 1
+        assert rows[0]["n_rows"] == 20_000
+        assert rows[0]["n_items"] == 20_000
+        # compacted sketch still has zero FN over the whole file
+        from rusty_bloomfilter_spark.sketch import sketch_from_bytes
+        import numpy as np
+
+        f = sketch_from_bytes(bytes(rows[0]["payload"]))
+        assert f.contains_tokens(np.arange(20_000, dtype=np.int64)).all()
+    finally:
+        idx.unpersist()
+
+
+def test_compact_index_union_is_order_invariant(spark, corpus, index):
+    # cross-snapshot union: same corpus indexed twice; payload bits are
+    # canonical so either union order yields bitwise-identical rows
+    a = compact_index(index, index).orderBy("file").collect()
+    b = compact_index(index.orderBy(F.desc("file")), index).orderBy("file").collect()
+    assert [bytes(r["payload"]) for r in a] == [bytes(r["payload"]) for r in b]
+    single = {r["file"]: r for r in compact_index(index).collect()}
+    for r in a:
+        # re-indexed content: identical bits, only the n_items header
+        # field (bytes 20:28 of the <4sBBBBQIQ header) doubles
+        dup, one = bytes(r["payload"]), bytes(single[r["file"]]["payload"])
+        assert dup[:20] == one[:20] and dup[28:] == one[28:]
+        assert r["n_rows"] == 2 * single[r["file"]]["n_rows"]
+
+
+def test_compact_index_validates_empty(spark):
+    with pytest.raises(ValueError):
+        compact_index()
 
 
 def test_empty_and_absent_probes(spark, corpus, index):
