@@ -55,6 +55,34 @@ MergePayloadsFn = Callable[[list[bytes]], bytes]
 _FLUSH_AT = 64
 
 
+def keyed_payload_merge(
+    key_col: str,
+    *,
+    merge_fn: MergePayloadsFn,
+    sum_cols: tuple[str, ...] = ("n_items",),
+    key_out: Callable[[Any], Any] | None = None,
+):
+    """THE single-payload keyed group-merge for applyInPandas: one row
+    out per key — payload = merge_fn(group payloads), every counter in
+    ``sum_cols`` summed. Shared by build_by_key, the sharded build /
+    cross-snapshot union (sharded.merge_shard_group) and the file-index
+    compaction (pruning.compact_index) so payload handling cannot
+    diverge across them. ``key_out`` coerces the group key for the
+    output schema (int for shard ids, str for file names)."""
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        key = pdf[key_col].iloc[0]
+        out: dict[str, list] = {
+            key_col: [key if key_out is None else key_out(key)],
+            "payload": [merge_fn([bytes(p) for p in pdf["payload"]])],
+        }
+        for c in sum_cols:
+            out[c] = [int(pdf[c].sum())]
+        return pd.DataFrame(out)
+
+    return merge
+
+
 def safe_partition_count(df: DataFrame, default: int) -> int:
     """Partition count of ``df`` WITHOUT the AQE materialization trap.
 
@@ -283,15 +311,7 @@ def build_by_key(
 
     partial = df.mapInArrow(build, schema=KEYED_SKETCH_SCHEMA)
 
-    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        merged = merge_payloads([bytes(p) for p in pdf["payload"]])
-        return pd.DataFrame(
-            {
-                "key": [pdf["key"].iloc[0]],
-                "payload": [merged],
-                "n_items": [int(pdf["n_items"].sum())],
-            }
-        )
+    merge_group = keyed_payload_merge("key", merge_fn=merge_payloads)
 
     if salt > 0:
         # merge_group ignores the extra _salt column, so it serves both

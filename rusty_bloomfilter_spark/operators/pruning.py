@@ -53,6 +53,21 @@ def bloom_file_index(
     return _file_sketches(df, sk._empty, sk._update, columns=[key_col])
 
 
+def _checked_file_name(name) -> str:
+    """Fail loud where the mistake is: an empty file name means the
+    indexed DataFrame was not straight from a file source
+    (input_file_name() returns '' after a shuffle/join or on an
+    in-memory frame) — downstream it would surface as an opaque Hadoop
+    'Can not create a Path from an empty string' at probe time."""
+    name = str(name)
+    if not name:
+        raise ValueError(
+            "index row with empty file name: bloom_file_index input must "
+            "come straight from a file source (input_file_name() was '')"
+        )
+    return name
+
+
 def compact_index(*indexes: DataFrame) -> DataFrame:
     """Union index snapshots and OR-merge per FILE -> one row per file.
 
@@ -66,32 +81,22 @@ def compact_index(*indexes: DataFrame) -> DataFrame:
     pruning decisions and estimate_n-from-popcount) unchanged.
     Shuffle is one hash exchange on `file` over SKETCH rows only.
     """
-    import pandas as pd  # noqa: F401 (applyInPandas contract)
-
     if not indexes:
         raise ValueError("compact_index needs at least one index frame")
 
-    def merge_file_group(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        import pandas as pd
+    from ..sketch import merge_sketch_payloads
+    from .aggregate import keyed_payload_merge
+    from .checkpoint import CKPT_SCHEMA
 
-        from ..sketch import merge_sketch_payloads
-
-        return pd.DataFrame(
-            {
-                "file": [str(pdf["file"].iloc[0])],
-                "payload": [
-                    merge_sketch_payloads([bytes(p) for p in pdf["payload"]])
-                ],
-                "n_items": [int(pdf["n_items"].sum())],
-                "n_rows": [int(pdf["n_rows"].sum())],
-            }
-        )
-
+    merge_file_group = keyed_payload_merge(
+        "file",
+        merge_fn=merge_sketch_payloads,
+        sum_cols=("n_items", "n_rows"),
+        key_out=_checked_file_name,
+    )
     unioned = indexes[0]
     for extra in indexes[1:]:
         unioned = unioned.unionByName(extra)
-    from .checkpoint import CKPT_SCHEMA
-
     return unioned.groupBy("file").applyInPandas(merge_file_group, CKPT_SCHEMA)
 
 
@@ -111,7 +116,7 @@ def prune_files(index: DataFrame, keys: Sequence[int]) -> list[str]:
         from ..sketch import sketch_from_bytes
 
         for batch in batches:
-            files = batch.column("file").to_pylist()
+            files = [_checked_file_name(f) for f in batch.column("file").to_pylist()]
             payloads = batch.column("payload").to_pylist()
             kept = [
                 f
@@ -147,5 +152,12 @@ def bloom_pruned_read(
     if not files:
         empty = spark.read.parquet(input_path).filter(F.lit(False))
         return empty, 0
-    rows = spark.read.parquet(*files).filter(F.col(key_col).isin(key_list))
+    # basePath keeps hive-partition columns (input_path/date=.../x.parquet)
+    # in the schema of a leaf-file read, so both return branches of this
+    # function — and the pruned vs full scan — have identical schemas
+    rows = (
+        spark.read.option("basePath", input_path)
+        .parquet(*files)
+        .filter(F.col(key_col).isin(key_list))
+    )
     return rows, len(files)

@@ -49,8 +49,9 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sketch import BlockedBloomFilter, sketch_from_bytes
+from ..sketch import BlockedBloomFilter, merge_sketch_payloads, sketch_from_bytes
 from ..sketch.hashing import splitmix64
+from .aggregate import keyed_payload_merge
 from .sketches import arrow_flat_tokens, flat_ngram_hashes
 
 SHARD_SALT = np.uint64(0xA076_1D64_78BD_642F)  # splitmix64 increment constant
@@ -58,24 +59,15 @@ SHARD_SALT = np.uint64(0xA076_1D64_78BD_642F)  # splitmix64 increment constant
 SHARDED_SCHEMA = "shard int, payload binary, n_items bigint"
 
 
-def merge_shard_group(pdf: "pd.DataFrame") -> "pd.DataFrame":
-    """OR-merge sketch rows sharing one shard id -> one row.
-
-    THE shard-wise merge: the build fan-in (ShardedBloomSketch.build)
-    and the cross-snapshot union (plans/incremental.merge_shard_frames)
-    both go through this single function so their semantics cannot
-    diverge (payload validation, schema, n_items accounting)."""
-    import pandas as pd
-
-    from ..sketch import merge_sketch_payloads
-
-    return pd.DataFrame(
-        {
-            "shard": [int(pdf["shard"].iloc[0])],
-            "payload": [merge_sketch_payloads([bytes(p) for p in pdf["payload"]])],
-            "n_items": [int(pdf["n_items"].sum())],
-        }
-    )
+# OR-merge sketch rows sharing one shard id -> one row. THE shard-wise
+# merge: the build fan-in (ShardedBloomSketch.build) and the
+# cross-snapshot union (plans/incremental.merge_shard_frames) both go
+# through this single function so their semantics cannot diverge
+# (payload validation, schema, n_items accounting). Body shared with
+# every other single-payload keyed merge via aggregate.
+merge_shard_group = keyed_payload_merge(
+    "shard", merge_fn=merge_sketch_payloads, key_out=int
+)
 
 
 def shard_of(hashes: np.ndarray, n_shards: int) -> np.ndarray:

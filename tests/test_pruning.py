@@ -162,6 +162,43 @@ def test_compact_index_validates_empty(spark):
         compact_index()
 
 
+def test_pruned_read_hive_partitioned_input(spark, tmp_path):
+    # leaf-file reads drop hive-partition columns without basePath; the
+    # pruned scan must keep the full schema and match the full scan
+    path = str(tmp_path / "hive")
+    df = spark.range(8_000).select(
+        F.col("id").alias("key"),
+        (F.col("id") % 4).alias("bucket"),
+        (F.col("id") * 3).alias("val"),
+    )
+    df.write.partitionBy("bucket").parquet(path)
+    laid = spark.read.parquet(path)
+    idx = bloom_file_index(laid, Shape.for_np(3_000, 0.001), key_col="key")
+    keys = [11, 4_002, 7_999]
+    rows, files_read = bloom_pruned_read(spark, path, idx, keys, key_col="key")
+    assert sorted(rows.columns) == sorted(laid.columns)
+    got = sorted(tuple(r) for r in rows.select("key", "bucket", "val").collect())
+    want = sorted(
+        tuple(r)
+        for r in laid.filter(F.col("key").isin(keys))
+        .select("key", "bucket", "val")
+        .collect()
+    )
+    assert got == want and len(want) == 3
+    assert files_read >= 1
+
+
+def test_non_file_input_fails_loud(spark):
+    # an in-memory frame has no input_file_name(); the index must be
+    # rejected with a clear error, not an opaque Hadoop path error
+    mem = spark.range(100).select(F.col("id").alias("key"))
+    idx = bloom_file_index(mem, Shape.for_np(200, 0.01), key_col="key")
+    with pytest.raises(Exception, match="empty file name"):
+        prune_files(idx, [5])
+    with pytest.raises(Exception, match="empty file name"):
+        compact_index(idx).collect()
+
+
 def test_empty_and_absent_probes(spark, corpus, index):
     assert prune_files(index, []) == []
     rows, files_read = bloom_pruned_read(spark, corpus, index, [], key_col="key")
