@@ -199,6 +199,33 @@ def test_non_file_input_fails_loud(spark):
         compact_index(idx).collect()
 
 
+def plan_of(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_pruned_read_pushes_key_filter_to_scan(spark, corpus, index):
+    # the exact IN filter must reach the parquet scan of the surviving
+    # files (row-group/page skipping on top of file skipping)
+    rows, _ = bloom_pruned_read(spark, corpus, index, [5, 4_321], key_col="key")
+    plan = plan_of(rows)
+    assert "PushedFilters: [In(key, [4321,5])" in plan
+
+
+def test_index_build_shuffles_nothing(spark, corpus):
+    # one corpus scan, map-side only: the index build plan must contain
+    # no Exchange (sketch rows are emitted straight from the scan tasks)
+    idx = bloom_file_index(
+        spark.read.parquet(corpus), Shape.for_np(2_500, 0.001), key_col="key"
+    )
+    assert "Exchange" not in plan_of(idx)
+
+
 def test_empty_and_absent_probes(spark, corpus, index):
     assert prune_files(index, []) == []
     rows, files_read = bloom_pruned_read(spark, corpus, index, [], key_col="key")
