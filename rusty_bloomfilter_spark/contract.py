@@ -3263,3 +3263,91 @@ def q_bloom_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, scratch, index, keys, key_col="o_orderkey"
     )
     return rows.select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+@register(
+    "q_streaming_dedup",
+    oracle="SELECT DISTINCT md5(substr(text, 1, 40)) AS fp FROM documents",
+)
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming EXACT dedup, hash-matched against batch SQL: the
+    documents table (with its planted prefix-fingerprint duplicates)
+    replayed as 4 file-source micro-batches through Spark's native
+    stateful ``dropDuplicates`` — keep-first across batches, append
+    mode, so the memory sink accumulates each fingerprint exactly once
+    and the final table IS the batch DISTINCT set regardless of how
+    the stream was split. State here grows with the key count (exact);
+    the bounded-state scale path is streaming/dedup.py's Bloom-state
+    variant (q_streaming_bloom_dedup)."""
+    import uuid
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.md5(F.substring("text", 1, 40)).alias("fp")
+    )
+    src = _scratch_dir("sdedup_src")
+    docs.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema("fp string").option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    name = "rbf_stream_dedup_" + uuid.uuid4().hex[:8]
+    ckpt = _scratch_dir("sdedup_ckpt")
+    q = (
+        stream.dropDuplicates(["fp"])
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+@register("q_streaming_bloom_dedup")
+def q_streaming_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOUNDED-STATE streaming dedup (streaming/dedup.py): one Bloom
+    payload per fingerprint shard as applyInPandasWithState state —
+    total state is n_shards x filter bytes FOREVER, vs dropDuplicates'
+    one-state-row per distinct key (the difference at 10^12 docs).
+    Invariants surfaced in-row against the exact batch answer:
+    n_dup_emissions == 0 (zero FN — an admitted fingerprint is never
+    emitted again) and n_wrongly_dropped small (FP-bounded, configured
+    p=1e-8 over ~476 keys). Rows-only: sketch-state semantics; the
+    keep-first contract is pinned in tests/test_streaming_dedup.py."""
+    import uuid
+
+    from .streaming import streaming_bloom_dedup
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.md5(F.substring("text", 1, 40)).alias("fp")
+    )
+    src = _scratch_dir("sbdedup_src")
+    docs.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema("fp string").option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    out = streaming_bloom_dedup(stream, fp_col="fp", n_total=5_000, p=1e-8, n_shards=4)
+    name = "rbf_sbloom_dedup_" + uuid.uuid4().hex[:8]
+    ckpt = _scratch_dir("sbdedup_ckpt")
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    emitted = spark.table(name)
+    exact = docs.select("fp").distinct()
+    n_emitted = emitted.count()
+    n_dup_emissions = n_emitted - emitted.distinct().count()
+    n_exact = exact.count()
+    n_wrongly_dropped = n_exact - exact.join(emitted, "fp", "left_semi").count()
+    return spark.createDataFrame(
+        [(int(docs.count()), int(n_exact), int(n_emitted),
+          int(n_dup_emissions), int(n_wrongly_dropped))],
+        "n_in bigint, n_distinct_exact bigint, n_emitted bigint, "
+        "n_dup_emissions bigint, n_wrongly_dropped bigint",
+    )
