@@ -2018,6 +2018,31 @@ def _stream_events_source(spark: SparkSession, sf_dir: str, n_files: int = 4):
     return spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(src)
 
 
+def _stream_fp_source(spark: SparkSession, sf_dir: str, n_files: int = 4):
+    """Documents prefix-fingerprint column replayed as n micro-batches —
+    the ONE source both streaming-dedup queries read, so the exact and
+    Bloom variants can never silently dedup different key sets."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.md5(F.substring("text", 1, 40)).alias("fp")
+    )
+    src = _scratch_dir("sdedup_src")
+    docs.repartition(n_files).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema("fp string").option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    return docs, stream
+
+
+def _await_stream(q, seconds: int = 300) -> None:
+    """awaitTermination with the timeout actually enforced: on expiry
+    the query is stopped and a clear error raised — otherwise callers
+    would read racing snapshots of a memory sink a live query is still
+    appending to (and leak the active stream)."""
+    if not q.awaitTermination(seconds):
+        q.stop()
+        raise TimeoutError(f"streaming query {q.name} did not finish in {seconds}s")
+
+
 @register(
     "q_streaming_windowed_counts",
     oracle="""
@@ -2057,7 +2082,7 @@ def q_streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_stream(q)
     # date_format of the NTZ window start is timezone-FREE (no session-tz
     # dependence — the driver session may not run in UTC), unlike an
     # epoch cast which routes NTZ -> LTZ through the session zone
@@ -2110,7 +2135,7 @@ def q_streaming_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_stream(q)
     last_batch: dict = {}
     for bid, r in emissions:
         key = r["window_start"]
@@ -3281,14 +3306,7 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     variant (q_streaming_bloom_dedup)."""
     import uuid
 
-    docs = load_table(spark, sf_dir, "documents").select(
-        F.md5(F.substring("text", 1, 40)).alias("fp")
-    )
-    src = _scratch_dir("sdedup_src")
-    docs.repartition(4).write.mode("overwrite").parquet(src)
-    stream = (
-        spark.readStream.schema("fp string").option("maxFilesPerTrigger", 1).parquet(src)
-    )
+    _docs, stream = _stream_fp_source(spark, sf_dir)
     name = "rbf_stream_dedup_" + uuid.uuid4().hex[:8]
     ckpt = _scratch_dir("sdedup_ckpt")
     q = (
@@ -3300,7 +3318,7 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_stream(q)
     return spark.table(name)
 
 
@@ -3319,14 +3337,7 @@ def q_streaming_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .streaming import streaming_bloom_dedup
 
-    docs = load_table(spark, sf_dir, "documents").select(
-        F.md5(F.substring("text", 1, 40)).alias("fp")
-    )
-    src = _scratch_dir("sbdedup_src")
-    docs.repartition(4).write.mode("overwrite").parquet(src)
-    stream = (
-        spark.readStream.schema("fp string").option("maxFilesPerTrigger", 1).parquet(src)
-    )
+    docs, stream = _stream_fp_source(spark, sf_dir)
     out = streaming_bloom_dedup(stream, fp_col="fp", n_total=5_000, p=1e-8, n_shards=4)
     name = "rbf_sbloom_dedup_" + uuid.uuid4().hex[:8]
     ckpt = _scratch_dir("sbdedup_ckpt")
@@ -3338,7 +3349,7 @@ def q_streaming_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _await_stream(q)
     emitted = spark.table(name)
     exact = docs.select("fp").distinct()
     n_emitted = emitted.count()

@@ -61,7 +61,10 @@ def streaming_bloom_dedup(
     """
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
-    shape = Shape.for_np(max(1, n_total // n_shards), p)
+    # ceil, like the batch sharded build (operators/sharded.py): floor
+    # would undersize every shard when n_total % n_shards != 0 and the
+    # documented <= p drop bound would not hold
+    shape = Shape.for_np(max(1, -(-n_total // n_shards)), p)
 
     def update(
         key: tuple,
