@@ -3362,3 +3362,96 @@ def q_streaming_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_in bigint, n_distinct_exact bigint, n_emitted bigint, "
         "n_dup_emissions bigint, n_wrongly_dropped bigint",
     )
+
+
+@register(
+    "q_embedding_centroids",
+    oracle="""
+        -- DuckDB v1.0 lacks WITH ORDINALITY; the synthetic embeddings
+        -- table is fixed 64-dim, so a constant series recovers positions
+        -- (a dim mismatch would surface as a row-count/hash FAIL)
+        SELECT label, CAST(i - 1 AS INT) AS pos,
+               round(avg(embedding[CAST(i AS INT)]), 6) AS centroid,
+               count(*) AS n_vecs
+        FROM embeddings CROSS JOIN generate_series(1, 64) AS t(i)
+        GROUP BY 1, 2
+    """,
+)
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding CENTROIDS, Catalyst end to end: posexplode
+    the vector column, one hash aggregate over (label, dim) — the
+    domain-drift / cluster-health diagnostic of an embedding corpus.
+    Map-side combine caps the shuffle at tasks x |labels| x dim rows,
+    independent of corpus size; no Python touches a row. avg runs in
+    double on both engines; round(6) per the cross-engine float
+    convention (contract header)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(
+            F.round(F.avg("v"), 6).alias("centroid"),
+            F.count("*").alias("n_vecs"),
+        )
+        .orderBy("label", "pos")
+    )
+
+
+@register(
+    "q_source_token_drift",
+    oracle=_SEQ_CTE
+    + """
+    , toks AS (SELECT source, unnest(tokens) AS tok FROM sequences),
+    per_src AS (SELECT source, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+    src_tot AS (SELECT source, sum(c) AS n_src FROM per_src GROUP BY 1),
+    gmarg   AS (SELECT tok, sum(c) AS g FROM per_src GROUP BY 1),
+    tot     AS (SELECT sum(c) AS n_tot FROM per_src)
+    SELECT source,
+           CAST(n_src AS BIGINT) AS n_tokens,
+           round(sum((c::DOUBLE / n_src)
+                     * ln((c::DOUBLE / n_src) / (g::DOUBLE / n_tot))), 6)
+               AS kl_drift
+    FROM per_src JOIN src_tot USING (source) JOIN gmarg USING (tok)
+         CROSS JOIN tot
+    GROUP BY source, n_src
+    """,
+)
+def q_source_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-distribution DRIFT: KL(P_source || P_corpus)
+    over unigram frequencies — the snapshot/domain shift diagnostic a
+    curation pipeline runs before mixing a new source into training
+    data (a source whose token distribution diverges from the corpus
+    gets flagged for re-weighting; compare q_temperature_mix).
+
+    Scale shape: ONE corpus scan (structurally — a single lineage, no
+    self-joins; separate aggregate branches would rescan, ReuseExchange
+    does NOT canonicalize them together, measured) feeds a map-side-
+    combinable (source, tok) count whose shuffle is bounded by
+    sources x vocab, not corpus size. The per-source, per-token, and
+    grand totals are WINDOW sums over that vocab-sized frame; the
+    unpartitioned grand-total window moves sources x vocab rows to one
+    task — corpus-size-independent, ~1M rows at web scale. KL sums
+    ~vocab doubles of magnitude <=1e-4, so cross-engine addition order
+    stays far inside the round(6) convention."""
+    seq = sequences_from_documents(spark, sf_dir)
+    per_src = (
+        seq.select("source", F.explode("tokens").alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    enriched = (
+        per_src.withColumn("n_src", F.sum("c").over(Window.partitionBy("source")))
+        .withColumn("g", F.sum("c").over(Window.partitionBy("tok")))
+        .withColumn("n_tot", F.sum("c").over(Window.partitionBy()))
+    )
+    p_s = F.col("c").cast("double") / F.col("n_src")
+    p_g = F.col("g").cast("double") / F.col("n_tot")
+    return (
+        enriched.groupBy("source", "n_src")
+        .agg(F.round(F.sum(p_s * F.log(p_s / p_g)), 6).alias("kl_drift"))
+        .select(
+            "source",
+            F.col("n_src").cast("bigint").alias("n_tokens"),
+            "kl_drift",
+        )
+    )
