@@ -3455,3 +3455,66 @@ def q_source_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "kl_drift",
         )
     )
+
+
+@register(
+    "q_tfidf_top_terms",
+    oracle=_SEQ_CTE
+    + """
+    , toks AS (SELECT source, unnest(tokens) AS tok FROM sequences),
+    per     AS (SELECT source, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+    src_tot AS (SELECT source, sum(c) AS n_src FROM per GROUP BY 1),
+    dfreq   AS (SELECT tok, count(*) AS df FROM per GROUP BY 1),
+    ns      AS (SELECT count(DISTINCT source) AS n_sources FROM per),
+    scored  AS (
+        SELECT source, tok,
+               round((c::DOUBLE / n_src)
+                     * ln(n_sources::DOUBLE / df), 6) AS score
+        FROM per JOIN src_tot USING (source) JOIN dfreq USING (tok)
+             CROSS JOIN ns
+    )
+    SELECT source,
+           CAST(row_number() OVER (PARTITION BY source
+                                   ORDER BY score DESC, tok) AS INT) AS rn,
+           tok, score
+    FROM scored
+    QUALIFY rn <= 5
+    """,
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per SOURCE (each source treated as one
+    "document" over the corpus vocabulary) — the domain keyword
+    extraction a curation pipeline runs to label what a new crawl
+    source is actually about before mixing it in.
+
+    Scale shape: one corpus scan feeds a map-side-combinable
+    (source, tok) count; everything downstream (per-source totals,
+    document frequency, the rank window) operates on the vocab-sized
+    frame, so shuffles are bounded by sources x vocab — corpus-size-
+    independent. The source-count scalar joins back via a broadcast
+    1-row cross join (no driver collect). Determinism: rank orders by
+    the ROUNDED score (round-6 per the cross-engine float convention)
+    with tok as the full tie-break, identical on both engines."""
+    seq = sequences_from_documents(spark, sf_dir)
+    per = (
+        seq.select("source", F.explode("tokens").alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    enriched = per.withColumn(
+        "n_src", F.sum("c").over(Window.partitionBy("source"))
+    ).withColumn("df", F.count("*").over(Window.partitionBy("tok")))
+    n_sources = per.select(F.countDistinct("source").alias("n_sources"))
+    tf = F.col("c").cast("double") / F.col("n_src")
+    idf = F.log(F.col("n_sources").cast("double") / F.col("df"))
+    scored = enriched.crossJoin(F.broadcast(n_sources)).select(
+        "source", "tok", F.round(tf * idf, 6).alias("score")
+    )
+    rank_w = Window.partitionBy("source").orderBy(
+        F.col("score").desc(), F.col("tok").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(rank_w))
+        .filter(F.col("rn") <= 5)
+        .select("source", "rn", "tok", "score")
+    )
