@@ -108,6 +108,12 @@ _WINDOW_FIRST = [
 # queries are added — all were hash/rows-green in r3, so a one-round gap
 # still leaves the r2-r4 union complete.
 _WINDOW_MIDDLE = [
+    # -- added late in round 4: the r4 window is exactly full (16 FIRST +
+    # 34 new-this-round), so these are pinned here to avoid evicting a
+    # never-verified query; round 5's rotation promotes them (they have
+    # oracles and sit at the head of MIDDLE).
+    "q_heavy_tokens_mg",
+    # -- r3-green below
     "q_bloom_source_profile",
     "q_bloom_probe",
     "q_hll_distinct_tokens",
@@ -343,6 +349,30 @@ def q_heavy_tokens_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("freq"), "tok")
         .limit(25)
     )
+
+
+@register(
+    "q_heavy_tokens_mg",
+    oracle=_SEQ_CTE
+    + """
+    , toks AS (SELECT unnest(tokens) AS tok FROM sequences)
+    SELECT tok, count(*) AS freq
+    FROM toks GROUP BY tok
+    HAVING count(*) * 40 > (SELECT count(*) FROM toks)
+    ORDER BY freq DESC, tok
+    """,
+)
+def q_heavy_tokens_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT frequent tokens above N/40 via the Misra-Gries candidate
+    pass (operators/topk.py::heavy_hitters_mg): deterministic summary
+    bound => the candidate set provably contains every true hitter
+    under any partitioning (no margin contract), then one exact
+    recount restricted to candidates. Integer threshold arithmetic
+    (freq*40 > N) keeps the cut bit-identical to the SQL HAVING."""
+    from .operators.topk import heavy_hitters_mg
+
+    seq = sequences_from_documents(spark, sf_dir)
+    return heavy_hitters_mg(seq, col="tokens", denom=40, capacity=64)
 
 
 @register(

@@ -21,6 +21,7 @@ from ..sketch import (
     CountMinSketch,
     HyperLogLog,
     KLLSketch,
+    MisraGries,
     Shape,
     merge_payloads,
     merge_sketch_payloads,
@@ -557,6 +558,48 @@ class CmsSketch:
             df, key_col, self._empty, self._update, self._merge,
             columns=[key_col, self.col], salt=salt,
         )
+
+
+# ---------------------------------------------------------------------------
+# Misra–Gries heavy hitters
+# ---------------------------------------------------------------------------
+
+
+class MgSketch:
+    """Distributed Misra–Gries heavy-hitter summary (the DETERMINISTIC
+    frequency sibling: counter lower bounds with a tracked undercount
+    cap, so summary keys are a provable superset of every key with
+    frequency > n_items/(capacity+1) — no distributional assumption,
+    unlike the local top-k margin contract)."""
+
+    def __init__(self, capacity: int = 1024, *, col: str = "tokens"):
+        self.capacity = capacity
+        self.col = col
+
+    def _empty(self) -> MisraGries:
+        return MisraGries(self.capacity)
+
+    def _update(self, acc: MisraGries, batch) -> None:
+        toks = arrow_flat_tokens(batch, self.col)
+        if toks.size:
+            dc = dedup_counts(toks)
+            if dc is None:
+                acc.add_tokens(toks)
+            else:
+                # MG consumes multiplicities natively (exact keyed add
+                # then one decrement round), like CMS — no n_items
+                # correction needed
+                acc.add_u64(tokens_to_u64(dc[0]), dc[1])
+
+    _merge = staticmethod(merge_sketch_payloads)
+
+    def build(self, df: DataFrame, *, fanout: int = 16) -> DataFrame:
+        return build_sketch(
+            df, self._empty, self._update, self._merge, columns=[self.col], fanout=fanout
+        )
+
+    def build_bytes(self, df: DataFrame, *, fanout: int = 16) -> tuple[bytes, int]:
+        return collect_sketch_bytes(self.build(df, fanout=fanout))
 
 
 # ---------------------------------------------------------------------------

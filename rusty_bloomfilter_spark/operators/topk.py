@@ -24,7 +24,8 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .sketches import CmsSketch, arrow_flat_tokens, dedup_counts
+from ..sketch import MisraGries
+from .sketches import CmsSketch, MgSketch, arrow_flat_tokens, dedup_counts
 
 
 def _local_top_candidates(df: DataFrame, col: str, k_local: int) -> DataFrame:
@@ -98,6 +99,56 @@ def topk_by_cms(
     order = np.lexsort((toks, -est))[:k]
     rows = [(int(toks[i]), int(est[i])) for i in order]
     return spark.createDataFrame(rows, "tok bigint, freq_est bigint")
+
+
+def heavy_hitters_mg(
+    df: DataFrame, *, col: str = "tokens", denom: int = 500, capacity: int | None = None
+) -> DataFrame:
+    """EXACT frequent items above N/denom — tokens whose global count
+    satisfies ``freq * denom > N`` — via a Misra–Gries candidate pass
+    plus an exact recount of the candidates only.
+
+    Why this beats `topk_exact_candidates` at 100 TB: the MG summary's
+    deterministic bound (est <= true <= est + err_ub, err_ub <=
+    N/(capacity+1)) makes the candidate set a PROVABLE superset of
+    every token above the threshold under ANY data distribution and
+    ANY partitioning — there is no margin contract to violate. A token
+    spread thin across 100k partitions still survives the tree merge
+    because decrements are globally bounded, not per-partition. Cost:
+    one corpus scan building O(capacity)-sized mergeable summaries
+    (only summary rows shuffle), one candidate-restricted recount scan
+    (broadcast semi-join pushed into the exploded scan), candidate set
+    <= capacity rows on the driver.
+
+    Threshold arithmetic is integer-exact (freq * denom > N) so the
+    result hash-matches a SQL ``HAVING count(*) * denom > total``
+    oracle bit-for-bit — no float threshold ties.
+    """
+    if denom < 2:
+        raise ValueError("denom must be >= 2")
+    cap = int(capacity) if capacity is not None else 4 * denom
+    if cap + 1 < denom:
+        # guarantee needs N/(cap+1) <= N/denom
+        raise ValueError(f"capacity {cap} too small for denom {denom} (need >= denom-1)")
+    payload, n = MgSketch(capacity=cap, col=col).build_bytes(df)
+    spark = df.sparkSession
+    if n == 0:
+        return spark.createDataFrame([], "tok bigint, freq bigint")
+    summary = MisraGries.from_bytes(payload)
+    cand_tokens = summary.candidates_above(n // denom).view(np.int64)
+    if cand_tokens.size == 0:
+        return spark.createDataFrame([], "tok bigint, freq bigint")
+    cand = spark.createDataFrame(
+        [(int(t),) for t in cand_tokens], "tok bigint"
+    )
+    ex = df.select(F.explode(col).alias("tok"))
+    return (
+        ex.join(F.broadcast(cand), "tok", "left_semi")
+        .groupBy("tok")
+        .agg(F.count("*").alias("freq"))
+        .where(F.col("freq") * F.lit(denom) > F.lit(n))
+        .orderBy(F.desc("freq"), "tok")
+    )
 
 
 def topk_exact_candidates(

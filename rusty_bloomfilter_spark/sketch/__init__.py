@@ -14,6 +14,7 @@ from .counting import CountingBloomFilter
 from .hashing import hash_pair, km_indices, ngram_hashes, splitmix64, tokens_to_u64
 from .hll import HyperLogLog
 from .kll import KLLSketch
+from .misragries import MisraGries
 from .shape import Shape
 from .tdigest import TDigest
 
@@ -25,6 +26,7 @@ _KINDS = {
     b"RCBF": CountingBloomFilter,
     b"RKLL": KLLSketch,
     b"RTDG": TDigest,
+    b"RMGS": MisraGries,
 }
 
 
@@ -64,6 +66,7 @@ __all__ = [
     "CountingBloomFilter",
     "HyperLogLog",
     "KLLSketch",
+    "MisraGries",
     "Shape",
     "SparseBloomBuilder",
     "TDigest",
