@@ -113,6 +113,8 @@ _WINDOW_MIDDLE = [
     # never-verified query; round 5's rotation promotes them (they have
     # oracles and sit at the head of MIDDLE).
     "q_heavy_tokens_mg",
+    "q_embedding_gram",
+    "q_embedding_spectrum",
     # -- r3-green below
     "q_bloom_source_profile",
     "q_bloom_probe",
@@ -3548,3 +3550,49 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("source", "rn", "tok", "score")
     )
+
+
+@register(
+    "q_embedding_gram",
+    oracle="""
+        -- exact corpus Gram, upper triangle; constant series indexes the
+        -- fixed 64-dim vectors (DuckDB v1.0 lacks WITH ORDINALITY). The
+        -- +0 after round() normalizes -0.0 on both engines.
+        SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+               round(sum(CAST(embedding[CAST(i + 1 AS INT)] AS DOUBLE)
+                         * CAST(embedding[CAST(j + 1 AS INT)] AS DOUBLE)), 6) + 0 AS g
+        FROM embeddings
+        CROSS JOIN generate_series(0, 63) t(i)
+        CROSS JOIN generate_series(0, 63) u(j)
+        WHERE i <= j AND embedding IS NOT NULL AND len(embedding) = 64
+        GROUP BY 1, 2
+    """,
+)
+def q_embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact one-pass distributed Gram/covariance of the embedding
+    corpus (operators/spectral.py::embedding_gram): each task folds its
+    Arrow batches through one BLAS X^T X into a d x d accumulator;
+    only d x d payloads shuffle (tree merge), so the plan is
+    corpus-size-independent past the scan. The upper-triangle frame is
+    d(d+1)/2 rows — bounded by embedding WIDTH, never corpus size.
+    Products/sums in float64 on both engines, round-6 per the
+    cross-engine float convention."""
+    from .operators.spectral import embedding_gram
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_gram(emb, 64)
+
+
+@register("q_embedding_spectrum")  # estimates: rows-only + in-row bound audit
+def q_embedding_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-16 spectrum of the corpus Gram via Frequent Directions
+    (sketch/freqdirs.py — Misra-Gries lifted to matrices), self-audited
+    in-row against the exact Gram eigenvalues: the FD sandwich plus
+    Weyl's inequality certify 0 <= exact - est <= delta per component,
+    and the `in_bound` column witnesses it for the driver's rows-only
+    check. ell*d state (vs d^2 exact) is the scale path when d^2
+    outgrows a task."""
+    from .operators.spectral import embedding_spectrum
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_spectrum(emb, ell=16, dim=64)

@@ -13,6 +13,7 @@ from .cms import CountMinSketch
 from .counting import CountingBloomFilter
 from .hashing import hash_pair, km_indices, ngram_hashes, splitmix64, tokens_to_u64
 from .hll import HyperLogLog
+from .freqdirs import FrequentDirections, GramMatrix
 from .kll import KLLSketch
 from .misragries import MisraGries
 from .shape import Shape
@@ -27,6 +28,8 @@ _KINDS = {
     b"RKLL": KLLSketch,
     b"RTDG": TDigest,
     b"RMGS": MisraGries,
+    b"RGRM": GramMatrix,
+    b"RFDS": FrequentDirections,
 }
 
 
@@ -64,6 +67,8 @@ __all__ = [
     "BloomFilter",
     "CountMinSketch",
     "CountingBloomFilter",
+    "FrequentDirections",
+    "GramMatrix",
     "HyperLogLog",
     "KLLSketch",
     "MisraGries",
