@@ -1,7 +1,8 @@
 """Sketches as SQL aggregate/scalar functions.
 
 ``register_sketch_sql(spark)`` makes the sketch library usable from
-pure SQL:
+pure SQL (incl. the Misra-Gries summary via ``mg_agg``/``mg_candidates``
+and the exact Gram via ``gram_agg``/``gram_eigvals``):
 
     SELECT source,
            hll_estimate(hll_agg(tokens))      AS distinct_est,
@@ -39,6 +40,8 @@ def register_sketch_sql(
     hll_p: int = 14,
     bloom_n: int = 200_000,
     bloom_p: float = 1e-4,
+    mg_capacity: int = 1024,
+    gram_dim: int = 64,
     prefix: str = "",
 ) -> None:
     """Register hll_agg / hll_estimate / bloom_agg / bloom_estimate_n
@@ -124,9 +127,67 @@ def register_sketch_sql(
             out.append(f.to_bytes())
         return pd.Series(out)
 
+    @pandas_udf("binary")
+    def mg_agg(tokens: pd.Series) -> bytes:
+        # Misra-Gries heavy-hitter summary over an array<int> column
+        from ..sketch import MisraGries
+
+        mg = MisraGries(capacity=mg_capacity)
+        arrs = [np.asarray(a, dtype=np.int64) for a in tokens if a is not None and len(a)]
+        if arrs:
+            mg.add_tokens(np.concatenate(arrs))
+        return mg.to_bytes()
+
+    @pandas_udf("array<bigint>")
+    def mg_candidates(payload: pd.Series, threshold: pd.Series) -> pd.Series:
+        # tokens possibly above the per-row threshold (guaranteed
+        # superset when threshold >= n_items/(capacity+1))
+        from ..sketch import MisraGries
+
+        out = []
+        for p, t in zip(payload, threshold):
+            if p is None or t is None:
+                out.append(None)
+                continue
+            mg = MisraGries.from_bytes(bytes(p))
+            out.append([int(v) for v in mg.candidates_above(int(t)).view(np.int64)])
+        return pd.Series(out)
+
+    @pandas_udf("binary")
+    def gram_agg(vecs: pd.Series) -> bytes:
+        # exact Gram over an array<float> column (fixed width gram_dim;
+        # NULL / wrong-width rows skipped, same contract as the
+        # spectral operators)
+        from ..sketch import GramMatrix
+
+        g = GramMatrix(gram_dim)
+        rows = [
+            np.asarray(v, dtype=np.float64)
+            for v in vecs
+            if v is not None and len(v) == gram_dim
+        ]
+        if rows:
+            g.add_rows(np.stack(rows))
+        return g.to_bytes()
+
+    @pandas_udf("array<double>")
+    def gram_eigvals(payload: pd.Series) -> pd.Series:
+        from ..sketch import GramMatrix
+
+        return pd.Series(
+            [
+                None if p is None else [float(x) for x in GramMatrix.from_bytes(bytes(p)).eigh()[0]]
+                for p in payload
+            ]
+        )
+
     spark.udf.register(prefix + "hll_agg", hll_agg)
     spark.udf.register(prefix + "hll_estimate", hll_estimate)
     spark.udf.register(prefix + "bloom_agg", bloom_agg)
     spark.udf.register(prefix + "bloom_estimate_n", bloom_estimate_n)
     spark.udf.register(prefix + "cbf_agg", cbf_agg)
     spark.udf.register(prefix + "cbf_subtract", cbf_subtract)
+    spark.udf.register(prefix + "mg_agg", mg_agg)
+    spark.udf.register(prefix + "mg_candidates", mg_candidates)
+    spark.udf.register(prefix + "gram_agg", gram_agg)
+    spark.udf.register(prefix + "gram_eigvals", gram_eigvals)

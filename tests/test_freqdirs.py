@@ -178,3 +178,17 @@ def test_embedding_spectrum_distributed_in_bound(spark, emb_df):
     ex = np.linalg.eigvalsh(clean.astype(np.float64).T @ clean.astype(np.float64))[::-1]
     for r in rows:
         assert np.isclose(r["sigma_sq_exact"], ex[r["component"]], rtol=1e-6)
+
+
+def test_gram_sql_surface(spark, emb_df):
+    """gram_agg / gram_eigvals SQL functions match the numpy Gram."""
+    from rusty_bloomfilter_spark.functions.sql_sketches import register_sketch_sql
+
+    df, clean = emb_df
+    register_sketch_sql(spark, gram_dim=16, prefix="t2_")
+    df.createOrReplaceTempView("gram_vecs")
+    got = spark.sql(
+        "SELECT t2_gram_eigvals(t2_gram_agg(embedding)) AS e FROM gram_vecs"
+    ).collect()[0]["e"]
+    want = np.linalg.eigvalsh(clean.astype(np.float64).T @ clean.astype(np.float64))[::-1]
+    assert np.allclose(np.array(got), want, atol=1e-6)

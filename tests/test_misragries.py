@@ -240,3 +240,21 @@ def test_heavy_hitters_mg_validation_and_empty(spark):
         heavy_hitters_mg(empty, denom=1)
     with pytest.raises(ValueError):
         heavy_hitters_mg(empty, denom=400, capacity=16)
+
+
+def test_mg_sql_surface(spark, zipf_df):
+    """mg_agg / mg_candidates registered as SQL functions: the grouped
+    payload's candidate set contains every true heavy hitter."""
+    from pyspark.sql import functions as F
+
+    from rusty_bloomfilter_spark.functions.sql_sketches import register_sketch_sql
+
+    register_sketch_sql(spark, mg_capacity=256, prefix="t1_")
+    zipf_df.createOrReplaceTempView("mg_docs")
+    n = int(spark.sql("SELECT sum(size(tokens)) AS n FROM mg_docs").collect()[0]["n"])
+    got = spark.sql(
+        f"SELECT t1_mg_candidates(t1_mg_agg(tokens), {n // 257}) AS cand FROM mg_docs"
+    ).collect()[0]["cand"]
+    ex = zipf_df.select(F.explode("tokens").alias("tok")).groupBy("tok").count()
+    heavy = {r["tok"] for r in ex.where(F.col("count") > n // 257).collect()}
+    assert heavy and heavy <= set(got)
