@@ -115,6 +115,7 @@ _WINDOW_MIDDLE = [
     "q_heavy_tokens_mg",
     "q_embedding_gram",
     "q_embedding_spectrum",
+    "q_zone_pruned_read",
     # -- r3-green below
     "q_bloom_source_profile",
     "q_bloom_probe",
@@ -3280,6 +3281,45 @@ def q_counting_bloom_revoke(spark: SparkSession, sf_dir: str) -> DataFrame:
         "remaining_present bigint, revoked_present bigint, "
         "n_sticky bigint, saturation_ratio double",
     )
+
+
+@register(
+    "q_zone_pruned_read",
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        WHERE o_orderkey BETWEEN (SELECT max(o_orderkey) // 4 FROM orders)
+                             AND (SELECT max(o_orderkey) // 2 FROM orders)
+    """,
+)
+def q_zone_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map FILE PRUNING for RANGE predicates (operators/zonemap.py
+    — the companion to q_bloom_pruned_read's point lookups): lay orders
+    out range-partitioned across 8 parquet files, build one min/max
+    stats row per FILE over o_orderkey (pure Catalyst — the
+    user-controlled analogue of Iceberg manifest min-max bounds), then
+    answer a BETWEEN over a quarter of the key range by reading only
+    the files whose bounds intersect it. Exact bounds give zero false
+    negatives, so the pruned scan is provably equal to the oracle's
+    full-scan BETWEEN — exactly what the hash check verifies; an
+    in-query gate asserts files were genuinely skipped. At 100 TB this
+    is manifest-level partition pruning as a first-class, rebuildable
+    operator."""
+    from .operators.zonemap import zone_map_index, zone_pruned_read
+
+    orders = load_table(spark, sf_dir, "orders")
+    scratch = _scratch_dir("zmap")
+    orders.repartitionByRange(8, "o_orderkey").write.mode("overwrite").parquet(scratch)
+    laid = spark.read.parquet(scratch)
+    index = zone_map_index(laid, col="o_orderkey")
+    max_key = orders.agg(F.max("o_orderkey")).collect()[0][0]
+    rows, files_read = zone_pruned_read(
+        spark, scratch, index, col="o_orderkey",
+        lower=max_key // 4, upper=max_key // 2,
+    )
+    if not 0 < files_read < 8:  # the range layout must actually prune
+        raise AssertionError(f"zone map failed to prune: {files_read}/8 files")
+    return rows.select("o_orderkey", "o_custkey", "o_totalprice")
 
 
 @register(

@@ -1,8 +1,11 @@
 """Sketches as SQL aggregate/scalar functions.
 
 ``register_sketch_sql(spark)`` makes the sketch library usable from
-pure SQL (incl. the Misra-Gries summary via ``mg_agg``/``mg_candidates``
-and the exact Gram via ``gram_agg``/``gram_eigvals``):
+pure SQL — every mergeable summary in the library has an agg/estimate
+pair: ``hll_agg``/``hll_estimate``, ``bloom_agg``/``bloom_estimate_n``,
+``cms_agg``/``cms_query``, ``kll_agg``/``kll_quantile``,
+``mg_agg``/``mg_candidates``, ``gram_agg``/``gram_eigvals``, and the
+deletable-membership pair ``cbf_agg``/``cbf_subtract``:
 
     SELECT source,
            hll_estimate(hll_agg(tokens))      AS distinct_est,
@@ -42,6 +45,9 @@ def register_sketch_sql(
     bloom_p: float = 1e-4,
     mg_capacity: int = 1024,
     gram_dim: int = 64,
+    cms_d: int = 5,
+    cms_w: int = 8192,
+    kll_k: int = 200,
     prefix: str = "",
 ) -> None:
     """Register hll_agg / hll_estimate / bloom_agg / bloom_estimate_n
@@ -128,6 +134,55 @@ def register_sketch_sql(
         return pd.Series(out)
 
     @pandas_udf("binary")
+    def cms_agg(tokens: pd.Series) -> bytes:
+        # Count-Min frequency sketch over an array<int> column
+        from ..sketch import CountMinSketch
+
+        cms = CountMinSketch(d=cms_d, w=cms_w)
+        arrs = [np.asarray(a, dtype=np.int64) for a in tokens if a is not None and len(a)]
+        if arrs:
+            cms.add_tokens(np.concatenate(arrs))
+        return cms.to_bytes()
+
+    @pandas_udf("bigint")
+    def cms_query(payload: pd.Series, token: pd.Series) -> pd.Series:
+        # estimated count of one token per row (>= true count;
+        # overshoot <= eps*N with prob 1-delta)
+        from ..sketch import CountMinSketch
+
+        out = []
+        for p, t in zip(payload, token):
+            if p is None or t is None:
+                out.append(None)
+                continue
+            cms = CountMinSketch.from_bytes(bytes(p))
+            out.append(int(cms.query_tokens(np.asarray([int(t)], dtype=np.int64))[0]))
+        return pd.Series(out, dtype="object")
+
+    @pandas_udf("binary")
+    def kll_agg(values: pd.Series) -> bytes:
+        # KLL quantile sketch over a SCALAR numeric column
+        from ..sketch import KLLSketch
+
+        kll = KLLSketch(k=kll_k)
+        vals = values.dropna().to_numpy(dtype=np.float64)
+        if vals.size:
+            kll.update_batch(vals)
+        return kll.to_bytes()
+
+    @pandas_udf("double")
+    def kll_quantile(payload: pd.Series, q: pd.Series) -> pd.Series:
+        from ..sketch import KLLSketch
+
+        out = []
+        for p, qq in zip(payload, q):
+            if p is None or qq is None:
+                out.append(None)
+                continue
+            out.append(float(KLLSketch.from_bytes(bytes(p)).quantile(float(qq))))
+        return pd.Series(out, dtype="float64")
+
+    @pandas_udf("binary")
     def mg_agg(tokens: pd.Series) -> bytes:
         # Misra-Gries heavy-hitter summary over an array<int> column
         from ..sketch import MisraGries
@@ -187,6 +242,10 @@ def register_sketch_sql(
     spark.udf.register(prefix + "bloom_estimate_n", bloom_estimate_n)
     spark.udf.register(prefix + "cbf_agg", cbf_agg)
     spark.udf.register(prefix + "cbf_subtract", cbf_subtract)
+    spark.udf.register(prefix + "cms_agg", cms_agg)
+    spark.udf.register(prefix + "cms_query", cms_query)
+    spark.udf.register(prefix + "kll_agg", kll_agg)
+    spark.udf.register(prefix + "kll_quantile", kll_quantile)
     spark.udf.register(prefix + "mg_agg", mg_agg)
     spark.udf.register(prefix + "mg_candidates", mg_candidates)
     spark.udf.register(prefix + "gram_agg", gram_agg)

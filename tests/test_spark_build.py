@@ -267,6 +267,35 @@ def test_sql_sketch_aggregates(spark, seq_df, sequences_pdf):
         assert bytes(r["bloom_payload"]) == oracle_bf.to_bytes()
 
 
+def test_sql_cms_kll_functions(spark, seq_df, sequences_pdf):
+    """cms_agg/cms_query and kll_agg/kll_quantile SQL functions:
+    payloads match the numpy sketches bitwise; CMS one-sided bound and
+    KLL rank-error bound hold vs exact answers."""
+    from rusty_bloomfilter_spark.functions.sql_sketches import register_sketch_sql
+    from rusty_bloomfilter_spark.sketch import CountMinSketch, KLLSketch
+
+    register_sketch_sql(spark, cms_d=5, cms_w=4096, kll_k=128, prefix="t3_")
+    seq_df.createOrReplaceTempView("seq_sql3")
+    flat = np.concatenate(list(sequences_pdf["tokens"])).astype(np.int64)
+    top_tok = int(np.bincount(flat - flat.min()).argmax() + flat.min())
+    row = spark.sql(
+        f"""
+        SELECT t3_cms_agg(tokens) AS cms_payload,
+               t3_cms_query(t3_cms_agg(tokens), {top_tok}) AS est_count,
+               t3_kll_agg(CAST(n_tok AS DOUBLE)) AS kll_payload,
+               t3_kll_quantile(t3_kll_agg(CAST(n_tok AS DOUBLE)), 0.5) AS p50
+        FROM seq_sql3
+        """
+    ).collect()[0]
+    true_count = int((flat == top_tok).sum())
+    assert true_count <= row["est_count"] <= true_count + 0.01 * len(flat)
+    oracle_cms = CountMinSketch(d=5, w=4096).add_tokens(flat)
+    assert bytes(row["cms_payload"]) == oracle_cms.to_bytes()
+    ntok = sequences_pdf["n_tok"].to_numpy(dtype=np.float64)
+    true_rank = (ntok <= row["p50"]).mean()
+    assert abs(true_rank - 0.5) <= 2 * KLLSketch(k=128).rank_error() + 2 / len(ntok)
+
+
 def test_dedup_counts_unit():
     """bincount dedup: exact (values, multiplicities), negatives ok,
     wide-range and small inputs decline."""
