@@ -116,6 +116,8 @@ _WINDOW_MIDDLE = [
     "q_embedding_gram",
     "q_embedding_spectrum",
     "q_zone_pruned_read",
+    "q_key_skew_exact",
+    "q_key_skew_profile",
     # -- r3-green below
     "q_bloom_source_profile",
     "q_bloom_probe",
@@ -3320,6 +3322,123 @@ def q_zone_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not 0 < files_read < 8:  # the range layout must actually prune
         raise AssertionError(f"zone map failed to prune: {files_read}/8 files")
     return rows.select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+def _skewed_key_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> one BIGINT shuffle key per row, 80% collapsed onto
+    key 7 (the numeric twin of q_salted_skew_build's 'head' key; cold
+    keys offset past any doc_id so they never collide with 7)."""
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("long")
+    return docs.select(
+        F.when(did % 5 < 4, F.lit(7).cast("long"))
+        .otherwise(did + F.lit(1_000_000))
+        .alias("key")
+    )
+
+
+_SKEW_KEY_SQL = """
+    SELECT CASE WHEN CAST(doc_id AS BIGINT) % 5 < 4 THEN 7
+                ELSE CAST(doc_id AS BIGINT) + 1000000 END AS key
+    FROM documents
+"""
+
+
+@register(
+    "q_key_skew_exact",
+    oracle=f"""
+        WITH keyed AS ({_SKEW_KEY_SQL}),
+             counts AS (SELECT key, count(*) AS c FROM keyed GROUP BY key)
+        SELECT CAST(sum(c) AS BIGINT)   AS f1,
+               CAST(sum(c * c) AS BIGINT) AS f2,
+               CAST(count(*) AS BIGINT) AS ndv,
+               arg_max(key, c)          AS hot_key,
+               CAST(max(c) AS BIGINT)   AS hot_count
+        FROM counts
+    """,
+)
+def q_key_skew_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact skew moments of a hot shuffle key, pure Catalyst: per-key
+    counts then F1 = sum(c), F2 = sum(c^2) (the second frequency
+    moment), ndv, and the argmax hot key. This is the exact companion
+    that q_key_skew_profile's one-scan sketch estimates audit against —
+    and at 100 TB it is also the job you CANNOT afford on a hot key
+    (the GROUP BY shuffles the very key being diagnosed), which is why
+    the sketch path exists."""
+    counts = (
+        _skewed_key_frame(spark, sf_dir)
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return counts.agg(
+        F.sum("c").cast("long").alias("f1"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("f2"),
+        F.count(F.lit(1)).cast("long").alias("ndv"),
+        F.max_by("key", "c").alias("hot_key"),
+        F.max("c").cast("long").alias("hot_count"),
+    )
+
+
+@register("q_key_skew_profile")
+def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-driven skew diagnosis (operators/skew.py): ONE corpus
+    scan folds the key column into CountSketch (F2, sketch/ams.py) +
+    HLL (ndv) + Misra-Gries (which keys are hot) via build_multi — only
+    sketch rows shuffle, no key data ever concentrates — then emits the
+    salting plan the salted build (q_salted_skew_build) would execute.
+    In-query audit vs the exact Catalyst moments: F2 within 3x
+    sqrt(2/w), ndv within 3x 1.04/sqrt(2^p), MG bounds bracket the true
+    hot count, and the hot key is identified exactly. Merge algebra per
+    the reference's axioms (mod.rs:621-761): the profile is partition-
+    order invariant."""
+    from .operators.skew import key_skew_profile
+
+    keyed = _skewed_key_frame(spark, sf_dir)
+    prof = key_skew_profile(keyed, "key", w=8192, mg_capacity=64)
+    exact = (
+        keyed.groupBy("key")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.sum("c").alias("f1"),
+            F.sum(F.col("c") * F.col("c")).alias("f2"),
+            F.count(F.lit(1)).alias("ndv"),
+            F.max_by("key", "c").alias("hot_key"),
+            F.max("c").alias("hot_count"),
+        )
+        .collect()[0]
+    )
+    f2_rel = abs(prof.f2_est - exact["f2"]) / exact["f2"]
+    ndv_rel = abs(prof.ndv_est - exact["ndv"]) / exact["ndv"]
+    if f2_rel > 3 * prof.f2_rel_error:
+        raise AssertionError(f"F2 estimate out of bound: rel err {f2_rel}")
+    if ndv_rel > 3 * prof.ndv_rel_error:
+        raise AssertionError(f"ndv estimate out of bound: rel err {ndv_rel}")
+    if prof.n_rows != exact["f1"]:
+        raise AssertionError("row count drifted between scan and exact job")
+    top = prof.hot_keys[0]
+    if top.key != exact["hot_key"] or not top.est <= exact["hot_count"] <= top.ub:
+        raise AssertionError("MG hot-key bounds failed to bracket the truth")
+    plan = prof.salting_plan(n_partitions=32)
+    return spark.createDataFrame(
+        [
+            (
+                int(prof.n_rows),
+                int(prof.f2_est),
+                round(float(f2_rel), 6),
+                int(round(prof.ndv_est)),
+                round(float(ndv_rel), 6),
+                round(float(prof.uniformity_ratio), 3),
+                int(top.key),
+                round(float(top.share_ub), 6),
+                int(plan.get(top.key, 0)),
+            )
+        ],
+        schema=(
+            "f1 bigint, f2_est bigint, f2_rel_err double, ndv_est bigint, "
+            "ndv_rel_err double, uniformity_ratio double, hot_key bigint, "
+            "hot_share_ub double, salt_fanout int"
+        ),
+    )
 
 
 @register(

@@ -4,8 +4,10 @@
 pure SQL — every mergeable summary in the library has an agg/estimate
 pair: ``hll_agg``/``hll_estimate``, ``bloom_agg``/``bloom_estimate_n``,
 ``cms_agg``/``cms_query``, ``kll_agg``/``kll_quantile``,
-``mg_agg``/``mg_candidates``, ``gram_agg``/``gram_eigvals``, and the
-deletable-membership pair ``cbf_agg``/``cbf_subtract``:
+``mg_agg``/``mg_candidates``, ``gram_agg``/``gram_eigvals``,
+``ams_agg``/``ams_f2``/``ams_query`` (unbiased signed frequencies +
+the F2 skew oracle), and the deletable-membership pair
+``cbf_agg``/``cbf_subtract``:
 
     SELECT source,
            hll_estimate(hll_agg(tokens))      AS distinct_est,
@@ -48,6 +50,8 @@ def register_sketch_sql(
     cms_d: int = 5,
     cms_w: int = 8192,
     kll_k: int = 200,
+    ams_d: int = 5,
+    ams_w: int = 8192,
     prefix: str = "",
 ) -> None:
     """Register hll_agg / hll_estimate / bloom_agg / bloom_estimate_n
@@ -183,6 +187,42 @@ def register_sketch_sql(
         return pd.Series(out, dtype="float64")
 
     @pandas_udf("binary")
+    def ams_agg(tokens: pd.Series) -> bytes:
+        # count sketch (AMS) over an array<int> column: unbiased signed
+        # frequencies + the F2 second-moment skew oracle
+        from ..sketch import CountSketch
+
+        cs = CountSketch(d=ams_d, w=ams_w)
+        arrs = [np.asarray(a, dtype=np.int64) for a in tokens if a is not None and len(a)]
+        if arrs:
+            cs.add_tokens(np.concatenate(arrs))
+        return cs.to_bytes()
+
+    @pandas_udf("bigint")
+    def ams_f2(payload: pd.Series) -> pd.Series:
+        # second frequency moment estimate (per-row rel-std sqrt(2/w))
+        from ..sketch import CountSketch
+
+        out = []
+        for p in payload:
+            out.append(None if p is None else int(CountSketch.from_bytes(bytes(p)).f2()))
+        return pd.Series(out, dtype="object")
+
+    @pandas_udf("bigint")
+    def ams_query(payload: pd.Series, token: pd.Series) -> pd.Series:
+        # unbiased two-sided frequency estimate of one token per row
+        from ..sketch import CountSketch
+
+        out = []
+        for p, t in zip(payload, token):
+            if p is None or t is None:
+                out.append(None)
+                continue
+            cs = CountSketch.from_bytes(bytes(p))
+            out.append(int(cs.query_tokens(np.asarray([int(t)], dtype=np.int64))[0]))
+        return pd.Series(out, dtype="object")
+
+    @pandas_udf("binary")
     def mg_agg(tokens: pd.Series) -> bytes:
         # Misra-Gries heavy-hitter summary over an array<int> column
         from ..sketch import MisraGries
@@ -246,6 +286,9 @@ def register_sketch_sql(
     spark.udf.register(prefix + "cms_query", cms_query)
     spark.udf.register(prefix + "kll_agg", kll_agg)
     spark.udf.register(prefix + "kll_quantile", kll_quantile)
+    spark.udf.register(prefix + "ams_agg", ams_agg)
+    spark.udf.register(prefix + "ams_f2", ams_f2)
+    spark.udf.register(prefix + "ams_query", ams_query)
     spark.udf.register(prefix + "mg_agg", mg_agg)
     spark.udf.register(prefix + "mg_candidates", mg_candidates)
     spark.udf.register(prefix + "gram_agg", gram_agg)

@@ -19,6 +19,7 @@ from ..sketch import (
     BlockedBloomFilter,
     BloomFilter,
     CountMinSketch,
+    CountSketch,
     HyperLogLog,
     KLLSketch,
     MisraGries,
@@ -558,6 +559,57 @@ class CmsSketch:
             df, key_col, self._empty, self._update, self._merge,
             columns=[key_col, self.col], salt=salt,
         )
+
+
+# ---------------------------------------------------------------------------
+# Count sketch (AMS)
+# ---------------------------------------------------------------------------
+
+
+class AmsSketch:
+    """Distributed count sketch (AMS): UNBIASED two-sided frequency
+    estimates plus the F2 second-moment estimate — the skew oracle
+    behind operators/skew.key_skew_profile. ``scalar=True`` sketches a
+    scalar shuffle/join-key column (the primary use); default sketches
+    a token-array column like CmsSketch."""
+
+    def __init__(self, d: int = 5, w: int = 8192, *, col: str = "tokens", scalar: bool = False):
+        self.d = d
+        self.w = w
+        self.col = col
+        self.scalar = scalar
+
+    def _empty(self) -> CountSketch:
+        return CountSketch(self.d, self.w)
+
+    def _update(self, acc: CountSketch, batch) -> None:
+        if self.scalar:
+            vals = _scalar_values(batch, self.col)
+            if vals.size:
+                acc.add_tokens(vals)
+            return
+        toks = arrow_flat_tokens(batch, self.col)
+        if toks.size:
+            dc = dedup_counts(toks)
+            if dc is None:
+                acc.add_tokens(toks)
+            else:
+                # like CMS: multiplicities add natively, bincount weights
+                # stay exact small ints, table bits identical
+                acc.add_u64(tokens_to_u64(dc[0]), dc[1])
+
+    _merge = staticmethod(merge_sketch_payloads)
+
+    def build(self, df: DataFrame, *, fanout: int = 16) -> DataFrame:
+        return build_sketch(
+            df, self._empty, self._update, self._merge, columns=[self.col], fanout=fanout
+        )
+
+    def build_bytes(self, df: DataFrame, *, fanout: int = 16) -> tuple[bytes, int]:
+        return collect_sketch_bytes(self.build(df, fanout=fanout))
+
+    def estimate_counts(self, payload: bytes, tokens: np.ndarray) -> np.ndarray:
+        return CountSketch.from_bytes(payload).query_tokens(tokens)
 
 
 # ---------------------------------------------------------------------------

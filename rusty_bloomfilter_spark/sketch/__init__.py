@@ -7,6 +7,7 @@ identity, and serialization is canonical (a pure function of content),
 so distributed tree-merges are order-independent.
 """
 
+from .ams import CountSketch
 from .blocked import BlockedBloomFilter
 from .bloom import BloomFilter, SparseBloomBuilder, merge_payloads, popcount_words
 from .cms import CountMinSketch
@@ -28,6 +29,7 @@ _KINDS = {
     b"RKLL": KLLSketch,
     b"RTDG": TDigest,
     b"RMGS": MisraGries,
+    b"RAMS": CountSketch,
     b"RGRM": GramMatrix,
     b"RFDS": FrequentDirections,
 }
@@ -66,6 +68,7 @@ __all__ = [
     "BlockedBloomFilter",
     "BloomFilter",
     "CountMinSketch",
+    "CountSketch",
     "CountingBloomFilter",
     "FrequentDirections",
     "GramMatrix",

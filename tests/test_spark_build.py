@@ -296,6 +296,34 @@ def test_sql_cms_kll_functions(spark, seq_df, sequences_pdf):
     assert abs(true_rank - 0.5) <= 2 * KLLSketch(k=128).rank_error() + 2 / len(ntok)
 
 
+def test_sql_ams_functions(spark, seq_df, sequences_pdf):
+    """ams_agg/ams_f2/ams_query: payload matches the numpy CountSketch
+    bitwise; F2 estimate within the published bound of exact."""
+    from rusty_bloomfilter_spark.functions.sql_sketches import register_sketch_sql
+    from rusty_bloomfilter_spark.sketch import CountSketch
+
+    register_sketch_sql(spark, ams_d=5, ams_w=4096, prefix="t4_")
+    seq_df.createOrReplaceTempView("seq_sql4")
+    flat = np.concatenate(list(sequences_pdf["tokens"])).astype(np.int64)
+    top_tok = int(np.bincount(flat - flat.min()).argmax() + flat.min())
+    row = spark.sql(
+        f"""
+        SELECT t4_ams_agg(tokens) AS payload,
+               t4_ams_f2(t4_ams_agg(tokens)) AS f2_est,
+               t4_ams_query(t4_ams_agg(tokens), {top_tok}) AS est_count
+        FROM seq_sql4
+        """
+    ).collect()[0]
+    oracle = CountSketch(d=5, w=4096).add_tokens(flat)
+    assert bytes(row["payload"]) == oracle.to_bytes()
+    _, c = np.unique(flat, return_counts=True)
+    true_f2 = int((c.astype(np.float64) ** 2).sum())
+    assert abs(row["f2_est"] - true_f2) / true_f2 <= 3 * oracle.f2_rel_error()
+    true_count = int((flat == top_tok).sum())
+    bound = 3 * np.sqrt(true_f2 / 4096)
+    assert abs(row["est_count"] - true_count) <= bound
+
+
 def test_dedup_counts_unit():
     """bincount dedup: exact (values, multiplicities), negatives ok,
     wide-range and small inputs decline."""
