@@ -118,6 +118,7 @@ _WINDOW_MIDDLE = [
     "q_zone_pruned_read",
     "q_key_skew_exact",
     "q_key_skew_profile",
+    "q_range_layout_prune",
     # -- r3-green below
     "q_bloom_source_profile",
     "q_bloom_probe",
@@ -3322,6 +3323,50 @@ def q_zone_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not 0 < files_read < 8:  # the range layout must actually prune
         raise AssertionError(f"zone map failed to prune: {files_read}/8 files")
     return rows.select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+@register(
+    "q_range_layout_prune",
+    oracle="""
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_totalprice BETWEEN 50000.0 AND 120000.0
+    """,
+)
+def q_range_layout_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL-driven range layout end to end (operators/layout.py): cut 8
+    balanced boundaries from ONE mergeable quantile scan (no hidden
+    RangePartitioner sampling job, boundaries persistable across
+    snapshots), write one range-clustered file per bucket, zone-map the
+    layout, and answer a BETWEEN by reading only intersecting files.
+    In-query gates: files genuinely pruned, and every bucket's row
+    count within the published KLL rank-error of the even share.
+    Hash-matched vs DuckDB's full-scan BETWEEN — layout can never
+    change results (zero-FN pruning + exact final predicate), only
+    balance, and both are asserted."""
+    from .operators.layout import write_range_layout
+    from .operators.zonemap import zone_map_index, zone_pruned_read
+
+    orders = load_table(spark, sf_dir, "orders")
+    scratch = _scratch_dir("rlayout")
+    boundaries, rank_err = write_range_layout(orders, scratch, "o_totalprice", 8)
+    laid = spark.read.parquet(scratch)
+    index = zone_map_index(laid, col="o_totalprice")
+    stats = index.select("file", "n_rows").collect()
+    total = sum(r["n_rows"] for r in stats)
+    n_files = len(stats)
+    if n_files != len(boundaries) + 1:
+        raise AssertionError(f"{n_files} files for {len(boundaries)} cuts")
+    ideal = total / n_files
+    worst = max(r["n_rows"] for r in stats)
+    if worst > ideal * (1 + n_files * 3 * rank_err) + 1:
+        raise AssertionError(f"unbalanced layout: worst file {worst} vs ideal {ideal}")
+    rows, files_read = zone_pruned_read(
+        spark, scratch, index, col="o_totalprice", lower=50_000.0, upper=120_000.0
+    )
+    if not 0 < files_read < n_files:
+        raise AssertionError(f"layout failed to prune: {files_read}/{n_files}")
+    return rows.select("o_orderkey", "o_totalprice")
 
 
 def _skewed_key_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
