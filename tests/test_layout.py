@@ -96,6 +96,43 @@ def test_layout_zone_prune_equals_full(spark, vdf, values, tmp_path):
     assert got == want
 
 
+def test_append_snapshot_reuses_boundaries(spark, vdf, values, tmp_path):
+    """The cross-snapshot claim: append tomorrow's data against
+    YESTERDAY'S persisted boundaries (no new quantile scan), compact
+    the zone indexes, and the pruned read over the union stays exact
+    while still skipping files."""
+    base = str(tmp_path / "snap")
+    bs, _ = write_range_layout(vdf, base + "/day=0", "v", 8)
+    rng = np.random.default_rng(31)
+    new_vals = rng.lognormal(mean=4.0, sigma=1.0, size=10_000)
+    new_df = spark.createDataFrame(
+        [(100_000 + i, float(v)) for i, v in enumerate(new_vals)],
+        "id bigint, v double",
+    )
+    # same cuts, no range_boundaries call — files stay range-aligned
+    (
+        assign_buckets(new_df, "v", bs)
+        .repartition(8, F.col("bucket"))
+        .sortWithinPartitions("v")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(base + "/day=1")
+    )
+    from rusty_bloomfilter_spark.operators.zonemap import compact_zone_index
+
+    laid = spark.read.parquet(base)
+    index = compact_zone_index(zone_map_index(laid, col="v"))
+    all_vals = np.concatenate([values, new_vals])
+    all_ids = np.concatenate([np.arange(len(values)), 100_000 + np.arange(len(new_vals))])
+    lo, hi = float(np.percentile(all_vals, 35)), float(np.percentile(all_vals, 60))
+    rows, files_read = zone_pruned_read(spark, base, index, col="v", lower=lo, upper=hi)
+    n_files = index.count()
+    assert 0 < files_read < n_files
+    got = sorted(r["id"] for r in rows.collect())
+    mask = (all_vals >= lo) & (all_vals <= hi)
+    assert got == sorted(int(i) for i in all_ids[mask])
+
+
 def test_duplicate_cuts_collapse(spark):
     """A column dominated by one repeated value yields duplicate
     quantile cuts; boundaries dedupe and assignment stays correct."""
