@@ -119,6 +119,7 @@ _WINDOW_MIDDLE = [
     "q_key_skew_exact",
     "q_key_skew_profile",
     "q_range_layout_prune",
+    "q_join_advisor",
     # -- r3-green below
     "q_bloom_source_profile",
     "q_bloom_probe",
@@ -3367,6 +3368,59 @@ def q_range_layout_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not 0 < files_read < n_files:
         raise AssertionError(f"layout failed to prune: {files_read}/{n_files}")
     return rows.select("o_orderkey", "o_totalprice")
+
+
+@register(
+    "q_join_advisor",
+    oracle="""
+        SELECT c_mktsegment,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+    """,
+)
+def q_join_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-driven join planning end to end (operators/advisor.py):
+    ONE fused CMS+HLL+MG scan per side profiles the join key, the
+    advisor picks the strategy (customer is the small side here, so
+    broadcast — at 100 TB the decision that avoids shuffling the fact
+    table entirely), execute_join applies it, and the joined aggregate
+    hash-matches DuckDB's plain join: strategy choices can never change
+    results, only physical shape. In-query gates: the advice IS
+    broadcast_right, BroadcastHashJoin IS in the executed plan, and the
+    CMS inner-product size estimate brackets the exact join size
+    (every order has a valid customer, so exact = |orders|) within the
+    published eps*Na*Nb cap."""
+    import contextlib
+    import io
+
+    from .operators.advisor import advise_join, execute_join, profile_join_side
+    from .sketch import CountMinSketch
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    pf = profile_join_side(orders.select("o_custkey"), "o_custkey")
+    pd_ = profile_join_side(cust.select("o_custkey"), "o_custkey")
+    adv = advise_join(pf, pd_, broadcast_rows=max(pd_.n_rows, 1))
+    if adv.strategy != "broadcast_right":
+        raise AssertionError(f"expected broadcast_right, got {adv.strategy}")
+    eps, _delta = CountMinSketch.from_bytes(pf.cms_payload).error_bound()
+    exact_out = pf.n_rows  # FK join: every order matches one customer
+    if not exact_out <= adv.est_out_rows <= exact_out + eps * pf.n_rows * pd_.n_rows:
+        raise AssertionError(f"join-size estimate out of bound: {adv}")
+    joined = execute_join(orders, cust, "o_custkey", adv)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        joined.explain("formatted")
+    if "BroadcastHashJoin" not in buf.getvalue():
+        raise AssertionError("advised broadcast join did not broadcast")
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(38,4)")).cast("double").alias("revenue"),
+    )
 
 
 def _skewed_key_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
