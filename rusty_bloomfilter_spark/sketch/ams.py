@@ -153,6 +153,24 @@ class CountSketch:
         per_row = (self.table.astype(np.float64) ** 2).sum(axis=1)
         return int(np.median(per_row))
 
+    def inner_product(self, other: "CountSketch") -> int:
+        """UNBIASED estimate of Σ_k f_self(k)·f_other(k) — for sketches
+        over two join sides' keys, the equi-join output row count.
+        Median over rows of Σ_b A[i,b]·B[i,b]: within a row, matching
+        keys contribute sign²·fa·fb = fa·fb exactly while cross terms
+        carry independent ± signs and cancel in expectation, giving a
+        TWO-SIDED estimator (per-row std ≈ sqrt(2·F2_a·F2_b/w)) — the
+        complement of CountMinSketch.inner_product's one-sided
+        overestimate. Requires identical (d, w) so the per-row salt
+        streams line up. Sums in float64 (exact to 2^53 per term; the
+        sketch error floor is far above float rounding)."""
+        if (self.d, self.w) != (other.d, other.w):
+            raise ValueError("CountSketch dimension mismatch")
+        per_row = (
+            self.table.astype(np.float64) * other.table.astype(np.float64)
+        ).sum(axis=1)
+        return int(np.median(per_row))
+
     # -- merge -----------------------------------------------------------
 
     def merge_in_place(self, other: "CountSketch") -> "CountSketch":

@@ -98,6 +98,27 @@ def test_deletions_cancel_exactly():
     assert cs.n_items == 0
 
 
+def test_inner_product_join_size_two_sided():
+    """AMS inner product estimates |A join B| within 3x the per-row
+    std of truth (two-sided, unlike CMS's guaranteed overestimate)."""
+    rng = np.random.default_rng(7)
+    n = 50_000
+    w = 8192
+    a = rng.zipf(1.5, size=n).clip(max=20_000).astype(np.int64)
+    b = rng.zipf(1.5, size=n).clip(max=20_000).astype(np.int64)
+    va, ca = np.unique(a, return_counts=True)
+    vb, cb = np.unique(b, return_counts=True)
+    _, ia, ib = np.intersect1d(va, vb, return_indices=True)
+    exact = int((ca[ia].astype(np.float64) * cb[ib]).sum())
+    est = CountSketch(d=5, w=w).add_tokens(a).inner_product(
+        CountSketch(d=5, w=w).add_tokens(b)
+    )
+    bound = 3 * np.sqrt(2.0 * exact_f2(a) * exact_f2(b) / w)
+    assert abs(est - exact) <= bound, (est, exact, bound)
+    with pytest.raises(ValueError, match="dimension mismatch"):
+        CountSketch(d=5, w=4096).inner_product(CountSketch(d=5, w=8192))
+
+
 # ---------------------------------------------------------------------------
 # merge algebra
 # ---------------------------------------------------------------------------
