@@ -120,6 +120,7 @@ _WINDOW_MIDDLE = [
     "q_key_skew_profile",
     "q_range_layout_prune",
     "q_join_advisor",
+    "q_hll_rollup",
     # -- r3-green below
     "q_bloom_source_profile",
     "q_bloom_probe",
@@ -3421,6 +3422,69 @@ def q_join_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_orders"),
         F.sum(F.col("o_totalprice").cast("decimal(38,4)")).cast("double").alias("revenue"),
     )
+
+
+@register(
+    "q_hll_rollup",
+    oracle="""
+        WITH e AS (
+            SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, user_id
+            FROM events
+        )
+        SELECT event_type, day,
+               CAST(2 - GROUPING(event_type) - GROUPING(day) AS INT) AS level,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+        FROM e GROUP BY ROLLUP(event_type, day)
+    """,
+)
+def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count CUBE (operators/cube.py): ONE scan
+    builds a per-(type, day) HLL cell (map-side combined), then every
+    coarser level — per-type subtotals and the grand total — comes from
+    merging CELL PAYLOADS, never re-reading the corpus (an exact
+    GROUPING SETS re-aggregates the data once per level; at 100 TB the
+    rollup moves |cells| x 16 KiB instead). Merge-exactness (the
+    reference's algebra, mod.rs:621-761) makes each rolled payload
+    bitwise the direct build of that group, so every level keeps the
+    plain 1.04/sqrt(2^p) bound — asserted in-query against the exact
+    rollup on every row (estimates AND occurrence counts); the emitted
+    deterministic columns hash-match DuckDB's GROUP BY ROLLUP."""
+    from .operators.cube import hll_rollup
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    rolled = hll_rollup(ev, ["event_type", "day"], "user_id", p=14)
+    exact = ev.rollup("event_type", "day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.countDistinct("user_id").cast("long").alias("exact_distinct"),
+        (F.lit(2) - F.grouping("event_type") - F.grouping("day"))
+        .cast("int")
+        .alias("level"),
+    )
+    joined = rolled.join(
+        exact,
+        on=[
+            rolled["event_type"].eqNullSafe(exact["event_type"]),
+            rolled["day"].eqNullSafe(exact["day"]),
+            rolled["level"] == exact["level"],
+        ],
+        how="full_outer",
+    )
+    se = 1.04 / (2.0 ** 7)  # p=14 -> 1.04/sqrt(2^14)
+    bad = joined.filter(
+        F.col("est_distinct").isNull()
+        | F.col("exact_distinct").isNull()
+        | (F.col("n_items") != F.col("n_rows"))
+        | (
+            F.abs(F.col("est_distinct") - F.col("exact_distinct"))
+            > F.greatest(F.lit(3.0) * F.lit(se) * F.col("exact_distinct"), F.lit(3.0))
+        )
+    ).count()
+    if bad:
+        raise AssertionError(f"{bad} rollup cells failed the HLL bound / count audit")
+    return exact.select("event_type", "day", "level", "n_rows", "exact_distinct")
 
 
 def _skewed_key_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
