@@ -31,12 +31,55 @@ grouped-agg limitation.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import SparkSession
 from pyspark.sql.functions import pandas_udf
 
 from ..sketch import BloomFilter, HyperLogLog, Shape
+
+
+def _probe_int(t):
+    """Nullable per-row token -> exact python int or None.
+
+    An int64 token column WITH NULLS reaches a pandas UDF as float64
+    (Arrow->pandas promotion): the NULL rows arrive as NaN (never
+    ``None``) and must yield NULL, and |v| >= 2^53 floats have already
+    lost the original key — fail loudly rather than probe a rounded
+    value (same contract as operators.sketches._series_probe_values).
+    """
+    if t is None:
+        return None
+    if isinstance(t, float):
+        if math.isnan(t):
+            return None
+        if abs(t) >= 2.0**53:
+            raise ValueError(
+                "token column arrived as float64 (nullable-int64 promotion) "
+                "with |value| >= 2^53; the original integer key is "
+                "unrecoverable — filter NULLs out of the token column first"
+            )
+    return int(t)
+
+
+_CACHE_CAP = 32  # distinct payloads per python worker before reset
+
+
+def _cached_sketch(cache: dict, payload):
+    """Deserialize a sketch payload once per distinct bytes (the usual
+    shape is N rows sharing one aggregated payload — per-row from_bytes
+    would copy the whole table N times)."""
+    key = bytes(payload)
+    sk = cache.get(key)
+    if sk is None:
+        from ..sketch import sketch_from_bytes
+
+        if len(cache) >= _CACHE_CAP:
+            cache.clear()
+        sk = cache[key] = sketch_from_bytes(key)
+    return sk
 
 
 def register_sketch_sql(
@@ -148,19 +191,21 @@ def register_sketch_sql(
             cms.add_tokens(np.concatenate(arrs))
         return cms.to_bytes()
 
+    cms_cache: dict = {}
+
     @pandas_udf("bigint")
     def cms_query(payload: pd.Series, token: pd.Series) -> pd.Series:
         # estimated count of one token per row (>= true count;
-        # overshoot <= eps*N with prob 1-delta)
-        from ..sketch import CountMinSketch
-
+        # overshoot <= eps*N with prob 1-delta). NULL token -> NULL;
+        # payloads deserialize once per distinct bytes, not per row.
         out = []
         for p, t in zip(payload, token):
-            if p is None or t is None:
+            tok = _probe_int(t)
+            if p is None or tok is None:
                 out.append(None)
                 continue
-            cms = CountMinSketch.from_bytes(bytes(p))
-            out.append(int(cms.query_tokens(np.asarray([int(t)], dtype=np.int64))[0]))
+            cms = _cached_sketch(cms_cache, p)
+            out.append(int(cms.query_tokens(np.asarray([tok], dtype=np.int64))[0]))
         return pd.Series(out, dtype="object")
 
     @pandas_udf("binary")
@@ -174,16 +219,18 @@ def register_sketch_sql(
             kll.update_batch(vals)
         return kll.to_bytes()
 
+    kll_cache: dict = {}
+
     @pandas_udf("double")
     def kll_quantile(payload: pd.Series, q: pd.Series) -> pd.Series:
-        from ..sketch import KLLSketch
-
         out = []
         for p, qq in zip(payload, q):
-            if p is None or qq is None:
+            # a NULL q arrives as NaN (double promotion): must yield
+            # NULL, not quantile(nan) == the sketched max
+            if p is None or qq is None or (isinstance(qq, float) and math.isnan(qq)):
                 out.append(None)
                 continue
-            out.append(float(KLLSketch.from_bytes(bytes(p)).quantile(float(qq))))
+            out.append(float(_cached_sketch(kll_cache, p).quantile(float(qq))))
         return pd.Series(out, dtype="float64")
 
     @pandas_udf("binary")
@@ -208,18 +255,19 @@ def register_sketch_sql(
             out.append(None if p is None else int(CountSketch.from_bytes(bytes(p)).f2()))
         return pd.Series(out, dtype="object")
 
+    ams_cache: dict = {}
+
     @pandas_udf("bigint")
     def ams_query(payload: pd.Series, token: pd.Series) -> pd.Series:
         # unbiased two-sided frequency estimate of one token per row
-        from ..sketch import CountSketch
-
         out = []
         for p, t in zip(payload, token):
-            if p is None or t is None:
+            tok = _probe_int(t)
+            if p is None or tok is None:
                 out.append(None)
                 continue
-            cs = CountSketch.from_bytes(bytes(p))
-            out.append(int(cs.query_tokens(np.asarray([int(t)], dtype=np.int64))[0]))
+            cs = _cached_sketch(ams_cache, p)
+            out.append(int(cs.query_tokens(np.asarray([tok], dtype=np.int64))[0]))
         return pd.Series(out, dtype="object")
 
     @pandas_udf("binary")
@@ -241,11 +289,12 @@ def register_sketch_sql(
 
         out = []
         for p, t in zip(payload, threshold):
-            if p is None or t is None:
+            thr = _probe_int(t)  # nullable-int promotion guard
+            if p is None or thr is None:
                 out.append(None)
                 continue
             mg = MisraGries.from_bytes(bytes(p))
-            out.append([int(v) for v in mg.candidates_above(int(t)).view(np.int64)])
+            out.append([int(v) for v in mg.candidates_above(thr).view(np.int64)])
         return pd.Series(out)
 
     @pandas_udf("binary")

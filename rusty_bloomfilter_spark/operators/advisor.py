@@ -46,8 +46,7 @@ from pyspark.sql import functions as F
 
 from ..sketch import CountMinSketch, HyperLogLog, MisraGries, merge_sketch_payloads
 from .aggregate import build_multi
-from .skew import HotKey, _hot_keys
-from .sketches import _scalar_values
+from .skew import HotKey, _add_scalar, _hot_keys
 
 
 @dataclass(frozen=True)
@@ -69,6 +68,7 @@ class JoinAdvice:
     n_salt: int = 1          # fan-out when strategy == shuffle_salted
     hot_key: int | None = None
     hot_share_ub: float = 0.0
+    hot_side: str | None = None  # "left"|"right": which side owns the hot key
 
 
 def profile_join_side(
@@ -85,7 +85,7 @@ def profile_join_side(
     HLL ndv, CMS payload for inner products, MG hot keys). Both sides
     of a join MUST use the same (cms_d, cms_w) so the inner product's
     row-hash families line up."""
-    upd = lambda acc, batch: _add(acc, batch, key_col)  # noqa: E731
+    upd = lambda acc, batch: _add_scalar(acc, batch, key_col)  # noqa: E731
     specs = [
         ("cms", lambda: CountMinSketch(cms_d, cms_w), upd, merge_sketch_payloads),
         ("hll", lambda: HyperLogLog(hll_p), upd, merge_sketch_payloads),
@@ -100,12 +100,6 @@ def profile_join_side(
         cms_payload=bytes(row["payload_cms"]),
         hot_keys=_hot_keys(mg, n_rows),
     )
-
-
-def _add(acc, batch, col: str) -> None:
-    vals = _scalar_values(batch, col)
-    if vals.size:
-        acc.add_tokens(vals)
 
 
 def advise_join(
@@ -141,7 +135,7 @@ def advise_join(
     if min(left.n_rows, right.n_rows) <= broadcast_rows:
         side = "broadcast_left" if left.n_rows <= right.n_rows else "broadcast_right"
         return JoinAdvice(strategy=side, **base)
-    big = left if left.n_rows >= right.n_rows else right
+    big, side = (left, "left") if left.n_rows >= right.n_rows else (right, "right")
     share = big.n_rows / n_partitions
     if big.hot_keys and big.hot_keys[0].ub > overload * share:
         top = big.hot_keys[0]
@@ -150,6 +144,7 @@ def advise_join(
             n_salt=min(max_salt, math.ceil(top.ub / share)),
             hot_key=top.key,
             hot_share_ub=top.share_ub,
+            hot_side=side,
             **base,
         )
     return JoinAdvice(strategy="shuffle", **base)
@@ -170,7 +165,25 @@ def execute_join(
     if advice.strategy == "shuffle_salted":
         from .temporal import salted_join
 
-        # the bigger (salt-split) side must be the LEFT of salted_join;
-        # the right side is the replicated one
+        # the HOT side must be the salt-split (left) argument of
+        # salted_join; the other side is the replicated one. Salting
+        # the cold side would replicate the hot side's rows n_salt
+        # times while leaving the hot partition intact — worse than a
+        # plain shuffle.
+        if advice.hot_side == "right":
+            if how != "inner":
+                # swapping sides inverts outer semantics; a salted
+                # right/full join isn't expressible here — fall back to
+                # the plain shuffle (correct, just unsalted)
+                return left.join(right, on, how)
+            swapped = salted_join(right, left, on, n_salt=advice.n_salt, how="inner")
+            order = [on] + [c for c in left.columns if c != on] + [
+                c for c in right.columns if c != on
+            ]
+            return swapped.select(*order)
+        if how not in ("inner", "left"):
+            # salted_join supports inner/left only; never fail the
+            # caller's join over a physical-shape hint
+            return left.join(right, on, how)
         return salted_join(left, right, on, n_salt=advice.n_salt, how=how)
     return left.join(right, on, how)

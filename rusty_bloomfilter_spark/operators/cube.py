@@ -85,14 +85,14 @@ def sketch_rollup(
     n_sum = _sum_agg_udf()
     levels = []
     for lvl in range(len(dims), -1, -1):
-        keep = dims[:lvl]
-        agg = (
-            cells.groupBy(*keep).agg(
-                merge(F.col(payload_col)).alias(payload_col),
-                n_sum(F.col(n_col)).alias(n_col),
-            )
-            if lvl < len(dims)
-            else cells.select(*dims, payload_col, n_col)
+        # the finest level groups too (not a pass-through): a cells
+        # frame holding >1 row per dim combination (e.g. per-partition
+        # sketches that were never key-merged) must merge at EVERY
+        # level, or the finest level would emit fragments while
+        # subtotals are whole — an internally inconsistent cube
+        agg = cells.groupBy(*dims[:lvl]).agg(
+            merge(F.col(payload_col)).alias(payload_col),
+            n_sum(F.col(n_col)).alias(n_col),
         )
         for d in dims[lvl:]:
             agg = agg.withColumn(d, F.lit(None).cast("string"))

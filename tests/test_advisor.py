@@ -76,6 +76,29 @@ def test_hot_key_forces_salted_shuffle(spark, fact_df, dim_df):
     assert got == want
 
 
+def test_hot_right_side_salts_the_right_side(spark, fact_df, dim_df):
+    """Review regression: when the HOT side is the right argument, the
+    salt split must land on IT (salting the cold side would replicate
+    the hot side n_salt times and leave the hot partition intact)."""
+    pf = profile_join_side(fact_df, "k")
+    pd_ = profile_join_side(dim_df, "k")
+    adv = advise_join(pd_, pf, broadcast_rows=100, n_partitions=32)  # hot on RIGHT
+    assert adv.strategy == "shuffle_salted" and adv.hot_side == "right"
+    joined = execute_join(dim_df, fact_df, "k", adv)
+    # column order preserved: key, left cols, right cols
+    assert joined.columns == ["k", "label", "fact_id"]
+    want = sorted(
+        (r["k"], r["label"], r["fact_id"])
+        for r in dim_df.join(fact_df, "k").collect()
+    )
+    got = sorted((r["k"], r["label"], r["fact_id"]) for r in joined.collect())
+    assert got == want
+    # an outer join cannot be side-swapped: falls back to plain (exact)
+    outer = execute_join(dim_df, fact_df, "k", adv, how="left")
+    assert "_salt" not in outer.columns
+    assert outer.count() == dim_df.join(fact_df, "k", "left").count()
+
+
 def test_uniform_keys_plain_shuffle(spark, dim_df):
     big_a = spark.range(150_000).select((F.col("id") % 5000).alias("k"))
     big_b = spark.range(120_000).select((F.col("id") % 5000).alias("k"))

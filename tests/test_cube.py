@@ -84,6 +84,30 @@ def test_sketch_rollup_validates_dims(spark, facts):
         sketch_rollup(cells, ["missing"])
 
 
+def test_fragmented_cells_merge_at_finest_level(spark, facts):
+    """Review regression: a cells frame with >1 row per dim combination
+    (per-partition sketches never key-merged) must merge at the finest
+    level too, not pass fragments through."""
+    _, df = facts
+    cells = HllSketch(p=12, col="uid", scalar=True).build_by_key(
+        df.withColumn("_cell", F.col("t")).select("_cell", "uid"), "_cell"
+    ).withColumnRenamed("key", "t")
+    doubled = cells.unionByName(cells)  # two fragments per t
+    out = sketch_rollup(doubled, ["t"]).collect()
+    lv1 = [r for r in out if r["level"] == 1]
+    assert len(lv1) == 3  # one merged row per t, not six fragments
+    singles = {r["t"]: r for r in cells.collect()}
+    for r in lv1:
+        s = singles[r["t"]]
+        # register-idempotent max-merge: same estimate; occurrence
+        # counts add across fragments (header n_items doubles)
+        assert (
+            HyperLogLog.from_bytes(bytes(r["payload"])).estimate()
+            == HyperLogLog.from_bytes(bytes(s["payload"])).estimate()
+        )
+        assert r["n_items"] == 2 * s["n_items"]
+
+
 def test_rollup_partition_invariant(spark, facts):
     rows, df = facts
     a = {

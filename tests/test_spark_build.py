@@ -324,6 +324,35 @@ def test_sql_ams_functions(spark, seq_df, sequences_pdf):
     assert abs(row["est_count"] - true_count) <= bound
 
 
+def test_sql_probe_functions_nullable_args(spark, seq_df):
+    """Review regression: nullable BIGINT token / DOUBLE q columns
+    reach pandas UDFs as float64 with NaN for NULL rows — cms_query /
+    ams_query / kll_quantile must yield NULL there (not crash on
+    int(NaN), not return quantile(nan) == the sketched max)."""
+    from rusty_bloomfilter_spark.functions.sql_sketches import register_sketch_sql
+
+    register_sketch_sql(spark, cms_d=3, cms_w=1024, ams_d=3, ams_w=1024, kll_k=64, prefix="t5_")
+    seq_df.createOrReplaceTempView("seq_sql5")
+    spark.createDataFrame(
+        [(1, 42, 0.5), (2, None, None)], "id int, tok bigint, q double"
+    ).createOrReplaceTempView("probes5")
+    rows = spark.sql(
+        """
+        WITH s AS (SELECT t5_cms_agg(tokens) AS cms,
+                          t5_ams_agg(tokens) AS ams,
+                          t5_kll_agg(CAST(n_tok AS DOUBLE)) AS kll
+                   FROM seq_sql5)
+        SELECT p.id, t5_cms_query(s.cms, p.tok) AS c,
+               t5_ams_query(s.ams, p.tok) AS a,
+               t5_kll_quantile(s.kll, p.q) AS kq
+        FROM probes5 p CROSS JOIN s ORDER BY p.id
+        """
+    ).collect()
+    assert rows[0]["c"] is not None and rows[0]["a"] is not None
+    assert rows[0]["kq"] is not None
+    assert rows[1]["c"] is None and rows[1]["a"] is None and rows[1]["kq"] is None
+
+
 def test_dedup_counts_unit():
     """bincount dedup: exact (values, multiplicities), negatives ok,
     wide-range and small inputs decline."""
