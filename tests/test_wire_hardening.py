@@ -11,6 +11,7 @@ import pytest
 from rusty_bloomfilter_spark.sketch import (
     BloomFilter,
     CountMinSketch,
+    CountSketch,
     CountingBloomFilter,
     HyperLogLog,
     KLLSketch,
@@ -97,6 +98,7 @@ def test_sparse_builder_dense_snapshot_is_isolated():
     [
         (HyperLogLog, b"RHLL"),
         (CountMinSketch, b"RCMS"),
+        (CountSketch, b"RAMS"),
         (KLLSketch, b"RKLL"),
         (CountingBloomFilter, b"RCBF"),
     ],
