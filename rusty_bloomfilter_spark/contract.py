@@ -121,6 +121,7 @@ _WINDOW_MIDDLE = [
     "q_range_layout_prune",
     "q_join_advisor",
     "q_hll_rollup",
+    "q_streaming_drift",
     # -- r3-green below
     "q_bloom_source_profile",
     "q_bloom_probe",
@@ -2187,6 +2188,89 @@ def q_streaming_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     final.sort()
     return spark.createDataFrame(
         final, "window_epoch bigint, tok bigint, est_freq bigint, rank int"
+    )
+
+
+@register("q_streaming_drift")
+def q_streaming_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming distribution-drift monitor in the driver contract
+    (streaming/stateful.py::windowed_drift): a batch-built reference
+    CountSketch, then the documents token stream replayed as
+    micro-batches with HALF the sources' token ids shifted out of the
+    reference range. Drift per (source-group, window) = 1 - cosine
+    between frequency vectors, computed ENTIRELY from sketch payloads
+    (AMS inner product + F2) — no token dictionary, no join, O(d*w)
+    state per window. In-query gates: every unshifted window scores
+    drift < 0.1, every shifted window > 0.5 (detection, not just
+    liveness). Rows-only (the estimator is not one-shot SQL); the
+    planted-drift detection is pinned again in
+    tests/test_multimodal_streaming.py::test_windowed_drift_monitor."""
+    from .operators.sketches import AmsSketch
+    from .streaming.stateful import windowed_drift
+
+    seq = sequences_from_documents(spark, sf_dir)
+    ref_payload, _ = AmsSketch(d=5, w=4096, col="tokens").build_bytes(
+        seq.select("tokens")
+    )
+    # group A keeps reference tokens; group B shifts ids out of range
+    shifted = seq.select(
+        F.timestamp_seconds(
+            F.lit(1704067200) + (F.col("doc_id").cast("long") % 4) * 3600
+        ).alias("ts"),
+        F.when(F.col("doc_id").cast("long") % 2 == 0, F.lit("stable"))
+        .otherwise(F.lit("shifted"))
+        .alias("grp"),
+        F.when(
+            F.col("doc_id").cast("long") % 2 == 0, F.col("tokens")
+        )
+        .otherwise(F.transform("tokens", lambda t: t + F.lit(1_000_000)))
+        .alias("tokens"),
+    )
+    src = _scratch_dir("drift_src")
+    shifted.repartition(3).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(shifted.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = windowed_drift(
+        stream, ref_payload, ts_col="ts", tokens_col="tokens",
+        source_col="grp", window="1 hour",
+    )
+    emissions: list = []
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        for r in batch_df.collect():  # one row per active (grp, window)
+            emissions.append(r)
+
+    ckpt = _scratch_dir("drift_ckpt")
+    q = (
+        out.writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_stream(q)
+    last: dict = {}
+    for r in emissions:  # last emission per (grp, window) = max n_tokens
+        key = (r["source"], r["window_start"])
+        if key not in last or r["n_tokens"] > last[key]["n_tokens"]:
+            last[key] = r
+    if not last:
+        raise AssertionError("drift monitor emitted nothing")
+    for (grp, _), r in last.items():
+        if grp == "stable" and r["drift"] >= 0.1:
+            raise AssertionError(f"stable group drifted: {r}")
+        if grp == "shifted" and r["drift"] <= 0.5:
+            raise AssertionError(f"shifted group not detected: {r}")
+    final = sorted(
+        (r["source"], int(r["window_start"].timestamp()), int(r["n_tokens"]),
+         round(float(r["drift"]), 4))
+        for r in last.values()
+    )
+    return spark.createDataFrame(
+        final, "grp string, window_epoch bigint, n_tokens bigint, drift double"
     )
 
 

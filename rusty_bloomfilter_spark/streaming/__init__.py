@@ -11,13 +11,19 @@ watermark discarding late state.
 
 from .dedup import streaming_bloom_dedup
 from .sketch_stream import StreamingSketchState, streaming_bloom_build, windowed_distinct_users
-from .stateful import running_distinct_by_key, windowed_distinct, windowed_topk_tokens
+from .stateful import (
+    running_distinct_by_key,
+    windowed_distinct,
+    windowed_drift,
+    windowed_topk_tokens,
+)
 
 __all__ = [
     "StreamingSketchState",
     "running_distinct_by_key",
     "streaming_bloom_dedup",
     "windowed_distinct",
+    "windowed_drift",
     "windowed_topk_tokens",
     "streaming_bloom_build",
     "windowed_distinct_users",

@@ -241,3 +241,109 @@ def windowed_topk_tokens(
             ),
         )
     )
+
+
+_DRIFT_OUTPUT = (
+    "source string, window_start timestamp, n_tokens bigint, "
+    "cosine double, drift double"
+)
+_DRIFT_STATE = "payload binary"
+
+
+def windowed_drift(
+    stream_df: DataFrame,
+    reference_payload: bytes,
+    *,
+    ts_col: str = "ts",
+    tokens_col: str = "tokens",
+    source_col: str = "source",
+    window: str = "1 hour",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Streaming token-DISTRIBUTION drift monitor: per (source, window),
+    accumulate a CountSketch (sketch/ams.py) over the window's tokens
+    and emit the cosine similarity between the window's frequency
+    vector and a batch-built REFERENCE CountSketch — entirely from
+    payloads: cos = <a,b> / sqrt(F2(a)·F2(b)), with <a,b> the unbiased
+    AMS inner product and F2 the second moments. ``drift = 1 - cos`` is
+    scale-invariant (a small window of the same distribution scores ~0;
+    a shifted token distribution scores high), so the monitor needs no
+    token dictionary, no join against the reference corpus, and O(d·w)
+    state per live window regardless of stream length — the 100-TB
+    guardrail that pages a human when tomorrow's crawl stops looking
+    like the training distribution.
+
+    ``reference_payload`` must be a CountSketch with the same (d, w)
+    (build it in batch: AmsSketch(...).build_bytes(corpus)); dimension
+    mismatch fails loudly at the first window. ``watermark`` bounds
+    total state via event-time timeout, as in windowed_topk_tokens.
+    """
+    from ..sketch import CountSketch
+
+    ref = CountSketch.from_bytes(reference_payload)  # validate eagerly
+    d_, w_ = ref.d, ref.w
+
+    def update(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        from ..sketch import CountSketch
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        reference = CountSketch.from_bytes(reference_payload)
+        if state.exists:
+            cs = CountSketch.from_bytes(bytes(state.get[0]))
+        else:
+            cs = CountSketch(d_, w_)
+        for pdf in pdfs:
+            arrs = [
+                np.asarray(a)
+                for a in pdf[tokens_col].to_numpy()
+                if a is not None and len(a)
+            ]
+            if arrs:
+                cs.add_tokens(np.concatenate(arrs).astype(np.int64, copy=False))
+        if cs.n_items == 0:
+            return
+        state.update((cs.to_bytes(),))
+        if timeout:
+            state.setTimeoutTimestamp(key[2])  # expire at window end
+        f2w = cs.f2()
+        f2r = reference.f2()
+        inner = cs.inner_product(reference)
+        cos = inner / np.sqrt(float(f2w) * float(f2r)) if f2w > 0 and f2r > 0 else 0.0
+        cos = float(min(1.0, max(-1.0, cos)))  # estimator jitter clamp
+        yield pd.DataFrame(
+            {
+                "source": [key[0]],
+                "window_start": [key[1]],
+                "n_tokens": [cs.n_items],
+                "cosine": [cos],
+                "drift": [1.0 - cos],
+            }
+        )
+
+    from pyspark.sql import functions as F
+
+    timeout = watermark is not None
+    if timeout:
+        stream_df = stream_df.withWatermark(ts_col, watermark)
+    win = F.window(ts_col, window)
+    windowed = stream_df.select(
+        "*", win["start"].alias("window_start"), win["end"].alias("window_end")
+    )
+    return (
+        windowed.groupBy(source_col, "window_start", "window_end")
+        .applyInPandasWithState(
+            update,
+            outputStructType=_DRIFT_OUTPUT,
+            stateStructType=_DRIFT_STATE,
+            outputMode="update",
+            timeoutConf=(
+                GroupStateTimeout.EventTimeTimeout if timeout else GroupStateTimeout.NoTimeout
+            ),
+        )
+    )

@@ -464,3 +464,76 @@ def test_running_distinct_tolerates_null_values(spark, tmp_path):
     assert last["a"]["n_items"] == 3 and last["b"]["n_items"] == 3
     assert abs(last["a"]["distinct_est"] - 3) < 0.5
     assert abs(last["b"]["distinct_est"] - 3) < 0.5
+
+
+def test_windowed_drift_monitor(spark, tmp_path):
+    """Streaming distribution-drift monitor: a source whose token
+    distribution matches the batch reference scores drift ~0 in every
+    window; a source with a shifted (disjoint-range) distribution
+    scores high — detected purely from sketch payloads, no token join."""
+    import numpy as np
+    import pandas as pd
+
+    from rusty_bloomfilter_spark.operators.sketches import AmsSketch
+    from rusty_bloomfilter_spark.streaming import windowed_drift
+
+    rng = np.random.default_rng(31)
+    # batch reference corpus: zipf over [1, 5000]
+    ref_tokens = [rng.zipf(1.4, size=40).clip(max=5000).astype(np.int64) for _ in range(800)]
+    ref_df = spark.createDataFrame(pd.DataFrame({"tokens": ref_tokens}))
+    ref_payload, _ = AmsSketch(d=5, w=4096, col="tokens").build_bytes(ref_df)
+
+    n = 1200
+    ts = pd.to_datetime("2024-01-01 00:00:00") + pd.to_timedelta(
+        rng.integers(0, 7200, n), unit="s"
+    )
+    stable = [rng.zipf(1.4, size=40).clip(max=5000).astype(np.int64) for _ in range(n // 2)]
+    # shifted: same shape, disjoint token range
+    drifted = [
+        (rng.zipf(1.4, size=40).clip(max=5000) + 100_000).astype(np.int64)
+        for _ in range(n // 2)
+    ]
+    pdf = pd.DataFrame(
+        {
+            "ts": ts,
+            "source": ["stable"] * (n // 2) + ["drifted"] * (n // 2),
+            "tokens": stable + drifted,
+        }
+    )
+    src = str(tmp_path / "drift_src")
+    batch_df = spark.createDataFrame(pdf)
+    batch_df.repartition(3).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(batch_df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = windowed_drift(stream, ref_payload, window="1 hour")
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("win_drift")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("select * from win_drift").collect()
+    assert rows
+    # keep the LAST emission per (source, window) = max n_tokens
+    last: dict = {}
+    for r in rows:
+        k = (r["source"], r["window_start"])
+        if k not in last or r["n_tokens"] > last[k]["n_tokens"]:
+            last[k] = r
+    stable_drifts = [r["drift"] for k, r in last.items() if k[0] == "stable"]
+    drifted_drifts = [r["drift"] for k, r in last.items() if k[0] == "drifted"]
+    assert len(stable_drifts) == 2 and len(drifted_drifts) == 2  # two windows
+    assert all(d < 0.1 for d in stable_drifts), stable_drifts
+    assert all(d > 0.5 for d in drifted_drifts), drifted_drifts
+    # a forged reference payload fails loudly in the driver, before
+    # any stream starts
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        windowed_drift(stream, b"nope")
