@@ -6,8 +6,10 @@ pair: ``hll_agg``/``hll_estimate``, ``bloom_agg``/``bloom_estimate_n``,
 ``cms_agg``/``cms_query``, ``kll_agg``/``kll_quantile``,
 ``mg_agg``/``mg_candidates``, ``gram_agg``/``gram_eigvals``,
 ``ams_agg``/``ams_f2``/``ams_query`` (unbiased signed frequencies +
-the F2 skew oracle), and the deletable-membership pair
-``cbf_agg``/``cbf_subtract``:
+the F2 skew oracle), the deletable-membership pair
+``cbf_agg``/``cbf_subtract``, and ``sketch_merge`` — a GROUPED_AGG
+payload merge for ANY registry kind, so finest-grain sketch cells roll
+up to coarser groups in pure SQL without re-scanning the source:
 
     SELECT source,
            hll_estimate(hll_agg(tokens))      AS distinct_est,
@@ -271,6 +273,17 @@ def register_sketch_sql(
         return pd.Series(out, dtype="object")
 
     @pandas_udf("binary")
+    def sketch_merge(payloads: pd.Series) -> bytes:
+        # GROUPED_AGG payload merge, any registry kind (magic
+        # dispatch): rolls finest-grain sketch cells up to coarser
+        # groups in pure SQL without re-scanning the source —
+        # SELECT source, hll_estimate(sketch_merge(payload))
+        # FROM cells GROUP BY source
+        from ..sketch import merge_sketch_payloads
+
+        return merge_sketch_payloads([bytes(p) for p in payloads if p is not None])
+
+    @pandas_udf("binary")
     def mg_agg(tokens: pd.Series) -> bytes:
         # Misra-Gries heavy-hitter summary over an array<int> column
         from ..sketch import MisraGries
@@ -335,6 +348,7 @@ def register_sketch_sql(
     spark.udf.register(prefix + "cms_query", cms_query)
     spark.udf.register(prefix + "kll_agg", kll_agg)
     spark.udf.register(prefix + "kll_quantile", kll_quantile)
+    spark.udf.register(prefix + "sketch_merge", sketch_merge)
     spark.udf.register(prefix + "ams_agg", ams_agg)
     spark.udf.register(prefix + "ams_f2", ams_f2)
     spark.udf.register(prefix + "ams_query", ams_query)

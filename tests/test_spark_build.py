@@ -353,6 +353,35 @@ def test_sql_probe_functions_nullable_args(spark, seq_df):
     assert rows[1]["c"] is None and rows[1]["a"] is None and rows[1]["kq"] is None
 
 
+def test_sql_sketch_merge_rollup(spark, seq_df, sequences_pdf):
+    """sketch_merge GROUPED_AGG: per-source HLL cells rolled to the
+    grand total in pure SQL are BITWISE the direct whole-corpus build
+    (merge-exactness through the SQL surface)."""
+    from rusty_bloomfilter_spark.functions.sql_sketches import register_sketch_sql
+    from rusty_bloomfilter_spark.sketch import HyperLogLog
+
+    register_sketch_sql(spark, hll_p=12, prefix="t6_")
+    seq_df.createOrReplaceTempView("seq_sql6")
+    row = spark.sql(
+        """
+        WITH cells AS (
+            SELECT source, t6_hll_agg(tokens) AS payload
+            FROM seq_sql6 GROUP BY source
+        )
+        SELECT t6_sketch_merge(payload) AS total,
+               t6_hll_estimate(t6_sketch_merge(payload)) AS est
+        FROM cells
+        """
+    ).collect()[0]
+    flat = np.concatenate(list(sequences_pdf["tokens"])).astype(np.int64)
+    direct = HyperLogLog(12).add_tokens(flat)
+    got = HyperLogLog.from_bytes(bytes(row["total"]))
+    # registers identical (estimate equal); n_items may differ only if
+    # the keyed agg saw a different occurrence count — it must not
+    assert got == direct and got.n_items == flat.size
+    assert row["est"] == direct.estimate()
+
+
 def test_dedup_counts_unit():
     """bincount dedup: exact (values, multiplicities), negatives ok,
     wide-range and small inputs decline."""
