@@ -15,6 +15,7 @@ from .stateful import (
     running_distinct_by_key,
     windowed_distinct,
     windowed_drift,
+    windowed_quantiles,
     windowed_topk_tokens,
 )
 
@@ -24,6 +25,7 @@ __all__ = [
     "streaming_bloom_dedup",
     "windowed_distinct",
     "windowed_drift",
+    "windowed_quantiles",
     "windowed_topk_tokens",
     "streaming_bloom_build",
     "windowed_distinct_users",

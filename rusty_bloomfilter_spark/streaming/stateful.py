@@ -243,6 +243,92 @@ def windowed_topk_tokens(
     )
 
 
+_QUANT_OUTPUT = (
+    "window_start timestamp, n_items bigint, q double, value double"
+)
+_QUANT_STATE = "payload binary"
+
+
+def windowed_quantiles(
+    stream_df: DataFrame,
+    *,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window: str = "1 hour",
+    qs: tuple = (0.5, 0.95, 0.99),
+    k: int = 200,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Streaming per-window quantiles via a KLL sketch as
+    applyInPandasWithState state — the observability staple (p50/p95/
+    p99 per window) with O(k·log(n/k)) state per live window instead of
+    buffering the window's values. Every micro-batch folds the batch's
+    values into the window's sketch and re-emits the requested
+    quantiles over the window's WHOLE history so far (update mode; the
+    last emission per window is the final answer). Estimates carry the
+    published KLL normalized rank error ~O(1/k). ``watermark`` bounds
+    total state via event-time timeout, as in windowed_topk_tokens."""
+    from ..sketch import KLLSketch
+
+    qs = tuple(float(q) for q in qs)
+    if not qs or not all(0.0 <= q <= 1.0 for q in qs):
+        raise ValueError("qs must be fractions in [0, 1]")
+
+    def update(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        from ..sketch import KLLSketch
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            sk = KLLSketch.from_bytes(bytes(state.get[0]))
+        else:
+            sk = KLLSketch(k)
+        for pdf in pdfs:
+            vals = pdf[value_col].dropna().to_numpy(dtype=np.float64)
+            if vals.size:
+                sk.update_batch(vals)
+        if sk.n_items == 0:
+            return
+        state.update((sk.to_bytes(),))
+        if timeout:
+            state.setTimeoutTimestamp(key[1])  # expire at window end
+        yield pd.DataFrame(
+            {
+                "window_start": [key[0]] * len(qs),
+                "n_items": [sk.n_items] * len(qs),
+                "q": list(qs),
+                "value": [float(sk.quantile(q)) for q in qs],
+            }
+        )
+
+    from pyspark.sql import functions as F
+
+    timeout = watermark is not None
+    if timeout:
+        stream_df = stream_df.withWatermark(ts_col, watermark)
+    win = F.window(ts_col, window)
+    windowed = stream_df.select(
+        "*", win["start"].alias("window_start"), win["end"].alias("window_end")
+    )
+    return (
+        windowed.groupBy("window_start", "window_end")
+        .applyInPandasWithState(
+            update,
+            outputStructType=_QUANT_OUTPUT,
+            stateStructType=_QUANT_STATE,
+            outputMode="update",
+            timeoutConf=(
+                GroupStateTimeout.EventTimeTimeout if timeout else GroupStateTimeout.NoTimeout
+            ),
+        )
+    )
+
+
 _DRIFT_OUTPUT = (
     "source string, window_start timestamp, n_tokens bigint, "
     "cosine double, drift double"

@@ -537,3 +537,62 @@ def test_windowed_drift_monitor(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         windowed_drift(stream, b"nope")
+
+
+def test_windowed_quantiles_stream(spark, tmp_path):
+    """Streaming per-window p50/p95/p99: the final emission per window
+    is within the KLL rank-error bound of the exact batch quantiles."""
+    import numpy as np
+    import pandas as pd
+
+    from rusty_bloomfilter_spark.sketch import KLLSketch
+    from rusty_bloomfilter_spark.streaming import windowed_quantiles
+
+    rng = np.random.default_rng(37)
+    n = 6000
+    ts = pd.to_datetime("2024-01-01 00:00:00") + pd.to_timedelta(
+        rng.integers(0, 7200, n), unit="s"
+    )
+    vals = rng.lognormal(mean=1.0, sigma=0.8, size=n)
+    pdf = pd.DataFrame({"ts": ts, "value": vals})
+    src = str(tmp_path / "quant_src")
+    batch_df = spark.createDataFrame(pdf)
+    batch_df.repartition(3).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(batch_df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = windowed_quantiles(stream, window="1 hour", qs=(0.5, 0.95, 0.99), k=200)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("win_quant")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("select * from win_quant").collect()
+    assert rows
+    last: dict = {}
+    for r in rows:  # final emission per (window, q) = max n_items
+        key = (r["window_start"], r["q"])
+        if key not in last or r["n_items"] > last[key]["n_items"]:
+            last[key] = r
+    rank_err = KLLSketch(k=200).rank_error()
+    win = pdf.assign(w=pdf["ts"].dt.floor("h"))
+    checked = 0
+    for (wstart, qq), r in last.items():
+        grp = np.sort(win[win["w"] == wstart]["value"].to_numpy())
+        assert r["n_items"] == grp.size
+        # estimate's true rank within the published bound of q
+        true_rank = np.searchsorted(grp, r["value"], side="right") / grp.size
+        assert abs(true_rank - qq) <= 3 * rank_err + 2 / grp.size, (wstart, qq)
+        checked += 1
+    assert checked == 6  # two windows x three quantiles
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="fractions"):
+        windowed_quantiles(stream, qs=(1.5,))
