@@ -122,6 +122,7 @@ _WINDOW_MIDDLE = [
     "q_join_advisor",
     "q_hll_rollup",
     "q_streaming_drift",
+    "q_inverted_index",
     # -- r3-green below
     "q_bloom_source_profile",
     "q_bloom_probe",
@@ -3569,6 +3570,50 @@ def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     if bad:
         raise AssertionError(f"{bad} rollup cells failed the HLL bound / count audit")
     return exact.select("event_type", "day", "level", "n_rows", "exact_distinct")
+
+
+@register(
+    "q_inverted_index",
+    oracle=_SEQ_CTE
+    + """
+    , pairs AS (
+        SELECT doc_id, unnest(tokens) AS token FROM sequences
+    ), per_doc AS (
+        SELECT token, doc_id, count(*) AS tf FROM pairs GROUP BY token, doc_id
+    ), idx AS (
+        SELECT token,
+               CAST(count(*) AS BIGINT) AS df,
+               CAST(sum(tf) AS BIGINT) AS cf,
+               md5(string_agg(doc_id, ',' ORDER BY doc_id)) AS postings_md5
+        FROM per_doc GROUP BY token HAVING count(*) >= 2
+    )
+    SELECT CAST(token AS BIGINT) AS token, df, cf, postings_md5
+    FROM idx ORDER BY df DESC, token LIMIT 100
+    """,
+)
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build (operators/postings.py): per token the
+    SORTED posting list (deterministic under any partitioning — a bare
+    collect_list would be partition-ordered), df and cf, with rare
+    tokens (df < 2) pruned BEFORE any list is collected (the map-side-
+    combined df pass + broadcast semi-join keeps the heavy hapax tail
+    out of collect_list memory — the 100-TB index build's cap). Posting
+    MEMBERSHIP AND ORDER are pinned by md5 over the comma-joined list,
+    hash-matched against DuckDB re-deriving identical lists."""
+    from .operators.postings import posting_lists
+
+    seq = sequences_from_documents(spark, sf_dir)
+    idx = posting_lists(seq, min_df=2)
+    return (
+        idx.select(
+            "token",
+            "df",
+            "cf",
+            F.md5(F.concat_ws(",", F.col("postings"))).alias("postings_md5"),
+        )
+        .orderBy(F.desc("df"), "token")
+        .limit(100)
+    )
 
 
 def _skewed_key_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
