@@ -202,7 +202,9 @@ def register_sketch_sql(
         # payloads deserialize once per distinct bytes, not per row.
         out = []
         for p, t in zip(payload, token):
-            tok = _probe_int(t)
+            # payload check FIRST: a NULL-payload row answers NULL no
+            # matter the token — the >=2^53 guard must not fire for it
+            tok = None if p is None else _probe_int(t)
             if p is None or tok is None:
                 out.append(None)
                 continue
@@ -264,7 +266,7 @@ def register_sketch_sql(
         # unbiased two-sided frequency estimate of one token per row
         out = []
         for p, t in zip(payload, token):
-            tok = _probe_int(t)
+            tok = None if p is None else _probe_int(t)  # payload first
             if p is None or tok is None:
                 out.append(None)
                 continue
@@ -281,7 +283,10 @@ def register_sketch_sql(
         # FROM cells GROUP BY source
         from ..sketch import merge_sketch_payloads
 
-        return merge_sketch_payloads([bytes(p) for p in payloads if p is not None])
+        present = [bytes(p) for p in payloads if p is not None]
+        # SQL aggregate semantics: a group with no non-NULL payloads
+        # yields NULL, never a task-crashing ValueError
+        return merge_sketch_payloads(present) if present else None
 
     @pandas_udf("binary")
     def mg_agg(tokens: pd.Series) -> bytes:

@@ -177,6 +177,12 @@ def execute_join(
                 # the plain shuffle (correct, just unsalted)
                 return left.join(right, on, how)
             swapped = salted_join(right, left, on, n_salt=advice.n_salt, how="inner")
+            names = swapped.columns
+            if len(set(names)) != len(names):
+                # duplicate non-key column names survive a join (same
+                # as a plain join); selecting by name would be
+                # ambiguous — return the swapped order as-is
+                return swapped
             order = [on] + [c for c in left.columns if c != on] + [
                 c for c in right.columns if c != on
             ]

@@ -3,17 +3,19 @@
 The search-index write path of a token corpus: for each token, the
 sorted list of documents containing it (posting list), its document
 frequency (df) and collection frequency (cf). Entirely Catalyst —
-posexplode-free explode, one hash aggregate keyed by token with
-map-side combine for the counts, and ``sort_array(collect_set(...))``
-for a DETERMINISTIC posting order (a bare collect_list order is
-partition-dependent and would break cross-engine pinning).
+explode, a per-(token, doc) pre-aggregation that both computes tf and
+DEDUPLICATES (exactly one row per posting), then
+``sort_array(collect_list(...))`` over those distinct rows for a
+DETERMINISTIC posting order (a bare collect_list order is
+partition-dependent and would break cross-engine pinning; the dedup
+lives in the groupBy, not in a collect_set).
 
 Scale shape: the shuffle carries (token, doc_id) DISTINCT pairs — the
 posting mass itself, which is the output being built, so it is
 inherent, not overhead. ``min_df`` prunes hapax/rare tokens BEFORE the
 list aggregation (the df count aggregate is map-side combined and
 cheap), which is how a 100-TB index build caps its largest lists'
-memory: the heavy tail of rare tokens never reaches collect_set.
+memory: the heavy tail of rare tokens never reaches the list agg.
 Posting lists of stop-word-grade tokens are the residual hot groups;
 cap them upstream with a stop-list filter if df_ub x id-width exceeds
 task memory (the Misra-Gries summary from operators/topk.py identifies

@@ -268,8 +268,6 @@ def windowed_quantiles(
     last emission per window is the final answer). Estimates carry the
     published KLL normalized rank error ~O(1/k). ``watermark`` bounds
     total state via event-time timeout, as in windowed_topk_tokens."""
-    from ..sketch import KLLSketch
-
     qs = tuple(float(q) for q in qs)
     if not qs or not all(0.0 <= q <= 1.0 for q in qs):
         raise ValueError("qs must be fractions in [0, 1]")
@@ -369,6 +367,8 @@ def windowed_drift(
     ref = CountSketch.from_bytes(reference_payload)  # validate eagerly
     d_, w_ = ref.d, ref.w
 
+    ref_cache: dict = {}  # one deserialized reference per python worker
+
     def update(
         key: tuple,
         pdfs: Iterator[pd.DataFrame],
@@ -379,7 +379,11 @@ def windowed_drift(
         if state.hasTimedOut:
             state.remove()
             return
-        reference = CountSketch.from_bytes(reference_payload)
+        reference = ref_cache.get("ref")
+        if reference is None:
+            # read-only after this (inner_product/f2 don't mutate), so
+            # one parse per worker instead of one per group per batch
+            reference = ref_cache["ref"] = CountSketch.from_bytes(reference_payload)
         if state.exists:
             cs = CountSketch.from_bytes(bytes(state.get[0]))
         else:

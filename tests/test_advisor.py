@@ -99,6 +99,21 @@ def test_hot_right_side_salts_the_right_side(spark, fact_df, dim_df):
     assert outer.count() == dim_df.join(fact_df, "k", "left").count()
 
 
+def test_hot_right_swap_with_duplicate_column_names(spark, fact_df, dim_df):
+    """Review regression: both sides carrying a same-named non-key
+    column (plain joins keep duplicates) must not crash the swapped
+    salted path with AMBIGUOUS_REFERENCE."""
+    pf = profile_join_side(fact_df, "k")
+    pd_ = profile_join_side(dim_df, "k")
+    adv = advise_join(pd_, pf, broadcast_rows=100, n_partitions=32)
+    assert adv.strategy == "shuffle_salted" and adv.hot_side == "right"
+    l = dim_df.withColumnRenamed("label", "v")
+    r = fact_df.withColumnRenamed("fact_id", "v")
+    joined = execute_join(l, r, "k", adv)
+    assert joined.columns.count("v") == 2  # plain-join duplicate semantics
+    assert joined.count() == l.join(r, "k").count()
+
+
 def test_uniform_keys_plain_shuffle(spark, dim_df):
     big_a = spark.range(150_000).select((F.col("id") % 5000).alias("k"))
     big_b = spark.range(120_000).select((F.col("id") % 5000).alias("k"))

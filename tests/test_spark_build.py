@@ -382,6 +382,30 @@ def test_sql_sketch_merge_rollup(spark, seq_df, sequences_pdf):
     assert row["est"] == direct.estimate()
 
 
+def test_sql_sketch_merge_null_group(spark):
+    """Review regression: a group whose payloads are all NULL yields
+    NULL (SQL aggregate semantics), not a task-crashing ValueError;
+    NULL-payload probe rows yield NULL even with a 2^53-range token."""
+    from rusty_bloomfilter_spark.functions.sql_sketches import register_sketch_sql
+
+    register_sketch_sql(spark, prefix="t7_")
+    spark.createDataFrame(
+        [("a", None), ("a", None)], "g string, payload binary"
+    ).createOrReplaceTempView("null_cells7")
+    row = spark.sql(
+        "SELECT g, t7_sketch_merge(payload) AS m FROM null_cells7 GROUP BY g"
+    ).collect()[0]
+    assert row["m"] is None
+    # NULL payload + huge nullable token: answer is NULL, no guard crash
+    spark.createDataFrame(
+        [(None, 2**60), (None, None)], "payload binary, tok bigint"
+    ).createOrReplaceTempView("null_probe7")
+    rows = spark.sql(
+        "SELECT t7_cms_query(payload, tok) c, t7_ams_query(payload, tok) a FROM null_probe7"
+    ).collect()
+    assert all(r["c"] is None and r["a"] is None for r in rows)
+
+
 def test_dedup_counts_unit():
     """bincount dedup: exact (values, multiplicities), negatives ok,
     wide-range and small inputs decline."""
