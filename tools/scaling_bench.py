@@ -36,6 +36,7 @@ JOBS = [
     ("blocked_probe_sec", "Bloom probe (split-block)"),
     ("classic_build_sec", "Bloom build (classic K-M, reference parity)"),
     ("sharded_routed_build_sec", "Sharded Bloom routed build (shuffle-by-shard)"),
+    ("ams_mg_profile_sec", "Fused AMS+MG token profile (one scan, build_multi)"),
 ]
 
 CHILD = r"""
@@ -60,15 +61,26 @@ from rusty_bloomfilter_spark.sketch import Shape
 seq = spark.read.parquet("/tmp/bench_seq_scaling.parquet")
 n_tokens = seq.agg({{"n_tok": "sum"}}).collect()[0][0]
 
+from rusty_bloomfilter_spark.operators.aggregate import build_multi
+from rusty_bloomfilter_spark.operators.sketches import AmsSketch, MgSketch
+from rusty_bloomfilter_spark.sketch import merge_sketch_payloads
+
 bsk = BlockedBloomSketch.for_np(n=2_000_000, p=1e-4)
 csk = BloomSketch(Shape.for_np(n=2_000_000, p=1e-4))
 ssk = ShardedBloomSketch(n_total=2_000_000, p=1e-4, n_shards=max(cpus, 8))
+ams = AmsSketch(d=5, w=8192, col="tokens")
+mg = MgSketch(1024, col="tokens")
+specs = [("ams", ams._empty, ams._update, merge_sketch_payloads),
+         ("mg", mg._empty, mg._update, merge_sketch_payloads)]
+def profile_once():
+    build_multi(seq.select("tokens"), specs, columns=["tokens"], fanout=cpus).collect()
 # warm workers with FULL-SIZE runs (page-fault warmup dominates first
 # touches of large buffers on this microVM; small warmups bias the
 # first timed job)
 bsk.build_bytes(seq, fanout=cpus)
 csk.build_bytes(seq, fanout=cpus)
 ssk.build(seq, routed=True).count()
+profile_once()
 
 def best_of(fn, reps=2):
     best = None
@@ -82,11 +94,13 @@ payload, _ = bsk.build_bytes(seq, fanout=cpus)
 tp = best_of(lambda: bsk.count_contained(seq, payload, spark))
 tc = best_of(lambda: csk.build_bytes(seq, fanout=cpus))
 ts = best_of(lambda: ssk.build(seq, routed=True).count())
+ta = best_of(profile_once)
 print(json.dumps({{
     "cpus": cpus, "n_tokens": int(n_tokens),
     "blocked_build_sec": round(tb, 3), "blocked_probe_sec": round(tp, 3),
     "classic_build_sec": round(tc, 3),
     "sharded_routed_build_sec": round(ts, 3),
+    "ams_mg_profile_sec": round(ta, 3),
 }}))
 spark.stop()
 """
