@@ -119,6 +119,8 @@ _WINDOW_MIDDLE = [
     "q_key_skew_exact",
     "q_key_skew_profile",
     "q_range_layout_prune",
+    "q_zorder_pruned_read",
+    "q_table_profile",
     "q_join_advisor",
     "q_hll_rollup",
     "q_streaming_drift",
@@ -3454,6 +3456,156 @@ def q_range_layout_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not 0 < files_read < n_files:
         raise AssertionError(f"layout failed to prune: {files_read}/{n_files}")
     return rows.select("o_orderkey", "o_totalprice")
+
+
+@register(
+    "q_zorder_pruned_read",
+    oracle="""
+        WITH mk AS (SELECT max(o_orderkey) AS m FROM orders)
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders, mk
+        WHERE o_orderkey BETWEEN m // 8 AND (3 * m) // 8
+          AND o_totalprice BETWEEN 60000.0 AND 150000.0
+    """,
+)
+def q_zorder_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER layout end to end (operators/layout.py write_zorder_
+    layout): per-column boundaries from ONE fused KLL scan, Morton
+    z-value as a pure Catalyst expression, file cuts from an EXACT tiny
+    z-histogram (no RangePartitioner sampling job anywhere), one
+    curve-segment file per dir, zone maps over BOTH columns, and a
+    conjunctive two-range predicate answered by the per-file bounds
+    INTERSECTION (zone_pruned_read_multi). In-query gates: each single
+    column's prune alone keeps files the other dimension then removes
+    (the multi-dim win a 1-D range layout cannot give), the combined
+    read touches <= half the files, and files are balanced within the
+    greedy histogram-cut guarantee. Hash-matched vs DuckDB's full-scan
+    conjunction — the curve can never change results (zero-FN bounds +
+    exact final predicate), only which files are opened. At 100 TB this
+    is OPTIMIZE ZORDER BY as a first-class, deterministic, snapshot-
+    reusable operator."""
+    from .operators.layout import write_zorder_layout
+    from .operators.zonemap import zone_map_index, zone_prune, zone_pruned_read_multi
+
+    orders = load_table(spark, sf_dir, "orders")
+    scratch = _scratch_dir("zorder")
+    layout = write_zorder_layout(
+        orders, scratch, ["o_orderkey", "o_totalprice"], 16, bits=3
+    )
+    n_files = layout.n_files  # 16, or fewer if a cut hit the top cell
+    if not 8 <= n_files <= 16:
+        raise AssertionError(f"degenerate z layout: {n_files} files")
+    laid = spark.read.parquet(scratch)
+    idx_key = zone_map_index(laid, col="o_orderkey")
+    idx_price = zone_map_index(laid, col="o_totalprice")
+    max_key = orders.agg(F.max("o_orderkey")).collect()[0][0]
+    lo, hi = max_key // 8, (3 * max_key) // 8
+    bounds = {"o_orderkey": (lo, hi), "o_totalprice": (60000.0, 150000.0)}
+    per_dim = {
+        "o_orderkey": len(zone_prune(idx_key, lower=lo, upper=hi)),
+        "o_totalprice": len(zone_prune(idx_price, lower=60000.0, upper=150000.0)),
+    }
+    stats = idx_key.select("n_rows").collect()
+    if len(stats) != n_files:
+        raise AssertionError(f"{len(stats)} files written, expected {n_files}")
+    ideal = sum(r["n_rows"] for r in stats) / n_files
+    worst = max(r["n_rows"] for r in stats)
+    if worst > ideal * 1.6 + 2:  # greedy exact-histogram cut guarantee
+        raise AssertionError(f"unbalanced z layout: worst {worst} vs ideal {ideal}")
+    rows, files_read = zone_pruned_read_multi(
+        spark, scratch,
+        {"o_orderkey": idx_key, "o_totalprice": idx_price},
+        bounds,
+    )
+    if not 0 < files_read <= n_files // 2:
+        raise AssertionError(f"z layout failed to prune: {files_read}/{n_files}")
+    for col, kept in per_dim.items():
+        if not files_read < kept < n_files:  # both dims must contribute
+            raise AssertionError(
+                f"dimension {col} did not contribute to pruning: "
+                f"{kept} kept alone vs {files_read} combined of {n_files}"
+            )
+    return rows.select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+@register(
+    "q_table_profile",
+    oracle="""
+        SELECT 'o_custkey' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(*) - count(o_custkey) AS BIGINT) AS n_nulls,
+               CAST(min(o_custkey) AS DOUBLE) AS min_num,
+               CAST(max(o_custkey) AS DOUBLE) AS max_num,
+               CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+        FROM orders
+        UNION ALL
+        SELECT 'o_totalprice', CAST(count(*) AS BIGINT),
+               CAST(count(*) - count(o_totalprice) AS BIGINT),
+               CAST(min(o_totalprice) AS DOUBLE), CAST(max(o_totalprice) AS DOUBLE),
+               CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus', CAST(count(*) AS BIGINT),
+               CAST(count(*) - count(o_orderstatus) AS BIGINT),
+               CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+               CAST(min(o_orderstatus) AS VARCHAR), CAST(max(o_orderstatus) AS VARCHAR)
+        FROM orders
+    """,
+)
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style one-scan profiler (operators/profile.py): exact
+    row/null/min/max stats ride the sketch pass as df.observe metrics
+    while the SAME scan folds every column into an HLL (ndv), numeric
+    columns into a KLL (quantiles), and integer columns into a
+    Misra-Gries (hot values) — one job, sketch rows only on the
+    shuffle. The returned frame is the EXACT half, hash-matched against
+    DuckDB's full aggregates; the estimates are audited in-query
+    against exact counterparts within their published bounds (HLL
+    1.04/sqrt(2^p), KLL rank error). At 100 TB this is the per-snapshot
+    statistics pass every layout/advisor decision in the repo feeds
+    on, at the cost of one corpus read."""
+    from .operators.profile import profile_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    cols = ["o_custkey", "o_totalprice", "o_orderstatus"]
+    by = {p.column: p for p in profile_table(orders, cols)}
+    exact = orders.agg(
+        F.countDistinct("o_custkey").alias("ndv_cust"),
+        F.countDistinct("o_orderstatus").alias("ndv_status"),
+        F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
+    ).collect()[0]
+    for col, exact_ndv in (
+        ("o_custkey", exact["ndv_cust"]),
+        ("o_orderstatus", exact["ndv_status"]),
+    ):
+        p = by[col]
+        if abs(p.ndv_est - exact_ndv) > 4 * p.ndv_rel_error * exact_ndv + 1:
+            raise AssertionError(
+                f"{col} ndv estimate {p.ndv_est} vs exact {exact_ndv} out of bound"
+            )
+    price = by["o_totalprice"]
+    est_p50 = price.quantiles[0.5]
+    rank = (
+        orders.filter(F.col("o_totalprice") <= F.lit(est_p50)).count() / price.n_rows
+    )
+    if abs(rank - 0.5) > 3 * price.quantile_rank_error + 1e-3:
+        raise AssertionError(f"p50 estimate rank {rank} outside KLL bound")
+    rows = [
+        (
+            p.column,
+            p.n_rows,
+            p.n_nulls,
+            float(p.min_value) if p.column != "o_orderstatus" else None,
+            float(p.max_value) if p.column != "o_orderstatus" else None,
+            p.min_value if p.column == "o_orderstatus" else None,
+            p.max_value if p.column == "o_orderstatus" else None,
+        )
+        for p in (by[c] for c in cols)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "col_name string, n_rows bigint, n_nulls bigint, "
+        "min_num double, max_num double, min_str string, max_str string",
+    )
 
 
 @register(

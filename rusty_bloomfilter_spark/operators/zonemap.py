@@ -180,3 +180,47 @@ def zone_pruned_read(
         spark.read.option("basePath", input_path).parquet(*files).filter(pred)
     )
     return rows, len(files)
+
+
+def zone_pruned_read_multi(
+    spark: SparkSession,
+    input_path: str,
+    indexes: dict[str, DataFrame],
+    bounds: dict[str, tuple],
+) -> tuple[DataFrame, int]:
+    """Range scan over SEVERAL indexed columns at once: a file survives
+    only if EVERY column's [lo, hi] interval intersects that column's
+    predicate — the read path for a z-order layout, where each file is
+    a rectangle in the joint space and a conjunctive range predicate
+    prunes on every clustered dimension independently. Zero FN composes:
+    a row matching all predicates forces its file to survive every
+    per-column prune, so the intersection keeps it.
+
+    ``bounds`` maps column -> (lower, upper) (either side None for a
+    one-sided predicate); ``indexes`` must hold a zone-map frame per
+    bounded column. Returns (rows, files_read) with the exact
+    conjunctive predicate re-applied, identical to the full scan."""
+    if not bounds:
+        raise ValueError("zone_pruned_read_multi needs at least one bounded column")
+    missing = [c for c in bounds if c not in indexes]
+    if missing:
+        raise ValueError(f"no zone-map index for bounded column(s) {missing}")
+    survivors: set[str] | None = None
+    for c, (lower, upper) in bounds.items():
+        files = set(zone_prune(indexes[c], lower=lower, upper=upper))
+        survivors = files if survivors is None else survivors & files
+    pred = F.lit(True)
+    for c, (lower, upper) in bounds.items():
+        if lower is not None:
+            pred = pred & (F.col(c) >= F.lit(lower))
+        if upper is not None:
+            pred = pred & (F.col(c) <= F.lit(upper))
+    if not survivors:
+        empty = spark.read.parquet(input_path).filter(F.lit(False))
+        return empty, 0
+    rows = (
+        spark.read.option("basePath", input_path)
+        .parquet(*sorted(survivors))
+        .filter(pred)
+    )
+    return rows, len(survivors)
