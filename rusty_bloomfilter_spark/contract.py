@@ -121,6 +121,7 @@ _WINDOW_MIDDLE = [
     "q_range_layout_prune",
     "q_zorder_pruned_read",
     "q_table_profile",
+    "q_event_funnel",
     "q_join_advisor",
     "q_hll_rollup",
     "q_streaming_drift",
@@ -3526,6 +3527,63 @@ def q_zorder_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"{kept} kept alone vs {files_read} combined of {n_files}"
             )
     return rows.select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+@register(
+    "q_event_funnel",
+    oracle="""
+        WITH w1 AS (
+            SELECT user_id, ts, event_type,
+                   min(CASE WHEN event_type = 'view' THEN ts END)
+                       OVER (PARTITION BY user_id) AS t0
+            FROM events WHERE event_type IN ('view', 'click', 'purchase')
+        ), w2 AS (
+            SELECT *, min(CASE WHEN event_type = 'click' AND ts >= t0
+                               AND epoch(ts) <= epoch(t0) + 86400 THEN ts END)
+                          OVER (PARTITION BY user_id) AS t1
+            FROM w1
+        ), w3 AS (
+            SELECT *, min(CASE WHEN event_type = 'purchase' AND ts >= t1
+                               AND epoch(ts) <= epoch(t0) + 86400 THEN ts END)
+                          OVER (PARTITION BY user_id) AS t2
+            FROM w2
+        ), pu AS (
+            SELECT user_id, max(t0) AS t0, max(t1) AS t1, max(t2) AS t2
+            FROM w3 GROUP BY user_id
+        )
+        SELECT 1 AS step, 'view' AS step_name, CAST(count(t0) AS BIGINT) AS n_users,
+               CAST(round(count(t0) * 1.0 / count(t0), 6) AS DOUBLE) AS conv FROM pu
+        UNION ALL
+        SELECT 2, 'click', CAST(count(t1) AS BIGINT),
+               CAST(round(count(t1) * 1.0 / count(t0), 6) AS DOUBLE) FROM pu
+        UNION ALL
+        SELECT 3, 'purchase', CAST(count(t2) AS BIGINT),
+               CAST(round(count(t2) * 1.0 / count(t0), 6) AS DOUBLE) FROM pu
+    """,
+)
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel with a conversion window (operators/funnel.py):
+    view -> click -> purchase within 24h of the first view, reach time
+    of step k = min event time at/after step k-1's reach. ONE shuffle
+    total: the funnel-type filter reaches the parquet scan, a single
+    hash-partition by user feeds the chained conditional-min windows
+    (shared partitioning — Catalyst stacks the Window nodes over one
+    Exchange+Sort, and the per-user groupBy reuses the partitioning
+    with no further Exchange), and the summary is a one-row aggregate
+    unpivoted via stack. Hash-matched against DuckDB's identical
+    window-chain formulation (fractional-second epochs on both sides —
+    a long cast would truncate and disagree at the window edge). An
+    in-query gate asserts step counts are non-increasing."""
+    from .operators.funnel import funnel
+
+    events = load_table(spark, sf_dir, "events")
+    out = funnel(
+        events, ["view", "click", "purchase"], within_seconds=86400
+    )
+    counts = [r["n_users"] for r in out.orderBy("step").collect()]
+    if counts != sorted(counts, reverse=True):
+        raise AssertionError(f"funnel counts increased: {counts}")
+    return out
 
 
 @register(
