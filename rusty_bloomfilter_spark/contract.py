@@ -122,6 +122,7 @@ _WINDOW_MIDDLE = [
     "q_zorder_pruned_read",
     "q_table_profile",
     "q_event_funnel",
+    "q_retention_cohorts",
     "q_join_advisor",
     "q_hll_rollup",
     "q_streaming_drift",
@@ -3583,6 +3584,50 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = [r["n_users"] for r in out.orderBy("step").collect()]
     if counts != sorted(counts, reverse=True):
         raise AssertionError(f"funnel counts increased: {counts}")
+    return out
+
+
+@register(
+    "q_retention_cohorts",
+    oracle="""
+        WITH b AS (
+            SELECT user_id, CAST(ts AS DATE) AS d,
+                   min(CAST(ts AS DATE)) OVER (PARTITION BY user_id) AS cohort
+            FROM events
+        ), a AS (
+            SELECT user_id, cohort,
+                   CAST(floor(date_diff('day', cohort, d) / 7.0) AS INT) AS period
+            FROM b
+        ), c AS (
+            SELECT CAST(cohort AS VARCHAR) AS cohort, period,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+            FROM a GROUP BY 1, 2
+        )
+        SELECT cohort, period, n_active,
+               CAST(round(n_active * 1.0 /
+                    max(CASE WHEN period = 0 THEN n_active END)
+                        OVER (PARTITION BY cohort), 6) AS DOUBLE) AS retention
+        FROM c
+    """,
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention (operators/retention.py): users grouped by
+    FIRST-activity date, exact distinct actives per (cohort, period of
+    7 days since). Day-difference arithmetic only — no
+    date_trunc('week'), whose week-start convention differs across
+    engines — which is exactly why the whole frame hash-matches
+    DuckDB. One user-partitioned window pass computes cohorts (no
+    self-join), one (cohort, period) aggregate carries triples only.
+    In-query gate: every cohort's period-0 retention is exactly 1.0."""
+    from .operators.retention import retention_cohorts
+
+    events = load_table(spark, sf_dir, "events")
+    out = retention_cohorts(events).withColumn(
+        "cohort", F.col("cohort").cast("string")
+    )
+    bad = out.filter((F.col("period") == 0) & (F.col("retention") != 1.0)).count()
+    if bad:
+        raise AssertionError(f"{bad} cohorts with period-0 retention != 1")
     return out
 
 
