@@ -123,6 +123,7 @@ _WINDOW_MIDDLE = [
     "q_table_profile",
     "q_event_funnel",
     "q_retention_cohorts",
+    "q_rolling_revenue",
     "q_join_advisor",
     "q_hll_rollup",
     "q_streaming_drift",
@@ -3585,6 +3586,51 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     if counts != sorted(counts, reverse=True):
         raise AssertionError(f"funnel counts increased: {counts}")
     return out
+
+
+@register(
+    "q_rolling_revenue",
+    oracle="""
+        WITH d AS (
+            SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS day,
+                   sum(CAST(o_totalprice AS DECIMAL(38,4))) AS rev
+            FROM orders GROUP BY 1, 2
+        )
+        SELECT priority, CAST(day AS VARCHAR) AS day, CAST(rev AS DOUBLE) AS rev,
+               CAST(sum(rev) OVER (
+                    PARTITION BY priority
+                    ORDER BY date_diff('day', DATE '1970-01-01', day)
+                    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rev_7d
+        FROM d
+    """,
+)
+def q_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-calendar-day revenue per priority class
+    (operators/temporal.trailing_day_sum): pre-aggregate to one row per
+    (priority, day) FIRST — the RANGE window then runs over the small
+    aggregated frame with one Exchange on the key, never over raw
+    orders — and frame by day DISTANCE, not row count: a ROWS frame
+    silently widens across calendar gaps, a RANGE frame over the
+    integer day index does not (pinned with a gap fixture in pytest).
+    Money sums stay DECIMAL(38,4) through the window on both engines
+    and cast to double only at the edge; hash-matched vs DuckDB's
+    identical RANGE formulation."""
+    from .operators.temporal import trailing_day_sum
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").cast("date").alias("day"),
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(38,4)")).alias("rev"))
+    out = trailing_day_sum(
+        daily, "rev", key_col="priority", date_col="day", days=7, out_col="rev_7d"
+    )
+    return out.select(
+        "priority",
+        F.col("day").cast("string").alias("day"),
+        F.col("rev").cast("double").alias("rev"),
+        F.col("rev_7d").cast("double").alias("rev_7d"),
+    )
 
 
 @register(

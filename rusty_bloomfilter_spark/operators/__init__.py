@@ -16,6 +16,9 @@ from .bpe import learn_bpe_merges
 from .cache import free, tie
 from .cluster import connected_components, dup_clusters
 from .curation import frequency_cap, pack_sequences, temperature_rates, temperature_sample
+from .funnel import funnel, funnel_users
+from .profile import ColumnProfile, profile_table
+from .retention import retention_cohorts
 from .spans import merge_window_spans, span_dedup_stats, token_windows
 from .sharded import ShardedBloomSketch
 from .sampling import (
@@ -49,6 +52,11 @@ __all__ = [
     "ShardedBloomSketch",
     "TDigestQuantiles",
     "asof_join",
+    "funnel",
+    "funnel_users",
+    "profile_table",
+    "ColumnProfile",
+    "retention_cohorts",
     "bottom_k_by",
     "bottom_k_sample",
     "build_by_key",

@@ -195,3 +195,37 @@ def salted_join(
     # keep both sides' columns (callers select what they need)
     out = l.join(r, [on, "_salt"], how)
     return out.drop("_salt")
+
+
+def trailing_day_sum(
+    df: DataFrame,
+    value_col: str,
+    *,
+    key_col: str,
+    date_col: str,
+    days: int,
+    out_col: str = "trailing_sum",
+) -> DataFrame:
+    """Trailing N-calendar-day sum per key: a RANGE window over an
+    integer day index. The distinction that matters: a ROWS frame
+    ("previous N-1 rows") silently widens the window across calendar
+    GAPS — a key with no activity yesterday would pull in data from a
+    week ago; the RANGE frame bounds the window by day DISTANCE, so gap
+    days simply contribute nothing. Callers should pre-aggregate to one
+    row per (key, day) first: the window then runs over the small
+    aggregated frame, one Exchange on the key, never over raw events.
+
+    Works on date or timestamp ``date_col`` (cast to date); rows with a
+    NULL date sort first and only aggregate with each other.
+    """
+    if days < 1:
+        raise ValueError(f"days must be >= 1, got {days}")
+    day_index = F.datediff(
+        F.col(date_col).cast("date"), F.lit("1970-01-01").cast("date")
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(day_index)
+        .rangeBetween(-(days - 1), 0)
+    )
+    return df.withColumn(out_col, F.sum(value_col).over(w))

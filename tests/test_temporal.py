@@ -203,3 +203,40 @@ def test_salted_join_equals_plain_join(spark):
         assert got == want, how
     # salt column never leaks
     assert "_salt" not in salted_join(left, right, "k").columns
+
+
+# ---------------------------------------------------------------------------
+# trailing_day_sum (RANGE-by-day rolling window)
+# ---------------------------------------------------------------------------
+
+
+def test_trailing_day_sum_gap_semantics(spark):
+    """The load-bearing difference vs a ROWS frame: day 26 is preceded
+    by a 10-day gap, so its 7-day trailing sum must contain ONLY day
+    26 — a rows(-2, 0) frame would wrongly pull days 11 and 16 in."""
+    from rusty_bloomfilter_spark.operators.temporal import trailing_day_sum
+    from datetime import date
+
+    rows = [
+        ("a", date(2024, 1, 10), 1.0),
+        ("a", date(2024, 1, 11), 2.0),
+        ("a", date(2024, 1, 16), 4.0),   # 10 is 6 back (in), 11 is 5 back (in)
+        ("a", date(2024, 1, 26), 8.0),   # 10-day gap: window holds 26 alone
+        ("b", date(2024, 1, 10), 100.0),  # other key never mixes in
+    ]
+    df = spark.createDataFrame(rows, "k string, day date, v double").repartition(3)
+    got = {
+        (r["k"], str(r["day"])): r["t"]
+        for r in trailing_day_sum(
+            df, "v", key_col="k", date_col="day", days=7, out_col="t"
+        ).collect()
+    }
+    assert got[("a", "2024-01-10")] == 1.0
+    assert got[("a", "2024-01-11")] == 3.0
+    assert got[("a", "2024-01-16")] == 7.0   # 10 + 11 + 16 (6-day reach)
+    assert got[("a", "2024-01-26")] == 8.0   # ROWS(-2,0) would say 14
+    assert got[("b", "2024-01-10")] == 100.0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="days must be"):
+        trailing_day_sum(df, "v", key_col="k", date_col="day", days=0)
