@@ -124,6 +124,7 @@ _WINDOW_MIDDLE = [
     "q_event_funnel",
     "q_retention_cohorts",
     "q_rolling_revenue",
+    "q_similar_names",
     "q_join_advisor",
     "q_hll_rollup",
     "q_streaming_drift",
@@ -3630,6 +3631,35 @@ def q_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("day").cast("string").alias("day"),
         F.col("rev").cast("double").alias("rev"),
         F.col("rev_7d").cast("double").alias("rev_7d"),
+    )
+
+
+@register(
+    "q_similar_names",
+    oracle="""
+        WITH t AS (SELECT c_custkey AS id, c_name AS s FROM customer)
+        SELECT a.id AS id_a, b.id AS id_b,
+               CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+        FROM t a JOIN t b ON a.id < b.id AND levenshtein(a.s, b.s) <= 1
+    """,
+)
+def q_similar_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-<=1 name pairs (operators/strings.py symmetric-
+    delete blocking): deletion-variant keys are generated inside
+    whole-stage codegen, ONE equi-join shuffle of short variant rows
+    replaces the O(n^2) all-pairs scan, and every bucket collision is
+    re-verified with the exact JVM levenshtein (complete by the
+    symmetric-delete property, sound by the verify). The DuckDB oracle
+    IS the quadratic formulation — feasible at sf0.01, which is exactly
+    why the blocked plan is the one that survives 100 TB and the oracle
+    isn't. Hash-matched."""
+    from .operators.strings import edit_distance_pairs
+
+    customer = load_table(spark, sf_dir, "customer")
+    return edit_distance_pairs(
+        customer.select("c_custkey", "c_name"),
+        id_col="c_custkey",
+        str_col="c_name",
     )
 
 

@@ -20,6 +20,7 @@ from .funnel import funnel, funnel_users
 from .profile import ColumnProfile, profile_table
 from .retention import retention_cohorts
 from .spans import merge_window_spans, span_dedup_stats, token_windows
+from .strings import deletion_variants, edit_distance_pairs
 from .sharded import ShardedBloomSketch
 from .sampling import (
     bottom_k_by,
@@ -58,6 +59,8 @@ __all__ = [
     "ColumnProfile",
     "retention_cohorts",
     "bottom_k_by",
+    "deletion_variants",
+    "edit_distance_pairs",
     "bottom_k_sample",
     "build_by_key",
     "build_multi",
