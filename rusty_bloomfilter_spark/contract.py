@@ -125,6 +125,7 @@ _WINDOW_MIDDLE = [
     "q_retention_cohorts",
     "q_rolling_revenue",
     "q_similar_names",
+    "q_value_outliers",
     "q_join_advisor",
     "q_hll_rollup",
     "q_streaming_drift",
@@ -3631,6 +3632,59 @@ def q_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("day").cast("string").alias("day"),
         F.col("rev").cast("double").alias("rev"),
         F.col("rev_7d").cast("double").alias("rev_7d"),
+    )
+
+
+@register(
+    "q_value_outliers",
+    oracle="""
+        WITH med AS (
+            SELECT event_type, count(value) AS n, median(value) AS med
+            FROM events GROUP BY 1
+        ),
+        mad AS (
+            SELECT e.event_type, median(abs(e.value - m.med)) AS mad
+            FROM events e JOIN med m USING (event_type) GROUP BY 1
+        ),
+        fences AS (
+            SELECT med.event_type, med.n, med.med, mad.mad,
+                   med.med - 3 * 1.4826 * mad.mad AS lo,
+                   med.med + 3 * 1.4826 * mad.mad AS hi
+            FROM med JOIN mad USING (event_type)
+        )
+        SELECT f.event_type, f.n,
+               round(f.med, 6) AS med, round(f.mad, 6) AS mad,
+               round(f.lo, 6) AS lo, round(f.hi, 6) AS hi,
+               CAST(sum(CASE WHEN e.value < f.lo OR e.value > f.hi
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        FROM events e JOIN fences f USING (event_type)
+        GROUP BY 1, 2, 3, 4, 5, 6
+    """,
+)
+def q_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type outlier fences over event values
+    (operators/outliers.robust_group_stats): exact median + MAD with a
+    50% breakdown point instead of the self-contaminating mean/stddev
+    rule; fence = med +/- 3 * 1.4826 * MAD. Three aggregation passes of
+    (key, double) rows — inherent, the fence doesn't exist until the
+    MAD does — every inter-pass join broadcasting the per-group frame.
+    Hash-matched vs the identical median/MAD construction in DuckDB
+    (medians interpolate the same on both engines; floats rounded at
+    the edge, fences compared unrounded)."""
+    from .operators.outliers import robust_group_stats
+
+    events = load_table(spark, sf_dir, "events")
+    out = robust_group_stats(
+        events, value_col="value", key_col="event_type", k=3.0
+    )
+    return out.select(
+        "event_type",
+        "n",
+        F.round("med", 6).alias("med"),
+        F.round("mad", 6).alias("mad"),
+        F.round("lo", 6).alias("lo"),
+        F.round("hi", 6).alias("hi"),
+        "n_outliers",
     )
 
 

@@ -20,6 +20,7 @@ from .funnel import funnel, funnel_users
 from .profile import ColumnProfile, profile_table
 from .retention import retention_cohorts
 from .spans import merge_window_spans, span_dedup_stats, token_windows
+from .outliers import flag_outliers, robust_group_fences, robust_group_stats
 from .strings import deletion_variants, edit_distance_pairs
 from .sharded import ShardedBloomSketch
 from .sampling import (
@@ -61,6 +62,9 @@ __all__ = [
     "bottom_k_by",
     "deletion_variants",
     "edit_distance_pairs",
+    "flag_outliers",
+    "robust_group_fences",
+    "robust_group_stats",
     "bottom_k_sample",
     "build_by_key",
     "build_multi",
