@@ -126,6 +126,7 @@ _WINDOW_MIDDLE = [
     "q_rolling_revenue",
     "q_similar_names",
     "q_value_outliers",
+    "q_pagerank",
     "q_join_advisor",
     "q_hll_rollup",
     "q_streaming_drift",
@@ -3632,6 +3633,58 @@ def q_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("day").cast("string").alias("day"),
         F.col("rev").cast("double").alias("rev"),
         F.col("rev_7d").cast("double").alias("rev_7d"),
+    )
+
+
+from .operators.graph import pagerank_oracle_sql as _pagerank_oracle_sql
+
+_PAGERANK_EDGES_CTE = """
+    SELECT src, dst FROM (
+        SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                        's' || CAST(l_suppkey AS VARCHAR) AS dst
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey) p
+    UNION ALL
+    SELECT dst AS src, src AS dst FROM (
+        SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                        's' || CAST(l_suppkey AS VARCHAR) AS dst
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey) q
+"""
+
+
+@register(
+    "q_pagerank",
+    oracle=_pagerank_oracle_sql(_PAGERANK_EDGES_CTE, iters=5, damping=0.85),
+)
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the symmetrized customer<->supplier trade graph
+    (operators/graph.pagerank): 5 damped power iterations as relational
+    ops — the invariant (src, dst, outdeg) edge frame is partitioned by
+    src and persisted ONCE, so each iteration reshuffles only the
+    node-sized rank frame; ranks localCheckpoint every round (iterative
+    plans otherwise grow until the driver dies — cluster.py lesson).
+    Hash-matched against the SAME fixed-point-free formulation unrolled
+    into 5 chained CTEs in DuckDB (rank * N rounded at 6 keeps ~6
+    significant digits; node namespacing 'c'/'s' prevents key
+    collisions between the two id spaces)."""
+    from .operators.graph import pagerank
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    pairs = (
+        orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = pairs.union(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    ranks = pagerank(edges, iters=5, damping=0.85)
+    n = ranks.count()  # node count: one scalar over the checkpointed frame
+    return ranks.select(
+        "v", F.round(F.col("r") * F.lit(float(n)), 6).alias("rank_scaled")
     )
 
 

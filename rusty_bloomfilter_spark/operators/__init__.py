@@ -17,6 +17,7 @@ from .cache import free, tie
 from .cluster import connected_components, dup_clusters
 from .curation import frequency_cap, pack_sequences, temperature_rates, temperature_sample
 from .funnel import funnel, funnel_users
+from .graph import pagerank, pagerank_oracle_sql
 from .profile import ColumnProfile, profile_table
 from .retention import retention_cohorts
 from .spans import merge_window_spans, span_dedup_stats, token_windows
@@ -63,6 +64,8 @@ __all__ = [
     "deletion_variants",
     "edit_distance_pairs",
     "flag_outliers",
+    "pagerank",
+    "pagerank_oracle_sql",
     "robust_group_fences",
     "robust_group_stats",
     "bottom_k_sample",
