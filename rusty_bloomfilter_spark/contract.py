@@ -127,6 +127,7 @@ _WINDOW_MIDDLE = [
     "q_similar_names",
     "q_value_outliers",
     "q_pagerank",
+    "q_compaction_plan",
     "q_join_advisor",
     "q_hll_rollup",
     "q_streaming_drift",
@@ -3633,6 +3634,60 @@ def q_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("day").cast("string").alias("day"),
         F.col("rev").cast("double").alias("rev"),
         F.col("rev_7d").cast("double").alias("rev_7d"),
+    )
+
+
+@register(
+    "q_compaction_plan",
+    oracle="""
+        WITH stats AS (
+            SELECT CAST(FLOOR(SQRT(o_orderkey)) AS BIGINT) AS file_id,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   min(o_orderkey) AS min_key
+            FROM orders GROUP BY 1
+        ),
+        c AS (
+            SELECT file_id, n_rows, min_key,
+                   sum(n_rows) OVER (
+                       ORDER BY min_key, file_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) - n_rows AS before
+            FROM stats
+        )
+        SELECT file_id, n_rows, min_key,
+               CAST(FLOOR(before / 1000.0) AS BIGINT) AS grp
+        FROM c
+    """,
+)
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning (operators/compaction.py): the
+    order-preserving streaming packer — files sorted by min key, group
+    = floor(cumulative rows BEFORE the file / target) — so a range-
+    clustered layout keeps contiguous key ranges (and therefore its
+    zone-map pruning power) after compaction; no file is ever split and
+    no group exceeds target + one file. The manifest here is derived
+    relationally (pseudo-files = floor(sqrt(o_orderkey)), linearly
+    growing sizes — realistically skewed) so DuckDB can replay the
+    IDENTICAL window-cumsum rule; the physical-file path
+    (input_file_name + _metadata.file_size manifest, one-shuffle
+    one-file-per-group rewrite) is pinned in tests/test_compaction.py.
+    The plan window is deliberately global: it runs over the
+    file-cardinality manifest, never row data. Hash-matched."""
+    from .operators.compaction import compaction_plan
+
+    orders = load_table(spark, sf_dir, "orders")
+    stats = orders.groupBy(
+        F.floor(F.sqrt(F.col("o_orderkey"))).cast("long").alias("file_id")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("o_orderkey").alias("min_key"),
+    )
+    return compaction_plan(
+        stats,
+        file_col="file_id",
+        rows_col="n_rows",
+        target=1000,
+        order_cols=["min_key", "file_id"],
     )
 
 

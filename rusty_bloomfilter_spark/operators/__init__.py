@@ -15,6 +15,7 @@ from .aggregate import (
 from .bpe import learn_bpe_merges
 from .cache import free, tie
 from .cluster import connected_components, dup_clusters
+from .compaction import compact_files, compaction_plan, parquet_file_stats
 from .curation import frequency_cap, pack_sequences, temperature_rates, temperature_sample
 from .funnel import funnel, funnel_users
 from .graph import pagerank, pagerank_oracle_sql
@@ -61,6 +62,9 @@ __all__ = [
     "ColumnProfile",
     "retention_cohorts",
     "bottom_k_by",
+    "compact_files",
+    "compaction_plan",
+    "parquet_file_stats",
     "deletion_variants",
     "edit_distance_pairs",
     "flag_outliers",
