@@ -112,6 +112,9 @@ _WINDOW_MIDDLE = [
     # 34 new-this-round), so these are pinned here to avoid evicting a
     # never-verified query; round 5's rotation promotes them (they have
     # oracles and sit at the head of MIDDLE).
+    "q_collocations_pmi",
+    "q_sliding_distinct",
+    "q_sliding_distinct_hll",
     "q_heavy_tokens_mg",
     "q_embedding_gram",
     "q_embedding_spectrum",
@@ -4540,3 +4543,114 @@ def q_embedding_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return embedding_spectrum(emb, ell=16, dim=64)
+
+
+@register(
+    "q_collocations_pmi",
+    oracle=_SEQ_CTE
+    + """
+    , pairs AS (
+        SELECT pair // 50261 AS left_tok, pair % 50261 AS right_tok,
+               count(*) AS pair_freq
+        FROM (SELECT unnest(list_transform(range(len(tokens) - 1),
+                  i -> CAST(tokens[i+1] AS BIGINT) * 50261 + tokens[i+2])) AS pair
+              FROM sequences WHERE len(tokens) >= 2) t
+        GROUP BY 1, 2 HAVING count(*) >= 5
+    ), uni AS (
+        SELECT tok, count(*) AS uni_freq
+        FROM (SELECT unnest(tokens) AS tok FROM sequences) u GROUP BY tok
+    ), totals AS (
+        SELECT CAST(sum(len(tokens)) AS BIGINT) AS n_tokens,
+               CAST(sum(greatest(len(tokens) - 1, 0)) AS BIGINT) AS n_pairs
+        FROM sequences
+    )
+    SELECT left_tok, right_tok, pair_freq,
+           round(ln(CAST(pair_freq AS DOUBLE) * n_tokens * n_tokens
+                    / (CAST(n_pairs AS DOUBLE) * l.uni_freq * r.uni_freq)),
+                 6) AS pmi
+    FROM pairs
+    JOIN uni l ON l.tok = left_tok
+    JOIN uni r ON r.tok = right_tok
+    CROSS JOIN totals
+    ORDER BY pmi DESC, left_tok, right_tok LIMIT 50
+    """,
+)
+def q_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocation mining (operators/collocations.py): top-50
+    adjacent token pairs by pointwise mutual information among pairs
+    seen >= 5 times — the association statistic that surfaces
+    boilerplate phrases and tokenizer-merge candidates raw frequency
+    misses. One corpus scan, two map-side-combined hash aggregates
+    (pair counts bounded by distinct adjacent pairs, unigrams bounded
+    by vocab); unigrams and totals broadcast, so nothing reshuffles
+    with corpus size. Integer counts until the final single ln(),
+    rounded 6 dp both engines; the top-50 cut orders by the ROUNDED
+    pmi so the limit boundary is reproducible cross-engine."""
+    from .operators.collocations import pmi_collocations
+
+    seq = sequences_from_documents(spark, sf_dir)
+    return pmi_collocations(seq, min_count=5, top_n=50)
+
+
+@register(
+    "q_sliding_distinct",
+    oracle="""
+    WITH ev AS (
+        SELECT CAST(ts AS DATE) AS day, user_id FROM events
+    ), d AS (SELECT DISTINCT day FROM ev)
+    SELECT strftime(d.day, '%Y-%m-%d') AS day,
+           count(DISTINCT e.user_id) AS distinct_ids
+    FROM d JOIN ev e ON e.day BETWEEN d.day - 6 AND d.day
+    GROUP BY 1
+    """,
+)
+def q_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trailing-7-day active users per observed day
+    (operators/sliding.py::sliding_distinct_exact). Distinct counts
+    don't subtract, so the scalable exact plan expands each event
+    map-side into the <=7 window days it reaches — one shuffle of
+    (window_day, user) pairs, map-side-deduplicated, never a per-day
+    recount of the trailing corpus. Hash-matched vs DuckDB's
+    range-join formulation; the HLL companion
+    (q_sliding_distinct_hll) gets the same curve from one scan plus
+    |days| sketch rows."""
+    from .operators.sliding import sliding_distinct_exact
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    return sliding_distinct_exact(ev, "day", "user_id", days=7)
+
+
+@register("q_sliding_distinct_hll")  # estimate: rows-only + in-row audit
+def q_sliding_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day actives from per-day HLL sketches
+    (operators/sliding.py::sliding_distinct_hll): ONE corpus scan
+    builds a sketch per day; every window is a payload merge over <=7
+    sketch ROWS — the production "N-day actives" pattern where window
+    length never changes scan count. Register-max union is exact on
+    states, so each window keeps the plain 1.04/sqrt(2^p) bound;
+    in-row audit joins the exact companion and witnesses rel_err
+    within 3x the bound for the driver's rows-only check."""
+    from .operators.sliding import sliding_distinct_exact, sliding_distinct_hll
+
+    p = 14
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    est = sliding_distinct_hll(ev, "day", "user_id", days=7, p=p)
+    exact = sliding_distinct_exact(ev, "day", "user_id", days=7)
+    bound = 3 * 1.04 / (2.0**p) ** 0.5
+    return (
+        exact.join(est, "day")
+        .withColumn(
+            "rel_err",
+            F.round(
+                F.abs(F.col("distinct_est") - F.col("distinct_ids"))
+                / F.col("distinct_ids"),
+                6,
+            ),
+        )
+        .withColumn("in_bound", F.col("rel_err") <= F.lit(bound))
+        .orderBy("day")
+    )

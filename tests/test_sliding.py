@@ -1,0 +1,94 @@
+"""Trailing-window distinct: exact expansion plan vs brute force, and
+the HLL payload-merge companion vs the exact curve."""
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from rusty_bloomfilter_spark.operators.sliding import (
+    sliding_distinct_exact,
+    sliding_distinct_hll,
+)
+
+
+def _brute(rows, days):
+    """rows: list of (date, id). -> {day_str: exact distinct}."""
+    observed = sorted({d for d, _ in rows})
+    out = {}
+    for wd in observed:
+        lo = wd - dt.timedelta(days=days - 1)
+        out[str(wd)] = len({i for d, i in rows if lo <= d <= wd})
+    return out
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    base = dt.date(2024, 3, 1)
+    rows = []
+    # users churn in and out across 20 days with a 5-day gap
+    for off in list(range(8)) + list(range(13, 20)):
+        day = base + dt.timedelta(days=off)
+        for u in range(off % 4, 10 + (off * 3) % 7):
+            rows.append((day, u))
+        rows.append((day, 1000 + off))  # one novel user per day
+    df = spark.createDataFrame(rows, schema="day date, uid bigint")
+    return df, rows
+
+
+def test_exact_matches_brute_force(events):
+    df, rows = events
+    got = {
+        r.day: r.distinct_ids
+        for r in sliding_distinct_exact(df, "day", "uid", days=7).collect()
+    }
+    assert got == _brute(rows, 7)
+
+
+def test_exact_window_one_is_per_day_distinct(events):
+    df, rows = events
+    got = {
+        r.day: r.distinct_ids
+        for r in sliding_distinct_exact(df, "day", "uid", days=1).collect()
+    }
+    assert got == _brute(rows, 1)
+
+
+def test_gap_days_not_emitted(events):
+    df, rows = events
+    days = {r.day for r in sliding_distinct_exact(df, "day", "uid", days=7).collect()}
+    # the 5-day gap (offsets 8-12) has no activity: those days must not
+    # appear even though earlier days' windows reach into them
+    assert "2024-03-10" not in days
+    assert days == {str(d) for d, _ in rows}
+
+
+def test_hll_tracks_exact_within_bound(events):
+    df, rows = events
+    p = 14
+    exact = _brute(rows, 7)
+    est = {
+        r.day: r.distinct_est
+        for r in sliding_distinct_hll(df, "day", "uid", days=7, p=p).collect()
+    }
+    assert set(est) == set(exact)
+    bound = 3 * 1.04 / (2.0**p) ** 0.5
+    for day, ex in exact.items():
+        assert abs(est[day] - ex) / ex <= max(bound, 0.02), (day, est[day], ex)
+
+
+def test_partitioning_invariance(events):
+    df, _ = events
+    a = sorted(map(tuple, sliding_distinct_exact(df.repartition(9), "day", "uid").collect()))
+    b = sorted(map(tuple, sliding_distinct_exact(df.coalesce(1), "day", "uid").collect()))
+    assert a == b
+    ha = sorted(map(tuple, sliding_distinct_hll(df.repartition(9), "day", "uid").collect()))
+    hb = sorted(map(tuple, sliding_distinct_hll(df.coalesce(1), "day", "uid").collect()))
+    assert ha == hb
+
+
+def test_days_validation(events):
+    df, _ = events
+    with pytest.raises(ValueError, match="days"):
+        sliding_distinct_exact(df, "day", "uid", days=0)
+    with pytest.raises(ValueError, match="days"):
+        sliding_distinct_hll(df, "day", "uid", days=0)
