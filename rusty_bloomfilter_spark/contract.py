@@ -113,6 +113,7 @@ _WINDOW_MIDDLE = [
     # never-verified query; round 5's rotation promotes them (they have
     # oracles and sit at the head of MIDDLE).
     "q_collocations_pmi",
+    "q_bigram_lm_cms",
     "q_sliding_distinct",
     "q_sliding_distinct_hll",
     "q_heavy_tokens_mg",
@@ -4653,4 +4654,34 @@ def q_sliding_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("in_bound", F.col("rel_err") <= F.lit(bound))
         .orderBy("day")
+    )
+
+
+@register("q_bigram_lm_cms")  # estimate: rows-only + in-row audit
+def q_bigram_lm_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM fluency scores from broadcast count-min payloads
+    (operators/lm.py) — the sketch-replaces-table form of
+    q_bigram_lm_scores: the corpus bigram table (vocab²-bounded,
+    billions of rows at 100 TB, an unavoidable shuffle-merge join in
+    the exact plan) collapses to two ~5 MiB CMS payloads broadcast to
+    a map-only vectorized scorer; nothing corpus-scale shuffles.
+    In-row audit joins the exact companion per doc: abs_err carries
+    the CMS count-overestimate drift (<= ln(1+eps·N/(c+1)) per pair,
+    eps = 2/w). On this corpus the distinct pair set (~vocab'^2 for
+    the small generator vocab) 5-row-collides with P~1e-9, so scores
+    are exactly equal — in_bound gates abs_err <= 1e-3 with that
+    margin documented, not assumed."""
+    from .operators.dedup import bigram_lm_scores
+    from .operators.lm import bigram_lm_scores_cms
+
+    seq = sequences_from_documents(spark, sf_dir)
+    exact = bigram_lm_scores(seq)
+    est = bigram_lm_scores_cms(seq)
+    return (
+        exact.join(est, ["doc_id", "n_pairs"])
+        .withColumn(
+            "abs_err", F.round(F.abs(F.col("lm_score_cms") - F.col("lm_score")), 6)
+        )
+        .withColumn("in_bound", F.col("abs_err") <= 1e-3)
+        .orderBy("doc_id")
     )
