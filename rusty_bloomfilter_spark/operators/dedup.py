@@ -188,6 +188,60 @@ def minhash_candidate_pairs(
     return tie(pairs, buckets)
 
 
+def lsh_plan(
+    threshold: float,
+    *,
+    n_hashes: int = 128,
+    fn_weight: float = 1.0,
+    fp_weight: float = 1.0,
+) -> dict:
+    """Choose (bands, rows_per_band) for ``minhash_candidate_pairs``
+    from a target Jaccard ``threshold`` — the S-curve construction of
+    Leskovec/Rajaraman/Ullman (MMDS ch. 3): a pair with similarity s
+    shares at least one band bucket with probability
+    p(s) = 1 - (1 - s^r)^b.
+
+    Among every (b, r) with b*r == n_hashes, minimizes
+    fn_weight * integral_t^1 (1-p(s)) ds  +  fp_weight * integral_0^t p(s) ds
+    (false-negative mass above the threshold vs candidate-volume mass
+    below it, 512-point midpoint rule — deterministic). fp_weight is
+    the knob that matters at 100 TB: candidate volume drives the LSH
+    self-join's shuffle, so weight it up when verification is the
+    bottleneck and down when recall is contractual.
+
+    -> dict(bands, rows, threshold_50, p_at_threshold, fn_mass,
+    fp_mass): ``threshold_50 = (1/b)^(1/r)`` is where the S-curve
+    crosses 1/2; ``p_at_threshold`` is the catch probability exactly
+    at ``threshold``. Pure driver-side arithmetic — no jobs.
+    """
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0,1), got {threshold}")
+    if n_hashes < 2:
+        raise ValueError(f"n_hashes must be >= 2, got {n_hashes}")
+    grid = [(i + 0.5) / 512 for i in range(512)]
+    best = None
+    for b in range(1, n_hashes + 1):
+        if n_hashes % b:
+            continue
+        r = n_hashes // b
+        p = lambda s: 1.0 - (1.0 - s**r) ** b
+        fn = sum(1.0 - p(s) for s in grid if s >= threshold) / 512
+        fp = sum(p(s) for s in grid if s < threshold) / 512
+        cost = fn_weight * fn + fp_weight * fp
+        cand = {
+            "bands": b,
+            "rows": r,
+            "threshold_50": (1.0 / b) ** (1.0 / r),
+            "p_at_threshold": p(threshold),
+            "fn_mass": fn,
+            "fp_mass": fp,
+            "cost": cost,
+        }
+        if best is None or cost < best["cost"]:
+            best = cand
+    return best
+
+
 def minhash_dedup(
     sequences: DataFrame,
     *,

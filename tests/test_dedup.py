@@ -256,3 +256,71 @@ def test_bigram_lm_scores_rank_fluency(spark):
     common_score = out["common-000".replace("000", "0")]["lm_score"]
     assert common_score > out["gibberish"]["lm_score"]
     assert all(r["lm_score"] < 0 for r in out.values())  # log-probs
+
+
+# ---------------------------------------------------------------------------
+# lsh_plan (S-curve band/row chooser)
+# ---------------------------------------------------------------------------
+
+
+def test_lsh_plan_brute_force_optimal():
+    from rusty_bloomfilter_spark.operators.dedup import lsh_plan
+
+    for t in (0.3, 0.5, 0.8, 0.9):
+        plan = lsh_plan(t, n_hashes=128)
+        assert plan["bands"] * plan["rows"] == 128
+        # exhaustive check: no divisor pair beats the returned cost
+        grid = [(i + 0.5) / 512 for i in range(512)]
+        for b in range(1, 129):
+            if 128 % b:
+                continue
+            r = 128 // b
+            fn = sum((1 - s**r) ** b for s in grid if s >= t) / 512
+            fp = sum(1 - (1 - s**r) ** b for s in grid if s < t) / 512
+            assert plan["cost"] <= fn + fp + 1e-12
+
+
+def test_lsh_plan_threshold_monotonicity():
+    from rusty_bloomfilter_spark.operators.dedup import lsh_plan
+
+    # a higher target similarity wants LONGER bands (more rows): the
+    # 50%-crossing point must track the threshold upward
+    lo, hi = lsh_plan(0.3, n_hashes=128), lsh_plan(0.9, n_hashes=128)
+    assert hi["rows"] >= lo["rows"]
+    assert hi["threshold_50"] > lo["threshold_50"]
+    # equal weights place the crossing NEAR the threshold (p(t) ~ 1/2
+    # territory); a recall-weighted plan must push the catch prob up
+    recall = lsh_plan(0.3, n_hashes=128, fn_weight=10.0)
+    assert recall["p_at_threshold"] > 0.5
+
+
+def test_lsh_plan_fp_weight_shifts_curve_right():
+    from rusty_bloomfilter_spark.operators.dedup import lsh_plan
+
+    cheap = lsh_plan(0.5, n_hashes=128, fp_weight=10.0)
+    recall = lsh_plan(0.5, n_hashes=128, fn_weight=10.0)
+    # penalizing candidate volume pushes the crossing point up (fewer
+    # low-sim candidates); penalizing misses pushes it down
+    assert cheap["threshold_50"] >= recall["threshold_50"]
+    assert cheap["fp_mass"] <= recall["fp_mass"]
+
+
+def test_lsh_plan_validation():
+    import pytest as _pytest
+
+    from rusty_bloomfilter_spark.operators.dedup import lsh_plan
+
+    with _pytest.raises(ValueError, match="threshold"):
+        lsh_plan(1.0)
+    with _pytest.raises(ValueError, match="n_hashes"):
+        lsh_plan(0.5, n_hashes=1)
+
+
+def test_lsh_plan_default_matches_operator_defaults():
+    from rusty_bloomfilter_spark.operators.dedup import lsh_plan
+
+    # the repo's default minhash_candidate_pairs(bands=32, n=128) =>
+    # r=4, crossing (1/32)^(1/4) ~ 0.42 — lsh_plan should agree that
+    # this is a sane plan for threshold ~0.5 territory
+    plan = lsh_plan(0.5, n_hashes=128)
+    assert 0.3 < plan["threshold_50"] < 0.7
