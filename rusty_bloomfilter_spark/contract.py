@@ -114,6 +114,8 @@ _WINDOW_MIDDLE = [
     # oracles and sit at the head of MIDDLE).
     "q_collocations_pmi",
     "q_bigram_lm_cms",
+    "q_token_shift_exact",
+    "q_token_shift_cs",
     "q_sliding_distinct",
     "q_sliding_distinct_hll",
     "q_heavy_tokens_mg",
@@ -4684,4 +4686,74 @@ def q_bigram_lm_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("in_bound", F.col("abs_err") <= 1e-3)
         .orderBy("doc_id")
+    )
+
+
+@register(
+    "q_token_shift_exact",
+    oracle=_SEQ_CTE
+    + """
+    SELECT tok, freq_a, freq_b, freq_a - freq_b AS diff
+    FROM (
+        SELECT tok,
+               CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS freq_a,
+               CAST(sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS freq_b
+        FROM (SELECT source, unnest(tokens) AS tok FROM sequences
+              WHERE source IN ('src0', 'src1')) t
+        GROUP BY tok
+    )
+    ORDER BY abs(freq_a - freq_b) DESC, tok LIMIT 50
+    """,
+)
+def q_token_shift_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-distribution shift ledger between two sources
+    (operators/shift.py::token_shift_exact): top-50 tokens by
+    |c_src0 - c_src1|. One pruned scan (the source IN-filter pushes to
+    the file scan), one vocab-bounded conditional aggregate — the
+    'what exactly changed between slices' companion to the KL-style
+    q_source_token_drift. Hash-matched (integer counts, total order
+    abs-desc then tok)."""
+    from .operators.shift import token_shift_exact
+
+    seq = sequences_from_documents(spark, sf_dir)
+    return token_shift_exact(seq, "source", "src0", "src1", k=50)
+
+
+@register("q_token_shift_cs")  # estimate: rows-only + in-row audit
+def q_token_shift_cs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token shift from a CountSketch DIFFERENCE
+    (operators/shift.py::token_shift_topk_cs): CountSketch is a linear
+    map of the frequency vector, so sketch(A) - sketch(B)
+    (sketch/ams.py::CountSketch.subtract) IS the sketch of the signed
+    difference stream — the query sign-less summaries cannot express.
+    One fused CountSketch+Misra-Gries scan per side, sketch rows only
+    on the shuffle; candidates carry the MG provable-superset
+    guarantee (every token with |shift| > max(N_a,N_b)/(cap+1)
+    surfaces). In-row audit joins the exact counts: abs_err vs the
+    3-sigma CountSketch bound carried per row as err_bound."""
+    from .operators.shift import token_shift_exact, token_shift_topk_cs
+
+    seq = sequences_from_documents(spark, sf_dir)
+    est = token_shift_topk_cs(seq, "source", "src0", "src1", k=50)
+    exact_all = (
+        seq.filter(F.col("source").isin("src0", "src1"))
+        .select("source", F.explode("tokens").alias("tok"))
+        .groupBy("tok")
+        .agg(
+            F.sum(F.when(F.col("source") == "src0", 1).otherwise(0))
+            .cast("bigint")
+            .alias("freq_a"),
+            F.sum(F.when(F.col("source") == "src1", 1).otherwise(0))
+            .cast("bigint")
+            .alias("freq_b"),
+        )
+        .withColumn("diff_exact", F.col("freq_a") - F.col("freq_b"))
+        .select("tok", "diff_exact")
+    )
+    return (
+        est.join(exact_all, "tok", "left")
+        .withColumn("diff_exact", F.coalesce(F.col("diff_exact"), F.lit(0)))
+        .withColumn("abs_err", F.abs(F.col("diff_est") - F.col("diff_exact")))
+        .withColumn("in_bound", F.col("abs_err") <= F.col("err_bound"))
+        .orderBy(F.abs(F.col("diff_est")).desc(), "tok")
     )

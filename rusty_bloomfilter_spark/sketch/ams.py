@@ -184,6 +184,20 @@ class CountSketch:
         out = CountSketch(self.d, self.w, self.table.copy(), self.n_items)
         return out.merge_in_place(other)
 
+    def subtract(self, other: "CountSketch") -> "CountSketch":
+        """Linear-sketch difference: sketch(A) - sketch(B) IS the
+        sketch of the signed stream A - B, so queries against the
+        result estimate per-item count DIFFERENCES c_A(x) - c_B(x) —
+        the operation sign-less sketches (CMS, Bloom, HLL) cannot
+        express. n_items becomes the total UPDATE count |A| + |B|
+        (deletions are updates), which is what the F2-based error
+        bound of the difference stream scales with."""
+        if (self.d, self.w) != (other.d, other.w):
+            raise ValueError("CountSketch dimension mismatch")
+        return CountSketch(
+            self.d, self.w, self.table - other.table, self.n_items + other.n_items
+        )
+
     # -- wire --------------------------------------------------------------
 
     def to_bytes(self) -> bytes:
