@@ -36,13 +36,11 @@ _NULL = "\x00"
 
 
 def _merge_agg_udf():
-    @F.pandas_udf("binary")
-    def merge_payloads_agg(s: pd.Series) -> bytes:
-        from ..sketch import merge_sketch_payloads
+    # canonical definition lives in operators/sketches.py (one copy;
+    # adds the NULL-payload guard this local copy lacked)
+    from .sketches import merge_payloads_agg_udf
 
-        return merge_sketch_payloads([bytes(x) for x in s])
-
-    return merge_payloads_agg
+    return merge_payloads_agg_udf()
 
 
 def _sum_agg_udf():

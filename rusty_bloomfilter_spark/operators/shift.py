@@ -113,7 +113,10 @@ def token_shift_topk_cs(
     }
     spark = seq.sparkSession
     out_schema = "tok bigint, diff_est bigint, err_bound double"
-    if source_a not in rows and source_b not in rows:
+    # build_multi_by_key stringifies keys; match the caller's values the
+    # same way so non-string source columns (int ids) still resolve
+    key_a, key_b = str(source_a), str(source_b)
+    if key_a not in rows and key_b not in rows:
         return spark.createDataFrame([], out_schema)
 
     def side(name: str) -> tuple[CountSketch, MisraGries]:
@@ -125,8 +128,8 @@ def token_shift_topk_cs(
             MisraGries.from_bytes(bytes(r["payload_mg"])),
         )
 
-    cs_a, mg_a = side(source_a)
-    cs_b, mg_b = side(source_b)
+    cs_a, mg_a = side(key_a)
+    cs_b, mg_b = side(key_b)
     diff = cs_a.subtract(cs_b)
     cands = np.union1d(mg_a.candidates_above(0), mg_b.candidates_above(0))
     if cands.size == 0:

@@ -54,6 +54,24 @@ def _list_column(batch: "pa.RecordBatch", col: str):
     return arr
 
 
+def merge_payloads_agg_udf():
+    """GROUPED_AGG pandas UDF factory: fold a binary payload column
+    through sketch.merge_sketch_payloads (any registry kind, magic
+    dispatch). NULL payloads are skipped; an all-NULL group yields
+    NULL, never a task-crashing ValueError (SQL aggregate semantics).
+    The single canonical definition — cube.py / sliding.py / SQL
+    sketch_merge must not grow divergent copies (round-4 review)."""
+
+    @F.pandas_udf("binary")
+    def merge_payloads_agg(s: pd.Series) -> bytes:
+        from ..sketch import merge_sketch_payloads
+
+        present = [bytes(x) for x in s if x is not None]
+        return merge_sketch_payloads(present) if present else None
+
+    return merge_payloads_agg
+
+
 def arrow_flat_tokens(batch: "pa.RecordBatch", col: str) -> np.ndarray:
     """Zero-copy flatten of an Arrow list<int> column."""
     return _list_column(batch, col).flatten().to_numpy(zero_copy_only=False)

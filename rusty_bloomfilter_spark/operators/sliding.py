@@ -27,11 +27,9 @@ from __future__ import annotations
 
 from typing import Iterator
 
-import pandas as pd
 import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.functions import pandas_udf
 
 from ..sketch import HyperLogLog
 
@@ -82,26 +80,25 @@ def sliding_distinct_hll(
     """
     if days < 1:
         raise ValueError(f"days must be >= 1, got {days}")
-    from .sketches import HllSketch
+    from .cache import tie
+    from .sketches import HllSketch, merge_payloads_agg_udf
 
     keyed = HllSketch(p=p, col=id_col, scalar=True).build_by_key(
         df.where(F.col(day_col).isNotNull()), day_col
     )
-    sk = keyed.select(F.to_date("key").alias("sday"), "payload")
-    wdays = sk.select(F.col("sday").alias("wday")).distinct()
+    # the range join references the sketch frame twice (window days +
+    # payload side); without a persist the per-day build — and the
+    # corpus scan under it — recomputes per reference (CLAUDE.md
+    # self-join rule, verified: 4 source scans in the unpersisted plan)
+    sk = keyed.select(F.to_date("key").alias("sday"), "payload").persist()
+    # build_by_key emits exactly one row per day already — no distinct
+    wdays = sk.select(F.col("sday").alias("wday"))
     pairs = sk.join(
         F.broadcast(wdays),
         (F.col("sday") <= F.col("wday"))
         & (F.col("sday") >= F.date_sub(F.col("wday"), days - 1)),
     )
-
-    @pandas_udf("binary")
-    def merge_payloads(payloads: pd.Series) -> bytes:
-        from ..sketch import merge_sketch_payloads
-
-        present = [bytes(x) for x in payloads if x is not None]
-        return merge_sketch_payloads(present) if present else None
-
+    merge_payloads = merge_payloads_agg_udf()
     merged = pairs.groupBy("wday").agg(merge_payloads("payload").alias("payload"))
 
     def estimate(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -125,4 +122,6 @@ def sliding_distinct_hll(
                 names=["day", "distinct_est"],
             )
 
-    return merged.mapInArrow(estimate, schema="day string, distinct_est double")
+    return tie(
+        merged.mapInArrow(estimate, schema="day string, distinct_est double"), sk
+    )

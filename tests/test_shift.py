@@ -111,3 +111,13 @@ def test_subtract_is_linear():
 def test_subtract_dimension_mismatch():
     with pytest.raises(ValueError, match="mismatch"):
         CountSketch(5, 1024).subtract(CountSketch(5, 2048))
+
+
+def test_cs_int_source_column(spark):
+    # build_multi_by_key stringifies keys; raw int source values must
+    # still resolve (round-4 review finding)
+    rows = [(0, [1, 1, 2]), (1, [2, 2, 2]), (0, [1, 3])]
+    df = spark.createDataFrame(rows, schema="source int, tokens array<int>")
+    got = {r.tok: r.diff_est for r in
+           token_shift_topk_cs(df, "source", 0, 1, k=10).collect()}
+    assert got == {1: 3, 2: -2, 3: 1}

@@ -92,3 +92,21 @@ def test_days_validation(events):
         sliding_distinct_exact(df, "day", "uid", days=0)
     with pytest.raises(ValueError, match="days"):
         sliding_distinct_hll(df, "day", "uid", days=0)
+
+
+def test_hll_sketch_frame_persisted_once(events):
+    # the range join references the sketch frame twice; without a
+    # persist the per-day build and corpus scan recompute per side
+    # (round-4 review finding: 4 source scans, 0 reuse). The persisted
+    # plan must read the sketch frame from cache on both sides.
+    import contextlib
+    import io
+
+    df, _ = events
+    out = sliding_distinct_hll(df, "day", "uid", days=7)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
+    out.collect()  # materializes through the cached frame without error
