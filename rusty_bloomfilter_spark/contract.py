@@ -116,6 +116,8 @@ _WINDOW_MIDDLE = [
     "q_bigram_lm_cms",
     "q_token_shift_exact",
     "q_token_shift_cs",
+    "q_ntok_percentile_exact",
+    "q_ntok_percentile_kll",
     "q_sliding_distinct",
     "q_sliding_distinct_hll",
     "q_heavy_tokens_mg",
@@ -4756,4 +4758,60 @@ def q_token_shift_cs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("abs_err", F.abs(F.col("diff_est") - F.col("diff_exact")))
         .withColumn("in_bound", F.col("abs_err") <= F.col("err_bound"))
         .orderBy(F.abs(F.col("diff_est")).desc(), "tok")
+    )
+
+
+@register(
+    "q_ntok_percentile_exact",
+    oracle=_SEQ_CTE
+    + """
+    SELECT doc_id, n_tok,
+           round(cume_dist() OVER (ORDER BY n_tok), 6) AS pct
+    FROM (SELECT doc_id, len(tokens) AS n_tok FROM sequences) t
+    """,
+)
+def q_ntok_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentile rank (cume_dist) of every document's token
+    count — the global-order window that costs a single-partition sort
+    of the corpus at scale; this is the exact companion the broadcast-
+    KLL normalizer (q_ntok_percentile_kll) is audited against.
+    Ties share a cume_dist value, so the result is deterministic under
+    any partitioning; hash-matched at round-6."""
+    seq = sequences_from_documents(spark, sf_dir)
+    return seq.select(
+        "doc_id",
+        "n_tok",
+        F.round(F.cume_dist().over(Window.orderBy("n_tok")), 6).alias("pct"),
+    )
+
+
+@register("q_ntok_percentile_kll")  # estimate: rows-only + in-row audit
+def q_ntok_percentile_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-rank normalization from a broadcast KLL payload
+    (operators/percentiles.py::percentile_normalize) — the quality-
+    pipeline primitive 'drop the bottom p% by X' WITHOUT the global
+    sort the exact cume_dist needs: one mergeable-sketch scan (sketch
+    rows only on the shuffle) + one map-only annotate pass. KLL bounds
+    RANK error directly — exactly the emitted quantity — so the in-row
+    audit gates abs_err <= 3x the published rank error uniformly, at
+    every value, not just at pinned quantiles."""
+    from .operators.percentiles import percentile_normalize
+    from .sketch import KLLSketch
+
+    k = 200
+    seq = sequences_from_documents(spark, sf_dir).select("doc_id", "n_tok")
+    est = percentile_normalize(seq, "n_tok", k=k)
+    exact = seq.select(
+        "doc_id", F.cume_dist().over(Window.orderBy("n_tok")).alias("pct_exact")
+    )
+    bound = 3 * KLLSketch(k).rank_error()
+    return (
+        est.join(exact, "doc_id")
+        .withColumn(
+            "abs_err", F.round(F.abs(F.col("pct_est") - F.col("pct_exact")), 6)
+        )
+        .withColumn("in_bound", F.col("abs_err") <= F.lit(bound))
+        .select("doc_id", "n_tok", F.round("pct_est", 6).alias("pct_est"),
+                F.round("pct_exact", 6).alias("pct_exact"), "abs_err", "in_bound")
+        .orderBy("doc_id")
     )

@@ -152,6 +152,20 @@ class KLLSketch:
         mask = v <= value
         return float(w[mask].sum() / w.sum())
 
+    def rank_batch(self, values: np.ndarray) -> np.ndarray:
+        """Vectorized ``rank``: normalized rank (fraction of sketch
+        mass <= v) for every value. NaN inputs rank NaN; an empty
+        sketch ranks everything NaN. Agrees elementwise with the
+        scalar ``rank`` (searchsorted over the same weighted items)."""
+        vals = np.asarray(values, dtype=np.float64)
+        v, w = self._weighted_items()
+        if v.size == 0:
+            return np.full(vals.shape, np.nan)
+        cw = np.cumsum(w, dtype=np.float64)
+        idx = np.searchsorted(v, vals, side="right")
+        out = np.where(idx > 0, cw[np.maximum(idx - 1, 0)], 0.0) / cw[-1]
+        return np.where(np.isnan(vals), np.nan, out)
+
     # -- wire -----------------------------------------------------------------------
 
     def to_bytes(self) -> bytes:
