@@ -206,3 +206,39 @@ def test_empty_sketch_estimates_zero():
     assert cs.f2() == 0
     assert cs.query_tokens(np.asarray([1, 2, 3], dtype=np.int64)).tolist() == [0, 0, 0]
     assert cs.query_tokens(np.empty(0, dtype=np.int64)).size == 0
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(st.lists(st.integers(0, 300), max_size=50), min_size=1, max_size=4),
+    st.lists(st.lists(st.integers(0, 300), max_size=50), min_size=1, max_size=4),
+)
+def test_subtract_commutes_with_merge(parts_a, parts_b):
+    """Linearity: merging partition sketches THEN subtracting equals
+    the signed-update sketch of the whole difference stream — the
+    property that lets token_shift_topk_cs build each side distributed
+    and difference once on the driver."""
+    import numpy as np
+
+    from rusty_bloomfilter_spark.sketch import CountSketch
+
+    def build(parts):
+        acc = CountSketch(3, 256)
+        for p in parts:
+            part = CountSketch(3, 256)
+            if p:
+                part.add_tokens(np.asarray(p, dtype=np.int64))
+            acc.merge_in_place(part)
+        return acc
+
+    diff = build(parts_a).subtract(build(parts_b))
+    signed = CountSketch(3, 256)
+    for p in parts_a:
+        if p:
+            signed.add_tokens(np.asarray(p, dtype=np.int64))
+    for p in parts_b:
+        if p:
+            signed.add_tokens(
+                np.asarray(p, dtype=np.int64), counts=-np.ones(len(p))
+            )
+    assert np.array_equal(diff.table, signed.table)
