@@ -120,6 +120,7 @@ _WINDOW_MIDDLE = [
     "q_ntok_percentile_kll",
     "q_sliding_distinct",
     "q_sliding_distinct_hll",
+    "q_streaming_sliding_distinct",
     "q_heavy_tokens_mg",
     "q_embedding_gram",
     "q_embedding_spectrum",
@@ -4814,4 +4815,106 @@ def q_ntok_percentile_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_tok", F.round("pct_est", 6).alias("pct_est"),
                 F.round("pct_exact", 6).alias("pct_exact"), "abs_err", "in_bound")
         .orderBy("doc_id")
+    )
+
+
+@register("q_streaming_sliding_distinct")  # estimate: rows-only + audit
+def q_streaming_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming trailing-window actives in the driver contract
+    (streaming/stateful.py::windowed_sliding_distinct): per event type,
+    the distinct users over the trailing THREE 1-week event-time
+    windows — live "21-day actives" — with cross-window HLL payloads as
+    applyInPandasWithState group state (O(2·trailing·2^p) per key,
+    stream-length-independent). The events table replays as 3
+    micro-batches; trailing estimates are monotone (register-max
+    union), so each (key, window)'s LAST emission is the final state.
+    In-row audit joins the exact batch trailing distinct (map-side
+    window expansion, the q_sliding_distinct plan shape): rel_err
+    within 3x the HLL bound. The 5-week event span fits inside the
+    operator's 2·trailing retained horizon, so the unordered replay
+    loses nothing to the (documented) lateness bound."""
+    from .streaming.stateful import windowed_sliding_distinct
+
+    p = 14
+    trailing = 3
+    week = 604800
+    ev = load_table(spark, sf_dir, "events").select(
+        "ts", "event_type", "user_id"
+    )
+    src = _scratch_dir("slide_src")
+    ev.repartition(3).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    out = windowed_sliding_distinct(
+        stream,
+        key_col="event_type",
+        ts_col="ts",
+        value_col="user_id",
+        window="1 week",
+        trailing=trailing,
+        p=p,
+    )
+    emissions: list = []
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        for r in batch_df.collect():  # rows per active (key, window): tiny
+            emissions.append((batch_id, r))
+
+    ckpt = _scratch_dir("slide_ckpt")
+    q = (
+        out.writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_stream(q)
+    last: dict = {}
+    for bid, r in emissions:
+        key = (r["key"], int(r["window_start"].timestamp()))
+        if key not in last or bid >= last[key][0]:
+            last[key] = (bid, float(r["trailing_est"]))
+    est = spark.createDataFrame(
+        [(k, w, round(e, 2)) for (k, w), (_, e) in sorted(last.items())],
+        "event_type string, window_epoch bigint, trailing_est double",
+    )
+    # exact batch companion: expand each event into the trailing
+    # windows it reaches, one (window, key) distinct aggregate
+    base = ev.select(
+        "event_type",
+        "user_id",
+        (
+            (F.col("ts").cast("timestamp").cast("long") / week).cast("long") * week
+        ).alias("w0"),
+    )
+    expanded = base.select(
+        "event_type",
+        "user_id",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(trailing - 1))
+        ).alias("i"),
+        "w0",
+    ).select(
+        "event_type", "user_id", (F.col("w0") + F.col("i") * week).alias("window_epoch")
+    )
+    observed = base.select("event_type", F.col("w0").alias("window_epoch")).distinct()
+    exact = (
+        expanded.join(observed, ["event_type", "window_epoch"], "left_semi")
+        .groupBy("event_type", "window_epoch")
+        .agg(F.countDistinct("user_id").alias("distinct_exact"))
+    )
+    bound = 3 * 1.04 / (2.0**p) ** 0.5
+    return (
+        exact.join(est, ["event_type", "window_epoch"])
+        .withColumn(
+            "rel_err",
+            F.round(
+                F.abs(F.col("trailing_est") - F.col("distinct_exact"))
+                / F.col("distinct_exact"),
+                6,
+            ),
+        )
+        .withColumn("in_bound", F.col("rel_err") <= F.lit(bound))
+        .orderBy("event_type", "window_epoch")
     )

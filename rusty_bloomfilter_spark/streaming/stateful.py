@@ -437,3 +437,140 @@ def windowed_drift(
             ),
         )
     )
+
+
+_SLIDING_OUTPUT = (
+    "key string, window_start timestamp, trailing_est double, n_windows bigint"
+)
+_SLIDING_STATE = "starts array<long>, payloads array<binary>"
+
+_UNIT_SEC = {"second": 1, "minute": 60, "hour": 3600, "day": 86400, "week": 604800}
+
+
+def _duration_seconds(window: str) -> int:
+    parts = window.strip().split()
+    if len(parts) != 2:
+        raise ValueError(f"window must look like '1 day', got {window!r}")
+    n, unit = parts
+    unit = unit.rstrip("s")
+    if unit not in _UNIT_SEC or int(n) <= 0:
+        raise ValueError(f"unsupported window {window!r}")
+    return int(n) * _UNIT_SEC[unit]
+
+
+def windowed_sliding_distinct(
+    stream_df: DataFrame,
+    *,
+    key_col: str,
+    ts_col: str = "ts",
+    value_col: str = "user_id",
+    window: str = "1 day",
+    trailing: int = 7,
+    p: int = 14,
+) -> DataFrame:
+    """Streaming TRAILING-window distinct ("7-day actives per source",
+    live): for every event-time window, the distinct estimate over that
+    window AND the ``trailing - 1`` before it — the stateful
+    counterpart of operators/sliding.py::sliding_distinct_hll.
+
+    Unlike ``windowed_distinct`` (state keyed per window, so no
+    cross-window reach), this keys state by ``key_col`` and keeps the
+    last ``2 * trailing`` windows' HLL payloads per key as group state
+    (O(2·trailing·2^p) bytes per key, stream-length-independent —
+    sparse wire keeps barely-filled windows small). Each micro-batch
+    folds its rows into the touched windows' sketches and re-emits the
+    trailing merge for every touched window (output mode update; take
+    the LAST emission per (key, window), the q_streaming_windowed_topk
+    convention). Register-max union is exact on states, so every
+    trailing estimate keeps the plain 1.04/sqrt(2^p) bound.
+
+    Lateness contract: rows older than the retained horizon
+    (newest window seen minus ``2·trailing`` windows) are DROPPED, not
+    resurrected — a pruned window restarting from empty would silently
+    undercount; the horizon is the operator's explicit lateness bound.
+
+    Scale note: state concentrates per KEY — deploy keyed by a real
+    entity (source, tenant). A single global key makes one state group
+    the row sink; for a global trailing curve at corpus scale use the
+    batch path (per-day payload merge) over checkpointed sketches.
+    """
+    if trailing < 1:
+        raise ValueError(f"trailing must be >= 1, got {trailing}")
+    win_sec = _duration_seconds(window)
+    keep = 2 * trailing
+
+    def update(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            starts_raw, payloads_raw = state.get
+            windows = {
+                int(s): HyperLogLog.from_bytes(bytes(b))
+                for s, b in zip(starts_raw, payloads_raw)
+            }
+        else:
+            windows = {}
+        horizon_floor = max(windows) - (keep - 1) * win_sec if windows else None
+        touched: set[int] = set()
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            epochs = (pdf[ts_col].astype("int64") // 1_000_000_000).to_numpy()
+            ws_all = epochs - (epochs % win_sec)
+            vals = _series_probe_values(pdf[value_col])
+            for ws in np.unique(ws_all):
+                ws = int(ws)
+                if horizon_floor is not None and ws < horizon_floor:
+                    continue  # beyond the lateness horizon: drop, never restart
+                sel = vals[ws_all == ws]
+                if not len(sel):
+                    continue
+                windows.setdefault(ws, HyperLogLog(p)).add_tokens(sel)
+                touched.add(ws)
+        # emit BEFORE pruning: a wide batch may touch windows whose
+        # trailing predecessors are about to fall off the retained
+        # horizon, and their merge must still see everything this
+        # update knows (prune-then-emit degraded old windows to
+        # n_windows=1 — caught by the multi-day-batch test)
+        out_ws, out_est, out_n = [], [], []
+        for ws in sorted(touched):
+            lo = ws - (trailing - 1) * win_sec
+            acc = HyperLogLog(p)
+            n = 0
+            for s, h in windows.items():
+                if lo <= s <= ws:
+                    acc.merge_in_place(h)
+                    n += 1
+            out_ws.append(pd.Timestamp(ws, unit="s"))
+            out_est.append(acc.estimate())
+            out_n.append(n)
+        if windows:
+            newest = max(windows)
+            floor = newest - (keep - 1) * win_sec
+            windows = {s: h for s, h in windows.items() if s >= floor}
+        state.update(
+            (
+                [int(s) for s in sorted(windows)],
+                [windows[s].to_bytes() for s in sorted(windows)],
+            )
+        )
+        if not touched:
+            return
+        yield pd.DataFrame(
+            {
+                "key": [str(key[0])] * len(out_ws),
+                "window_start": out_ws,
+                "trailing_est": out_est,
+                "n_windows": out_n,
+            }
+        )
+
+    return stream_df.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=_SLIDING_OUTPUT,
+        stateStructType=_SLIDING_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -596,3 +596,100 @@ def test_windowed_quantiles_stream(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="fractions"):
         windowed_quantiles(stream, qs=(1.5,))
+
+
+def test_windowed_sliding_distinct(spark, tmp_path):
+    """Streaming trailing-3-day actives per source across multi-file
+    micro-batches: last emission per (key, window) must match the
+    exact batch trailing distinct within HLL error, state must stay
+    bounded, and beyond-horizon late rows must be dropped."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from rusty_bloomfilter_spark.streaming.stateful import (
+        _duration_seconds,
+        windowed_sliding_distinct,
+    )
+
+    assert _duration_seconds("1 day") == 86400
+    assert _duration_seconds("2 hours") == 7200
+    with pytest.raises(ValueError):
+        _duration_seconds("fortnight")
+
+    base = dt.datetime(2024, 5, 1)
+    rng = np.random.default_rng(9)
+    rows = []
+    for day in range(10):
+        for src in ("a", "b"):
+            lo = 0 if src == "a" else 500
+            for u in rng.integers(lo, lo + 40, 60):
+                rows.append(
+                    (base + dt.timedelta(days=day, hours=int(u) % 24), src, int(u))
+                )
+    pdf = pd.DataFrame(rows, columns=["ts", "source", "user_id"])
+    batch_df = spark.createDataFrame(pdf)
+    src_dir = str(tmp_path / "slide_src")
+    # time-ordered micro-batches (a real stream's arrival order): rows
+    # randomly split across files would arrive "late" past the
+    # operator's documented lateness horizon and be dropped by design
+    import os
+    import time
+
+    os.makedirs(src_dir, exist_ok=True)
+    for i, (lo, hi) in enumerate([(0, 3), (3, 5), (5, 8), (8, 10)]):
+        cut_lo = base + dt.timedelta(days=lo)
+        cut_hi = base + dt.timedelta(days=hi)
+        part = pdf[(pdf.ts >= cut_lo) & (pdf.ts < cut_hi)]
+        spark.createDataFrame(part).coalesce(1).write.parquet(
+            str(tmp_path / f"slide_part{i}")
+        )
+        import glob
+        import shutil
+
+        (src_file,) = glob.glob(str(tmp_path / f"slide_part{i}" / "part-*.parquet"))
+        shutil.copy(src_file, os.path.join(src_dir, f"batch_{i}.parquet"))
+        time.sleep(1.1)  # order file mtimes => micro-batch order
+
+    stream = (
+        spark.readStream.schema(batch_df.schema)
+        .option("maxFilesPerTrigger", 1)  # force multiple micro-batches
+        .parquet(src_dir)
+    )
+    out = windowed_sliding_distinct(
+        stream, key_col="source", window="1 day", trailing=3, p=14
+    )
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("slide_mem")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    em = spark.sql(
+        "select * from slide_mem"
+    ).toPandas()
+    assert len(em)
+    # the memory sink doesn't order emissions by batch; trailing_est is
+    # MONOTONE (register-max union never shrinks), so the final state
+    # per (key, window) is the max emission
+    em = (
+        em.groupby(["key", "window_start"])[["trailing_est", "n_windows"]]
+        .max()
+        .reset_index()
+    )
+
+    # exact trailing-3-day distinct per (source, day)
+    ev = pdf.assign(day=pdf.ts.dt.floor("D"))
+    for _, r in em.iterrows():
+        day = r.window_start
+        lo = day - pd.Timedelta(days=2)
+        sub = ev[(ev.source == r.key) & (ev.day >= lo) & (ev.day <= day)]
+        exact = sub.user_id.nunique()
+        assert exact > 0
+        assert abs(r.trailing_est - exact) / exact <= 0.05, (r.key, day, exact, r.trailing_est)
+        assert 1 <= r.n_windows <= 3
+
+    # every (source, day) with activity got an emission
+    assert len(em) == 10 * 2
