@@ -15,7 +15,10 @@ machine-readable physical-planning artifact:
   (operators/skew.py) for a groupBy/shuffle on --key;
 - with --right:  the join advice (operators/advisor.py) —
   broadcast / shuffle / shuffle_salted, salt fan-out, and the CMS
-  inner-product join-size estimate.
+  inner-product join-size estimate;
+- with --lsh-threshold: additionally, the MinHash-LSH band/row plan
+  (operators/dedup.py::lsh_plan) for a near-dup pass at that target
+  Jaccard — pure driver arithmetic, no extra jobs.
 
 The JSON is the artifact a pipeline persists next to its data so every
 downstream job (and every human) can see WHY a shuffle was salted or a
@@ -42,6 +45,19 @@ def main() -> None:
     ap.add_argument("--partitions", type=int, default=200)
     ap.add_argument("--overload", type=float, default=2.0)
     ap.add_argument("--broadcast-rows", type=int, default=1_000_000)
+    ap.add_argument(
+        "--lsh-threshold",
+        type=float,
+        default=None,
+        help="also emit an LSH (bands, rows) plan for this target Jaccard",
+    )
+    ap.add_argument("--lsh-hashes", type=int, default=128)
+    ap.add_argument(
+        "--lsh-fp-weight",
+        type=float,
+        default=1.0,
+        help="candidate-volume weight: raise when the LSH self-join shuffle is the bottleneck",
+    )
     ap.add_argument("--out", default=None, help="write JSON here (default: stdout)")
     ap.add_argument("--cpus", type=int, default=0, help="local[N] when no master set")
     args = ap.parse_args()
@@ -95,6 +111,15 @@ def main() -> None:
             overload=args.overload,
         )
         report.update({"mode": "join_advice", "right": args.right, **asdict(adv)})
+
+    if args.lsh_threshold is not None:
+        from rusty_bloomfilter_spark.operators.dedup import lsh_plan
+
+        report["lsh_plan"] = lsh_plan(
+            args.lsh_threshold,
+            n_hashes=args.lsh_hashes,
+            fp_weight=args.lsh_fp_weight,
+        )
 
     payload = json.dumps(report, indent=2, default=str)
     if args.out:
