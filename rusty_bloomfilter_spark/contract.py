@@ -4822,21 +4822,24 @@ def q_ntok_percentile_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_streaming_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming trailing-window actives in the driver contract
     (streaming/stateful.py::windowed_sliding_distinct): per event type,
-    the distinct users over the trailing THREE 1-week event-time
-    windows — live "21-day actives" — with cross-window HLL payloads as
+    the distinct users over the trailing FIVE 1-week event-time
+    windows — live "35-day actives" — with cross-window HLL payloads as
     applyInPandasWithState group state (O(2·trailing·2^p) per key,
     stream-length-independent). The events table replays as 3
-    micro-batches; trailing estimates are monotone (register-max
-    union), so each (key, window)'s LAST emission is the final state.
-    In-row audit joins the exact batch trailing distinct (map-side
-    window expansion, the q_sliding_distinct plan shape): rel_err
-    within 3x the HLL bound. The 5-week event span fits inside the
-    operator's 2·trailing retained horizon, so the unordered replay
-    loses nothing to the (documented) lateness bound."""
+    micro-batches; the operator's acceptance horizon guarantees no
+    re-emission is ever a degraded merge, so each (key, window)'s LAST
+    emission is the final state. In-row audit joins the exact batch
+    trailing distinct (map-side window expansion, the
+    q_sliding_distinct plan shape): rel_err within 3x the HLL bound.
+    trailing=5 is sized so the 5-week event span (all SFs) fits the
+    trailing-window ACCEPTANCE horizon — the replay is unordered, and
+    a row arriving more than `trailing` windows behind the newest seen
+    would otherwise be dropped under the documented lateness bound
+    (correct for a stream, a miscount for this replay)."""
     from .streaming.stateful import windowed_sliding_distinct
 
     p = 14
-    trailing = 3
+    trailing = 5
     week = 604800
     ev = load_table(spark, sf_dir, "events").select(
         "ts", "event_type", "user_id"

@@ -145,7 +145,12 @@ class KLLSketch:
         return float(out[0]) if np.isscalar(q) else out
 
     def rank(self, value: float) -> float:
-        """Normalized rank of `value` (fraction of mass <= value)."""
+        """Normalized rank of `value` (fraction of mass <= value).
+        NaN ranks NaN (it compares below everything, so the mask path
+        would silently return 0.0 — round-4 review finding), matching
+        rank_batch elementwise."""
+        if np.isnan(value):
+            return float("nan")
         v, w = self._weighted_items()
         if v.size == 0:
             return float("nan")

@@ -484,10 +484,16 @@ def windowed_sliding_distinct(
     convention). Register-max union is exact on states, so every
     trailing estimate keeps the plain 1.04/sqrt(2^p) bound.
 
-    Lateness contract: rows older than the retained horizon
-    (newest window seen minus ``2·trailing`` windows) are DROPPED, not
-    resurrected — a pruned window restarting from empty would silently
-    undercount; the horizon is the operator's explicit lateness bound.
+    Lateness contract: rows more than ``trailing`` windows behind the
+    newest window in state are DROPPED, not accepted — the acceptance
+    horizon is deliberately TIGHTER than the ``2·trailing`` retention
+    horizon so that every accepted window's full trailing range is
+    still retained: accepting (and re-emitting) a window whose
+    predecessors were already pruned would emit a degraded merge that
+    OVERWRITES the earlier complete one under the last-emission-wins
+    convention — the silent undercount this contract exists to
+    prevent. NULL timestamps are dropped (a NaT folds to the int64
+    sentinel and would fabricate a year-1677 window).
 
     Scale note: state concentrates per KEY — deploy keyed by a real
     entity (source, tenant). A single global key makes one state group
@@ -512,9 +518,15 @@ def windowed_sliding_distinct(
             }
         else:
             windows = {}
-        horizon_floor = max(windows) - (keep - 1) * win_sec if windows else None
+        # acceptance horizon: trailing windows behind the newest in
+        # state — tighter than the keep-based retention floor, so every
+        # accepted window's trailing predecessors (if they ever had
+        # data) are guaranteed still retained and its re-emission is
+        # never a degraded merge (round-4 review finding)
+        horizon_floor = max(windows) - trailing * win_sec if windows else None
         touched: set[int] = set()
         for pdf in pdfs:
+            pdf = pdf[pdf[ts_col].notna()]  # NaT -> int64 sentinel window
             if not len(pdf):
                 continue
             epochs = (pdf[ts_col].astype("int64") // 1_000_000_000).to_numpy()

@@ -693,3 +693,61 @@ def test_windowed_sliding_distinct(spark, tmp_path):
 
     # every (source, day) with activity got an emission
     assert len(em) == 10 * 2
+
+
+def test_windowed_sliding_distinct_late_row_never_degrades(spark, tmp_path):
+    """A row arriving more than `trailing` windows behind the newest
+    window in state must be DROPPED (acceptance horizon), never folded
+    into a degraded re-emission that overwrites a complete one; NULL
+    timestamps must not fabricate a sentinel-epoch window."""
+    import datetime as dt
+    import glob
+    import os
+    import shutil
+    import time
+
+    from rusty_bloomfilter_spark.streaming.stateful import (
+        windowed_sliding_distinct,
+    )
+
+    base = dt.datetime(2024, 5, 1)
+    schema = "ts timestamp, source string, user_id long"
+    # batch 1: days 0..9 (wide); batch 2: one LATE row for day 0 (far
+    # beyond the trailing=3 acceptance horizon) + one NULL ts row
+    b1 = spark.createDataFrame(
+        [(base + dt.timedelta(days=d), "a", 100 + d) for d in range(10)], schema
+    )
+    b2 = spark.createDataFrame(
+        [(base, "a", 999), (None, "a", 777)], schema
+    )
+    src_dir = str(tmp_path / "late_src")
+    os.makedirs(src_dir, exist_ok=True)
+    for i, bdf in enumerate((b1, b2)):
+        bdf.coalesce(1).write.parquet(str(tmp_path / f"late_part{i}"))
+        (f,) = glob.glob(str(tmp_path / f"late_part{i}" / "part-*.parquet"))
+        shutil.copy(f, os.path.join(src_dir, f"b{i}.parquet"))
+        time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    out = windowed_sliding_distinct(
+        stream, key_col="source", window="1 day", trailing=3, p=14
+    )
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("late_mem")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    em = spark.sql("select * from late_mem").toPandas()
+    day0 = em[em.window_start == pd.Timestamp(base)]
+    # exactly ONE emission for day 0 (batch 1); the late row was
+    # dropped, so no second (possibly degraded) emission exists
+    assert len(day0) == 1 and day0.iloc[0].trailing_est == pytest.approx(1.0, abs=0.1)
+    # the NULL-ts row fabricated no window (sentinel epoch ~ year 1677)
+    assert (em.window_start >= pd.Timestamp("2024-01-01")).all()
