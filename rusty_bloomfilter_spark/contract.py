@@ -112,6 +112,9 @@ _WINDOW_MIDDLE = [
     # 34 new-this-round), so these are pinned here to avoid evicting a
     # never-verified query; round 5's rotation promotes them (they have
     # oracles and sit at the head of MIDDLE).
+    "q_psi_drift",
+    "q_bloom_shape_plan",
+    "q_data_validation",
     "q_collocations_pmi",
     "q_bigram_lm_cms",
     "q_token_shift_exact",
@@ -4920,4 +4923,190 @@ def q_streaming_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("in_bound", F.col("rel_err") <= F.lit(bound))
         .orderBy("event_type", "window_epoch")
+    )
+
+
+# ===========================================================================
+# Round-4 continuation II: PSI drift, Bloom shape planning, data validation
+# ===========================================================================
+
+
+@register(
+    "q_psi_drift",
+    oracle=_SEQ_CTE
+    + """
+    , s AS (SELECT source AS g,
+                   CAST(floor(len(tokens) / 16.0) AS BIGINT) AS bin
+            FROM sequences),
+    b  AS (SELECT g, bin, count(*) AS cnt FROM s GROUP BY 1, 2),
+    cb AS (SELECT bin, CAST(sum(cnt) AS BIGINT) AS c_cnt FROM b GROUP BY 1),
+    t  AS (SELECT CAST(sum(c_cnt) AS BIGINT) AS n_tot,
+                  count(*) AS n_bins FROM cb),
+    gt AS (SELECT g, CAST(sum(cnt) AS BIGINT) AS n_g FROM b GROUP BY 1),
+    grid AS (SELECT g, n_g, bin, c_cnt, n_tot, n_bins
+             FROM gt CROSS JOIN cb CROSS JOIN t),
+    j AS (SELECT grid.g, grid.n_g, grid.n_bins, grid.c_cnt, grid.n_tot,
+                 coalesce(b.cnt, 0) AS cnt
+          FROM grid LEFT JOIN b ON grid.g = b.g AND grid.bin = b.bin)
+    SELECT g AS source,
+           n_g AS n_rows,
+           CAST(n_bins AS BIGINT) AS n_bins,
+           round(sum(((cnt + 0.5e0) / (n_g + 0.5e0 * n_bins)
+                      - (c_cnt + 0.5e0) / (n_tot + 0.5e0 * n_bins))
+                     * ln(((cnt + 0.5e0) / (n_g + 0.5e0 * n_bins))
+                          / ((c_cnt + 0.5e0) / (n_tot + 0.5e0 * n_bins)))),
+                 6) AS psi
+    FROM j GROUP BY 1, 2, 3
+    """,
+)
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per source over the n_tok
+    distribution (bin width 16) vs the whole corpus — the standard
+    snapshot-drift gate (operators/drift.py): Laplace-smoothed
+    p = (cnt+0.5)/(N+0.5*B) over the corpus's bin set so unseen bins
+    penalize finitely. One map-side-combinable corpus aggregate; all
+    later frames are bounded by sources x bins and broadcast-joined.
+    Hash-matched against DuckDB computing the identical smoothing
+    (double literals 0.5e0 keep DuckDB out of DECIMAL arithmetic);
+    psi rounded 6 per the float convention."""
+    from .operators.drift import psi_drift
+
+    seq = sequences_from_documents(spark, sf_dir)
+    return psi_drift(seq, "n_tok", 16, "source")
+
+
+@register(
+    "q_bloom_shape_plan",
+    oracle=_SEQ_CTE
+    + """
+    , nd AS (SELECT source, count(DISTINCT tok) AS ndv
+             FROM (SELECT source, unnest(tokens) AS tok FROM sequences) u
+             GROUP BY source),
+    p1 AS (SELECT source, CAST(ndv AS BIGINT) AS ndv,
+                  CAST(ceil(ndv * 19.170116754734877e0) AS BIGINT) AS m
+           FROM nd),
+    p2 AS (SELECT *,
+                  CAST(LEAST(64, GREATEST(1,
+                       CAST(round((m / CAST(ndv AS DOUBLE))
+                                  * 0.6931471805599453e0) AS BIGINT)))
+                       AS BIGINT) AS k
+           FROM p1),
+    p3 AS (SELECT *, (m + 63) // 64 AS buckets FROM p2),
+    p4 AS (SELECT *, buckets * 8 AS filter_bytes FROM p3)
+    SELECT source, ndv, m, k,
+           CAST(buckets AS BIGINT) AS buckets,
+           CAST(filter_bytes AS BIGINT) AS filter_bytes,
+           CAST((filter_bytes + 4096 - 1) // 4096 AS BIGINT) AS n_shards,
+           round(pow(1.0e0 - exp(-(k * CAST(ndv AS DOUBLE)) / m), k), 6)
+               AS expected_fpp
+    FROM p4
+    """,
+)
+def q_bloom_shape_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's Shape math (mod.rs:85-132) as a distributed
+    planning pass (operators/planning.py): per-source optimal
+    m = ceil(-n ln p/(ln 2)^2), k = clamp(round((m/n) ln 2), 1, 64),
+    dense width, and the routed-build shard fan-out for a 4 KiB/task
+    budget — a plan frame, not a driver loop, so it holds for 10^6
+    groups. Transcendental constants are folded in Python and inlined
+    as double literals on BOTH engines, so the ceil/round integers are
+    bitwise-reproducible. Hash-matched on the exact-ndv feed; the
+    100-TB feed (HLL estimates from the same machinery the profile
+    scan uses) is audited in-query: per source the HLL estimate must
+    sit within 4x its published rel error of the exact ndv, which
+    bounds the planned m by the same factor (m is linear in n)."""
+    from .operators.planning import plan_from_exact
+    from .operators.sketches import HllSketch
+    from .sketch import HyperLogLog
+
+    seq = sequences_from_documents(spark, sf_dir)
+    toks = seq.select("source", F.explode("tokens").alias("tok"))
+    plan = plan_from_exact(toks, "tok", "source", p=1e-4, shard_budget_bytes=4096)
+
+    hll_p = 14
+    keyed = HllSketch(p=hll_p, col="tok", scalar=True).build_by_key(toks, "source")
+    est = {
+        r["key"]: HyperLogLog.from_bytes(bytes(r["payload"])).estimate()
+        for r in keyed.select("key", "payload").collect()  # sketch rows only
+    }
+    bound = 4.0 * 1.04 / (2.0**hll_p) ** 0.5
+    for r in plan.select("source", "ndv").collect():  # k-bounded (|sources|)
+        n_hll = est[str(r["source"])]
+        if abs(n_hll - r["ndv"]) > bound * r["ndv"] + 1:
+            raise AssertionError(
+                f"HLL plan feed for {r['source']}: est {n_hll} vs exact "
+                f"{r['ndv']} outside 4x bound"
+            )
+    return plan
+
+
+@register(
+    "q_data_validation",
+    oracle="""
+    SELECT 'row_count' AS check_name, '' AS col_name,
+           CAST(count(*) AS DOUBLE) AS observed,
+           100.0e0 AS lo, 1.0e12 AS hi,
+           count(*) >= 100 AND count(*) <= 1000000000000 AS passed
+    FROM documents
+    UNION ALL
+    SELECT 'completeness', 'doc_id', CAST(count(doc_id) AS DOUBLE) / count(*),
+           1.0e0, NULL, count(doc_id) = count(*) FROM documents
+    UNION ALL
+    SELECT 'completeness', 'text', CAST(count(text) AS DOUBLE) / count(*),
+           1.0e0, NULL, count(text) = count(*) FROM documents
+    UNION ALL
+    SELECT 'completeness', 'lang', CAST(count(lang) AS DOUBLE) / count(*),
+           1.0e0, NULL, count(lang) = count(*) FROM documents
+    UNION ALL
+    SELECT 'value_min', 'n_chars', CAST(min(n_chars) AS DOUBLE),
+           1.0e0, NULL, min(n_chars) >= 1 FROM documents
+    UNION ALL
+    SELECT 'value_max', 'n_chars', CAST(max(n_chars) AS DOUBLE),
+           NULL, 100000.0e0, max(n_chars) <= 100000 FROM documents
+    """,
+)
+def q_data_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style one-scan data-quality gate (operators/validate.py):
+    row count, per-column completeness, and exact value bounds ride a
+    single profile pass as observe metrics; approximate checks (doc_id
+    uniqueness, lang distinct-count range) evaluate HLL estimates from
+    the SAME pass with the sketch's published error as slack — asserted
+    in-query (their observed values are estimates, not SQL-derivable)
+    and excluded from the hashed frame, which carries the exact half
+    only. At 100 TB this is the per-snapshot trust gate: one corpus
+    read, sketch rows on the shuffle, booleans out."""
+    from .operators.validate import (
+        ApproxNdvRange,
+        ApproxUniqueness,
+        Completeness,
+        RowCount,
+        ValueRange,
+        validate_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    results = validate_table(
+        docs,
+        [
+            RowCount(lo=100, hi=10**12),
+            Completeness("doc_id"),
+            Completeness("text"),
+            Completeness("lang"),
+            ValueRange("n_chars", lo=1, hi=100000),
+            ApproxUniqueness("doc_id", min_ratio=1.0),
+            ApproxNdvRange("lang", lo=1, hi=50),
+        ],
+    )
+    approx = [r for r in results if not r.exact]
+    if not approx or not all(r.passed for r in approx):
+        raise AssertionError(f"approximate checks failed: {approx}")
+    rows = [
+        (r.check, r.column, round(r.observed, 6), r.lo, r.hi, r.passed)
+        for r in results
+        if r.exact
+    ]
+    return spark.createDataFrame(
+        rows,
+        "check_name string, col_name string, observed double, "
+        "lo double, hi double, passed boolean",
     )
