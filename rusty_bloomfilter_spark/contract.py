@@ -115,6 +115,7 @@ _WINDOW_MIDDLE = [
     "q_psi_drift",
     "q_bloom_shape_plan",
     "q_data_validation",
+    "q_streaming_generational_dedup",
     "q_collocations_pmi",
     "q_bigram_lm_cms",
     "q_token_shift_exact",
@@ -5109,4 +5110,126 @@ def q_data_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows,
         "check_name string, col_name string, observed double, "
         "lo double, hi double, passed boolean",
+    )
+
+
+def _stream_events_ordered(spark: SparkSession, sf_dir: str, n_files: int = 4):
+    """Events replayed as TIME-ORDERED micro-batches (file mtimes set
+    the FileStreamSource order): recency-scoped operators need arrival
+    to roughly follow event time — a random split would teleport the
+    acceptance horizon to the stream's end in batch 1 and clamp
+    everything (the generational dedup handles that correctly, but the
+    query's re-admittance gate would then be vacuous)."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "ts", F.col("user_id").cast("string").alias("fp")
+    )
+    bounds = ev.agg(
+        F.min(F.col("ts").cast("timestamp").cast("double")).alias("lo"),
+        F.max(F.col("ts").cast("timestamp").cast("double")).alias("hi"),
+    ).collect()[0]
+    src = _scratch_dir("gen_dedup_src")
+    os.makedirs(src, exist_ok=True)
+    span = (bounds["hi"] - bounds["lo"]) or 1.0
+    for i in range(n_files):
+        lo = bounds["lo"] + span * i / n_files
+        hi = bounds["hi"] + 1 if i == n_files - 1 else bounds["lo"] + span * (i + 1) / n_files
+        part_dir = _scratch_dir(f"gen_dedup_part{i}")
+        sec = F.col("ts").cast("timestamp").cast("double")  # NTZ: via timestamp
+        ev.where((sec >= lo) & (sec < hi)).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(part_dir)
+        (f,) = glob.glob(os.path.join(part_dir, "part-*.parquet"))
+        shutil.copy(f, os.path.join(src, f"batch_{i}.parquet"))
+        time.sleep(1.1)  # mtime order == micro-batch order
+    stream = (
+        spark.readStream.schema("ts timestamp, fp string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    return ev, stream
+
+
+@register("q_streaming_generational_dedup")
+def q_streaming_generational_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECENCY-scoped bounded-state streaming dedup
+    (streaming/dedup.py::streaming_bloom_dedup_generational): one Bloom
+    filter per event-time generation per shard, rotating as event time
+    advances — total state n_shards x 2G x filter bytes FOREVER, and
+    unlike q_streaming_bloom_dedup a fingerprint is RE-ADMITTED once
+    its generation leaves the trailing horizon (re-posts after a quiet
+    period are new documents again). In-query gates pin the published
+    guarantees on the replayed events stream (user_id as fingerprint,
+    2-day windows, G=2): (1) no fp ever emitted twice within the same
+    generation, (2) consecutive emissions per fp are >= (G+1) windows
+    apart — the any-arrival-order floor the slot arithmetic proves,
+    (3) every distinct fp is emitted at least once (p=1e-8: zero
+    FP-suppression expected at 150 keys), (4) re-admittance actually
+    happens (> 0 fps emitted more than once over the 30-day span).
+    Rows-only: emission timing is stateful-replay semantics, not
+    SQL-derivable."""
+    import uuid
+
+    from .streaming import streaming_bloom_dedup_generational
+
+    G, win_days = 2, 2
+    ev, stream = _stream_events_ordered(spark, sf_dir)
+    out = streaming_bloom_dedup_generational(
+        stream,
+        fp_col="fp",
+        ts_col="ts",
+        window=f"{win_days} days",
+        generations=G,
+        n_per_gen=2_000,
+        p=1e-8,
+        n_shards=4,
+    )
+    name = "rbf_gen_dedup_" + uuid.uuid4().hex[:8]
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", _scratch_dir("gen_dedup_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_stream(q)
+    emitted = spark.table(name)
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("fp").orderBy("gen")
+    gaps = emitted.withColumn("prev", F.lag("gen").over(w)).withColumn(
+        "gap_sec",
+        F.col("gen").cast("double") - F.col("prev").cast("double"),
+    )
+    n_gap_violations = gaps.where(
+        F.col("prev").isNotNull()
+        & (F.col("gap_sec") < (G + 1) * win_days * 86400)
+    ).count()
+    n_dup_same_gen = emitted.count() - emitted.distinct().count()
+    n_fp = ev.select("fp").distinct().count()
+    n_missing = n_fp - emitted.select("fp").distinct().count()
+    n_readmitted = (
+        emitted.groupBy("fp").count().where(F.col("count") > 1).count()
+    )
+    if n_gap_violations or n_dup_same_gen or n_missing:
+        raise AssertionError(
+            f"generational dedup invariants violated: gap={n_gap_violations} "
+            f"dup={n_dup_same_gen} missing={n_missing}"
+        )
+    if n_readmitted == 0:
+        raise AssertionError("no re-admittance over a 30-day recurring stream")
+    return spark.createDataFrame(
+        [(
+            int(ev.count()), int(n_fp), int(emitted.count()),
+            int(n_readmitted), int(n_missing), int(n_gap_violations),
+            int(n_dup_same_gen),
+        )],
+        "n_in bigint, n_fp bigint, n_emitted bigint, n_readmitted bigint, "
+        "n_missing bigint, n_gap_violations bigint, n_dup_same_gen bigint",
     )

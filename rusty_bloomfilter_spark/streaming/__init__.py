@@ -9,7 +9,7 @@ counts come from keyed HLL partials per event-time window with a
 watermark discarding late state.
 """
 
-from .dedup import streaming_bloom_dedup
+from .dedup import streaming_bloom_dedup, streaming_bloom_dedup_generational
 from .sketch_stream import StreamingSketchState, streaming_bloom_build, windowed_distinct_users
 from .stateful import (
     running_distinct_by_key,
@@ -23,6 +23,7 @@ __all__ = [
     "StreamingSketchState",
     "running_distinct_by_key",
     "streaming_bloom_dedup",
+    "streaming_bloom_dedup_generational",
     "windowed_distinct",
     "windowed_drift",
     "windowed_quantiles",

@@ -106,3 +106,149 @@ def streaming_bloom_dedup(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_GEN_OUTPUT = "fp string, gen timestamp"
+_GEN_STATE = "gens array<bigint>, payloads array<binary>"
+
+
+def _duration_seconds(window: str) -> int:
+    from .stateful import _duration_seconds as _ds
+
+    return _ds(window)
+
+
+def streaming_bloom_dedup_generational(
+    stream_df: DataFrame,
+    *,
+    fp_col: str,
+    ts_col: str = "ts",
+    window: str = "1 day",
+    generations: int = 7,
+    n_per_gen: int,
+    p: float = 1e-6,
+    n_shards: int = 16,
+) -> DataFrame:
+    """RECENCY-scoped streaming dedup: suppress re-occurrences of a
+    fingerprint within a trailing horizon of ``generations`` event-time
+    windows, then re-admit — with state bounded by the filter bytes,
+    never by the key count OR the stream length.
+
+    ``streaming_bloom_dedup`` above never forgets: right for
+    "one emission per doc EVER", wrong for feeds where a re-post after
+    a quiet period is a genuinely new document (news re-syndication,
+    re-crawls, retention-limited stores). This variant keeps one Bloom
+    filter PER GENERATION (= event-time window) per shard, a ring that
+    rotates as event time advances:
+
+    - a row is suppressed iff its key probes positive in ANY retained
+      generation (zero FN within the horizon — Bloom false positives
+      can only OVER-suppress, never double-emit);
+    - a novel key is recorded in its own row's generation and emitted
+      as (fp, gen);
+    - generations older than ``2 * generations`` windows behind the
+      newest are pruned; rows older than ``generations - 1`` windows
+      behind the newest are CLAMPED up to that acceptance floor before
+      recording (the windowed_sliding_distinct rule: acceptance
+      tighter than retention). Clamping a late row can only extend its
+      suppression reach — conservative in the direction the dedup
+      contract allows.
+
+    Guarantees (any arrival order, proven by the slot arithmetic —
+    record slot >= true gen, re-emission requires the slot pruned,
+    i.e. newest >= slot + 2G windows, and the new emission's clamped
+    gen >= newest - (G-1) windows >= slot + (G+1) windows):
+
+    - at most ONE emission per fingerprint within any trailing span of
+      ``generations`` windows;
+    - after an emission, suppression lasts at most ``2*generations``
+      windows of event time — a re-post beyond that always re-emits.
+
+    State: ``n_shards x 2*generations x filter_bytes`` total, with
+    each generation's filter sized for ``n_per_gen / n_shards`` keys
+    at FPR ``p``. NULL timestamps are dropped (NaT folds to the int64
+    sentinel and would fabricate a year-1677 generation).
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    if generations < 1:
+        raise ValueError(f"generations must be >= 1, got {generations}")
+    win_sec = _duration_seconds(window)
+    keep = 2 * generations
+    shape = Shape.for_np(max(1, -(-n_per_gen // n_shards)), p)
+
+    def update(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            gens_raw, payloads_raw = state.get
+            gens: dict[int, BloomFilter] = {
+                int(g): sketch_from_bytes(bytes(b))
+                for g, b in zip(gens_raw, payloads_raw)
+            }
+        else:
+            gens = {}
+        outs: list[pd.DataFrame] = []
+        newest = max(gens) if gens else None
+        for pdf in pdfs:
+            pdf = pdf[pdf[ts_col].notna()]
+            if not len(pdf):
+                continue
+            epochs = (pdf[ts_col].astype("int64") // 1_000_000_000).to_numpy()
+            ws = epochs - (epochs % win_sec)
+            batch_newest = int(ws.max())
+            newest = batch_newest if newest is None else max(newest, batch_newest)
+            # retention first: generations the new horizon obsoletes
+            # stop counting before any probe in this batch
+            floor_keep = newest - (keep - 1) * win_sec
+            gens = {g: f for g, f in gens.items() if g >= floor_keep}
+            floor_accept = newest - (generations - 1) * win_sec
+            ws = np.maximum(ws, floor_accept)  # clamp late rows up
+            keys = _series_probe_values(pdf[_KEY_COL])
+            # within-batch keep-first per key, preserving row order
+            order = np.sort(np.unique(keys, return_index=True)[1])
+            keys_u, ws_u = keys[order], ws[order]
+            fps_u = pdf[fp_col].to_numpy()[order]
+            seen = np.zeros(len(keys_u), dtype=bool)
+            for f in gens.values():
+                seen |= f.contains_tokens(keys_u)
+                if seen.all():
+                    break
+            if not seen.all():
+                novel = ~seen
+                for g in np.unique(ws_u[novel]):
+                    sel = novel & (ws_u == g)
+                    gens.setdefault(int(g), BloomFilter.empty(shape)).add_tokens(
+                        keys_u[sel]
+                    )
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "fp": fps_u[novel].astype(str),
+                            "gen": pd.to_datetime(ws_u[novel], unit="s"),
+                        }
+                    )
+                )
+        state.update(
+            (
+                [int(g) for g in sorted(gens)],
+                [gens[g].to_bytes() for g in sorted(gens)],
+            )
+        )
+        yield from outs
+
+    keyed = stream_df.select(
+        F.col(fp_col).cast("string").alias(fp_col),
+        F.col(ts_col).alias(ts_col),
+        F.xxhash64(fp_col).alias(_KEY_COL),
+        F.pmod(F.xxhash64(F.xxhash64(fp_col)), F.lit(n_shards)).alias(_SHARD_COL),
+    )
+    return keyed.groupBy(_SHARD_COL).applyInPandasWithState(
+        update,
+        outputStructType=_GEN_OUTPUT,
+        stateStructType=_GEN_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
