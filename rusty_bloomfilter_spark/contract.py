@@ -116,6 +116,7 @@ _WINDOW_MIDDLE = [
     "q_bloom_shape_plan",
     "q_data_validation",
     "q_streaming_generational_dedup",
+    "q_bloom_anti_join",
     "q_collocations_pmi",
     "q_bigram_lm_cms",
     "q_token_shift_exact",
@@ -5233,3 +5234,35 @@ def q_streaming_generational_dedup(spark: SparkSession, sf_dir: str) -> DataFram
         "n_in bigint, n_fp bigint, n_emitted bigint, n_readmitted bigint, "
         "n_missing bigint, n_gap_violations bigint, n_dup_same_gen bigint",
     )
+
+
+@register(
+    "q_bloom_anti_join",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus
+    FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM customer c
+                      WHERE c.c_custkey = o.o_custkey
+                        AND c.c_acctbal > 9000)
+    """,
+)
+def q_bloom_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-accelerated ANTI join (operators/bloomjoin.py): orders
+    whose customer is NOT in the high-balance set. Zero FN flipped
+    around — a negative probe proves absence, so ~90% of orders BYPASS
+    the exact join entirely; only true matches + an FP fraction <= p
+    pay for verification, and the exact LEFT ANTI kills the FPs, so
+    the result is provably the plain anti join (the oracle). The
+    100-TB shape of NOT IN (revoked set / previous snapshot / opt-out
+    list): the filter broadcasts in O(bytes) even when the build
+    side's rows can't. FP-bounded candidate fraction pinned in
+    tests/test_bloomjoin.py."""
+    from .operators.bloomjoin import bloom_anti_join
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    rich = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_acctbal") > 9000
+    )
+    return bloom_anti_join(orders, "o_custkey", rich, "c_custkey", p=1e-3)

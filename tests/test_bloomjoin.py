@@ -1,0 +1,70 @@
+"""Bloom-accelerated anti join: exact equality + genuine pruning."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from rusty_bloomfilter_spark.operators.bloomjoin import bloom_anti_join
+
+
+def _ids(df):
+    return sorted(r["id"] for r in df.select("id").collect())
+
+
+def test_anti_join_equals_plain(spark):
+    rng = np.random.default_rng(3)
+    probe = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "id": np.arange(5000),
+                "k": rng.integers(0, 800, 5000).astype("int64"),
+            }
+        )
+    )
+    # NULL probe keys: anti join keeps them (never equal to anything)
+    probe = probe.withColumn(
+        "k", F.when(F.col("id") % 97 == 0, None).otherwise(F.col("k"))
+    )
+    build = spark.createDataFrame(
+        pd.DataFrame({"bk": rng.integers(0, 400, 600).astype("int64")})
+    )
+    # NULL build keys can never match and must not poison the filter
+    build = build.union(spark.createDataFrame([(None,)], "bk bigint"))
+    got = bloom_anti_join(probe, "k", build, "bk", p=1e-3)
+    want = probe.join(build, probe.k == build.bk, "left_anti")
+    assert _ids(got) == _ids(want)
+    assert got.columns == probe.columns
+
+
+def test_anti_join_extremes(spark):
+    probe = spark.range(1000).withColumnRenamed("id", "k").withColumn(
+        "id", F.col("k")
+    )
+    disjoint = spark.range(2000, 2100).withColumnRenamed("id", "bk")
+    got = bloom_anti_join(probe, "k", disjoint, "bk", p=1e-3)
+    assert got.count() == 1000  # everything bypasses, everything kept
+    everything = spark.range(0, 1000).withColumnRenamed("id", "bk")
+    got2 = bloom_anti_join(probe, "k", everything, "bk", p=1e-3, n_keys=1000)
+    assert got2.count() == 0
+
+
+def test_anti_join_prunes_candidates(spark):
+    """The pruning claim: probe positives (rows that pay for the exact
+    join) are bounded by matches + p-bounded FPs of the rest."""
+    from rusty_bloomfilter_spark.operators.sketches import (
+        BlockedBloomSketch,
+        broadcast_probe_udf,
+    )
+
+    p = 1e-3
+    probe = spark.range(10_000).withColumnRenamed("id", "k")
+    build = spark.range(100).withColumnRenamed("id", "bk")
+    sk = BlockedBloomSketch.for_np(n=1024, p=p, col="k", scalar=True)
+    payload, _ = sk.build_bytes(build.withColumnRenamed("bk", "k"))
+    positives = probe.filter(
+        broadcast_probe_udf(payload, spark)(F.col("k"))
+    ).count()
+    assert positives >= 100  # zero FN: every true match probes positive
+    assert positives <= 100 + 20 * p * 9_900 + 5  # FP-bounded candidates
