@@ -117,6 +117,7 @@ _WINDOW_MIDDLE = [
     "q_data_validation",
     "q_streaming_generational_dedup",
     "q_bloom_anti_join",
+    "q_mixture_replicate",
     "q_collocations_pmi",
     "q_bigram_lm_cms",
     "q_token_shift_exact",
@@ -5266,3 +5267,62 @@ def q_bloom_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_acctbal") > 9000
     )
     return bloom_anti_join(orders, "o_custkey", rich, "c_custkey", p=1e-3)
+
+
+@register(
+    "q_mixture_replicate",
+    oracle=_SEQ_CTE
+    + """
+    , s AS (
+        SELECT source, doc_id, len(tokens) AS n_tok,
+               CAST(substr(source, 4) AS INT) AS si,
+               ('0x' || substr(md5(doc_id || '#rep'), 1, 8))::BIGINT
+                   % 1000000 AS bucket
+        FROM sequences
+    ),
+    w AS (
+        SELECT *,
+               CASE WHEN si < 5 THEN 2 WHEN si < 10 THEN 1 ELSE 0 END
+                   AS n_full,
+               CASE WHEN si < 5 THEN 500000 WHEN si < 10 THEN 0
+                    ELSE 250000 END AS thr
+        FROM s
+    ),
+    c AS (
+        SELECT source, doc_id, n_tok,
+               n_full + CASE WHEN bucket < thr THEN 1 ELSE 0 END AS copies
+        FROM w
+    ),
+    e AS (
+        SELECT source, doc_id, n_tok, unnest(range(copies)) AS epoch
+        FROM c WHERE copies > 0
+    )
+    SELECT source, CAST(epoch AS INT) AS epoch,
+           count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+    FROM e GROUP BY 1, 2
+    """,
+)
+def q_mixture_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture UPSAMPLING (operators/curation.py::
+    mixture_replicate) — the replication half of data mixing: sources
+    src0-4 weighted 2.5 (2 full copies + an md5-bucket half), src5-9
+    passed through at 1.0, src10-19 downsampled to 0.25 — one weight
+    spec drives both directions. The fractional copy is the same
+    engine-exact md5-bucket rule as q_temperature_mix ('#rep'-salted
+    so it decorrelates from other sampling passes); output carries a
+    0-based epoch index per copy for downstream per-epoch shuffling.
+    Pure Catalyst: broadcast |keys|-row spec + map-side explode — the
+    corpus never shuffles. Hash-matched per (source, epoch) on doc and
+    token counts."""
+    from .operators.curation import mixture_replicate
+
+    weights = {
+        f"src{i}": (2.5 if i < 5 else (1.0 if i < 10 else 0.25))
+        for i in range(20)
+    }
+    seq = sequences_from_documents(spark, sf_dir)
+    out = mixture_replicate(seq, weights, key="source", id_col="doc_id")
+    return out.groupBy("source", "epoch").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens"),
+    )

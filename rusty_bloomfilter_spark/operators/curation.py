@@ -171,3 +171,66 @@ def temperature_sample(
         .withColumn("bucket", bucket)
         .withColumn("kept", F.col("bucket") < F.col("thr"))
     )
+
+
+def mixture_replicate(
+    seq: DataFrame,
+    weights: dict[str, float],
+    key: str = "source",
+    id_col: str = "doc_id",
+    default_weight: float = 1.0,
+) -> DataFrame:
+    """Deterministic fractional UPSAMPLING for training mixtures — the
+    other half of data mixing (temperature_sample only downsamples):
+    a mixture spec like {wiki: 2.5, books: 1.0, cc: 0.25} means every
+    wiki doc appears 2 times plus a 3rd copy for half the docs, books
+    pass through, and a quarter of cc survives.
+
+    Each row of key s appears floor(w_s) times unconditionally, plus
+    one more iff hash_bucket(id + '#rep') < frac(w_s) * 1e6 — the same
+    engine-exact md5-bucket rule as temperature_sample (no RNG state;
+    reproducible across runs, engines, partitionings; the '#rep' salt
+    decorrelates the decision from every other sampling pass on the
+    same ids). Keys absent from ``weights`` get ``default_weight``;
+    weight 0 drops the key. Use binary-exact fractional parts (x.5,
+    x.25) so the micro-unit threshold is engine-exact.
+
+    Output: input columns + ``epoch`` (0-based copy index) — downstream
+    per-epoch shuffling (sharding.epoch_shuffle) keys off (epoch, id)
+    so the replicas don't ride adjacent. Pure Catalyst: one BROADCAST
+    join against the |keys|-row spec + a map-side explode; the corpus
+    never shuffles, output size = sum(w_s * n_s) rows by construction.
+    """
+    import math
+
+    if default_weight < 0 or any(w < 0 for w in weights.values()):
+        raise ValueError("mixture weights must be >= 0")
+
+    def split(w: float) -> tuple[int, int]:
+        full = int(math.floor(w))
+        return full, int(round((w - full) * _MICRO))
+
+    spark = seq.sparkSession
+    rows = [(k, *split(w)) for k, w in weights.items()]
+    wdf = spark.createDataFrame(
+        rows, f"{key} string, _rbf_n_full bigint, _rbf_thr bigint"
+    )
+    d_full, d_thr = split(default_weight)
+    bucket = hash_bucket_expr(
+        F.concat(F.col(id_col).cast("string"), F.lit("#rep"))
+    )
+    copies = F.coalesce(F.col("_rbf_n_full"), F.lit(d_full)) + F.when(
+        bucket < F.coalesce(F.col("_rbf_thr"), F.lit(d_thr)), 1
+    ).otherwise(0)
+    return (
+        seq.join(F.broadcast(wdf), key, "left")
+        .withColumn("_rbf_copies", copies)
+        .where(F.col("_rbf_copies") > 0)
+        .withColumn(
+            "epoch",
+            F.explode(
+                F.sequence(F.lit(0), (F.col("_rbf_copies") - 1).cast("int"))
+            ),
+        )
+        .drop("_rbf_n_full", "_rbf_thr", "_rbf_copies")
+    )

@@ -117,12 +117,14 @@ def validate_table(df: DataFrame, checks: list[Check]) -> list[CheckResult]:
             if col not in df.columns:
                 raise KeyError(f"check references missing column {col!r}")
             columns.append(col)
-    if not columns:
-        # RowCount-only suites still need one profiled column for n_rows
-        columns = [df.columns[0]]
-
-    profiles = {p.column: p for p in profile_table(df, columns)}
-    n_rows = next(iter(profiles.values())).n_rows
+    if columns:
+        profiles = {p.column: p for p in profile_table(df, columns)}
+        n_rows = next(iter(profiles.values())).n_rows
+    else:
+        # RowCount-only suite: one exact count, no profile pass (the
+        # first column might be a type profile_table doesn't handle)
+        profiles = {}
+        n_rows = df.count()
 
     out: list[CheckResult] = []
     for c in checks:

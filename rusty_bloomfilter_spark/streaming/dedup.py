@@ -193,7 +193,9 @@ def streaming_bloom_dedup_generational(
         outs: list[pd.DataFrame] = []
         newest = max(gens) if gens else None
         for pdf in pdfs:
-            pdf = pdf[pdf[ts_col].notna()]
+            # NULL ts would fabricate a year-1677 generation (NaT
+            # sentinel); a NULL fp would probe as key 0 and emit 'None'
+            pdf = pdf[pdf[ts_col].notna() & pdf[fp_col].notna()]
             if not len(pdf):
                 continue
             epochs = (pdf[ts_col].astype("int64") // 1_000_000_000).to_numpy()

@@ -103,3 +103,64 @@ def test_pack_sequences_rejects_bad_capacity(spark):
     )
     with pytest.raises(ValueError):
         pack_sequences(seq, 0)
+
+
+def test_mixture_replicate_exact_copies(spark):
+    import pandas as pd
+
+    from rusty_bloomfilter_spark.operators.curation import (
+        hash_bucket_expr,
+        mixture_replicate,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [f"d{i}" for i in range(400)],
+            "source": (["a"] * 100 + ["b"] * 100 + ["c"] * 100 + ["d"] * 100),
+            "n_tok": list(range(400)),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    weights = {"a": 2.5, "b": 1.0, "c": 0.25, "d": 0.0}
+    out = mixture_replicate(df, weights, key="source", id_col="doc_id")
+    got = {
+        (r["doc_id"], r["epoch"]) for r in out.select("doc_id", "epoch").collect()
+    }
+    # reconstruct the expected copy count from the same salted bucket
+    buckets = {
+        r["doc_id"]: r["b"]
+        for r in df.select(
+            "doc_id",
+            hash_bucket_expr(
+                F.concat(F.col("doc_id"), F.lit("#rep"))
+            ).alias("b"),
+        ).collect()
+    }
+    import math
+
+    want = set()
+    for _, row in pdf.iterrows():
+        w = weights[row["source"]]
+        copies = int(math.floor(w)) + (
+            1 if buckets[row["doc_id"]] < round((w - math.floor(w)) * 1e6) else 0
+        )
+        for e in range(copies):
+            want.add((row["doc_id"], e))
+    assert got == want
+    # fractional halves actually split the population both ways
+    a_counts = [sum(1 for d, _ in got if d == f"d{i}") for i in range(100)]
+    assert {2, 3} == set(a_counts)  # weight 2.5: 2 or 3 copies each
+    assert all(n == 0 for n in (sum(1 for d, _ in got if d == f"d{i}") for i in range(300, 400)))
+
+
+def test_mixture_replicate_default_weight_and_guards(spark):
+    from rusty_bloomfilter_spark.operators.curation import mixture_replicate
+
+    df = spark.createDataFrame(
+        [("x1", "unlisted"), ("x2", "unlisted")], "doc_id string, source string"
+    )
+    out = mixture_replicate(df, {"a": 2.0}, default_weight=1.0)
+    assert out.count() == 2  # default passes rows through once
+    assert [r["epoch"] for r in out.collect()] == [0, 0]
+    with pytest.raises(ValueError):
+        mixture_replicate(df, {"a": -0.5})

@@ -171,3 +171,18 @@ def test_generational_guards(spark):
         streaming_bloom_dedup_generational(
             df, fp_col="fp", n_per_gen=10, generations=0
         )
+
+
+def test_generational_null_hygiene(spark, tmp_path):
+    """NULL ts (NaT sentinel generation) and NULL fp (key-0 probe,
+    'None' emission) rows are dropped, not folded in."""
+    base = dt.datetime(2024, 5, 1)
+    b = pd.DataFrame(
+        [(base, "A"), (pd.NaT, "B"), (base, None)], columns=["ts", "fp"]
+    )
+    emitted = _replay(
+        spark, tmp_path, "gen_nulls", [b],
+        window="1 day", generations=2, n_per_gen=10, p=1e-8, n_shards=1,
+    )
+    assert list(emitted["fp"]) == ["A"]
+    assert (emitted["gen"] == base).all()

@@ -80,3 +80,11 @@ def test_validate_errors(frame):
 def test_rowcount_only_suite(frame):
     res = validate_table(frame, [RowCount(lo=1)])
     assert len(res) == 1 and res[0].passed and res[0].observed == 200.0
+
+
+def test_rowcount_only_on_unprofileable_schema(spark):
+    # RowCount-only suites must not profile (first column may be a
+    # type profile_table doesn't handle)
+    arr = spark.createDataFrame([([1, 2],), ([3],)], "tokens array<bigint>")
+    res = validate_table(arr, [RowCount(lo=1, hi=10)])
+    assert len(res) == 1 and res[0].passed and res[0].observed == 2.0
