@@ -103,3 +103,60 @@ def psi_drift(
         )
     )
     return tie(result, binned)
+
+
+def psi_between(
+    df_ref: DataFrame,
+    df_new: DataFrame,
+    col: str,
+    width: int,
+) -> float:
+    """Classic two-snapshot PSI: how far ``df_new``'s distribution of
+    ``col`` moved from the reference snapshot's.
+
+        PSI = sum_bins (p_new - p_ref) * ln(p_new / p_ref)
+
+    over the UNION of both snapshots' bin sets, with the same Laplace
+    smoothing as ``psi_drift`` so one-sided bins penalize finitely.
+    Returns a plain float (one number per column is the artifact a
+    snapshot-comparison job reports). Two map-side-combinable
+    aggregates (one per snapshot); the joined bin frame is bounded by
+    the distinct-bin count.
+    """
+    if width <= 0:
+        raise ValueError(f"width must be positive, got {width}")
+
+    def bins(df: DataFrame, name: str) -> DataFrame:
+        v = F.col(col).cast("bigint")
+        return (
+            df.where(v.isNotNull())
+            .select(F.floor(v / F.lit(int(width))).cast("bigint").alias("bin"))
+            .groupBy("bin")
+            .agg(F.count("*").alias(name))
+        )
+
+    joined = (
+        bins(df_ref, "c_ref")
+        .join(bins(df_new, "c_new"), "bin", "full_outer")
+        .select(
+            F.coalesce("c_ref", F.lit(0)).alias("c_ref"),
+            F.coalesce("c_new", F.lit(0)).alias("c_new"),
+        )
+    )
+    row = joined.agg(
+        F.sum("c_ref").alias("n_ref"),
+        F.sum("c_new").alias("n_new"),
+        F.count("*").alias("n_bins"),
+        F.collect_list(F.struct("c_ref", "c_new")).alias("cells"),
+    ).collect()[0]
+    if not row["n_bins"]:
+        return 0.0
+    import math
+
+    n_ref, n_new, nb = row["n_ref"] or 0, row["n_new"] or 0, row["n_bins"]
+    psi = 0.0
+    for cell in row["cells"]:  # bounded by distinct bins, never corpus rows
+        p_ref = (cell["c_ref"] + 0.5) / (n_ref + 0.5 * nb)
+        p_new = (cell["c_new"] + 0.5) / (n_new + 0.5 * nb)
+        psi += (p_new - p_ref) * math.log(p_new / p_ref)
+    return psi

@@ -77,3 +77,38 @@ def test_psi_null_handling_and_errors(spark):
     assert out["a"]["n_rows"] == 1  # NULL value row excluded
     with pytest.raises(ValueError):
         psi_drift(df, "n", 0, "src")
+
+
+def test_psi_between_matches_oracle_and_direction(spark):
+    rng = np.random.default_rng(21)
+    a = rng.integers(0, 200, size=500)
+    b_same = rng.integers(0, 200, size=400)
+    b_shift = rng.integers(150, 350, size=400)
+    from rusty_bloomfilter_spark.operators.drift import psi_between
+
+    ref = spark.createDataFrame([(int(v),) for v in a], "n bigint")
+    same = spark.createDataFrame([(int(v),) for v in b_same], "n bigint")
+    shift = spark.createDataFrame([(int(v),) for v in b_shift], "n bigint")
+
+    def oracle(x, y, width):
+        bx = np.floor_divide(x, width)
+        by = np.floor_divide(y, width)
+        allb = sorted(set(bx) | set(by))
+        B = len(allb)
+        psi = 0.0
+        for bb in allb:
+            p_ref = ((bx == bb).sum() + 0.5) / (len(bx) + 0.5 * B)
+            p_new = ((by == bb).sum() + 0.5) / (len(by) + 0.5 * B)
+            psi += (p_new - p_ref) * math.log(p_new / p_ref)
+        return psi
+
+    got_same = psi_between(ref, same, "n", 16)
+    got_shift = psi_between(ref, shift, "n", 16)
+    assert got_same == pytest.approx(oracle(a, b_same, 16), abs=1e-9)
+    assert got_shift == pytest.approx(oracle(a, b_shift, 16), abs=1e-9)
+    assert got_shift > 5 * max(got_same, 1e-6)
+    # degenerate: all-NULL new side -> empty union handled
+    empty = spark.createDataFrame([(None,)], "n bigint")
+    assert psi_between(empty, empty, "n", 16) == 0.0
+    with pytest.raises(ValueError):
+        psi_between(ref, same, "n", 0)
