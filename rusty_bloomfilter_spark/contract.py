@@ -118,6 +118,7 @@ _WINDOW_MIDDLE = [
     "q_streaming_generational_dedup",
     "q_bloom_anti_join",
     "q_mixture_replicate",
+    "q_bloom_inner_join",
     "q_collocations_pmi",
     "q_bigram_lm_cms",
     "q_token_shift_exact",
@@ -5325,4 +5326,43 @@ def q_mixture_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy("source", "epoch").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tok").cast("bigint").alias("n_tokens"),
+    )
+
+
+@register(
+    "q_bloom_inner_join",
+    oracle="""
+    SELECT o.o_orderpriority, l.l_returnflag,
+           count(*) AS n_items,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(38,4))) AS DOUBLE)
+               AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    GROUP BY 1, 2
+    """,
+)
+def q_bloom_inner_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bilateral Bloom join (operators/bloomjoin.py::bloom_inner_join,
+    Mackert & Lohman 1986's filter shipping in broadcast form):
+    lineitem ⋈ urgent orders with BOTH sides pruned by the other's
+    filter before any row shuffles — ~80% of lineitem rows (non-urgent
+    orders' items) drop at the scan, and the right side is pruned by a
+    filter over the already-pruned left (the free cascade). Zero FN ⇒
+    the pruned join aggregate is bitwise the plain join (the oracle);
+    FPs ride along and die in the exact join. The 100-TB fact⋈fact
+    shape where neither side broadcasts as rows but both filters do."""
+    from .operators.bloomjoin import bloom_inner_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice"
+    )
+    urgent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_orderkey", "o_orderpriority")
+    joined = bloom_inner_join(li, "l_orderkey", urgent, "o_orderkey", p=1e-3)
+    return joined.groupBy("o_orderpriority", "l_returnflag").agg(
+        F.count("*").alias("n_items"),
+        F.sum(F.col("l_extendedprice").cast("decimal(38,4)"))
+        .cast("double")
+        .alias("revenue"),
     )

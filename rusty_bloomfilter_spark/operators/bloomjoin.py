@@ -66,3 +66,67 @@ def bloom_anti_join(
         "left_anti",
     )
     return certain.unionByName(verified)
+
+
+def bloom_inner_join(
+    left: DataFrame,
+    left_key: str,
+    right: DataFrame,
+    right_key: str,
+    *,
+    p: float = 1e-3,
+    n_left: int | None = None,
+    n_right: int | None = None,
+    prune: str = "both",
+) -> DataFrame:
+    """INNER join with Bloom pre-pruning — the classic distributed
+    "Bloom join" (Mackert & Lohman 1986's filter-shipping idea in its
+    modern broadcast form): before any row shuffles, each side drops
+    rows whose key is provably absent from the other side's filter
+    (zero FN ⇒ dropping them cannot lose a join match; FPs merely ride
+    along and die in the exact join). The surviving rows then run a
+    plain inner join, so the result is bitwise the unpruned join while
+    the SHUFFLE carries |matching| + p·|rest| rows per side instead of
+    everything — on a 100-TB fact⋈fact join where neither side
+    broadcasts as rows, two O(bytes) filters still do.
+
+    ``prune`` selects "both", "left", or "right" (prune that side by
+    the OTHER side's filter) — one-sided pruning is right when one
+    side is already selective. NULL keys never join: they are filtered
+    out with the same predicate (a NULL probes as key 0; the exact
+    join would drop them anyway, pruning them early is free).
+
+    Duplicate column names between the two sides are the caller's
+    concern, exactly as with a plain ``.join``.
+
+    With ``prune="both"`` the right side is pruned by a filter built
+    over the ALREADY-pruned left: still zero-FN w.r.t. join matches (a
+    left row with any match necessarily survived the first prune — its
+    key is in the right filter), and strictly tighter than filtering
+    against the original left's keys — the cascade a two-pass Bloom
+    join gets for free.
+    """
+    if prune not in ("both", "left", "right"):
+        raise ValueError(f"prune must be both|left|right, got {prune!r}")
+
+    def _filter_of(df: DataFrame, key: str, n_hint: int | None) -> bytes:
+        keys = df.select(F.col(key).alias("k")).where(F.col("k").isNotNull())
+        n = n_hint if n_hint is not None else keys.count()
+        sk = BlockedBloomSketch.for_np(n=max(int(n), 1024), p=p, col="k", scalar=True)
+        payload, _ = sk.build_bytes(keys)
+        return payload
+
+    spark = left.sparkSession
+    if prune in ("both", "left"):
+        right_filter = _filter_of(right, right_key, n_right)
+        left = left.filter(
+            F.col(left_key).isNotNull()
+            & broadcast_probe_udf(right_filter, spark)(F.col(left_key))
+        )
+    if prune in ("both", "right"):
+        left_filter = _filter_of(left, left_key, n_left)
+        right = right.filter(
+            F.col(right_key).isNotNull()
+            & broadcast_probe_udf(left_filter, spark)(F.col(right_key))
+        )
+    return left.join(right, left[left_key] == right[right_key])

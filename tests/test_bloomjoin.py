@@ -68,3 +68,30 @@ def test_anti_join_prunes_candidates(spark):
     ).count()
     assert positives >= 100  # zero FN: every true match probes positive
     assert positives <= 100 + 20 * p * 9_900 + 5  # FP-bounded candidates
+
+
+def test_inner_join_equals_plain(spark):
+    from rusty_bloomfilter_spark.operators.bloomjoin import bloom_inner_join
+
+    rng = np.random.default_rng(5)
+    left = spark.createDataFrame(
+        pd.DataFrame({"id": np.arange(3000), "lk": rng.integers(0, 500, 3000)})
+    ).withColumn("lk", F.when(F.col("id") % 83 == 0, None).otherwise(F.col("lk")))
+    right = spark.createDataFrame(
+        pd.DataFrame({"rid": np.arange(200), "rk": rng.integers(300, 700, 200)})
+    ).union(spark.createDataFrame([(999, None)], "rid long, rk long"))
+
+    want = sorted(
+        (r["id"], r["rid"])
+        for r in left.join(right, left.lk == right.rk).select("id", "rid").collect()
+    )
+    for prune in ("both", "left", "right"):
+        got = sorted(
+            (r["id"], r["rid"])
+            for r in bloom_inner_join(
+                left, "lk", right, "rk", p=1e-3, prune=prune
+            ).select("id", "rid").collect()
+        )
+        assert got == want, prune
+    with pytest.raises(ValueError):
+        bloom_inner_join(left, "lk", right, "rk", prune="neither")
