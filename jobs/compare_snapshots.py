@@ -42,7 +42,13 @@ def main() -> None:
     ap.add_argument(
         "--columns", default=None, help="comma-separated (default: shared columns)"
     )
-    ap.add_argument("--psi-width", type=int, default=16)
+    ap.add_argument(
+        "--psi-width",
+        type=float,
+        default=None,
+        help="fixed bin width for every numeric column "
+        "(default: ~50 bins over each column's reference range)",
+    )
     ap.add_argument("--psi-threshold", type=float, default=0.25)
     ap.add_argument("--out", default=None)
     ap.add_argument("--cpus", type=int, default=0, help="local[N] when no master set")
@@ -56,7 +62,7 @@ def main() -> None:
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    from rusty_bloomfilter_spark.operators.drift import psi_between
+    from rusty_bloomfilter_spark.operators.drift import psi_between_multi
     from rusty_bloomfilter_spark.operators.profile import profile_table
 
     old, new = spark.read.parquet(args.old), spark.read.parquet(args.new)
@@ -84,6 +90,21 @@ def main() -> None:
         "rows_new": next(iter(p_new.values())).n_rows if p_new else new.count(),
         "columns": {},
     }
+    # per-column bin widths: --psi-width if given, else ~50 bins over
+    # the reference range (sub-integer columns need fractional widths —
+    # a fixed integer width would collapse a [0,1] score into one bin)
+    widths: dict[str, float] = {}
+    for c in numeric:
+        if args.psi_width is not None:
+            widths[c] = args.psi_width
+        else:
+            a = p_old[c]
+            if a.min_value is None or a.max_value is None:
+                continue  # all-NULL reference: no binnable range
+            span = float(a.max_value) - float(a.min_value)
+            widths[c] = span / 50.0 if span > 0 else 1.0
+    # ONE aggregate per snapshot for every numeric column together
+    psis = psi_between_multi(old, new, widths) if widths else {}
     worst_psi = 0.0
     for c in cols:
         a, b = p_old[c], p_new[c]
@@ -96,10 +117,10 @@ def main() -> None:
             "ndv_ratio": (b.ndv_est / a.ndv_est) if a.ndv_est else None,
             "ndv_rel_error": a.ndv_rel_error,
         }
-        if c in numeric:
-            psi = psi_between(old, new, c, args.psi_width)
-            entry["psi"] = psi
-            worst_psi = max(worst_psi, psi)
+        if c in psis:
+            entry["psi"] = psis[c]
+            entry["psi_bin_width"] = widths[c]
+            worst_psi = max(worst_psi, psis[c])
         report["columns"][c] = entry
     report["worst_psi"] = worst_psi
     report["psi_threshold"] = args.psi_threshold

@@ -72,9 +72,8 @@ def _build_checks(args) -> list:
     for col in filter(None, (args.unique or "").split(",")):
         checks.append(kinds["approx_unique"]({"column": col}))
     if args.row_count_min is not None or args.row_count_max is not None:
-        checks.append(
-            kinds["row_count"]({"lo": args.row_count_min or 1, "hi": args.row_count_max})
-        )
+        lo = 1 if args.row_count_min is None else args.row_count_min  # 0 is valid
+        checks.append(kinds["row_count"]({"lo": lo, "hi": args.row_count_max}))
     for spec in args.value_range or []:
         col, lo, hi = spec.split(":")
         checks.append(

@@ -5053,13 +5053,20 @@ def q_bloom_shape_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) >= 100 AND count(*) <= 1000000000000 AS passed
     FROM documents
     UNION ALL
-    SELECT 'completeness', 'doc_id', CAST(count(doc_id) AS DOUBLE) / count(*),
+    -- round(6) on BOTH sides per the cross-engine float convention:
+    -- today these fractions are exactly 1.0, but the first snapshot
+    -- with a null would otherwise hash-diverge from the Spark side's
+    -- rounded observed value
+    SELECT 'completeness', 'doc_id',
+           round(CAST(count(doc_id) AS DOUBLE) / count(*), 6),
            1.0e0, NULL, count(doc_id) = count(*) FROM documents
     UNION ALL
-    SELECT 'completeness', 'text', CAST(count(text) AS DOUBLE) / count(*),
+    SELECT 'completeness', 'text',
+           round(CAST(count(text) AS DOUBLE) / count(*), 6),
            1.0e0, NULL, count(text) = count(*) FROM documents
     UNION ALL
-    SELECT 'completeness', 'lang', CAST(count(lang) AS DOUBLE) / count(*),
+    SELECT 'completeness', 'lang',
+           round(CAST(count(lang) AS DOUBLE) / count(*), 6),
            1.0e0, NULL, count(lang) = count(*) FROM documents
     UNION ALL
     SELECT 'value_min', 'n_chars', CAST(min(n_chars) AS DOUBLE),
@@ -5346,8 +5353,9 @@ def q_bloom_inner_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     Mackert & Lohman 1986's filter shipping in broadcast form):
     lineitem ⋈ urgent orders with BOTH sides pruned by the other's
     filter before any row shuffles — ~80% of lineitem rows (non-urgent
-    orders' items) drop at the scan, and the right side is pruned by a
-    filter over the already-pruned left (the free cascade). Zero FN ⇒
+    orders' items) drop at the scan; both filters are built from the
+    original sides (building from a pruned side would re-run its
+    pruned plan twice — review finding). Zero FN ⇒
     the pruned join aggregate is bitwise the plain join (the oracle);
     FPs ride along and die in the exact join. The 100-TB fact⋈fact
     shape where neither side broadcasts as rows but both filters do."""

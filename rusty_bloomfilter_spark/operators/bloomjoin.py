@@ -32,6 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .cache import tie
 from .sketches import BlockedBloomSketch, broadcast_probe_udf
 
 
@@ -49,14 +50,23 @@ def bloom_anti_join(
     count() of the build side — the same cost class as the build
     itself); ``p`` bounds the fraction of non-matching rows that still
     pay for exact verification."""
-    build_keys = build.select(F.col(build_key).alias("k")).where(
-        F.col("k").isNotNull()
-    )
+    build_keys = (
+        build.select(F.col(build_key).alias("k"))
+        .where(F.col("k").isNotNull())
+        .persist()  # referenced by count, filter build, AND the verify
+    )  # join: without it the build side is scanned three times; tied below
     n = n_keys if n_keys is not None else build_keys.count()
     sk = BlockedBloomSketch.for_np(n=max(int(n), 1024), p=p, col="k", scalar=True)
     payload, _ = sk.build_bytes(build_keys)
 
-    pred = broadcast_probe_udf(payload, probe.sparkSession)(F.col(probe_key))
+    # coalesce BEFORE the UDF: the disjunction below cannot be split
+    # around a Python UDF, so NULL rows still reach it — a nullable
+    # int64 key would arrive float64-promoted and |v| >= 2^53 keys
+    # (xxhash64 fingerprints) would crash the probe (round-4 review).
+    # NULL rows' probe result is irrelevant (key_null keeps them).
+    pred = broadcast_probe_udf(payload, probe.sparkSession)(
+        F.coalesce(F.col(probe_key), F.lit(0))
+    )
     key_null = F.col(probe_key).isNull()
     certain = probe.filter(key_null | ~pred)  # definitely unmatched: keep
     candidates = probe.filter(~key_null & pred)  # true matches + FP <= p
@@ -65,7 +75,7 @@ def bloom_anti_join(
         candidates[probe_key] == F.col("_rbf_bk"),
         "left_anti",
     )
-    return certain.unionByName(verified)
+    return tie(certain.unionByName(verified), build_keys)
 
 
 def bloom_inner_join(
@@ -99,12 +109,12 @@ def bloom_inner_join(
     Duplicate column names between the two sides are the caller's
     concern, exactly as with a plain ``.join``.
 
-    With ``prune="both"`` the right side is pruned by a filter built
-    over the ALREADY-pruned left: still zero-FN w.r.t. join matches (a
-    left row with any match necessarily survived the first prune — its
-    key is in the right filter), and strictly tighter than filtering
-    against the original left's keys — the cascade a two-pass Bloom
-    join gets for free.
+    Cost model, stated honestly: each pruned side is scanned twice —
+    once (keys only, pushed-down projection) to build its filter, once
+    pruned at the join. That trade wins when the join's SHUFFLE of
+    non-matching rows dominates a key-column rescan, the usual case
+    for wide fact rows with low match rates; for one selective side,
+    ``prune="left"``/``"right"`` halves the filter builds.
     """
     if prune not in ("both", "left", "right"):
         raise ValueError(f"prune must be both|left|right, got {prune!r}")
@@ -117,16 +127,33 @@ def bloom_inner_join(
         return payload
 
     spark = left.sparkSession
-    if prune in ("both", "left"):
-        right_filter = _filter_of(right, right_key, n_right)
-        left = left.filter(
-            F.col(left_key).isNotNull()
-            & broadcast_probe_udf(right_filter, spark)(F.col(left_key))
+
+    def _pruned(df: DataFrame, key: str, payload: bytes) -> DataFrame:
+        # coalesce before the UDF: NULL rows may reach it regardless of
+        # the conjunction (UDF filters don't split reliably) and a
+        # float64-promoted |v| >= 2^53 key crashes the probe; NULL rows
+        # are dropped by isNotNull either way
+        return df.filter(
+            F.col(key).isNotNull()
+            & broadcast_probe_udf(payload, spark)(
+                F.coalesce(F.col(key), F.lit(0))
+            )
         )
-    if prune in ("both", "right"):
-        left_filter = _filter_of(left, left_key, n_left)
-        right = right.filter(
-            F.col(right_key).isNotNull()
-            & broadcast_probe_udf(left_filter, spark)(F.col(right_key))
-        )
+
+    # both filters are built from the ORIGINAL sides: building the left
+    # filter from the already-pruned left would re-execute the pruned
+    # plan (scan + probe UDF) once for the filter build and again for
+    # the join — doubling the dominant cost on the big side (round-4
+    # review); original-side filters keep it at one filter-build scan
+    # plus one pruned join scan per side, still zero-FN both directions
+    right_filter = (
+        _filter_of(right, right_key, n_right) if prune in ("both", "left") else None
+    )
+    left_filter = (
+        _filter_of(left, left_key, n_left) if prune in ("both", "right") else None
+    )
+    if right_filter is not None:
+        left = _pruned(left, left_key, right_filter)
+    if left_filter is not None:
+        right = _pruned(right, right_key, left_filter)
     return left.join(right, left[left_key] == right[right_key])

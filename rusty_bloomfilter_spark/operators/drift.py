@@ -44,7 +44,7 @@ from .cache import tie
 def psi_drift(
     df: DataFrame,
     col: str,
-    width: int,
+    width: float,
     group_col: str,
 ) -> DataFrame:
     """Per-group PSI of ``col``'s fixed-width-binned distribution vs the
@@ -60,12 +60,15 @@ def psi_drift(
     if width <= 0:
         raise ValueError(f"width must be positive, got {width}")
 
-    v = F.col(col).cast("bigint")
+    # double, not bigint: a sub-integer column (quality score in [0,1])
+    # would collapse into one bigint bin and drift would be invisible;
+    # fractional widths are legal (round-4 review catch)
+    v = F.col(col).cast("double")
     binned = (
-        df.where(v.isNotNull() & F.col(group_col).isNotNull())
+        df.where(v.isNotNull() & ~F.isnan(v) & F.col(group_col).isNotNull())
         .select(
             F.col(group_col).alias("g"),
-            F.floor(v / F.lit(int(width))).cast("bigint").alias("bin"),
+            F.floor(v / F.lit(float(width))).cast("bigint").alias("bin"),
         )
         .groupBy("g", "bin")
         .agg(F.count("*").alias("cnt"))
@@ -109,54 +112,90 @@ def psi_between(
     df_ref: DataFrame,
     df_new: DataFrame,
     col: str,
-    width: int,
+    width: float,
 ) -> float:
     """Classic two-snapshot PSI: how far ``df_new``'s distribution of
-    ``col`` moved from the reference snapshot's.
+    ``col`` moved from the reference snapshot's. One column; see
+    ``psi_between_multi`` for the one-scan-per-snapshot batch form the
+    snapshot-diff job uses."""
+    return psi_between_multi(df_ref, df_new, {col: width})[col]
 
-        PSI = sum_bins (p_new - p_ref) * ln(p_new / p_ref)
 
-    over the UNION of both snapshots' bin sets, with the same Laplace
-    smoothing as ``psi_drift`` so one-sided bins penalize finitely.
-    Returns a plain float (one number per column is the artifact a
-    snapshot-comparison job reports). Two map-side-combinable
-    aggregates (one per snapshot); the joined bin frame is bounded by
-    the distinct-bin count.
+def psi_between_multi(
+    df_ref: DataFrame,
+    df_new: DataFrame,
+    widths: dict[str, float],
+) -> dict[str, float]:
+    """PSI(new || ref) for MANY numeric columns in ONE aggregate per
+    snapshot (the repo's one-scan discipline — a per-column pass would
+    re-read both snapshots k times):
+
+        PSI_c = sum_bins (p_new - p_ref) * ln(p_new / p_ref)
+
+    over the union of both snapshots' bin sets per column, with the
+    same Laplace smoothing as ``psi_drift``. ``widths`` maps column ->
+    bin width; widths may be FRACTIONAL — values are binned as
+    floor(value / width) in double, so sub-integer distributions (a
+    quality score in [0,1]) spread across bins instead of collapsing
+    into bigint 0 (round-4 review catch). NULL and NaN values are
+    excluded. Columns with no non-null values on either side score 0.
+
+    The joined bin frame is bounded by columns x distinct bins; corpus
+    rows never leave the two map-side-combinable aggregates.
     """
-    if width <= 0:
-        raise ValueError(f"width must be positive, got {width}")
+    if not widths:
+        return {}
+    for c, w in widths.items():
+        if w <= 0:
+            raise ValueError(f"width must be positive for {c!r}, got {w}")
 
     def bins(df: DataFrame, name: str) -> DataFrame:
-        v = F.col(col).cast("bigint")
+        structs = [
+            F.struct(
+                F.lit(c).alias("col"),
+                F.floor(F.col(c).cast("double") / F.lit(float(w)))
+                .cast("bigint")
+                .alias("bin"),
+                F.col(c).cast("double").alias("val"),
+            )
+            for c, w in widths.items()
+        ]
         return (
-            df.where(v.isNotNull())
-            .select(F.floor(v / F.lit(int(width))).cast("bigint").alias("bin"))
-            .groupBy("bin")
+            df.select(F.explode(F.array(*structs)).alias("s"))
+            .select("s.col", "s.bin", "s.val")
+            .where(F.col("val").isNotNull() & ~F.isnan("val"))
+            .groupBy("col", "bin")
             .agg(F.count("*").alias(name))
         )
 
     joined = (
         bins(df_ref, "c_ref")
-        .join(bins(df_new, "c_new"), "bin", "full_outer")
+        .join(bins(df_new, "c_new"), ["col", "bin"], "full_outer")
         .select(
+            "col",
             F.coalesce("c_ref", F.lit(0)).alias("c_ref"),
             F.coalesce("c_new", F.lit(0)).alias("c_new"),
         )
     )
-    row = joined.agg(
-        F.sum("c_ref").alias("n_ref"),
-        F.sum("c_new").alias("n_new"),
-        F.count("*").alias("n_bins"),
-        F.collect_list(F.struct("c_ref", "c_new")).alias("cells"),
-    ).collect()[0]
-    if not row["n_bins"]:
-        return 0.0
     import math
+    from collections import defaultdict
 
-    n_ref, n_new, nb = row["n_ref"] or 0, row["n_new"] or 0, row["n_bins"]
-    psi = 0.0
-    for cell in row["cells"]:  # bounded by distinct bins, never corpus rows
-        p_ref = (cell["c_ref"] + 0.5) / (n_ref + 0.5 * nb)
-        p_new = (cell["c_new"] + 0.5) / (n_new + 0.5 * nb)
-        psi += (p_new - p_ref) * math.log(p_new / p_ref)
-    return psi
+    cells = defaultdict(list)
+    for r in joined.collect():  # bounded by columns x bins, never rows
+        cells[r["col"]].append((r["c_ref"], r["c_new"]))
+    out: dict[str, float] = {}
+    for c in widths:
+        rows = cells.get(c, [])
+        if not rows:
+            out[c] = 0.0
+            continue
+        n_ref = sum(cr for cr, _ in rows)
+        n_new = sum(cn for _, cn in rows)
+        nb = len(rows)
+        psi = 0.0
+        for cr, cn in rows:
+            p_ref = (cr + 0.5) / (n_ref + 0.5 * nb)
+            p_new = (cn + 0.5) / (n_new + 0.5 * nb)
+            psi += (p_new - p_ref) * math.log(p_new / p_ref)
+        out[c] = psi
+    return out

@@ -109,7 +109,11 @@ def streaming_bloom_dedup(
 
 
 _GEN_OUTPUT = "fp string, gen timestamp"
-_GEN_STATE = "gens array<bigint>, payloads array<binary>"
+# newest is carried EXPLICITLY: reconstructing it as max(gens) forgets a
+# horizon advanced by a batch that recorded nothing (every row suppressed),
+# and a later late row would then be accepted above the true floor —
+# violating the (G+1)-window re-emission guarantee (round-4 review catch)
+_GEN_STATE = "newest bigint, gens array<bigint>, payloads array<binary>"
 
 
 def _duration_seconds(window: str) -> int:
@@ -183,15 +187,16 @@ def streaming_bloom_dedup_generational(
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         if state.exists:
-            gens_raw, payloads_raw = state.get
+            newest_raw, gens_raw, payloads_raw = state.get
             gens: dict[int, BloomFilter] = {
                 int(g): sketch_from_bytes(bytes(b))
                 for g, b in zip(gens_raw, payloads_raw)
             }
+            newest = int(newest_raw) if newest_raw is not None else None
         else:
             gens = {}
+            newest = None
         outs: list[pd.DataFrame] = []
-        newest = max(gens) if gens else None
         for pdf in pdfs:
             # NULL ts would fabricate a year-1677 generation (NaT
             # sentinel); a NULL fp would probe as key 0 and emit 'None'
@@ -235,6 +240,7 @@ def streaming_bloom_dedup_generational(
                 )
         state.update(
             (
+                int(newest) if newest is not None else None,
                 [int(g) for g in sorted(gens)],
                 [gens[g].to_bytes() for g in sorted(gens)],
             )

@@ -95,3 +95,35 @@ def test_inner_join_equals_plain(spark):
         assert got == want, prune
     with pytest.raises(ValueError):
         bloom_inner_join(left, "lk", right, "rk", prune="neither")
+
+
+def test_anti_join_nullable_xxhash_scale_keys(spark):
+    """Nullable int64 keys spanning |v| >= 2^53 (xxhash64 fingerprints)
+    must not crash the probe UDF via float64 promotion (round-4 review
+    catch: the disjunction can't split around the UDF, so NULL rows
+    reach it and the column arrives float64 unless coalesced first)."""
+    probe = (
+        spark.range(2000)
+        .select(F.col("id"), F.xxhash64(F.col("id").cast("string")).alias("k"))
+        .withColumn("k", F.when(F.col("id") % 37 == 0, None).otherwise(F.col("k")))
+    )
+    build = spark.range(500).select(
+        F.xxhash64(F.col("id").cast("string")).alias("bk")
+    )
+    from rusty_bloomfilter_spark.operators.bloomjoin import (
+        bloom_anti_join,
+        bloom_inner_join,
+    )
+
+    got = sorted(
+        r["id"] for r in bloom_anti_join(probe, "k", build, "bk", p=1e-4)
+        .select("id").collect()
+    )
+    want = sorted(
+        r["id"] for r in probe.join(build, probe.k == build.bk, "left_anti")
+        .select("id").collect()
+    )
+    assert got == want
+    got_j = bloom_inner_join(probe, "k", build, "bk", p=1e-4).count()
+    want_j = probe.join(build, probe.k == build.bk).count()
+    assert got_j == want_j

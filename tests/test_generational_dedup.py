@@ -186,3 +186,36 @@ def test_generational_null_hygiene(spark, tmp_path):
     )
     assert list(emitted["fp"]) == ["A"]
     assert (emitted["gen"] == base).all()
+
+
+def test_generational_suppressed_batch_still_advances_horizon(spark, tmp_path):
+    """Round-4 review scenario: a batch whose rows are ALL suppressed
+    (nothing recorded) must still advance the persisted horizon —
+    reconstructing newest from max(gens) would accept a later late row
+    above the true floor and break the (G+1)-window re-emission
+    guarantee."""
+    base = dt.datetime(2024, 5, 1)
+
+    def at(day, fp):
+        return (base + dt.timedelta(days=day), fp)
+
+    b1 = pd.DataFrame([at(10, "X")], columns=["ts", "fp"])
+    b2 = pd.DataFrame([at(13, "Y")], columns=["ts", "fp"])
+    b3 = pd.DataFrame([at(14, "Y")], columns=["ts", "fp"])  # suppressed only
+    b4 = pd.DataFrame([at(11, "X")], columns=["ts", "fp"])  # late re-post
+    emitted = _replay(
+        spark, tmp_path, "gen_horizon", [b1, b2, b3, b4],
+        window="1 day", generations=2, n_per_gen=50, p=1e-8, n_shards=1,
+    )
+    got = {
+        fp: sorted((g - base).days for g in grp["gen"])
+        for fp, grp in emitted.groupby("fp")
+    }
+    # with the persisted horizon (newest=14), X's late day-11 row clamps
+    # to day 13 -> gap 3 = G+1 (the guarantee); a max(gens)=13 horizon
+    # would clamp to day 12 and violate it
+    assert got == {"X": [10, 13], "Y": [13]}
+    gaps = (
+        emitted.sort_values(["fp", "gen"]).groupby("fp")["gen"].diff().dropna()
+    )
+    assert (gaps >= pd.Timedelta(days=3)).all()

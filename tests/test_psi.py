@@ -112,3 +112,39 @@ def test_psi_between_matches_oracle_and_direction(spark):
     assert psi_between(empty, empty, "n", 16) == 0.0
     with pytest.raises(ValueError):
         psi_between(ref, same, "n", 0)
+
+
+def test_psi_fractional_width_detects_subinteger_drift(spark):
+    """A [0,1] double column must spread across fractional-width bins —
+    the bigint cast collapsed it into one bin and hid all drift
+    (round-4 review catch)."""
+    rng = np.random.default_rng(31)
+    from rusty_bloomfilter_spark.operators.drift import (
+        psi_between,
+        psi_between_multi,
+        psi_drift,
+    )
+
+    lo = rng.uniform(0.0, 0.4, 600)
+    hi = rng.uniform(0.5, 0.9, 600)
+    ref = spark.createDataFrame([(float(v),) for v in lo], "q double")
+    new = spark.createDataFrame(
+        [(float(v),) for v in hi] + [(None,), (float("nan"),)], "q double"
+    )
+    psi = psi_between(ref, new, "q", 0.05)
+    assert psi > 1.0  # massive shift, clearly over any threshold
+    # same shift via the grouped form
+    rows = [("ref", float(v)) for v in lo] + [("new", float(v)) for v in hi]
+    df = spark.createDataFrame(rows, "src string, q double")
+    out = {r["src"]: r["psi"] for r in psi_drift(df, "q", 0.05, "src").collect()}
+    assert out["ref"] > 0.3 and out["new"] > 0.3  # both far from the blend
+    # multi-column single-scan form agrees with per-column calls
+    df2_ref = spark.createDataFrame(
+        [(float(v), int(v * 100)) for v in lo], "q double, n bigint"
+    )
+    df2_new = spark.createDataFrame(
+        [(float(v), int(v * 100)) for v in hi], "q double, n bigint"
+    )
+    multi = psi_between_multi(df2_ref, df2_new, {"q": 0.05, "n": 5})
+    assert multi["q"] == pytest.approx(psi_between(df2_ref, df2_new, "q", 0.05))
+    assert multi["n"] == pytest.approx(psi_between(df2_ref, df2_new, "n", 5))
