@@ -112,6 +112,8 @@ _WINDOW_MIDDLE = [
     # 34 new-this-round), so these are pinned here to avoid evicting a
     # never-verified query; round 5's rotation promotes them (they have
     # oracles and sit at the head of MIDDLE).
+    "q_scd2_history",
+    "q_scd2_apply",
     "q_psi_drift",
     "q_bloom_shape_plan",
     "q_data_validation",
@@ -5373,4 +5375,174 @@ def q_bloom_inner_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("l_extendedprice").cast("decimal(38,4)"))
         .cast("double")
         .alias("revenue"),
+    )
+
+
+@register(
+    "q_scd2_history",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type, ts, event_id,
+               CASE WHEN lag(event_id) OVER w IS NULL
+                      OR event_type IS DISTINCT FROM lag(event_type) OVER w
+                    THEN 1 ELSE 0 END AS chg
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), runs AS (
+        SELECT user_id, event_type, ts,
+               sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS version
+        FROM ordered
+    ), hist AS (
+        SELECT user_id, CAST(version AS BIGINT) AS version,
+               min(event_type) AS event_type,
+               min(ts) AS valid_from,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM runs GROUP BY 1, 2
+    )
+    SELECT user_id, event_type, version, valid_from,
+           lead(valid_from) OVER wv AS valid_to,
+           lead(valid_from) OVER wv IS NULL AS is_current,
+           n_rows
+    FROM hist
+    WINDOW wv AS (PARTITION BY user_id ORDER BY version)
+    """,
+)
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 compression of a change log (operators/scd.py::
+    scd2_compress): each user's event_type stream collapses into
+    effective-dated versions — a new version opens iff the attribute
+    IS DISTINCT FROM the previous row's (null-safe), valid_to is the
+    next version's valid_from (half-open tiling, NULL while current).
+    ONE hash partition by key serves the lag window, the conditional
+    cumsum, the (key, version) group-by (key is a subset of the
+    grouping keys, so the Exchange is reused) and the lead window —
+    plan-gated in tests/test_scd.py. Hash-matched against the same
+    run-length formulation in DuckDB (IS DISTINCT FROM on both
+    engines; (ts, event_id) total order per key)."""
+    from .operators.scd import scd2_compress
+
+    ev = load_table(spark, sf_dir, "events")
+    return scd2_compress(
+        ev,
+        key_col="user_id",
+        attr_cols=["event_type"],
+        ts_col="ts",
+        tiebreak_cols=["event_id"],
+    )
+
+
+_SCD2_APPLY_SNAPSHOT_TS = "2024-02-01 00:00:00"
+
+
+@register(
+    "q_scd2_apply",
+    oracle=f"""
+    WITH base AS (
+        SELECT user_id, event_type, ts, event_id FROM events
+        WHERE ts < TIMESTAMP '2024-01-16' AND user_id % 5 != 0
+    ), ordered AS (
+        SELECT user_id, event_type, ts, event_id,
+               CASE WHEN lag(event_id) OVER w IS NULL
+                      OR event_type IS DISTINCT FROM lag(event_type) OVER w
+                    THEN 1 ELSE 0 END AS chg
+        FROM base
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), runs AS (
+        SELECT user_id, event_type, ts,
+               sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS version
+        FROM ordered
+    ), hist AS (
+        SELECT user_id, CAST(version AS BIGINT) AS version,
+               min(event_type) AS event_type,
+               min(ts) AS valid_from
+        FROM runs GROUP BY 1, 2
+    ), history AS (
+        SELECT user_id, event_type, version, valid_from,
+               lead(valid_from) OVER wv AS valid_to
+        FROM hist
+        WINDOW wv AS (PARTITION BY user_id ORDER BY version)
+    ), snap AS (
+        SELECT user_id, event_type FROM events
+        WHERE user_id % 3 != 0
+        QUALIFY row_number() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+    ), cur AS (
+        SELECT * FROM history WHERE valid_to IS NULL
+    ), j AS (
+        SELECT cur.user_id AS h_key, cur.event_type AS h_attr,
+               cur.version AS version, cur.valid_from AS valid_from,
+               snap.user_id AS s_key, snap.event_type AS s_attr
+        FROM cur FULL OUTER JOIN snap ON cur.user_id = snap.user_id
+    ), merged AS (
+        SELECT user_id, event_type, version, valid_from, valid_to
+        FROM history WHERE valid_to IS NOT NULL
+        UNION ALL
+        SELECT h_key, h_attr, version, valid_from, CAST(NULL AS TIMESTAMP)
+        FROM j WHERE h_key IS NOT NULL AND s_key IS NOT NULL
+                 AND h_attr IS NOT DISTINCT FROM s_attr
+        UNION ALL
+        SELECT h_key, h_attr, version, valid_from, CAST(NULL AS TIMESTAMP)
+        FROM j WHERE h_key IS NOT NULL AND s_key IS NULL
+        UNION ALL
+        SELECT h_key, h_attr, version, valid_from,
+               TIMESTAMP '{_SCD2_APPLY_SNAPSHOT_TS}'
+        FROM j WHERE h_key IS NOT NULL AND s_key IS NOT NULL
+                 AND h_attr IS DISTINCT FROM s_attr
+        UNION ALL
+        SELECT coalesce(h_key, s_key), s_attr,
+               CAST(coalesce(version + 1, 1) AS BIGINT),
+               TIMESTAMP '{_SCD2_APPLY_SNAPSHOT_TS}', CAST(NULL AS TIMESTAMP)
+        FROM j WHERE s_key IS NOT NULL
+                 AND (h_key IS NULL OR h_attr IS DISTINCT FROM s_attr)
+    )
+    SELECT user_id, event_type, version, valid_from, valid_to,
+           valid_to IS NULL AS is_current
+    FROM merged
+    """,
+)
+def q_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO for a versioned dimension (operators/scd.py::
+    scd2_apply): the first half-month's change log compresses into a
+    base history, then a point-in-time snapshot (each user's latest
+    event_type, keys user_id%3!=0) merges in at 2024-02-01 — changed
+    keys close and reopen, brand-new keys (user_id%5==0, excluded from
+    the base) open at version 1, keys missing from the snapshot are
+    retained open. The current slice joins the snapshot ONCE; closed
+    history rows never re-enter a shuffle. Hash-matched against the
+    identical merge arithmetic as DuckDB CTEs (IS DISTINCT FROM change
+    tests on both engines)."""
+    from .operators.scd import scd2_apply, scd2_compress
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.filter(
+        (F.col("ts") < F.expr("TIMESTAMP '2024-01-16'"))
+        & (F.col("user_id") % 5 != 0)
+    )
+    history = scd2_compress(
+        base,
+        key_col="user_id",
+        attr_cols=["event_type"],
+        ts_col="ts",
+        tiebreak_cols=["event_id"],
+    ).drop("n_rows")
+    wsnap = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    snap = (
+        ev.filter(F.col("user_id") % 3 != 0)
+        .withColumn("_rn", F.row_number().over(wsnap))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "event_type")
+    )
+    merged = scd2_apply(
+        history,
+        snap,
+        key_col="user_id",
+        attr_cols=["event_type"],
+        snapshot_ts=_SCD2_APPLY_SNAPSHOT_TS,
+    )
+    return merged.select(
+        "user_id", "event_type", "version", "valid_from", "valid_to", "is_current"
     )
