@@ -114,6 +114,7 @@ _WINDOW_MIDDLE = [
     # oracles and sit at the head of MIDDLE).
     "q_scd2_history",
     "q_scd2_apply",
+    "q_event_transitions",
     "q_psi_drift",
     "q_bloom_shape_plan",
     "q_data_validation",
@@ -5545,4 +5546,53 @@ def q_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return merged.select(
         "user_id", "event_type", "version", "valid_from", "valid_to", "is_current"
+    )
+
+
+@register(
+    "q_event_transitions",
+    oracle="""
+    WITH nxt AS (
+        SELECT event_type AS src_state,
+               lead(event_type) OVER w AS dst_state,
+               ts, lead(ts) OVER w AS next_ts
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), t AS (
+        SELECT src_state, dst_state, CAST(count(*) AS BIGINT) AS n
+        FROM nxt
+        WHERE dst_state IS NOT NULL
+          AND next_ts <= ts + INTERVAL 30 MINUTE
+        GROUP BY 1, 2
+    )
+    SELECT src_state, dst_state, n,
+           round(n / sum(n) OVER (PARTITION BY src_state), 6) AS prob
+    FROM t
+    """,
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over user event streams
+    (operators/markov.py::transition_matrix): lead window pairs each
+    event with the user's next one, pairs separated by more than 30
+    minutes are session breaks (interval arithmetic, tz-free — same
+    convention as sessionize), counts row-normalize into ML transition
+    probabilities. ONE events-sized shuffle (the lead window's user
+    partition — plan-gated); the (src, dst) aggregate is map-side
+    partial over |types|^2 keys and the normalizing sum is a window on
+    the matrix itself, never a second events pass. Hash-matched vs the
+    identical lead/ratio formulation in DuckDB, probabilities rounded
+    at 6 on both engines."""
+    from .operators.markov import transition_matrix
+
+    ev = load_table(spark, sf_dir, "events")
+    out = transition_matrix(
+        ev,
+        key_col="user_id",
+        state_col="event_type",
+        ts_col="ts",
+        tiebreak_cols=["event_id"],
+        max_gap_minutes=30,
+    )
+    return out.select(
+        "src_state", "dst_state", "n", F.round("prob", 6).alias("prob")
     )
