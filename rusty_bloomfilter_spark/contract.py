@@ -115,6 +115,7 @@ _WINDOW_MIDDLE = [
     "q_scd2_history",
     "q_scd2_apply",
     "q_event_transitions",
+    "q_triangle_count",
     "q_psi_drift",
     "q_bloom_shape_plan",
     "q_data_validation",
@@ -5596,3 +5597,57 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "src_state", "dst_state", "n", F.round("prob", 6).alias("prob")
     )
+
+
+@register(
+    "q_triangle_count",
+    oracle="""
+    WITH lines AS (
+        SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_quantity >= 48
+    ), e AS (
+        SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+        FROM lines a JOIN lines b
+          ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+    ), tri AS (
+        SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM e e1
+        JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+        JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+    )
+    SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+    ) GROUP BY node
+    """,
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts on the supplier co-occurrence graph
+    (operators/graph.py::triangle_counts): suppliers are adjacent iff
+    they ship high-quantity lines in the same order (within-order pair
+    fan-out is bounded by lines-per-order, never all-pairs). The
+    operator orients each edge from its (degree, node)-smaller endpoint
+    — out-degree O(sqrt(m)) on ANY graph, so the wedge self-join does
+    m^{3/2} work where a hub would make the naive form quadratic — and
+    each triangle is owned by its order-minimal apex exactly once; the
+    oriented frame is persisted (three references) and tied. The oracle
+    enumerates the same triangle set with plain node-id orientation —
+    the set is orientation-invariant, which is exactly what the hash
+    match certifies."""
+    from .operators.graph import triangle_counts
+
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 48)
+    lines = li.select("l_orderkey", "l_suppkey")
+    other = lines.select(
+        F.col("l_orderkey").alias("r_orderkey"), F.col("l_suppkey").alias("r_suppkey")
+    )
+    edges = (
+        lines.join(
+            other,
+            (F.col("l_orderkey") == F.col("r_orderkey"))
+            & (F.col("l_suppkey") < F.col("r_suppkey")),
+        )
+        .select(F.col("l_suppkey").alias("src"), F.col("r_suppkey").alias("dst"))
+        .distinct()
+    )
+    return triangle_counts(edges)
