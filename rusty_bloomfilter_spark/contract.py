@@ -116,6 +116,7 @@ _WINDOW_MIDDLE = [
     "q_scd2_apply",
     "q_event_transitions",
     "q_triangle_count",
+    "q_distinctive_terms",
     "q_psi_drift",
     "q_bloom_shape_plan",
     "q_data_validation",
@@ -5651,3 +5652,35 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return triangle_counts(edges)
+
+
+from .operators.keyness import distinctive_terms_oracle_sql as _keyness_oracle  # noqa: E402
+
+
+@register(
+    "q_distinctive_terms",
+    oracle=_keyness_oracle(min_count=5, round_digits=7),
+)
+def q_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunning log-likelihood keyness per source (operators/keyness.py
+    ::distinctive_terms): which tokens characterize each documents
+    slice vs the rest of the corpus. ONE corpus-sized explode+groupBy
+    (map-side partial); totals are aggregates OF the count frame, the
+    |sources|-row totals broadcast. The hash-compared score is
+    mi_nats = G2/(2N) — O(1) magnitude, so cross-engine ln() last-ulp
+    noise (which grows with N in raw G2) cancels and sits ~8 orders
+    below the 1e-7 rounding step; the row SET is decided by exact
+    integer arithmetic only (min_count + the k11*N > ct*ns cross-
+    product), so no float ever picks rows. Hash-matched vs the same
+    xlx algebra in DuckDB over the parity tokenizer."""
+    from .operators.keyness import distinctive_terms
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = distinctive_terms(docs, min_count=5)
+    return out.select(
+        "source",
+        "token",
+        "n_in_key",
+        "n_elsewhere",
+        F.round("mi_nats", 7).alias("mi_nats"),
+    )
