@@ -117,6 +117,8 @@ _WINDOW_MIDDLE = [
     "q_event_transitions",
     "q_triangle_count",
     "q_distinctive_terms",
+    "q_debounce",
+    "q_cooccurrence_lift",
     "q_psi_drift",
     "q_bloom_shape_plan",
     "q_data_validation",
@@ -5683,4 +5685,106 @@ def q_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_in_key",
         "n_elsewhere",
         F.round("mi_nats", 7).alias("mi_nats"),
+    )
+
+
+@register(
+    "q_debounce",
+    oracle="""
+    WITH d AS (
+        SELECT user_id, event_type, event_id, ts,
+               lag(ts) OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY ts, event_id
+               ) AS prev
+        FROM events
+    )
+    SELECT user_id, event_type, event_id, ts
+    FROM d
+    WHERE prev IS NULL OR ts > prev + INTERVAL 10 MINUTE
+    """,
+)
+def q_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst suppression (operators/temporal.py::debounce): per
+    (user, event_type) stream, keep only the FIRST event of every
+    within-10-minute chain — the retry-storm collapse a telemetry
+    pipeline runs before counting anything. The keep flag is a single
+    lag window (ONE events-sized shuffle, the same partitioning the
+    downstream per-user aggregate would reuse); chain membership is
+    gap-transitive, so a long storm collapses to one row even when its
+    tail is hours from its head. event_id tiebreak makes same-instant
+    ordering total on both engines; hash-matched against the identical
+    lag/interval formulation in DuckDB."""
+    from .operators.temporal import debounce
+
+    ev = load_table(spark, sf_dir, "events")
+    out = debounce(
+        ev,
+        user_col="user_id",
+        ts_col="ts",
+        type_col="event_type",
+        gap_minutes=10,
+        tiebreak_cols=["event_id"],
+    )
+    return out.select("user_id", "event_type", "event_id", "ts")
+
+
+@register(
+    "q_cooccurrence_lift",
+    oracle="""
+    WITH ki AS (
+        SELECT DISTINCT user_id AS key, event_type AS item FROM events
+    ), nk AS (
+        SELECT count(DISTINCT key) AS n_keys FROM ki
+    ), per_item AS (
+        SELECT item, count(*) AS n_item FROM ki GROUP BY item
+    ), pairs AS (
+        SELECT a.item AS item_a, b.item AS item_b,
+               CAST(count(*) AS BIGINT) AS n_both
+        FROM ki a JOIN ki b ON a.key = b.key AND a.item <> b.item
+        GROUP BY 1, 2
+        HAVING count(*) >= 2
+    )
+    SELECT item_a, item_b, n_both,
+           CAST(na.n_item AS BIGINT) AS n_a,
+           CAST(nb.n_item AS BIGINT) AS n_b,
+           CAST(nk.n_keys AS BIGINT) AS n_keys,
+           round(n_both / nk.n_keys, 6) AS support,
+           round(n_both / na.n_item, 6) AS confidence,
+           round(n_both * nk.n_keys / (na.n_item * nb.n_item), 6) AS lift
+    FROM pairs
+    JOIN per_item na ON na.item = item_a
+    JOIN per_item nb ON nb.item = item_b
+    CROSS JOIN nk
+    """,
+)
+def q_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association over user behavior (operators/assoc.py
+    ::cooccurrence_lift): support / confidence / lift for every ordered
+    pair of distinct event types co-occurring in a user. Events
+    collapse to DISTINCT (user, type) FIRST — the only corpus-sized
+    aggregate, persisted+tied so its four consumers scan the corpus
+    once — then the per-user pair join fans out at most |types|^2 rows
+    per user (a 10^6-click bot contributes the same one row as anyone),
+    and the |types|^2-row matrix takes two broadcast joins for the
+    per-type marginals. All counts exact integers; each ratio is ONE
+    float division of exact ints (products << 2^53), rounded at 6 on
+    both engines — hash-matched vs the identical formulation in
+    DuckDB."""
+    from .operators.assoc import cooccurrence_lift
+
+    ev = load_table(spark, sf_dir, "events")
+    out = cooccurrence_lift(
+        ev, key_col="user_id", item_col="event_type", min_users=2
+    )
+    return out.select(
+        "item_a",
+        "item_b",
+        "n_both",
+        "n_a",
+        "n_b",
+        "n_keys",
+        F.round("support", 6).alias("support"),
+        F.round("confidence", 6).alias("confidence"),
+        F.round("lift", 6).alias("lift"),
     )

@@ -229,3 +229,35 @@ def trailing_day_sum(
         .rangeBetween(-(days - 1), 0)
     )
     return df.withColumn(out_col, F.sum(value_col).over(w))
+
+
+def debounce(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str | None = None,
+    gap_minutes: int = 10,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Burst suppression: keep only the FIRST event of every within-gap
+    chain per user (and per ``type_col`` if given) — the telemetry
+    debounce that turns a retry storm into one row. A chain is the
+    same gap-transitive closure as ``sessionize`` (each event within
+    ``gap_minutes`` of its predecessor), so "first of chain" is
+    well-defined and arrival-order independent; later events of the
+    chain drop even if they are > gap from the first kept row.
+
+    One shuffle (the lag window's partition); the filter is a window
+    flag, so the corpus never re-aggregates. Pass ``tiebreak_cols`` to
+    make same-instant ordering total."""
+    if gap_minutes <= 0:
+        raise ValueError(f"gap_minutes must be positive, got {gap_minutes}")
+    parts = [user_col] + ([type_col] if type_col else [])
+    order = [F.col(ts_col), *[F.col(c) for c in (tiebreak_cols or [])]]
+    w = Window.partitionBy(*parts).orderBy(*order)
+    prev = F.lag(F.col(ts_col)).over(w)
+    keep = prev.isNull() | (
+        F.col(ts_col) > prev + F.expr(f"INTERVAL {int(gap_minutes)} MINUTES")
+    )
+    return events.withColumn("_keep", keep).filter("_keep").drop("_keep")

@@ -176,16 +176,19 @@ def test_compress_single_exchange(changelog):
     import io
     from contextlib import redirect_stdout
 
+    # NB: parameters deliberately differ from the cached `history`
+    # fixture's — an identical plan would be substituted by the cache
+    # manager with an InMemoryTableScan and show zero exchanges
     fresh = scd2_compress(
         changelog,
         key_col="user_id",
         attr_cols=["status"],
         ts_col="ts",
-        tiebreak_cols=["seq"],
     )
     buf = io.StringIO()
     with redirect_stdout(buf):
         fresh.explain("formatted")
     plan = buf.getvalue()
-    n_exchanges = plan.count("Exchange hashpartitioning")
-    assert n_exchanges <= 1, plan
+    n_exchanges = plan.count("Arguments: hashpartitioning(")
+    assert n_exchanges == 1, plan
+    assert plan.count("Arguments: hashpartitioning(user_id") == 1, plan

@@ -240,3 +240,70 @@ def test_trailing_day_sum_gap_semantics(spark):
 
     with _pytest.raises(ValueError, match="days must be"):
         trailing_day_sum(df, "v", key_col="k", date_col="day", days=0)
+
+
+def test_debounce_chain_semantics(spark):
+    """A within-gap chain keeps only its first event even when the
+    chain's tail is far past first+gap; a row exactly AT the gap from
+    its predecessor is still part of the chain (strict > opens new)."""
+    import datetime as dt
+
+    from rusty_bloomfilter_spark.operators.temporal import debounce
+
+    base = dt.datetime(2024, 1, 1)
+    m = lambda k: base + dt.timedelta(minutes=k)  # noqa: E731
+    rows = [
+        # user 1: storm at 0,9,18,27 (each within 10m of prev -> one
+        # chain although 27 > 0+10), then a fresh event at 50
+        (1, "click", 1, m(0)),
+        (1, "click", 2, m(9)),
+        (1, "click", 3, m(18)),
+        (1, "click", 4, m(27)),
+        (1, "click", 5, m(50)),
+        # boundary: +10m exactly is NOT a new chain (needs strictly >)
+        (2, "click", 6, m(0)),
+        (2, "click", 7, m(10)),
+        (2, "click", 8, m(21)),  # 11m after prev -> new chain
+        # type partition: same instants, different type -> independent
+        (1, "view", 9, m(0)),
+        (1, "view", 10, m(9)),
+    ]
+    df = spark.createDataFrame(
+        rows, ["user_id", "event_type", "event_id", "ts"]
+    )
+    kept = sorted(
+        r["event_id"]
+        for r in debounce(
+            df, type_col="event_type", gap_minutes=10
+        ).collect()
+    )
+    assert kept == [1, 5, 6, 8, 9]
+
+
+def test_debounce_tiebreak_total_order(spark):
+    """Same-instant duplicates keep exactly the tiebreak-first row."""
+    import datetime as dt
+
+    from rusty_bloomfilter_spark.operators.temporal import debounce
+
+    t0 = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(1, "click", i, t0) for i in (3, 1, 2)],
+        ["user_id", "event_type", "event_id", "ts"],
+    )
+    kept = debounce(
+        df, type_col="event_type", gap_minutes=10, tiebreak_cols=["event_id"]
+    ).collect()
+    assert [r["event_id"] for r in kept] == [1]
+
+
+def test_debounce_rejects_bad_gap(spark):
+    import datetime as dt
+
+    from rusty_bloomfilter_spark.operators.temporal import debounce
+
+    df = spark.createDataFrame(
+        [(1, 1, dt.datetime(2024, 1, 1))], ["user_id", "event_id", "ts"]
+    )
+    with pytest.raises(ValueError):
+        debounce(df, gap_minutes=0)
