@@ -112,6 +112,7 @@ _WINDOW_MIDDLE = [
     # 34 new-this-round), so these are pinned here to avoid evicting a
     # never-verified query; round 5's rotation promotes them (they have
     # oracles and sit at the head of MIDDLE).
+    "q_value_quantiles_dd",
     "q_scd2_history",
     "q_scd2_apply",
     "q_event_transitions",
@@ -5787,4 +5788,78 @@ def q_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("support", 6).alias("support"),
         F.round("confidence", 6).alias("confidence"),
         F.round("lift", 6).alias("lift"),
+    )
+
+
+@register("q_value_quantiles_dd")  # estimate: rows-only + strict in-row audit
+def q_value_quantiles_dd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RELATIVE-error quantiles per event type via DDSketch
+    (sketch/ddsketch.py, operators/sketches.DDQuantiles) — the
+    tail-precision companion to the KLL rank-error path: at p99 of a
+    heavy-tailed value column the estimate is within alpha*|x| of the
+    true item, where KLL's rank eps blurs by the inverse tail density.
+    Audit is STRICT: the exact side is the item at the same rank
+    floor(q*(n-1)) DDSketch targets (window row_number, no collect),
+    so in_bound asserts rel_err <= alpha with no interpolation slack.
+    DDSketch's bucket counts are a pure function of the input multiset
+    — canonical bytes under ANY partitioning (the reference's
+    Bloom-merge bitwise contract, mod.rs:621-761, extended to
+    quantiles) — so the distributed build equals a single-node build
+    exactly. At 100 TB: one scan, O(buckets)-sized sketch rows are the
+    only shuffle for the estimate side."""
+    from .operators.sketches import DDQuantiles
+
+    alpha = 0.01
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    qs = [0.5, 0.99]
+
+    est = (
+        DDQuantiles(alpha, col="value")
+        .quantiles_by_key(ev, "event_type", qs)
+        .groupBy("key")
+        .pivot("q", qs)
+        .agg(F.first("value"))
+        .select(
+            F.col("key").alias("event_type"),
+            F.col("`0.5`").alias("p50_dd"),
+            F.col("`0.99`").alias("p99_dd"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("value")
+    ranked = ev.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(Window.partitionBy("event_type"))
+    )
+    exact = (
+        ranked.filter(
+            (F.col("rn") == F.floor(F.lit(0.5) * (F.col("n") - 1)) + 1)
+            | (F.col("rn") == F.floor(F.lit(0.99) * (F.col("n") - 1)) + 1)
+        )
+        .withColumn(
+            "which",
+            F.when(
+                F.col("rn") == F.floor(F.lit(0.5) * (F.col("n") - 1)) + 1, "p50"
+            ).otherwise("p99"),
+        )
+        .groupBy("event_type")
+        .pivot("which", ["p50", "p99"])
+        .agg(F.first("value"))
+        .select(
+            "event_type",
+            F.col("p50").alias("p50_exact"),
+            F.col("p99").alias("p99_exact"),
+        )
+    )
+    return (
+        exact.join(est, "event_type")
+        .withColumn(
+            "p50_rel_err",
+            F.round(F.abs(F.col("p50_dd") - F.col("p50_exact")) / F.abs("p50_exact"), 6),
+        )
+        .withColumn(
+            "p99_rel_err",
+            F.round(F.abs(F.col("p99_dd") - F.col("p99_exact")) / F.abs("p99_exact"), 6),
+        )
+        .withColumn("p50_in_bound", F.col("p50_rel_err") <= alpha)
+        .withColumn("p99_in_bound", F.col("p99_rel_err") <= alpha)
+        .orderBy("event_type")
     )

@@ -4,6 +4,7 @@
 pure SQL — every mergeable summary in the library has an agg/estimate
 pair: ``hll_agg``/``hll_estimate``, ``bloom_agg``/``bloom_estimate_n``,
 ``cms_agg``/``cms_query``, ``kll_agg``/``kll_quantile``,
+``dd_agg``/``dd_quantile`` (DDSketch relative-error quantiles),
 ``mg_agg``/``mg_candidates``, ``gram_agg``/``gram_eigvals``,
 ``ams_agg``/``ams_f2``/``ams_query`` (unbiased signed frequencies +
 the F2 skew oracle), the deletable-membership pair
@@ -95,6 +96,7 @@ def register_sketch_sql(
     cms_d: int = 5,
     cms_w: int = 8192,
     kll_k: int = 200,
+    dd_alpha: float = 0.01,
     ams_d: int = 5,
     ams_w: int = 8192,
     prefix: str = "",
@@ -238,6 +240,31 @@ def register_sketch_sql(
         return pd.Series(out, dtype="float64")
 
     @pandas_udf("binary")
+    def dd_agg(values: pd.Series) -> bytes:
+        # DDSketch RELATIVE-error quantile sketch over a scalar numeric
+        # column; canonical bytes under any partitioning (unlike KLL)
+        from ..sketch import DDSketch
+
+        dd = DDSketch(dd_alpha)
+        vals = values.dropna().to_numpy(dtype=np.float64)
+        if vals.size:
+            dd.add(vals)
+        return dd.to_bytes()
+
+    dd_cache: dict = {}
+
+    @pandas_udf("double")
+    def dd_quantile(payload: pd.Series, q: pd.Series) -> pd.Series:
+        out = []
+        for p, qq in zip(payload, q):
+            if p is None or qq is None or (isinstance(qq, float) and math.isnan(qq)):
+                out.append(None)
+                continue
+            sk = _cached_sketch(dd_cache, p)
+            out.append(None if sk.n_items == 0 else float(sk.quantile(float(qq))))
+        return pd.Series(out, dtype="float64")
+
+    @pandas_udf("binary")
     def ams_agg(tokens: pd.Series) -> bytes:
         # count sketch (AMS) over an array<int> column: unbiased signed
         # frequencies + the F2 second-moment skew oracle
@@ -353,6 +380,8 @@ def register_sketch_sql(
     spark.udf.register(prefix + "cms_query", cms_query)
     spark.udf.register(prefix + "kll_agg", kll_agg)
     spark.udf.register(prefix + "kll_quantile", kll_quantile)
+    spark.udf.register(prefix + "dd_agg", dd_agg)
+    spark.udf.register(prefix + "dd_quantile", dd_quantile)
     spark.udf.register(prefix + "sketch_merge", sketch_merge)
     spark.udf.register(prefix + "ams_agg", ams_agg)
     spark.udf.register(prefix + "ams_f2", ams_f2)

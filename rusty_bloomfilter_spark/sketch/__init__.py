@@ -12,6 +12,7 @@ from .blocked import BlockedBloomFilter
 from .bloom import BloomFilter, SparseBloomBuilder, merge_payloads, popcount_words
 from .cms import CountMinSketch
 from .counting import CountingBloomFilter
+from .ddsketch import DDSketch
 from .hashing import hash_pair, km_indices, ngram_hashes, splitmix64, tokens_to_u64
 from .hll import HyperLogLog
 from .freqdirs import FrequentDirections, GramMatrix
@@ -27,6 +28,7 @@ _KINDS = {
     b"RCMS": CountMinSketch,
     b"RCBF": CountingBloomFilter,
     b"RKLL": KLLSketch,
+    b"RDDS": DDSketch,
     b"RTDG": TDigest,
     b"RMGS": MisraGries,
     b"RAMS": CountSketch,
@@ -70,6 +72,7 @@ __all__ = [
     "CountMinSketch",
     "CountSketch",
     "CountingBloomFilter",
+    "DDSketch",
     "FrequentDirections",
     "GramMatrix",
     "HyperLogLog",
