@@ -112,6 +112,7 @@ _WINDOW_MIDDLE = [
     # 34 new-this-round), so these are pinned here to avoid evicting a
     # never-verified query; round 5's rotation promotes them (they have
     # oracles and sit at the head of MIDDLE).
+    "q_cusum_changepoint",
     "q_value_quantiles_dd",
     "q_scd2_history",
     "q_scd2_apply",
@@ -5863,3 +5864,54 @@ def q_value_quantiles_dd(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("p99_in_bound", F.col("p99_rel_err") <= alpha)
         .orderBy("event_type")
     )
+
+
+@register(
+    "q_cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ), cur AS (
+      SELECT event_type, day,
+             row_number() OVER (PARTITION BY event_type ORDER BY day) AS i,
+             CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY day
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS prefix,
+             count(*) OVER (PARTITION BY event_type) AS n,
+             CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS total
+      FROM daily
+    )
+    SELECT event_type, CAST(day AS VARCHAR) AS cp_at, i AS cp_index, n AS n_points,
+           n * prefix - i * total AS g_scaled,
+           abs(n * prefix - i * total) AS g_abs,
+           round(CAST(prefix AS DOUBLE) / i, 6) AS mean_before,
+           CASE WHEN n > i
+                THEN round(CAST(total - prefix AS DOUBLE) / (n - i), 6)
+                ELSE 0.0 END AS mean_after
+    FROM cur
+    QUALIFY row_number() OVER (PARTITION BY event_type
+                               ORDER BY abs(n * prefix - i * total) DESC, day ASC) = 1
+    ORDER BY event_type
+    """,
+)
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHEN did each monitored series shift — offline CUSUM argmax
+    (operators/changepoint.py::cusum_changepoint, Page 1954 / Hinkley
+    1971) over daily event counts per type. The statistic is the
+    n-scaled cumulative deviation G_i = n*prefix_i - i*total, computed
+    entirely in BIGINT (no float mean), so Spark and DuckDB agree
+    bitwise and the query hash-matches. One hash Exchange on the key
+    serves the prefix sum, the per-key totals, and the argmax pick;
+    the complement to the drift family (PSI says IF, this says WHEN
+    and HOW BIG via the exact segment means)."""
+    from .operators.changepoint import cusum_changepoint
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day")
+    )
+    daily = ev.groupBy("event_type", "day").agg(F.count("*").alias("cnt"))
+    out = cusum_changepoint(daily, "event_type", "day", "cnt")
+    return out.withColumn(
+        "cp_at", F.date_format("cp_at", "yyyy-MM-dd")
+    ).orderBy("event_type")
