@@ -112,6 +112,10 @@ _WINDOW_MIDDLE = [
     # 34 new-this-round), so these are pinned here to avoid evicting a
     # never-verified query; round 5's rotation promotes them (they have
     # oracles and sit at the head of MIDDLE).
+    "q_jaccard_join",
+    "q_feature_correlations",
+    "q_benford_audit",
+    "q_daily_trend",
     "q_cusum_changepoint",
     "q_value_quantiles_dd",
     "q_scd2_history",
@@ -5915,3 +5919,215 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn(
         "cp_at", F.date_format("cp_at", "yyyy-MM-dd")
     ).orderBy("event_type")
+
+
+@register(
+    "q_daily_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS DOUBLE) AS cnt
+      FROM events GROUP BY 1, 2
+    ), x AS (
+      SELECT event_type, day, cnt,
+             CAST(date_diff('day', DATE '2024-01-15', day) AS DOUBLE) AS xd
+      FROM daily
+    )
+    SELECT event_type,
+           round(regr_slope(cnt, xd), 6) AS slope_per_day,
+           round(regr_intercept(cnt, xd), 6) AS intercept,
+           round(regr_r2(cnt, xd), 6) AS r2,
+           CAST(regr_count(cnt, xd) AS BIGINT) AS n_days,
+           CAST(min(day) AS VARCHAR) AS first_day,
+           CAST(max(day) AS VARCHAR) AS last_day,
+           round(regr_intercept(cnt, xd) + regr_slope(cnt, xd) *
+                 CAST(date_diff('day', DATE '2024-01-15', min(day)) AS DOUBLE),
+                 6) AS fitted_first,
+           round(regr_intercept(cnt, xd) + regr_slope(cnt, xd) *
+                 CAST(date_diff('day', DATE '2024-01-15', max(day)) AS DOUBLE),
+                 6) AS fitted_last
+    FROM x
+    GROUP BY event_type
+    HAVING regr_count(cnt, xd) >= 2 AND regr_slope(cnt, xd) IS NOT NULL
+    ORDER BY event_type
+    """,
+)
+def q_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOW FAST is each monitored series moving — per-type OLS trend
+    (operators/trend.py::group_trend) over daily event counts: slope
+    per day, value at the reference day, r² linearity, and the fitted
+    endpoints. The whole fit is one map-side-combinable hash aggregate
+    of SQL-standard regr_* sufficient statistics (|keys| rows of six
+    doubles shuffle, corpus-size-independent); the axis is centered at
+    a reference day inside the window so every emitted number is
+    observation-sized and the cross-engine ulp noise sits far below the
+    round(6) hash step. Completes the drift triad: PSI says IF, CUSUM
+    says WHEN, this says HOW FAST."""
+    from .operators.trend import group_trend
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day")
+    )
+    daily = ev.groupBy("event_type", "day").agg(F.count("*").alias("cnt"))
+    out = group_trend(daily, "event_type", "day", "cnt", ref_day="2024-01-15")
+    return (
+        out.withColumn("first_day", F.date_format("first_day", "yyyy-MM-dd"))
+        .withColumn("last_day", F.date_format("last_day", "yyyy-MM-dd"))
+        .orderBy("event_type")
+    )
+
+
+def _benford_oracle() -> str:
+    """Oracle with the SAME Python-folded log10(1+1/d) literals the
+    Spark operator inlines (operators/benford.py::BENFORD_P) — neither
+    engine's libm decides the hash."""
+    from .operators.benford import BENFORD_P
+
+    case = " ".join(f"WHEN {d} THEN {BENFORD_P[d]!r}" for d in range(1, 10))
+    return f"""
+    WITH vals AS (
+      SELECT o_orderpriority AS priority,
+             CAST(floor(o_totalprice) AS BIGINT) AS v
+      FROM orders
+    ), digits AS (
+      SELECT priority,
+             CAST(substr(CAST(v AS VARCHAR), 1, 1) AS INT) AS d,
+             CAST(count(*) AS BIGINT) AS obs
+      FROM vals WHERE v IS NOT NULL AND v > 0 GROUP BY 1, 2
+    ), scored AS (
+      SELECT priority, d, obs,
+             CAST(sum(obs) OVER (PARTITION BY priority) AS BIGINT) AS n,
+             CASE d {case} ELSE 0.0 END AS p
+      FROM digits
+    ), agg AS (
+      SELECT priority AS o_orderpriority, n AS n_values,
+             round(CAST(n AS DOUBLE)
+                   + sum((CAST(obs AS DOUBLE) - n*p) * (CAST(obs AS DOUBLE) - n*p)
+                         / (n*p) - n*p), 6) AS chi2,
+             round((1.0 + sum(abs(CAST(obs AS DOUBLE) / n - p) - p)) / 9.0,
+                   6) AS mad
+      FROM scored GROUP BY priority, n
+    )
+    SELECT o_orderpriority, n_values, chi2, mad,
+           mad <= 0.015 AS conforms
+    FROM agg WHERE n_values >= 100
+    ORDER BY o_orderpriority
+    """
+
+
+@register("q_benford_audit", oracle=_benford_oracle())
+def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Did each slice of the ledger invent its numbers — Benford
+    first-digit conformity (operators/benford.py::benford_profile) of
+    order totals per priority class: chi-square (8 df) and Nigrini MAD
+    with his 0.015 marginal band. First digits come from BIGINT string
+    prefixes (floor() first — DuckDB CAST(double AS BIGINT) rounds,
+    Spark truncates), the nine Benford probabilities are Python-folded
+    literals on both engines, and absent digits fold in analytically
+    (chi² = n + Σ_obs((o−np)²/np − np)), so the whole audit
+    hash-matches. One map-side-combined corpus aggregate; ≤ 9·|keys|
+    rows ever shuffle."""
+    from .operators.benford import benford_profile
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority"),
+        F.floor("o_totalprice").cast("long").alias("v"),
+    )
+    return benford_profile(orders, "o_orderpriority", "v", min_n=100).orderBy(
+        "o_orderpriority"
+    )
+
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def _corr_oracle() -> str:
+    """UNION-ALL-per-pair oracle mirroring the one-scan matrix (DuckDB
+    reads the parquet per branch; the SPARK side is what must be one
+    scan)."""
+    from itertools import combinations
+
+    branches = []
+    for a, b in combinations(_CORR_COLS, 2):
+        branches.append(
+            f"""
+      SELECT l_returnflag, '{a}' AS col_x, '{b}' AS col_y,
+             round(corr({a}, {b}), 6) AS corr,
+             CAST(count(CASE WHEN {a} IS NOT NULL AND {b} IS NOT NULL
+                        THEN 1 END) AS BIGINT) AS n_pairs
+      FROM lineitem GROUP BY 1"""
+        )
+    u = "\n      UNION ALL\n".join(branches)
+    return f"""
+    SELECT * FROM ({u})
+    WHERE corr IS NOT NULL AND n_pairs >= 2
+    ORDER BY l_returnflag, col_x, col_y
+    """
+
+
+@register("q_feature_correlations", oracle=_corr_oracle())
+def q_feature_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which numeric signals are redundant — ALL pairwise Pearson
+    correlations of the lineitem measures per return flag in ONE scan
+    (operators/stats.py::correlation_matrix): the 6 corr + 6 count
+    aggregates share a single map-side partial pass, the shuffle is
+    |groups| rows of O(k²) doubles, and the wide row unpivots to long
+    form with an inline explode (no second shuffle). The naive
+    per-pair formulation reads the corpus C(k,2) times — the oracle
+    does exactly that, which is the point of the comparison."""
+    from .operators.stats import correlation_matrix
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", *_CORR_COLS)
+    return correlation_matrix(li, _CORR_COLS, key_col="l_returnflag").orderBy(
+        "l_returnflag", "col_x", "col_y"
+    )
+
+
+def _ppjoin_oracle() -> str:
+    from .functions.text import duckdb_shingle_key_array
+
+    sh = duckdb_shingle_key_array("tokens", 3)
+    return f"""
+    WITH seq AS (
+      SELECT doc_id, {DUCKDB_TOKENIZE("text")} AS tokens FROM documents
+    ), sets AS (
+      SELECT doc_id, {sh} AS ts FROM seq
+    ), ne AS (
+      SELECT doc_id, ts, len(ts) AS n FROM sets WHERE len(ts) > 0
+    ), p AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             len(list_intersect(a.ts, b.ts)) AS inter,
+             a.n + b.n - len(list_intersect(a.ts, b.ts)) AS uni
+      FROM ne a JOIN ne b ON a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, CAST(inter AS BIGINT) AS inter,
+           CAST(uni AS BIGINT) AS union_sz,
+           round(CAST(inter AS DOUBLE) / uni, 6) AS jaccard
+    FROM p WHERE CAST(inter AS DOUBLE) / uni >= 0.5
+    ORDER BY doc_a, doc_b
+    """
+
+
+@register("q_jaccard_join", oracle=_ppjoin_oracle())
+def q_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EVERY document pair with 3-gram-shingle Jaccard >= 0.5 — the
+    exact, zero-false-negative similarity self-join
+    (operators/ppjoin.py::jaccard_similarity_join, prefix-filtering per
+    Chaudhuri 2006 / Xiao 2008) that audits what the MinHash+LSH path
+    (q_minhash_near_dups) only approximates. The oracle is DuckDB's
+    QUADRATIC list_intersect join — the spec; the Spark plan touches
+    only prefix-token collisions (rarest-first ordering, lossless
+    length filter, exact verify), never |docs|² pairs. Shingle keys are
+    the injective cross-engine polynomial (functions/text.py::
+    shingle_key_array == duckdb_shingle_key_array)."""
+    from .functions.text import shingle_key_array
+    from .operators.ppjoin import jaccard_similarity_join
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokenize_md5(F.col("text")).alias("tokens")
+    )
+    sets = docs.select("doc_id", shingle_key_array(F.col("tokens"), 3).alias("sh"))
+    out = jaccard_similarity_join(sets, "doc_id", "sh", tau=0.5)
+    return out.select(
+        "doc_a", "doc_b", "inter", "union_sz", F.round("jaccard", 6).alias("jaccard")
+    ).orderBy("doc_a", "doc_b")

@@ -209,6 +209,44 @@ def duckdb_adjacent_pair_keys(tokens_expr: str, vocab: int = 50261) -> str:
     )
 
 
+def shingle_key_array(tokens: Column, n: int = 3) -> Column:
+    """DISTINCT within-row token n-gram keys as an array<bigint> —
+    the array-form sibling of operators/dedup.shingle_sets_poly (same
+    positional polynomial sum(tok[i+j] * 50261^(n-1-j)), injective for
+    token ids < 50261, DuckDB-reproducible via duckdb_shingle_key_array).
+    Rows shorter than n yield an EMPTY array (Spark's sequence(0, -1)
+    is [0, -1], not empty — must be gated)."""
+    if not 2 <= n <= 4:
+        raise ValueError("polynomial shingle keys support n in [2, 4] (int64 range)")
+    muls = [50261 ** (n - 1 - j) for j in range(n)]
+
+    def key(i):
+        out = F.element_at(tokens, i + 1).cast("long") * F.lit(muls[0]).cast("long")
+        for j in range(1, n):
+            out = out + F.element_at(tokens, i + j + 1).cast("long") * F.lit(
+                muls[j]
+            ).cast("long")
+        return out
+
+    grams = F.transform(F.sequence(F.lit(0), F.size(tokens) - n), key)
+    return F.when(F.size(tokens) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<bigint>")
+    )
+
+
+def duckdb_shingle_key_array(tokens_expr: str, n: int = 3) -> str:
+    """DuckDB rendering of shingle_key_array (range(negative) is empty
+    and list_distinct([]) is [], so no gate is needed there)."""
+    muls = [50261 ** (n - 1 - j) for j in range(n)]
+    terms = " + ".join(
+        f"CAST({tokens_expr}[i+{j + 1}] AS BIGINT) * {muls[j]}" for j in range(n)
+    )
+    return (
+        f"list_distinct(list_transform(range(len({tokens_expr}) - {n - 1}), "
+        f"i -> {terms}))"
+    )
+
+
 def repetition_exprs(tokens: Column) -> dict[str, Column]:
     """Intra-document repetition metrics (the Gopher-style repetition
     quality filters, Rae et al. 2021 §A1.1): high values mark

@@ -1,0 +1,100 @@
+"""Per-key linear trend estimation (OLS of value on an ordinal axis).
+
+The third leg of the drift family: PSI (operators/drift.py) answers IF
+a distribution moved, CUSUM (operators/changepoint.py) answers WHEN a
+level shifted, and this answers HOW FAST a monitored series is moving —
+the slope, its direction, and how linear the motion actually is (r²).
+
+Distributed shape: the regression is a bag of SUFFICIENT STATISTICS
+(n, Σx, Σy, Σxy, Σx², Σy²), all associative+commutative sums, so the
+whole fit is ONE map-side-combinable hash aggregate — the shuffle
+carries |keys| rows of six doubles no matter how many input rows there
+are, and a 100 TB events table fits the same plan. We use Spark's
+built-in ``regr_slope/regr_intercept/regr_r2/regr_count`` (SQL-standard
+Welford-style accumulators, numerically stable) rather than assembling
+n·Σxy − Σx·Σy by hand: at epoch-day x-magnitudes the raw-moment form
+cancels catastrophically; the built-in centers incrementally. DuckDB
+implements the identical SQL-standard aggregates, which is what makes
+the query hash-matchable at round(6).
+
+The ordinal axis is the day offset from a caller-supplied reference
+date — an integer both engines derive identically from a DATE, with no
+timezone or leap-second ambiguity. Centering near the data matters
+numerically: regressing on raw epoch days (~2·10⁴) puts the intercept
+at 1970, a large number formed by near-cancellation whose cross-engine
+noise (~1e-6 absolute) straddles the round(6) hash boundary; with a
+reference day inside the window every emitted quantity is
+observation-sized and the ulp noise sits ~7 orders below the rounding
+step. Fitted endpoints are emitted so "what does the trend predict for
+the last observed day" needs no client-side algebra.
+
+Reference parity: the reference library (/root/reference/src/
+bloomfilter/) has no regression operators; this extends the engine's
+monitoring surface beyond what the reference offers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def group_trend(
+    df: DataFrame,
+    key_col: str,
+    day_col: str,
+    value_col: str,
+    ref_day: str,
+    min_points: int = 2,
+) -> DataFrame:
+    """OLS trend of ``value_col`` over calendar time, per key.
+
+    Input: one row per (key, day) with a numeric value (pre-aggregate
+    duplicates first — the fit weights every ROW equally). ``ref_day``
+    (ISO date string) anchors the ordinal axis; pick a date inside or
+    near the observation window (see module docstring for why).
+    Output per key:
+
+    - ``slope_per_day``: the OLS slope (units of value per day)
+    - ``intercept``: the line evaluated AT ``ref_day``
+    - ``r2``: SQL-standard REGR_R2 (squared correlation; how linear)
+    - ``n_days``, ``first_day``, ``last_day``: support of the fit
+    - ``fitted_first`` / ``fitted_last``: the line evaluated at the
+      endpoints (the "where it started / where it's heading" numbers)
+
+    Keys with fewer than ``min_points`` days or zero x-variance are
+    dropped — a one-day series has no slope, and emitting NULL rows
+    would just push the degenerate-case handling onto every consumer.
+    """
+    if min_points < 2:
+        raise ValueError(f"min_points must be >= 2, got {min_points}")
+    x = F.datediff(F.col(day_col), F.to_date(F.lit(ref_day))).cast("double")
+    y = F.col(value_col).cast("double")
+    agg = (
+        df.groupBy(key_col)
+        .agg(
+            F.regr_slope(y, x).alias("slope_per_day"),
+            F.regr_intercept(y, x).alias("intercept"),
+            F.regr_r2(y, x).alias("r2"),
+            F.regr_count(y, x).alias("n_days"),
+            F.min(F.col(day_col)).alias("first_day"),
+            F.max(F.col(day_col)).alias("last_day"),
+        )
+        # slope is NULL when var(x)=0 (single distinct day): no trend.
+        .filter((F.col("n_days") >= min_points) & F.col("slope_per_day").isNotNull())
+    )
+    first_x = F.datediff(F.col("first_day"), F.to_date(F.lit(ref_day))).cast("double")
+    last_x = F.datediff(F.col("last_day"), F.to_date(F.lit(ref_day))).cast("double")
+    fit = F.col("intercept") + F.col("slope_per_day") * first_x
+    fit_last = F.col("intercept") + F.col("slope_per_day") * last_x
+    return agg.select(
+        F.col(key_col),
+        F.round("slope_per_day", 6).alias("slope_per_day"),
+        F.round("intercept", 6).alias("intercept"),
+        F.round("r2", 6).alias("r2"),
+        F.col("n_days"),
+        F.col("first_day"),
+        F.col("last_day"),
+        F.round(fit, 6).alias("fitted_first"),
+        F.round(fit_last, 6).alias("fitted_last"),
+    )

@@ -1,0 +1,93 @@
+"""Per-key OLS trend against closed-form truth: exact fit on a planted
+line (r²=1), numpy polyfit parity on a noisy series, degenerate-key
+drops, ref-day invariance of the slope, and a single-aggregate plan."""
+
+import datetime as dt
+
+import numpy as np
+import pytest
+
+from rusty_bloomfilter_spark.operators.trend import group_trend
+
+D0 = dt.date(2024, 3, 1)
+
+
+def _frame(spark, rows):
+    return spark.createDataFrame(
+        rows, "k string, day date, v double"
+    ).repartition(4)
+
+
+def _by_key(df):
+    return {r["k"]: r.asDict() for r in df.collect()}
+
+
+def test_perfect_line_recovered_exactly(spark):
+    # v = 10 + 2.5 * t over 20 days
+    rows = [("a", D0 + dt.timedelta(days=t), 10.0 + 2.5 * t) for t in range(20)]
+    out = _by_key(group_trend(_frame(spark, rows), "k", "day", "v", ref_day="2024-03-01"))["a"]
+    assert out["slope_per_day"] == pytest.approx(2.5, abs=1e-6)
+    assert out["intercept"] == pytest.approx(10.0, abs=1e-6)
+    assert out["r2"] == pytest.approx(1.0, abs=1e-6)
+    assert out["n_days"] == 20
+    assert out["fitted_first"] == pytest.approx(10.0, abs=1e-6)
+    assert out["fitted_last"] == pytest.approx(10.0 + 2.5 * 19, abs=1e-6)
+
+
+def test_matches_numpy_polyfit(spark):
+    rng = np.random.default_rng(7)
+    ts = np.arange(30)
+    vals = 100.0 - 1.7 * ts + rng.normal(0, 5, 30).round(3)
+    rows = [("n", D0 + dt.timedelta(days=int(t)), float(v)) for t, v in zip(ts, vals)]
+    out = _by_key(group_trend(_frame(spark, rows), "k", "day", "v", ref_day="2024-03-01"))["n"]
+    slope, intercept = np.polyfit(ts.astype(float), vals, 1)
+    r = np.corrcoef(ts.astype(float), vals)[0, 1]
+    assert out["slope_per_day"] == pytest.approx(slope, abs=1e-6)
+    assert out["intercept"] == pytest.approx(intercept, abs=1e-6)
+    assert out["r2"] == pytest.approx(r * r, abs=1e-6)
+    assert out["slope_per_day"] < 0
+
+
+def test_ref_day_moves_intercept_not_slope(spark):
+    rows = [("a", D0 + dt.timedelta(days=t), 5.0 + 3.0 * t) for t in range(10)]
+    f = _frame(spark, rows)
+    early = _by_key(group_trend(f, "k", "day", "v", ref_day="2024-03-01"))["a"]
+    late = _by_key(group_trend(f, "k", "day", "v", ref_day="2024-03-06"))["a"]
+    assert early["slope_per_day"] == late["slope_per_day"]
+    # value at 2024-03-06 is 5 + 3*5
+    assert late["intercept"] == pytest.approx(20.0, abs=1e-6)
+    assert early["fitted_last"] == late["fitted_last"]
+
+
+def test_degenerate_keys_dropped(spark):
+    rows = [("line", D0 + dt.timedelta(days=t), float(t)) for t in range(3)]
+    rows += [("oneday", D0, 9.0)]  # single point: no slope
+    got = _by_key(group_trend(_frame(spark, rows), "k", "day", "v", ref_day="2024-03-01"))
+    assert set(got) == {"line"}
+
+
+def test_min_points_filter_and_guard(spark):
+    rows = [("a", D0 + dt.timedelta(days=t), float(t)) for t in range(4)]
+    rows += [("b", D0, 1.0), ("b", D0 + dt.timedelta(days=1), 2.0)]
+    f = _frame(spark, rows)
+    got = _by_key(group_trend(f, "k", "day", "v", ref_day="2024-03-01", min_points=3))
+    assert set(got) == {"a"}
+    with pytest.raises(ValueError):
+        group_trend(f, "k", "day", "v", ref_day="2024-03-01", min_points=1)
+
+
+def test_single_aggregate_plan(spark):
+    rows = [("a", D0 + dt.timedelta(days=t), float(t)) for t in range(5)]
+    src = spark.createDataFrame(rows, "k string, day date, v double")
+    df = group_trend(src, "k", "day", "v", ref_day="2024-03-01")
+    import contextlib
+    import io
+    import re
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    phys = buf.getvalue()
+    # one hash aggregate pair around one Exchange; no window, no join
+    assert len(re.findall(r"^\(\d+\) Exchange", phys, re.M)) == 1, phys
+    assert "Window" not in phys and "Join" not in phys, phys
