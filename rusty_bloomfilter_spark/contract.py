@@ -112,6 +112,7 @@ _WINDOW_MIDDLE = [
     # 34 new-this-round), so these are pinned here to avoid evicting a
     # never-verified query; round 5's rotation promotes them (they have
     # oracles and sit at the head of MIDDLE).
+    "q_lsh_recall_audit",
     "q_jaccard_join",
     "q_feature_correlations",
     "q_benford_audit",
@@ -6131,3 +6132,71 @@ def q_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_a", "doc_b", "inter", "union_sz", F.round("jaccard", 6).alias("jaccard")
     ).orderBy("doc_a", "doc_b")
+
+
+@register("q_lsh_recall_audit")
+def q_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much does the MinHash+LSH shortcut actually miss — the
+    sketch-vs-truth audit the exact join (q_jaccard_join) makes
+    possible: ground truth = prefix-filtered EXACT Jaccard pairs
+    (zero FN by construction), candidate = the production LSH path
+    (128 perms, 32 bands, est >= 0.5). Emits recall on the
+    high-similarity stratum (true J >= 0.7, where the S-curve
+    1-(1-s^r)^b predicts ~1), precision against true J >= 0.5 (every
+    LSH pair re-verified exactly via ngram_jaccard_pairs), and the
+    mean |est - true| of the 128-perm estimator (sigma =
+    sqrt(s(1-s)/128) ~ 0.044). Deterministic end to end (seeded
+    perms), but MinHash isn't SQL-renderable: rows-only registration
+    with in-row audit gates; the same gates are pinned in pytest.
+    All joins here are pair-frame-sized (<< corpus)."""
+    from .functions.text import shingle_key_array
+    from .operators.dedup import minhash_dedup, ngram_jaccard_pairs
+    from .operators.ppjoin import jaccard_similarity_join
+
+    seq = sequences_from_documents(spark, sf_dir)
+    sets = seq.select("doc_id", shingle_key_array(F.col("tokens"), 3).alias("sh"))
+    exact = jaccard_similarity_join(sets, "doc_id", "sh", tau=0.5).select(
+        "doc_a", "doc_b", F.col("jaccard").alias("true_j")
+    )
+    lsh = minhash_dedup(seq, threshold=0.5).select("doc_a", "doc_b", "est_jaccard")
+    truth_of_lsh = ngram_jaccard_pairs(
+        seq, lsh.select("doc_a", "doc_b"), shingle=3, exact_keys=True
+    ).select("doc_a", "doc_b", F.col("jaccard").alias("true_j"))
+    lsh_scored = lsh.join(truth_of_lsh, ["doc_a", "doc_b"], "left").withColumn(
+        "true_j", F.coalesce("true_j", F.lit(0.0))
+    )
+    hit = exact.join(
+        lsh.select("doc_a", "doc_b"), ["doc_a", "doc_b"], "left_semi"
+    )
+    ex_agg = exact.agg(
+        F.count("*").alias("n_exact"),
+        F.sum((F.col("true_j") >= 0.7).cast("long")).alias("n_exact_hi"),
+    )
+    hit_agg = hit.agg(
+        F.sum((F.col("true_j") >= 0.7).cast("long")).alias("hits_hi")
+    )
+    lsh_agg = lsh_scored.agg(
+        F.count("*").alias("n_lsh"),
+        F.sum((F.col("true_j") >= 0.5).cast("long")).alias("n_lsh_true"),
+        F.avg(F.abs(F.col("est_jaccard") - F.col("true_j"))).alias("_mae"),
+    )
+    row = ex_agg.crossJoin(hit_agg).crossJoin(lsh_agg)
+    recall_hi = F.when(
+        F.col("n_exact_hi") > 0,
+        F.col("hits_hi").cast("double") / F.col("n_exact_hi"),
+    ).otherwise(F.lit(1.0))
+    precision = F.when(
+        F.col("n_lsh") > 0, F.col("n_lsh_true").cast("double") / F.col("n_lsh")
+    ).otherwise(F.lit(1.0))
+    return row.select(
+        "n_exact",
+        "n_exact_hi",
+        "n_lsh",
+        "n_lsh_true",
+        "hits_hi",
+        F.round(recall_hi, 6).alias("recall_hi"),
+        F.round(precision, 6).alias("precision"),
+        F.round(F.coalesce(F.col("_mae"), F.lit(0.0)), 6).alias("mean_abs_est_err"),
+        (F.round(recall_hi, 6) >= 0.9).alias("recall_ok"),
+        (F.round(F.coalesce(F.col("_mae"), F.lit(0.0)), 6) <= 0.15).alias("err_ok"),
+    )
