@@ -112,6 +112,8 @@ _WINDOW_MIDDLE = [
     # 34 new-this-round), so these are pinned here to avoid evicting a
     # never-verified query; round 5's rotation promotes them (they have
     # oracles and sit at the head of MIDDLE).
+    "q_fk_audit",
+    "q_tfidf_cosine_pairs",
     "q_lsh_recall_audit",
     "q_jaccard_join",
     "q_feature_correlations",
@@ -6132,6 +6134,125 @@ def q_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_a", "doc_b", "inter", "union_sz", F.round("jaccard", 6).alias("jaccard")
     ).orderBy("doc_a", "doc_b")
+
+
+@register(
+    "q_tfidf_cosine_pairs",
+    oracle=_SEQ_CTE
+    + """
+    , tf AS (
+      SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(tokens) AS tok FROM sequences) GROUP BY 1, 2
+    ), dfreq AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+    ), nd AS (SELECT count(DISTINCT doc_id) AS n FROM tf),
+    w AS (
+      SELECT t.doc_id, t.tok,
+             t.tf * (ln((CAST(n AS DOUBLE) + 1.0) / (CAST(df AS DOUBLE) + 1.0))
+                     + 1.0) AS w
+      FROM tf t JOIN dfreq USING (tok) CROSS JOIN nd
+      WHERE df >= 1 AND CAST(df AS DOUBLE) <= 0.5 * n
+    ), nrm AS (
+      SELECT doc_id, sqrt(sum(w * w)) AS nn FROM w GROUP BY 1
+    ), u AS (
+      SELECT w.doc_id, tok, w / nn AS uw FROM w JOIN nrm USING (doc_id)
+    ), pairsums AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(count(*) AS BIGINT) AS n_common,
+             sum(a.uw * b.uw) AS cosine
+      FROM u a JOIN u b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_common, round(cosine, 6) AS cosine
+    FROM pairsums WHERE cosine >= 0.3
+    ORDER BY doc_a, doc_b
+    """,
+)
+def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """More-like-this, exactly — every document pair with TF-IDF
+    cosine >= 0.3 over the df-bounded vocabulary
+    (operators/tfidf.py::tfidf_cosine_pairs): sparse dot products via
+    an inverted-index token equi-join, never a |docs|² loop; the
+    df <= 0.5·N stop-word cut is both the standard metric definition
+    and the bound on join fan-out (sum_t C(df_t, 2)). The weighted
+    complement to the set-based joins: q_jaccard_join treats every
+    shingle equally, this ranks by term rarity. Smooth-idf ln() ulp
+    noise sits far below round(6) (the keyness precedent)."""
+    from .operators.tfidf import tfidf_cosine_pairs
+
+    seq = sequences_from_documents(spark, sf_dir)
+    return tfidf_cosine_pairs(seq, 0.3, max_df_ratio=0.5).select(
+        "doc_a", "doc_b", "n_common", F.round("cosine", 6).alias("cosine")
+    ).orderBy("doc_a", "doc_b")
+
+
+_FK_RELATIONSHIPS = [
+    ("customer_nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("events_customer", "events", "user_id", "customer", "c_custkey"),
+    ("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem_part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem_supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders_customer", "orders", "o_custkey", "customer", "c_custkey"),
+]
+
+
+def _fk_oracle() -> str:
+    def block(name, child, ck, parent, pk):
+        ckeys = (
+            f"(SELECT {ck} AS k, CAST(count(*) AS BIGINT) AS rws FROM {child} "
+            f"WHERE {ck} IS NOT NULL GROUP BY 1)"
+        )
+        return f"""
+    SELECT '{name}' AS relationship, n_child_rows, n_null_fk, n_child_keys,
+           n_orphan_keys, n_orphan_rows,
+           CASE WHEN n_child_rows - n_null_fk > 0
+                THEN round(CAST(n_orphan_rows AS DOUBLE)
+                           / (n_child_rows - n_null_fk), 6)
+                ELSE 0.0 END AS orphan_row_rate,
+           n_parent_keys,
+           CASE WHEN n_parent_keys > 0
+                THEN round(CAST(n_matched AS DOUBLE) / n_parent_keys, 6)
+                ELSE 0.0 END AS parent_coverage
+    FROM (
+      SELECT CAST((SELECT count(*) FROM {child}) AS BIGINT) AS n_child_rows,
+             CAST((SELECT count(*) FROM {child} WHERE {ck} IS NULL) AS BIGINT)
+               AS n_null_fk,
+             CAST((SELECT count(*) FROM {ckeys} c) AS BIGINT) AS n_child_keys,
+             CAST((SELECT count(*) FROM {ckeys} c WHERE NOT EXISTS
+                   (SELECT 1 FROM {parent} p WHERE p.{pk} = c.k)) AS BIGINT)
+               AS n_orphan_keys,
+             CAST(coalesce((SELECT sum(rws) FROM {ckeys} c WHERE NOT EXISTS
+                   (SELECT 1 FROM {parent} p WHERE p.{pk} = c.k)), 0) AS BIGINT)
+               AS n_orphan_rows,
+             CAST((SELECT count(DISTINCT {pk}) FROM {parent}) AS BIGINT)
+               AS n_parent_keys,
+             CAST((SELECT count(*) FROM {ckeys} c WHERE EXISTS
+                   (SELECT 1 FROM {parent} p WHERE p.{pk} = c.k)) AS BIGINT)
+               AS n_matched
+    )"""
+
+    u = "\n    UNION ALL\n".join(block(*r) for r in _FK_RELATIONSHIPS)
+    return f"SELECT * FROM (\n{u}\n    ) ORDER BY relationship"
+
+
+@register("q_fk_audit", oracle=_fk_oracle())
+def q_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Is the snapshot relationally sound — the cross-table half of
+    validation (operators/integrity.py::fk_audit): for all six declared
+    FK relationships, orphan keys/rows (should be 0), NULL-FK counts,
+    and parent-key coverage (a collapsing coverage is the classic
+    symptom of an upstream join silently dropping a shard). Child keys
+    collapse to DISTINCT with multiplicity BEFORE the anti probe, so
+    only key-cardinality rows shuffle; at 100 TB the anti join is
+    exactly the bloom_anti_join shape. Every number is an exact integer
+    or a round(6) ratio — hash-matched."""
+    from .operators.integrity import fk_audit
+
+    rels = [
+        (name, load_table(spark, sf_dir, child), ck, load_table(spark, sf_dir, parent), pk)
+        for name, child, ck, parent, pk in _FK_RELATIONSHIPS
+    ]
+    return fk_audit(rels).orderBy("relationship")
 
 
 @register("q_lsh_recall_audit")

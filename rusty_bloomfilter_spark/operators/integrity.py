@@ -1,0 +1,122 @@
+"""Referential-integrity audit across table relationships.
+
+The cross-TABLE half of data validation (operators/validate.py is the
+single-table half): for each declared foreign-key relationship, how
+many child rows point at a parent that doesn't exist (orphans), how
+many leave the FK NULL (unset — NOT an orphan, per SQL semantics),
+and how much of the parent key space the children actually reference
+(coverage — a collapsing coverage is the classic symptom of a join
+that silently started dropping a shard upstream).
+
+Distributed shape per relationship:
+- child keys collapse to DISTINCT first (map-side combined; the
+  orphan probe shuffles key-cardinality rows, never child rows),
+  carrying their row multiplicity so orphan ROW counts need no second
+  corpus pass.
+- orphan detection is a LEFT ANTI join of distinct child keys against
+  distinct parent keys — exactly the shape operators/bloomjoin.py::
+  bloom_anti_join accelerates at 100 TB (negative probes bypass; the
+  filter broadcasts in O(bytes) when the parent keys can't). This
+  module keeps the plain anti join: the frames it joins are already
+  key-distinct, and the contract oracle needs the exact semantics.
+- every emitted number is an exact integer or a round(6) ratio of
+  exact integers — hash-matchable cross-engine.
+
+Reference parity: beyond /root/reference (membership only); the scale
+path for the anti join is the Bloom filter family the reference pins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def fk_audit(
+    relationships: list[tuple[str, DataFrame, str, DataFrame, str]],
+) -> DataFrame:
+    """Audit ``(name, child_df, child_key, parent_df, parent_key)``
+    relationships; one output row per relationship:
+
+    - ``n_child_rows`` / ``n_null_fk``: child rows total / FK-NULL
+    - ``n_child_keys``: distinct non-NULL child key values
+    - ``n_orphan_keys`` / ``n_orphan_rows``: keys (and the rows
+      carrying them) with no matching parent
+    - ``orphan_row_rate``: n_orphan_rows / (n_child_rows − n_null_fk)
+    - ``n_parent_keys`` / ``parent_coverage``: distinct parent keys,
+      and the referenced fraction of them
+
+    A healthy snapshot has orphan counts 0 and stable coverage.
+    """
+    if not relationships:
+        raise ValueError("need at least one relationship")
+    names = [r[0] for r in relationships]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate relationship names in {names}")
+
+    reports = []
+    for name, child, ckey, parent, pkey in relationships:
+        totals = child.agg(
+            F.count("*").alias("n_child_rows"),
+            F.sum(F.col(ckey).isNull().cast("long")).alias("n_null_fk"),
+        )
+        ckeys = (
+            child.filter(F.col(ckey).isNotNull())
+            .groupBy(F.col(ckey).alias("_k"))
+            .agg(F.count("*").alias("_rows"))
+        )
+        # NULL parent keys are dropped: they can't match any probe, and
+        # count-DISTINCT semantics must agree with SQL (which excludes
+        # NULL) for the coverage denominator.
+        pkeys = (
+            parent.filter(F.col(pkey).isNotNull())
+            .select(F.col(pkey).alias("_k"))
+            .distinct()
+        )
+        orphans = ckeys.join(pkeys, "_k", "left_anti").agg(
+            F.count("*").alias("n_orphan_keys"),
+            F.coalesce(F.sum("_rows"), F.lit(0)).alias("n_orphan_rows"),
+        )
+        matched = ckeys.join(pkeys, "_k", "left_semi").agg(
+            F.count("*").alias("_n_matched")
+        )
+        ck_agg = ckeys.agg(F.count("*").alias("n_child_keys"))
+        pk_agg = pkeys.agg(F.count("*").alias("n_parent_keys"))
+        row = (
+            totals.crossJoin(ck_agg)
+            .crossJoin(orphans)
+            .crossJoin(matched)
+            .crossJoin(pk_agg)
+            .select(
+                F.lit(name).alias("relationship"),
+                "n_child_rows",
+                "n_null_fk",
+                "n_child_keys",
+                "n_orphan_keys",
+                "n_orphan_rows",
+                F.when(
+                    (F.col("n_child_rows") - F.col("n_null_fk")) > 0,
+                    F.round(
+                        F.col("n_orphan_rows").cast("double")
+                        / (F.col("n_child_rows") - F.col("n_null_fk")),
+                        6,
+                    ),
+                )
+                .otherwise(F.lit(0.0))
+                .alias("orphan_row_rate"),
+                "n_parent_keys",
+                F.when(
+                    F.col("n_parent_keys") > 0,
+                    F.round(
+                        F.col("_n_matched").cast("double") / F.col("n_parent_keys"), 6
+                    ),
+                )
+                .otherwise(F.lit(0.0))
+                .alias("parent_coverage"),
+            )
+        )
+        reports.append(row)
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out

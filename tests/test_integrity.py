@@ -1,0 +1,64 @@
+"""FK audit against hand-computed truth: planted orphans, NULL-FK
+exclusion, coverage math, multi-relationship report, and guards."""
+
+import pytest
+
+from rusty_bloomfilter_spark.operators.integrity import fk_audit
+
+
+def _run(spark, rels):
+    return {r["relationship"]: r.asDict() for r in fk_audit(rels).collect()}
+
+
+def test_planted_orphans_and_nulls(spark):
+    child = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 20), (4, 99), (5, 99), (6, 99), (7, None)],
+        "id bigint, fk bigint",
+    ).repartition(3)
+    parent = spark.createDataFrame([(10,), (20,), (30,)], "pk bigint")
+    out = _run(spark, [("r", child, "fk", parent, "pk")])["r"]
+    assert out["n_child_rows"] == 7
+    assert out["n_null_fk"] == 1  # NULL FK is unset, not an orphan
+    assert out["n_child_keys"] == 3  # 10, 20, 99
+    assert out["n_orphan_keys"] == 1  # 99
+    assert out["n_orphan_rows"] == 3
+    assert out["orphan_row_rate"] == pytest.approx(3 / 6, abs=1e-9)
+    assert out["n_parent_keys"] == 3
+    # 10 and 20 referenced of 3 parents
+    assert out["parent_coverage"] == pytest.approx(2 / 3, abs=1e-6)
+
+
+def test_clean_relationship_all_zero(spark):
+    child = spark.createDataFrame([(1, 10), (2, 20)], "id bigint, fk bigint")
+    parent = spark.createDataFrame([(10,), (20,)], "pk bigint")
+    out = _run(spark, [("ok", child, "fk", parent, "pk")])["ok"]
+    assert out["n_orphan_keys"] == 0 and out["n_orphan_rows"] == 0
+    assert out["orphan_row_rate"] == 0.0
+    assert out["parent_coverage"] == 1.0
+
+
+def test_null_parent_keys_excluded_from_denominator(spark):
+    child = spark.createDataFrame([(1, 10)], "id bigint, fk bigint")
+    parent = spark.createDataFrame([(10,), (None,), (None,)], "pk bigint")
+    out = _run(spark, [("p", child, "fk", parent, "pk")])["p"]
+    assert out["n_parent_keys"] == 1
+    assert out["parent_coverage"] == 1.0
+
+
+def test_all_null_children(spark):
+    child = spark.createDataFrame([(1, None), (2, None)], "id bigint, fk bigint")
+    parent = spark.createDataFrame([(10,)], "pk bigint")
+    out = _run(spark, [("n", child, "fk", parent, "pk")])["n"]
+    assert out["n_child_keys"] == 0 and out["n_orphan_rows"] == 0
+    assert out["orphan_row_rate"] == 0.0  # guarded denominator
+
+
+def test_multi_relationship_report_and_guards(spark):
+    c = spark.createDataFrame([(1, 10)], "id bigint, fk bigint")
+    p = spark.createDataFrame([(10,)], "pk bigint")
+    got = _run(spark, [("a", c, "fk", p, "pk"), ("b", c, "fk", p, "pk")])
+    assert set(got) == {"a", "b"}
+    with pytest.raises(ValueError):
+        fk_audit([])
+    with pytest.raises(ValueError):
+        fk_audit([("x", c, "fk", p, "pk"), ("x", c, "fk", p, "pk")])
