@@ -112,6 +112,7 @@ _WINDOW_MIDDLE = [
     # 34 new-this-round), so these are pinned here to avoid evicting a
     # never-verified query; round 5's rotation promotes them (they have
     # oracles and sit at the head of MIDDLE).
+    "q_streaming_sessionize",
     "q_fk_audit",
     "q_tfidf_cosine_pairs",
     "q_lsh_recall_audit",
@@ -5178,6 +5179,115 @@ def _stream_events_ordered(spark: SparkSession, sf_dir: str, n_files: int = 4):
         .parquet(src)
     )
     return ev, stream
+
+
+_SESSION_GAP_US = 4 * 3600 * 1_000_000  # 4 hours
+
+
+def _stream_sessions_ordered(spark: SparkSession, sf_dir: str, n_files: int = 4):
+    """Events as (user_id, ts_us) TIME-ORDERED micro-batches for the
+    streaming sessionizer (cross-batch event-time order per key is the
+    operator's arrival contract; see _stream_events_ordered)."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    bounds = ev.agg(F.min("ts_us").alias("lo"), F.max("ts_us").alias("hi")).collect()[0]
+    src = _scratch_dir("sess_src")
+    os.makedirs(src, exist_ok=True)
+    span = (bounds["hi"] - bounds["lo"]) or 1
+    for i in range(n_files):
+        lo = bounds["lo"] + span * i // n_files
+        hi = bounds["hi"] + 1 if i == n_files - 1 else bounds["lo"] + span * (i + 1) // n_files
+        part_dir = _scratch_dir(f"sess_part{i}")
+        ev.where((F.col("ts_us") >= lo) & (F.col("ts_us") < hi)).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(part_dir)
+        (f,) = glob.glob(os.path.join(part_dir, "part-*.parquet"))
+        shutil.copy(f, os.path.join(src, f"batch_{i}.parquet"))
+        time.sleep(1.1)  # mtime order == micro-batch order
+    return (
+        spark.readStream.schema("user_id bigint, ts_us bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+
+@register(
+    "q_streaming_sessionize",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS us FROM events
+    ), marked AS (
+      SELECT user_id, us,
+             CASE WHEN lag(us) OVER w IS NULL
+                  OR us - lag(us) OVER w > {_SESSION_GAP_US} THEN 1
+                  ELSE 0 END AS brk
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)
+    ), sess AS (
+      SELECT user_id, us,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY us
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS sid
+      FROM marked
+    )
+    SELECT user_id,
+           strftime(make_timestamp(min(us)), '%Y-%m-%d %H:%M:%S.%f')
+             AS session_start,
+           strftime(make_timestamp(max(us)), '%Y-%m-%d %H:%M:%S.%f')
+             AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM sess GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+)
+def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming gap-based sessionization, HASH-MATCHED against the
+    batch lag-window SQL (streaming/sessions.py::streaming_sessionize):
+    the events stream replayed as 4 time-ordered micro-batches through
+    applyInPandasWithState holding only the OPEN session per user (O(1)
+    state, stream-length-independent — the batch form needs the whole
+    per-user history under a sort). Sessions closed by a batch emit
+    finally; the open session emits a monotone snapshot per batch, and
+    the post-replay reduction (last emission per (user, start) wins)
+    reconstructs exactly the batch result. Timestamps travel as BIGINT
+    microseconds (unix_micros == epoch_us on the same parquet values)
+    and render as wall-clock strings, so the hash is tz-robust."""
+    import uuid
+
+    from .streaming.sessions import finalize_sessions, streaming_sessionize
+
+    stream = _stream_sessions_ordered(spark, sf_dir)
+    out = streaming_sessionize(
+        stream, key_col="user_id", ts_us_col="ts_us", gap_us=_SESSION_GAP_US
+    )
+    name = "rbf_sessionize_" + uuid.uuid4().hex[:8]
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", _scratch_dir("sess_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_stream(q)
+    final = finalize_sessions(spark.table(name))
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return final.select(
+        "user_id",
+        F.date_format(F.timestamp_micros(F.col("session_start_us")), fmt).alias(
+            "session_start"
+        ),
+        F.date_format(F.timestamp_micros(F.col("session_end_us")), fmt).alias(
+            "session_end"
+        ),
+        "n_events",
+    ).orderBy("user_id", "session_start")
 
 
 @register("q_streaming_generational_dedup")
