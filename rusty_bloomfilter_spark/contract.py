@@ -112,6 +112,7 @@ _WINDOW_MIDDLE = [
     # 34 new-this-round), so these are pinned here to avoid evicting a
     # never-verified query; round 5's rotation promotes them (they have
     # oracles and sit at the head of MIDDLE).
+    "q_containment_join",
     "q_streaming_sessionize",
     "q_fk_audit",
     "q_tfidf_cosine_pairs",
@@ -6363,6 +6364,75 @@ def q_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         for name, child, ck, parent, pk in _FK_RELATIONSHIPS
     ]
     return fk_audit(rels).orderBy("relationship")
+
+
+def _containment_oracle() -> str:
+    from .functions.text import duckdb_shingle_key_array
+
+    sh = duckdb_shingle_key_array("tokens", 3)
+    return f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id,
+             substr(text, 1, CAST(n_chars // 3 AS INT)) AS text
+      FROM documents WHERE doc_id % 17 = 0
+    ), seq AS (
+      SELECT doc_id, {DUCKDB_TOKENIZE("text")} AS tokens FROM corpus
+    ), sets AS (
+      SELECT doc_id, {sh} AS ts FROM seq
+    ), ne AS (
+      SELECT doc_id, ts, len(ts) AS n FROM sets WHERE len(ts) > 0
+    ), p AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             len(list_intersect(a.ts, b.ts)) AS inter, a.n AS na
+      FROM ne a JOIN ne b ON a.doc_id <> b.doc_id
+    )
+    SELECT doc_a, doc_b, CAST(inter AS BIGINT) AS inter,
+           CAST(na AS BIGINT) AS size_a,
+           round(CAST(inter AS DOUBLE) / na, 6) AS containment
+    FROM p WHERE CAST(inter AS DOUBLE) / na >= 0.8
+    ORDER BY doc_a, doc_b
+    """
+
+
+@register("q_containment_join", oracle=_containment_oracle())
+def q_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which documents are EXCERPTS of others — the directed
+    containment join |a∩b|/|a| >= 0.8
+    (operators/ppjoin.py::containment_join): a short doc fully quoted
+    inside a long one has tiny Jaccard but containment ~1, the
+    cross-document case the within-corpus span operators don't cover.
+    The query PLANTS the excerpts (first third of every 17th document,
+    identical construction in the oracle) so the asymmetric direction
+    is genuinely exercised: 30 of the 80 sf0.01 pairs are
+    excerpt→original. Candidates = a's rarest-first PREFIX against b's
+    FULL inverted index (complete by the prefix-filter counting
+    argument; one-sided length filter — no upper bound on |b|, that
+    asymmetry is the point), then exact verify."""
+    from .functions.text import shingle_key_array
+    from .operators.ppjoin import containment_join
+
+    docs = load_table(spark, sf_dir, "documents")
+    excerpts = docs.filter(F.col("doc_id") % 17 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.col("text").substr(
+            F.lit(1), F.floor(F.col("n_chars") / 3).cast("int")
+        ).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(excerpts)
+    sets = corpus.select(
+        "doc_id",
+        shingle_key_array(tokenize_md5(F.col("text")), 3).alias("sh"),
+    )
+    out = containment_join(sets, "doc_id", "sh", tau=0.8)
+    return out.select(
+        "doc_a",
+        "doc_b",
+        "inter",
+        "size_a",
+        F.round("containment", 6).alias("containment"),
+    ).orderBy("doc_a", "doc_b")
 
 
 @register("q_lsh_recall_audit")

@@ -144,3 +144,91 @@ def jaccard_similarity_join(
         )
     )
     return tie(verified, prefix, sets)
+
+
+def containment_join(
+    docs: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    tau: float,
+) -> DataFrame:
+    """All DIRECTED pairs (a, b), a != b, with |a ∩ b| / |a| >= tau —
+    containment (a.k.a. Jaccard containment / overlap coefficient
+    toward a): "document a is (mostly) an excerpt of b". The
+    asymmetric sibling of :func:`jaccard_similarity_join`, and the
+    cross-DOCUMENT quote/excerpt detector the within-corpus span
+    operators (operators/spans.py) don't cover: a short doc fully
+    quoted inside a long one has tiny Jaccard but containment 1.
+
+    Completeness: order the token universe rarest-first as in the
+    Jaccard join. If prefix(a) of length |a| - ceil(tau·|a|) + 1 is
+    disjoint from b's FULL set, then a ∩ b ⊆ a \\ prefix(a), so
+    |a ∩ b| <= ceil(tau·|a|) - 1 < tau·|a| — contradiction. So the
+    candidate generator "a's prefix token appears anywhere in b" is
+    complete; the exact verify makes it sound. The lossless length
+    filter is one-sided: |b| >= tau·|a| (a huge b may contain a tiny
+    a — that asymmetry is the whole point, so no upper bound).
+
+    Skew note: the probe side joins PREFIX rows (rare tokens by
+    construction) against the full inverted index, so per-token join
+    output is (#prefixes holding t) × df_t — small × large, never
+    large × large; the frequent tokens that dominate df almost never
+    make any prefix.
+
+    Returns (doc_a, doc_b, inter, size_a, containment), containment in
+    [tau, 1], doc_a the contained side.
+    """
+    if not (0.0 < tau <= 1.0):
+        raise ValueError(f"tau must be in (0, 1], got {tau}")
+
+    base = docs.select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(F.col(tokens_col)).alias("_ts"),
+    ).filter(F.size("_ts") > 0)
+
+    pairs = base.select("_id", F.explode("_ts").alias("_tok"))
+    df_tok = pairs.groupBy("_tok").agg(F.count("*").alias("_df"))
+    w_doc = Window.partitionBy("_id").orderBy("_df", "_tok")
+    sized = (
+        pairs.join(df_tok, "_tok")
+        .withColumn("_pos", F.row_number().over(w_doc))
+        .withColumn("_sz", F.count("*").over(Window.partitionBy("_id")))
+    ).persist()
+    prefix = sized.filter(
+        F.col("_pos") <= F.col("_sz") - F.ceil(F.lit(tau) * F.col("_sz")) + 1
+    ).select(F.col("_tok"), F.col("_id").alias("_ida"), F.col("_sz").alias("_sza"))
+    full = sized.select(
+        F.col("_tok"), F.col("_id").alias("_idb"), F.col("_sz").alias("_szb")
+    )
+    cand = (
+        prefix.join(full, "_tok")
+        .filter(F.col("_ida") != F.col("_idb"))
+        .filter(F.col("_szb").cast("double") >= F.lit(tau) * F.col("_sza").cast("double"))
+        .select("_ida", "_idb")
+        .distinct()
+    )
+    sets = base.select(F.col("_id"), F.sort_array("_ts").alias("_set")).persist()
+    sa = sets.select(
+        F.col("_id").alias("_ida"),
+        F.col("_set").alias("_seta"),
+        F.size("_set").alias("_na"),
+    )
+    sb = sets.select(F.col("_id").alias("_idb"), F.col("_set").alias("_setb"))
+    inter = F.size(F.array_intersect("_seta", "_setb"))
+    verified = (
+        cand.join(sa, "_ida")
+        .join(sb, "_idb")
+        .withColumn("inter", inter)
+        .withColumn(
+            "containment", F.col("inter").cast("double") / F.col("_na").cast("double")
+        )
+        .filter(F.col("containment") >= F.lit(tau))
+        .select(
+            F.col("_ida").alias("doc_a"),
+            F.col("_idb").alias("doc_b"),
+            F.col("inter").cast("long").alias("inter"),
+            F.col("_na").cast("long").alias("size_a"),
+            F.col("containment"),
+        )
+    )
+    return tie(verified, sized, sets)

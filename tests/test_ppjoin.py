@@ -109,3 +109,64 @@ def test_lsh_recall_audit_gates(spark):
     assert row["err_ok"] is True
     assert row["n_lsh_true"] <= row["n_lsh"]
     assert row["hits_hi"] <= row["n_exact_hi"] <= row["n_exact"]
+
+
+def _brute_containment(rows, tau):
+    out = {}
+    sets = {i: set(ts) for i, ts in rows if ts}
+    for a in sets:
+        for b in sets:
+            if a == b:
+                continue
+            inter = len(sets[a] & sets[b])
+            if len(sets[a]) and inter / len(sets[a]) >= tau:
+                out[(a, b)] = (inter, len(sets[a]), inter / len(sets[a]))
+    return out
+
+
+def _run_containment(spark, rows, tau):
+    from rusty_bloomfilter_spark.operators.ppjoin import containment_join
+
+    df = spark.createDataFrame(rows, "id bigint, ts array<bigint>").repartition(6)
+    got = containment_join(df, "id", "ts", tau).collect()
+    return {
+        (r["doc_a"], r["doc_b"]): (r["inter"], r["size_a"], r["containment"])
+        for r in got
+    }
+
+
+@pytest.mark.parametrize("tau", [0.5, 0.8, 1.0])
+def test_containment_complete_vs_bruteforce(spark, tau):
+    rows = _corpus(seed=23)
+    want = _brute_containment(rows, tau)
+    got = _run_containment(spark, rows, tau)
+    assert set(got) == set(want)
+    for k, (i, na, c) in want.items():
+        gi, gna, gc = got[k]
+        assert (gi, gna) == (i, na)
+        assert gc == pytest.approx(c, abs=1e-12)
+
+
+def test_containment_is_directed(spark):
+    # excerpt (subset) -> containment 1 one way, fractional the other
+    rows = [(1, [5, 6, 7]), (2, [5, 6, 7, 8, 9, 10])]
+    got = _run_containment(spark, rows, 0.9)
+    assert got == {(1, 2): (3, 3, 1.0)}  # 2->1 is 3/6 = 0.5, absent
+    loose = _run_containment(spark, rows, 0.5)
+    assert (2, 1) in loose and loose[(2, 1)][2] == pytest.approx(0.5)
+
+
+def test_containment_no_length_upper_bound(spark):
+    # a 2-token doc inside a 100-token doc: Jaccard ~0.02, containment 1
+    big = list(range(100))
+    rows = [(1, [3, 4]), (2, big)]
+    got = _run_containment(spark, rows, 1.0)
+    assert got == {(1, 2): (2, 2, 1.0)}
+
+
+def test_containment_tau_guard(spark):
+    from rusty_bloomfilter_spark.operators.ppjoin import containment_join
+
+    df = spark.createDataFrame([(1, [1])], "id bigint, ts array<bigint>")
+    with pytest.raises(ValueError):
+        containment_join(df, "id", "ts", 0.0)
