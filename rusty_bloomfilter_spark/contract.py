@@ -112,6 +112,7 @@ _WINDOW_MIDDLE = [
     # 34 new-this-round), so these are pinned here to avoid evicting a
     # never-verified query; round 5's rotation promotes them (they have
     # oracles and sit at the head of MIDDLE).
+    "q_skipgram_pmi",
     "q_containment_join",
     "q_streaming_sessionize",
     "q_fk_audit",
@@ -6364,6 +6365,58 @@ def q_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         for name, child, ck, parent, pk in _FK_RELATIONSHIPS
     ]
     return fk_audit(rels).orderBy("relationship")
+
+
+def _skipgram_oracle() -> str:
+    from .functions.text import duckdb_skipgram_pair_keys
+
+    pairs = duckdb_skipgram_pair_keys("tokens", window=3)
+    n_pairs_row = " + ".join(f"greatest(len(tokens) - {d}, 0)" for d in (1, 2, 3))
+    return (
+        _SEQ_CTE
+        + f"""
+    , pairs AS (
+        SELECT pair // 50261 AS left_tok, pair % 50261 AS right_tok,
+               count(*) AS pair_freq
+        FROM (SELECT unnest({pairs}) AS pair FROM sequences) t
+        GROUP BY 1, 2 HAVING count(*) >= 5
+    ), uni AS (
+        SELECT tok, count(*) AS uni_freq
+        FROM (SELECT unnest(tokens) AS tok FROM sequences) u GROUP BY tok
+    ), totals AS (
+        SELECT CAST(sum(len(tokens)) AS BIGINT) AS n_tokens,
+               CAST(sum({n_pairs_row}) AS BIGINT) AS n_pairs
+        FROM sequences
+    )
+    SELECT left_tok, right_tok, pair_freq,
+           round(ln(CAST(pair_freq AS DOUBLE) * n_tokens * n_tokens
+                    / (CAST(n_pairs AS DOUBLE) * l.uni_freq * r.uni_freq)),
+                 6) AS pmi
+    FROM pairs
+    JOIN uni l ON l.tok = left_tok
+    JOIN uni r ON r.tok = right_tok
+    CROSS JOIN totals
+    ORDER BY pmi DESC, left_tok, right_tok LIMIT 50
+    """
+    )
+
+
+@register("q_skipgram_pmi", oracle=_skipgram_oracle())
+def q_skipgram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed co-occurrence PMI (operators/collocations.py::
+    skipgram_pmi): top-50 UNORDERED token pairs co-occurring within
+    distance 3 (the word2vec skip-gram context) by pointwise mutual
+    information — associated terms that rarely sit adjacent, which the
+    adjacency statistic (q_collocations_pmi) can't see. Pairs are
+    generated MAP-SIDE by a Catalyst transform (canonical
+    least/greatest key; no join, no window function), so the only
+    corpus-sized cost is the scan + a map-side-combined aggregate;
+    unigrams and totals broadcast. Integer counts until one ln(),
+    cut ordered by the ROUNDED pmi — cross-engine reproducible."""
+    from .operators.collocations import skipgram_pmi
+
+    seq = sequences_from_documents(spark, sf_dir)
+    return skipgram_pmi(seq, window=3, min_count=5, top_n=50)
 
 
 def _containment_oracle() -> str:

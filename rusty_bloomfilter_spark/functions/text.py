@@ -209,6 +209,46 @@ def duckdb_adjacent_pair_keys(tokens_expr: str, vocab: int = 50261) -> str:
     )
 
 
+def skipgram_pair_keys(tokens: Column, window: int = 3, vocab: int = 50261) -> Column:
+    """Within-row UNORDERED co-occurrence pairs for every token and its
+    partners at distances 1..window, as canonical injective int64 keys
+    least·vocab + greatest (symmetric: (a,b) and (b,a) count together).
+    The skip-gram generalization of adjacent_pair_keys — word2vec-style
+    windowed association instead of strict adjacency. Rows shorter than
+    2 yield an EMPTY array (Spark's sequence(0,-1) is [0,-1] — gated);
+    the inner distance range never underflows because the outer index
+    stops at n-2. DuckDB renders identically (duckdb_skipgram_pair_keys).
+    """
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    n = F.size(tokens)
+
+    def partners(i):
+        def key(d):
+            a = F.element_at(tokens, i + 1).cast("long")
+            b = F.element_at(tokens, i + d + 1).cast("long")
+            return F.least(a, b) * vocab + F.greatest(a, b)
+
+        return F.transform(F.sequence(F.lit(1), F.least(F.lit(window), n - 1 - i)), key)
+
+    nested = F.transform(F.sequence(F.lit(0), n - 2), partners)
+    return F.when(n >= 2, F.flatten(nested)).otherwise(
+        F.array().cast("array<bigint>")
+    )
+
+
+def duckdb_skipgram_pair_keys(tokens_expr: str, window: int = 3, vocab: int = 50261) -> str:
+    """DuckDB rendering of skipgram_pair_keys (range(negative) is
+    empty, so no short-row gate is needed)."""
+    t = tokens_expr
+    return (
+        f"flatten(list_transform(range(len({t}) - 1), "
+        f"i -> list_transform(range(least({window}, len({t}) - 1 - i)), "
+        f"d -> CAST(least({t}[i+1], {t}[i+d+2]) AS BIGINT) * {vocab} "
+        f"+ greatest({t}[i+1], {t}[i+d+2]))))"
+    )
+
+
 def shingle_key_array(tokens: Column, n: int = 3) -> Column:
     """DISTINCT within-row token n-gram keys as an array<bigint> —
     the array-form sibling of operators/dedup.shingle_sets_poly (same

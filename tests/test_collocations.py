@@ -95,3 +95,73 @@ def test_min_count_validation(seq):
     df, _ = seq
     with pytest.raises(ValueError, match="min_count"):
         pmi_collocations(df, min_count=0)
+
+
+# ---------------------------------------------------------------------------
+# skip-gram (windowed) PMI
+# ---------------------------------------------------------------------------
+
+from rusty_bloomfilter_spark.operators.collocations import skipgram_pmi  # noqa: E402
+
+
+def _py_skipgram(rows, window, min_count, top_n):
+    uni: Counter = Counter()
+    pairs: Counter = Counter()
+    n_tokens = 0
+    n_pairs = 0
+    for toks in rows:
+        uni.update(toks)
+        n_tokens += len(toks)
+        n_pairs += sum(max(len(toks) - d, 0) for d in range(1, window + 1))
+        for i, a in enumerate(toks):
+            for d in range(1, window + 1):
+                if i + d < len(toks):
+                    b = toks[i + d]
+                    pairs[(min(a, b), max(a, b))] += 1
+    out = []
+    for (a, b), c in pairs.items():
+        if c < min_count:
+            continue
+        pmi = round(
+            math.log(c * n_tokens * n_tokens / (n_pairs * uni[a] * uni[b])), 6
+        )
+        out.append((a, b, c, pmi))
+    out.sort(key=lambda r: (-r[3], r[0], r[1]))
+    return out[:top_n]
+
+
+def test_skipgram_matches_python_oracle(seq):
+    df, rows = seq
+    for window in (1, 2, 3):
+        got = skipgram_pmi(df, window=window, min_count=2, top_n=50).collect()
+        want = _py_skipgram(rows, window, 2, 50)
+        assert [(r.left_tok, r.right_tok, r.pair_freq, r.pmi) for r in got] == want
+
+
+def test_skipgram_sees_gapped_association(spark):
+    # (5, 6) ALWAYS with one filler between, never adjacent: invisible
+    # to adjacency PMI, top-ranked by skip-gram PMI at window 2
+    rows = [[5, i, 6] for i in range(20, 40)] * 2
+    df = spark.createDataFrame([(r,) for r in rows], "tokens array<int>")
+    adj = {(r.left_tok, r.right_tok) for r in pmi_collocations(df, min_count=2).collect()}
+    assert (5, 6) not in adj
+    sg = skipgram_pmi(df, window=2, min_count=2, top_n=5).collect()
+    assert (sg[0].left_tok, sg[0].right_tok) == (5, 6)
+    assert sg[0].pair_freq == 40
+
+
+def test_skipgram_symmetric_canonical_counts(spark):
+    # (a b) and (b a) occurrences fold into one unordered pair
+    rows = [[1, 2], [2, 1], [1, 2]]
+    df = spark.createDataFrame([(r,) for r in rows], "tokens array<int>")
+    got = skipgram_pmi(df, window=1, min_count=1, top_n=5).collect()
+    assert len(got) == 1
+    assert (got[0].left_tok, got[0].right_tok, got[0].pair_freq) == (1, 2, 3)
+
+
+def test_skipgram_guards(seq):
+    df, _ = seq
+    with pytest.raises(ValueError, match="window"):
+        skipgram_pmi(df, window=0)
+    with pytest.raises(ValueError, match="min_count"):
+        skipgram_pmi(df, min_count=0)
