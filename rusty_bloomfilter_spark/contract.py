@@ -112,6 +112,7 @@ _WINDOW_MIDDLE = [
     # 34 new-this-round), so these are pinned here to avoid evicting a
     # never-verified query; round 5's rotation promotes them (they have
     # oracles and sit at the head of MIDDLE).
+    "q_dataset_card",
     "q_skipgram_pmi",
     "q_containment_join",
     "q_streaming_sessionize",
@@ -6365,6 +6366,60 @@ def q_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         for name, child, ck, parent, pk in _FK_RELATIONSHIPS
     ]
     return fk_audit(rels).orderBy("relationship")
+
+
+@register(
+    "q_dataset_card",
+    oracle=r"""
+    WITH base AS (
+      SELECT md5(substr(text, 1, 40)) AS fp,
+             CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+                                  w -> w <> '')) AS BIGINT) AS ntok,
+             CAST(length(text) AS BIGINT) AS nchars,
+             source, lang
+      FROM documents
+    ), g AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(ntok) AS BIGINT) AS n_tokens,
+             CAST(sum(nchars) AS BIGINT) AS n_chars,
+             CAST(count(DISTINCT fp) AS BIGINT) AS n_distinct_fp,
+             round(quantile_cont(ntok, 0.5), 6) AS median_ntok,
+             round(avg(ntok), 6) AS mean_ntok,
+             CAST(sum(CASE WHEN ntok < 50 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_short
+      FROM base
+    ), src AS (SELECT source, count(*) AS c FROM base GROUP BY 1),
+    top_src AS (SELECT source AS top_source, c AS top_c FROM src
+                ORDER BY c DESC, source ASC LIMIT 1),
+    nsrc AS (SELECT CAST(count(*) AS BIGINT) AS n_sources FROM src),
+    lg AS (SELECT lang, count(*) AS c FROM base GROUP BY 1),
+    langa AS (SELECT CAST(count(*) AS BIGINT) AS n_langs,
+                     sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS clnc
+              FROM lg)
+    SELECT n_docs, n_tokens, n_chars, n_sources, n_langs, top_source,
+           round(CAST(top_c AS DOUBLE) / n_docs, 6) AS top_source_share,
+           round(ln(CAST(n_docs AS DOUBLE)) - clnc / n_docs, 6)
+             AS lang_entropy_nats,
+           n_distinct_fp,
+           round(1.0 - CAST(n_distinct_fp AS DOUBLE) / n_docs, 6) AS dup_rate,
+           median_ntok, mean_ntok,
+           round(CAST(n_short AS DOUBLE) / n_docs, 6) AS pct_short
+    FROM g CROSS JOIN nsrc CROSS JOIN top_src CROSS JOIN langa
+    """,
+)
+def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus DATASHEET in one row (operators/datacard.py::
+    dataset_card, Gebru et al. 2021's quantitative half): size, source
+    concentration, language entropy, exact-dedup rate, document-length
+    profile. One corpus scan + |sources|/|langs|-bounded aggregates
+    reassembled by broadcast cross joins; every value is an exact
+    integer or a round(6) function of exact integers, so the card is
+    an auditable hash-matched artifact — parquet it per snapshot and
+    diff across rounds (jobs/compare_snapshots.py is the drift gate
+    over the same idea)."""
+    from .operators.datacard import dataset_card
+
+    return dataset_card(load_table(spark, sf_dir, "documents"))
 
 
 def _skipgram_oracle() -> str:

@@ -1,0 +1,53 @@
+"""Dataset card vs hand-computed truth on a planted corpus."""
+
+import math
+
+import pytest
+
+from rusty_bloomfilter_spark.operators.datacard import dataset_card
+
+LONG_A = "alpha beta gamma " * 30  # 90 tokens
+LONG_B = "delta epsilon " * 40  # 80 tokens
+SHORT = "tiny doc"  # 2 tokens
+
+
+def test_card_matches_hand_computation(spark):
+    rows = [
+        (1, LONG_A, "en", "cc"),
+        (2, LONG_A, "en", "cc"),  # exact dup of 1 (same 40-char prefix)
+        (3, LONG_B, "en", "wiki"),
+        (4, SHORT, "fr", "cc"),
+        (5, SHORT + " x", "fr", "cc"),  # shares SHORT's 40-char prefix
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string"
+    ).repartition(3)
+    out = dataset_card(df).collect()[0].asDict()
+
+    ntoks = [90, 90, 80, 2, 3]
+    assert out["n_docs"] == 5
+    assert out["n_tokens"] == sum(ntoks)
+    assert out["n_chars"] == sum(len(r[1]) for r in rows)
+    assert out["n_sources"] == 2 and out["n_langs"] == 2
+    assert out["top_source"] == "cc"
+    assert out["top_source_share"] == pytest.approx(4 / 5, abs=1e-6)
+    # fps: LONG_A prefix (x2), LONG_B prefix, SHORT-ish prefix (x2,
+    # both shorter than 40 chars so "tiny doc" vs "tiny doc x" DIFFER)
+    assert out["n_distinct_fp"] == 4
+    assert out["dup_rate"] == pytest.approx(1 - 4 / 5, abs=1e-6)
+    # language entropy: en=3, fr=2 of 5
+    h = -(3 / 5) * math.log(3 / 5) - (2 / 5) * math.log(2 / 5)
+    assert out["lang_entropy_nats"] == pytest.approx(h, abs=1e-6)
+    assert out["median_ntok"] == pytest.approx(80.0, abs=1e-9)
+    assert out["mean_ntok"] == pytest.approx(sum(ntoks) / 5, abs=1e-6)
+    assert out["pct_short"] == pytest.approx(2 / 5, abs=1e-6)  # ntok < 50
+
+
+def test_single_language_entropy_zero(spark):
+    rows = [(i, "a b c", "en", "s") for i in range(3)]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string"
+    )
+    out = dataset_card(df).collect()[0]
+    assert out["lang_entropy_nats"] == pytest.approx(0.0, abs=1e-9)
+    assert out["n_langs"] == 1
