@@ -112,6 +112,9 @@ _WINDOW_MIDDLE = [
     # 34 new-this-round), so these are pinned here to avoid evicting a
     # never-verified query; round 5's rotation promotes them (they have
     # oracles and sit at the head of MIDDLE).
+    "q_winnow_overlap",
+    "q_source_token_kl",
+    "q_vocab_growth",
     "q_dataset_card",
     "q_skipgram_pmi",
     "q_containment_join",
@@ -6609,3 +6612,149 @@ def q_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(recall_hi, 6) >= 0.9).alias("recall_ok"),
         (F.round(F.coalesce(F.col("_mae"), F.lit(0.0)), 6) <= 0.15).alias("err_ok"),
     )
+
+
+@register(
+    "q_winnow_overlap",
+    oracle=_SEQ_CTE
+    + """
+    , grams AS (
+        SELECT doc_id,
+               list_transform(range(len(tokens) - 2),
+                 i -> ((CAST(tokens[i+1] AS BIGINT) * 2526168121
+                        + CAST(tokens[i+2] AS BIGINT) * 50261
+                        + tokens[i+3]) * 48271) % 2147483647) AS hs
+        FROM sequences WHERE len(tokens) >= 3
+    ), keys AS (
+        SELECT doc_id,
+               list_transform(range(len(hs)),
+                 i -> (hs[i+1] << 27) + (134217727 - i)) AS ks
+        FROM grams
+    ), sel AS (
+        SELECT doc_id,
+               CASE WHEN len(ks) < 4 THEN [list_min(ks)]
+                    ELSE list_transform(range(3, len(ks)),
+                           q -> list_min(ks[q-2:q+1])) END AS sels
+        FROM keys
+    ), fps AS (
+        SELECT DISTINCT doc_id, s >> 27 AS fp
+        FROM (SELECT doc_id, unnest(sels) AS s FROM sel)
+    ), capped AS (
+        SELECT fp FROM fps GROUP BY fp HAVING count(*) BETWEEN 2 AND 20
+    ), shared AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_fps
+        FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        WHERE a.fp IN (SELECT fp FROM capped)
+        GROUP BY 1, 2 HAVING count(*) >= 2
+    ), counts AS (SELECT doc_id, count(*) AS n_fp FROM fps GROUP BY doc_id)
+    SELECT doc_a, doc_b, shared_fps,
+           round(CAST(shared_fps AS DOUBLE) / least(ca.n_fp, cb.n_fp), 6) AS containment
+    FROM shared
+    JOIN counts ca ON ca.doc_id = doc_a
+    JOIN counts cb ON cb.doc_id = doc_b
+    ORDER BY containment DESC, shared_fps DESC, doc_a, doc_b LIMIT 100
+    """,
+)
+def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS, Schleimer et al. 2003) fingerprint overlap:
+    k=3-gram Lehmer-mixed hashes, window w=4 rightmost-min selection as
+    ONE map-side Arrow pass (zero shuffle), then shared-fingerprint
+    document pairs via per-fingerprint postings with a df cap — no
+    self-join, candidate pairs generated inside the posting arrays.
+    Hash-matched against a DuckDB list-algebra rendering of the exact
+    same integer selection (same polynomial, mix, packed tie-break)."""
+    from .operators.winnow import winnow_fingerprints, winnow_overlap_pairs
+
+    seq = sequences_from_documents(spark, sf_dir)
+    fps = winnow_fingerprints(seq, k=3, w=4)
+    return (
+        winnow_overlap_pairs(fps, min_shared=2, df_cap=20)
+        .orderBy(F.desc("containment"), F.desc("shared_fps"), "doc_a", "doc_b")
+        .limit(100)
+    )
+
+
+@register(
+    "q_source_token_kl",
+    oracle=_SEQ_CTE
+    + """
+    , sc AS (
+        SELECT source, tok, count(*) AS c
+        FROM (SELECT source, unnest(tokens) AS tok FROM sequences) t
+        GROUP BY source, tok
+    ), tot AS (
+        SELECT source, CAST(sum(c) AS BIGINT) AS n_s, count(*) AS vocab
+        FROM sc GROUP BY source
+    ), corpus AS (
+        SELECT tok, CAST(sum(c) AS BIGINT) AS ct FROM sc GROUP BY tok
+    ), nrow AS (SELECT CAST(sum(ct) AS BIGINT) AS n FROM corpus)
+    SELECT s.source, t.n_s AS n_tokens, t.vocab,
+           round(-sum((CAST(c AS DOUBLE) / t.n_s) * ln(CAST(c AS DOUBLE) / t.n_s)), 6) AS entropy,
+           round(-sum((CAST(c AS DOUBLE) / t.n_s) * ln(CAST(ct AS DOUBLE) / nrow.n)), 6) AS cross_entropy,
+           round(sum((CAST(c AS DOUBLE) / t.n_s)
+                     * ln((CAST(c AS DOUBLE) / t.n_s) / (CAST(ct AS DOUBLE) / nrow.n))), 6) AS kl_nats
+    FROM sc s
+    JOIN tot t USING (source)
+    JOIN corpus USING (tok)
+    CROSS JOIN nrow
+    GROUP BY s.source, t.n_s, t.vocab
+    ORDER BY source
+    """,
+)
+def q_source_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram KL divergence / cross-entropy vs the corpus
+    mixture (operators/drift.token_kl_by_source): the data-mixture
+    drift statistic behind domain-reweighting recipes. One corpus-sized
+    (source, token) hash aggregate; corpus marginals and the scalar
+    total are broadcast; exact and unsmoothed (per-source support is a
+    subset of the corpus support, so every ln is finite). Hash-matched:
+    identical double formula text both engines, 6 dp."""
+    from .operators.drift import token_kl_by_source
+
+    seq = sequences_from_documents(spark, sf_dir)
+    return token_kl_by_source(seq).orderBy("source")
+
+
+@register(
+    "q_vocab_growth",
+    oracle=_SEQ_CTE
+    + """
+    , ranked AS (
+        SELECT source, doc_id, len(tokens) AS n_tok, tokens,
+               row_number() OVER (PARTITION BY source ORDER BY doc_id) AS r
+        FROM sequences
+    ), curve AS (
+        SELECT source, r,
+               CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY r) AS BIGINT) AS cum_tokens
+        FROM ranked
+    ), firsts AS (
+        SELECT source, tok, min(r) AS first_r
+        FROM (SELECT source, r, unnest(tokens) AS tok FROM ranked) t
+        GROUP BY source, tok
+    ), new_at AS (
+        SELECT source, first_r AS r, count(*) AS new_types FROM firsts GROUP BY 1, 2
+    ), full_curve AS (
+        SELECT c.source, c.r, c.cum_tokens,
+               CAST(sum(COALESCE(n.new_types, 0))
+                    OVER (PARTITION BY c.source ORDER BY c.r) AS BIGINT) AS cum_vocab
+        FROM curve c LEFT JOIN new_at n ON n.source = c.source AND n.r = c.r
+    )
+    SELECT source, count(*) AS n_docs,
+           max(cum_tokens) AS total_tokens, max(cum_vocab) AS vocab,
+           round(regr_slope(ln(CAST(cum_vocab AS DOUBLE)), ln(CAST(cum_tokens AS DOUBLE))), 4) AS heaps_beta,
+           round(regr_intercept(ln(CAST(cum_vocab AS DOUBLE)), ln(CAST(cum_tokens AS DOUBLE))), 4) AS heaps_lnk
+    FROM full_curve GROUP BY source ORDER BY source
+    """,
+)
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth per source (operators/vocab.py):
+    exact V(n) curve via the min-first-rank trick (one corpus-sized
+    (source, token) aggregate — no per-prefix distinct counts), then a
+    closed-form log-log OLS (covar_pop/var_pop) mirrored by DuckDB's
+    regr_slope/regr_intercept at 4 dp, the q_zipf_slope float
+    contract. Reads the growth axis of the same distributional-health
+    phenomenon whose frequency axis q_zipf_slope reads."""
+    from .operators.vocab import heaps_fit, vocab_growth_curve
+
+    seq = sequences_from_documents(spark, sf_dir)
+    return heaps_fit(vocab_growth_curve(seq)).orderBy("source")

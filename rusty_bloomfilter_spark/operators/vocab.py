@@ -1,0 +1,103 @@
+"""Vocabulary growth (Heaps' law) per corpus slice.
+
+Heaps' law: the distinct-type count V(n) of a natural-language corpus
+grows as V(n) ~= K * n^beta with beta typically 0.4-0.6. A corpus
+whose vocabulary curve is too flat (template/boilerplate floods, a
+looping crawler) or too steep (random noise, OCR garbage, wrong
+charset) fails the fit — the distributional health check that
+complements the Zipf slope (contract.q_zipf_slope): Zipf reads the
+frequency axis, Heaps reads the growth axis of the same phenomenon.
+
+Construction (exact, pure Catalyst):
+
+  1. rank documents within each group by doc_id (any stable unique
+     key works — the fit is invariant to reasonable orders);
+  2. cum_tokens(r) = running token total;
+  3. a type's FIRST rank = min(r) over its occurrences — so
+     new_types(r) counts types debuting at rank r, and the running sum
+     of new_types is exactly the distinct-vocabulary curve V(r)
+     (the min-first-rank trick: one corpus-sized aggregate instead of
+     a distinct-count per prefix, which would be O(docs) passes);
+  4. per-group OLS of ln V on ln n gives (beta, ln K) — closed form
+     covar_pop/var_pop, the same map-reducible moments as
+     q_zipf_slope, mirrored verbatim by DuckDB's regr_slope /
+     regr_intercept.
+
+Scale shape: one corpus explode into a (group, token) hash aggregate
+(map-side combinable) + one corpus pass for ranks. The rank window
+sorts each group's doc keys — inherently sequential per group; at
+100 TB rank at snapshot/day granularity instead of per-document (pass
+a coarser id_col) so each group's window holds bounded rows. All
+frames after the two aggregates are bounded by groups x ranks.
+
+Reference parity: growth-curve analysis extends /root/reference (a
+membership library) per SURVEY §2.2's aggregation category; Heaps /
+Herdan law per the public literature (Herdan 1960, Heaps 1978).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def vocab_growth_curve(
+    seq: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """(group, r, cum_tokens, new_types, cum_vocab) — the exact
+    vocabulary-growth curve of each group, one row per document rank."""
+    w_rank = Window.partitionBy(group_col).orderBy(id_col)
+    ranked = seq.select(
+        F.col(group_col).alias("group"),
+        F.col(id_col).alias("id"),
+        F.col(tokens_col).alias("tokens"),
+        F.size(tokens_col).alias("n_tok"),
+    ).withColumn("r", F.row_number().over(Window.partitionBy("group").orderBy("id")))
+    w_cum = Window.partitionBy("group").orderBy("r")
+    curve = ranked.select(
+        "group", "r", F.sum("n_tok").over(w_cum).cast("bigint").alias("cum_tokens")
+    )
+    firsts = (
+        ranked.select("group", "r", F.explode("tokens").alias("tok"))
+        .groupBy("group", "tok")
+        .agg(F.min("r").alias("first_r"))
+    )
+    new_at = firsts.groupBy("group", "first_r").agg(F.count("*").alias("new_types"))
+    return (
+        curve.join(
+            new_at.withColumnRenamed("first_r", "r"), ["group", "r"], "left"
+        )
+        .withColumn("new_types", F.coalesce("new_types", F.lit(0)))
+        .withColumn(
+            "cum_vocab", F.sum("new_types").over(w_cum).cast("bigint")
+        )
+        .select(
+            F.col("group").alias(group_col),
+            "r",
+            "cum_tokens",
+            "new_types",
+            "cum_vocab",
+        )
+    )
+
+
+def heaps_fit(curve: DataFrame, group_col: str = "source") -> DataFrame:
+    """Per-group Heaps fit over a vocab_growth_curve frame:
+    (group, n_docs, total_tokens, vocab, heaps_beta, heaps_lnk) with
+    V(n) ~= exp(heaps_lnk) * n^heaps_beta. Closed-form OLS in log-log
+    space (slope = covar_pop/var_pop), 4 dp — the same cross-engine
+    float contract as q_zipf_slope."""
+    x = F.log(F.col("cum_tokens").cast("double"))
+    y = F.log(F.col("cum_vocab").cast("double"))
+    pts = curve.select(group_col, x.alias("x"), y.alias("y"), "cum_tokens", "cum_vocab")
+    slope = F.covar_pop("x", "y") / F.var_pop("x")
+    return pts.groupBy(group_col).agg(
+        F.count("*").alias("n_docs"),
+        F.max("cum_tokens").alias("total_tokens"),
+        F.max("cum_vocab").alias("vocab"),
+        F.round(slope, 4).alias("heaps_beta"),
+        F.round(F.avg("y") - slope * F.avg("x"), 4).alias("heaps_lnk"),
+    )
