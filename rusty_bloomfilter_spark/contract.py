@@ -113,8 +113,8 @@ _WINDOW_MIDDLE = [
     # never-verified query; round 5's rotation promotes them (they have
     # oracles and sit at the head of MIDDLE).
     "q_winnow_overlap",
-    "q_source_token_kl",
     "q_vocab_growth",
+    "q_token_dispersion",
     "q_dataset_card",
     "q_skipgram_pmi",
     "q_containment_join",
@@ -6675,47 +6675,6 @@ def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q_source_token_kl",
-    oracle=_SEQ_CTE
-    + """
-    , sc AS (
-        SELECT source, tok, count(*) AS c
-        FROM (SELECT source, unnest(tokens) AS tok FROM sequences) t
-        GROUP BY source, tok
-    ), tot AS (
-        SELECT source, CAST(sum(c) AS BIGINT) AS n_s, count(*) AS vocab
-        FROM sc GROUP BY source
-    ), corpus AS (
-        SELECT tok, CAST(sum(c) AS BIGINT) AS ct FROM sc GROUP BY tok
-    ), nrow AS (SELECT CAST(sum(ct) AS BIGINT) AS n FROM corpus)
-    SELECT s.source, t.n_s AS n_tokens, t.vocab,
-           round(-sum((CAST(c AS DOUBLE) / t.n_s) * ln(CAST(c AS DOUBLE) / t.n_s)), 6) AS entropy,
-           round(-sum((CAST(c AS DOUBLE) / t.n_s) * ln(CAST(ct AS DOUBLE) / nrow.n)), 6) AS cross_entropy,
-           round(sum((CAST(c AS DOUBLE) / t.n_s)
-                     * ln((CAST(c AS DOUBLE) / t.n_s) / (CAST(ct AS DOUBLE) / nrow.n))), 6) AS kl_nats
-    FROM sc s
-    JOIN tot t USING (source)
-    JOIN corpus USING (tok)
-    CROSS JOIN nrow
-    GROUP BY s.source, t.n_s, t.vocab
-    ORDER BY source
-    """,
-)
-def q_source_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source unigram KL divergence / cross-entropy vs the corpus
-    mixture (operators/drift.token_kl_by_source): the data-mixture
-    drift statistic behind domain-reweighting recipes. One corpus-sized
-    (source, token) hash aggregate; corpus marginals and the scalar
-    total are broadcast; exact and unsmoothed (per-source support is a
-    subset of the corpus support, so every ln is finite). Hash-matched:
-    identical double formula text both engines, 6 dp."""
-    from .operators.drift import token_kl_by_source
-
-    seq = sequences_from_documents(spark, sf_dir)
-    return token_kl_by_source(seq).orderBy("source")
-
-
-@register(
     "q_vocab_growth",
     oracle=_SEQ_CTE
     + """
@@ -6758,3 +6717,57 @@ def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     seq = sequences_from_documents(spark, sf_dir)
     return heaps_fit(vocab_growth_curve(seq)).orderBy("source")
+
+
+@register(
+    "q_token_dispersion",
+    oracle=_SEQ_CTE
+    + """
+    , sc AS (
+        SELECT source AS src, tok, count(*) AS c
+        FROM (SELECT source, unnest(tokens) AS tok FROM sequences) t
+        GROUP BY 1, 2
+    ), src_tot AS (
+        SELECT src, CAST(sum(c) AS BIGINT) AS n_s FROM sc GROUP BY src
+    ), nrow AS (SELECT CAST(sum(n_s) AS BIGINT) AS n FROM src_tot),
+    top AS (
+        SELECT tok, src AS top_source, c AS top_c
+        FROM (SELECT tok, src, c,
+                     row_number() OVER (PARTITION BY tok ORDER BY c DESC, src) AS rn
+              FROM sc) r
+        WHERE rn = 1
+    ), tt AS (SELECT tok, CAST(sum(c) AS BIGINT) AS total FROM sc GROUP BY tok),
+    per AS (
+        SELECT s.tok, t.total, count(*) AS n_sources,
+               round(0.5 + 0.5 * sum(abs(CAST(c AS DOUBLE) / t.total
+                                         - CAST(n_s AS DOUBLE) / nrow.n)
+                                     - CAST(n_s AS DOUBLE) / nrow.n), 6) AS dp,
+               round(1.0 / sum((CAST(c AS DOUBLE) / t.total)
+                               * (CAST(c AS DOUBLE) / t.total)), 6) AS eff_sources
+        FROM sc s JOIN src_tot USING (src) JOIN tt t USING (tok) CROSS JOIN nrow
+        WHERE t.total >= 10
+        GROUP BY s.tok, t.total
+    )
+    SELECT p.tok, p.total, p.n_sources, top.top_source,
+           round(CAST(top.top_c AS DOUBLE) / p.total, 6) AS top_share,
+           p.dp, p.eff_sources
+    FROM per p JOIN top USING (tok)
+    ORDER BY dp DESC, tok LIMIT 200
+    """,
+)
+def q_token_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gries' DP dispersion + inverse-Simpson concentration per token
+    (operators/dispersion.py): the per-TOKEN burstiness screen that
+    separates vocabulary from boilerplate/spam markers. Absent sources
+    folded analytically (no token x source grid join); one corpus
+    aggregate, everything downstream vocab x sources-bounded.
+    Hash-matched at 6 dp with a deterministic dominant-source
+    tie-break (count desc, then source)."""
+    from .operators.dispersion import token_dispersion
+
+    seq = sequences_from_documents(spark, sf_dir)
+    return (
+        token_dispersion(seq, min_total=10)
+        .orderBy(F.desc("dp"), "tok")
+        .limit(200)
+    )

@@ -200,68 +200,3 @@ def psi_between_multi(
         out[c] = psi
     return out
 
-
-def token_kl_by_source(
-    seq: DataFrame,
-    group_col: str = "source",
-    tokens_col: str = "tokens",
-) -> DataFrame:
-    """Per-group unigram-distribution divergence from the corpus.
-
-    For each group g with token distribution p and corpus distribution
-    q (both exact, unsmoothed — p's support is a subset of q's by
-    construction, so every ln is finite):
-
-        entropy(g)        = -sum_t p_t ln p_t
-        cross_entropy(g)  = -sum_t p_t ln q_t
-        kl_nats(g)        =  sum_t p_t ln(p_t / q_t)   (= cross - ent)
-
-    The information-theoretic upgrade of the PSI screen above: KL in
-    nats against the corpus mixture ranks sources by how much their
-    token usage diverges — the statistic behind data-mixture tuning
-    (e.g. DoReMi-style domain reweighting works in exactly this
-    geometry) and tokenizer-fit audits.
-
-    Scale shape: ONE corpus-sized hash aggregate over (group, token) —
-    map-side combinable; every later frame is bounded by
-    groups x vocab. Group totals and corpus marginals both derive from
-    that aggregate (persisted + tied — three consumers), the corpus
-    token table (<= vocab rows) and the single-row corpus total are
-    broadcast. No second corpus pass, no window over corpus rows.
-
-    Output: (group, n_tokens, vocab, entropy, cross_entropy, kl_nats)
-    — floats rounded to 6 dp (term-order float noise is ~1e-12).
-    """
-    sc = (
-        seq.select(F.col(group_col).alias("group"), F.explode(tokens_col).alias("tok"))
-        .groupBy("group", "tok")
-        .agg(F.count("*").alias("c"))
-        .persist()
-    )
-    tot = sc.groupBy("group").agg(
-        F.sum("c").cast("bigint").alias("n_s"), F.count("*").alias("vocab")
-    )
-    corpus = sc.groupBy("tok").agg(F.sum("c").cast("bigint").alias("ct"))
-    n_row = corpus.agg(F.sum("ct").cast("bigint").alias("n"))
-    p = F.col("c").cast("double") / F.col("n_s")
-    q = F.col("ct").cast("double") / F.col("n")
-    out = (
-        sc.join(tot, "group")
-        .join(F.broadcast(corpus), "tok")
-        .crossJoin(F.broadcast(n_row))
-        .groupBy("group", "n_s", "vocab")
-        .agg(
-            F.round(-F.sum(p * F.log(p)), 6).alias("entropy"),
-            F.round(-F.sum(p * F.log(q)), 6).alias("cross_entropy"),
-            F.round(F.sum(p * F.log(p / q)), 6).alias("kl_nats"),
-        )
-        .select(
-            F.col("group").alias(group_col),
-            F.col("n_s").alias("n_tokens"),
-            "vocab",
-            "entropy",
-            "cross_entropy",
-            "kl_nats",
-        )
-    )
-    return tie(out, sc)

@@ -1,4 +1,4 @@
-"""Vocabulary growth (Heaps) + per-source token KL: brute-force checks."""
+"""Vocabulary growth (Heaps): brute-force checks."""
 
 import math
 
@@ -17,50 +17,6 @@ def small_seq(spark):
     return spark.createDataFrame(
         rows, "doc_id string, tokens array<int>, n_tok int, source string"
     ), rows
-
-
-def test_token_kl_matches_numpy(small_seq):
-    from rusty_bloomfilter_spark.operators.drift import token_kl_by_source
-
-    df, rows = small_seq
-    got = {r["source"]: r.asDict() for r in token_kl_by_source(df).collect()}
-
-    from collections import Counter
-
-    corpus = Counter()
-    per_src: dict[str, Counter] = {}
-    for _, toks, _, s in rows:
-        per_src.setdefault(s, Counter()).update(toks)
-        corpus.update(toks)
-    n_corpus = sum(corpus.values())
-    for s, cnt in per_src.items():
-        n_s = sum(cnt.values())
-        ent = -sum(c / n_s * math.log(c / n_s) for c in cnt.values())
-        cross = -sum(
-            c / n_s * math.log(corpus[t] / n_corpus) for t, c in cnt.items()
-        )
-        kl = sum(
-            c / n_s * math.log((c / n_s) / (corpus[t] / n_corpus))
-            for t, c in cnt.items()
-        )
-        g = got[s]
-        assert g["n_tokens"] == n_s and g["vocab"] == len(cnt)
-        assert abs(g["entropy"] - ent) < 1e-5
-        assert abs(g["cross_entropy"] - cross) < 1e-5
-        assert abs(g["kl_nats"] - kl) < 1e-5
-        assert g["kl_nats"] >= 0  # Gibbs' inequality
-        assert abs((g["cross_entropy"] - g["entropy"]) - g["kl_nats"]) < 3e-6
-
-
-def test_token_kl_single_source_is_zero(spark):
-    from rusty_bloomfilter_spark.operators.drift import token_kl_by_source
-
-    df = spark.createDataFrame(
-        [("d1", [1, 2, 2, 3], 4, "only"), ("d2", [3, 1], 2, "only")],
-        "doc_id string, tokens array<int>, n_tok int, source string",
-    )
-    row = token_kl_by_source(df).collect()[0]
-    assert row["kl_nats"] == 0.0  # p == q when one source IS the corpus
 
 
 def test_vocab_growth_curve_exact(small_seq):
