@@ -115,6 +115,7 @@ _WINDOW_MIDDLE = [
     "q_winnow_overlap",
     "q_vocab_growth",
     "q_token_dispersion",
+    "q_bm25_search",
     "q_dataset_card",
     "q_skipgram_pmi",
     "q_containment_join",
@@ -6770,4 +6771,67 @@ def q_token_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_dispersion(seq, min_total=10)
         .orderBy(F.desc("dp"), "tok")
         .limit(200)
+    )
+
+
+@register(
+    "q_bm25_search",
+    oracle=_SEQ_CTE
+    + """
+    , freqs AS (
+        SELECT tok, count(*) AS freq
+        FROM (SELECT unnest(tokens) AS tok FROM sequences) t GROUP BY tok
+    ), terms AS (
+        SELECT tok FROM (
+            SELECT tok, row_number() OVER (ORDER BY freq DESC, tok) AS rn FROM freqs
+        ) r WHERE rn BETWEEN 11 AND 15
+    ), stats AS (
+        SELECT count(*) AS n_docs, avg(CAST(len(tokens) AS DOUBLE)) AS avgdl
+        FROM sequences
+    ), occ AS (
+        SELECT doc_id, len(tokens) AS dl, tok
+        FROM (SELECT doc_id, tokens, unnest(tokens) AS tok FROM sequences) u
+        WHERE tok IN (SELECT tok FROM terms)
+    ), tf AS (
+        SELECT doc_id, dl, tok, count(*) AS tf FROM occ GROUP BY 1, 2, 3
+    ), dfs AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok)
+    SELECT doc_id, count(*) AS n_terms_hit,
+           round(sum(
+               ln(1.0 + (stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+               * (CAST(tf AS DOUBLE) * 2.2
+                  / (tf + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / stats.avgdl)))
+           ), 6) AS score
+    FROM tf JOIN dfs USING (tok) CROSS JOIN stats
+    GROUP BY doc_id
+    ORDER BY score DESC, doc_id LIMIT 25
+    """,
+)
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 retrieval (operators/bm25.py, Lucene idf form,
+    k1=1.2, b=0.75) for a deterministic 5-term probe: global-frequency
+    ranks 11-15 (mid-head terms — rare enough to discriminate, common
+    enough to hit many docs; tie-break by token id). The corpus
+    explode is semi-joined against the broadcast probe terms BEFORE
+    aggregation, so only query-term occurrences shuffle; document
+    length rides in the tf group key (no second corpus join).
+    Hash-matched at 6 dp; top-25 cut on the ROUNDED score with doc_id
+    tie-break."""
+    from .operators.bm25 import bm25_rank
+
+    seq = sequences_from_documents(spark, sf_dir)
+    freqs = (
+        seq.select(F.explode("tokens").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("freq"))
+    )
+    w = Window.orderBy(F.desc("freq"), "tok")
+    terms = (
+        freqs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn").between(11, 15))
+        .select("tok")
+    )
+    return (
+        bm25_rank(seq, terms, k1=1.2, b=0.75)
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(25)
     )
