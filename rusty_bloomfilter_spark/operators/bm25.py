@@ -35,6 +35,8 @@ from typing import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .cache import tie
+
 
 def bm25_rank(
     seq: DataFrame,
@@ -60,7 +62,10 @@ def bm25_rank(
         F.size(tokens_col).alias("dl"),
         F.explode(tokens_col).alias("tok"),
     ).join(F.broadcast(terms), "tok")
-    tf = occ.groupBy("doc_id", "dl", "tok").agg(F.count("*").alias("tf"))
+    # tf is tiny (matching docs x |Q|) but feeds TWO consumers (df and
+    # the score join); without a persist the corpus semi-join scan runs
+    # twice per action (plan-audited: 0 InMemoryTableScan before).
+    tf = occ.groupBy("doc_id", "dl", "tok").agg(F.count("*").alias("tf")).persist()
     df_t = tf.groupBy("tok").agg(F.count("*").alias("df"))
     idf = F.log(
         1.0
@@ -74,7 +79,7 @@ def bm25_rank(
             + k1 * (1.0 - b + b * F.col("dl").cast("double") / F.col("avgdl"))
         )
     )
-    return (
+    out = (
         tf.join(F.broadcast(df_t), "tok")
         .crossJoin(F.broadcast(stats))
         .groupBy("doc_id")
@@ -83,3 +88,4 @@ def bm25_rank(
             F.round(F.sum(term_score), 6).alias("score"),
         )
     )
+    return tie(out, tf)
