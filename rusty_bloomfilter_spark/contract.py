@@ -116,6 +116,7 @@ _WINDOW_MIDDLE = [
     "q_vocab_growth",
     "q_token_dispersion",
     "q_bm25_search",
+    "q_ann_sq",
     "q_dataset_card",
     "q_skipgram_pmi",
     "q_containment_join",
@@ -6835,3 +6836,42 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), "doc_id")
         .limit(25)
     )
+
+
+@register(
+    "q_ann_sq",
+    oracle="""
+    WITH qz AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[],
+                              x -> floor(x / s * 127.0 + 0.5)) AS q
+        FROM (SELECT vec_id, embedding,
+                     list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS s
+              FROM embeddings) t
+        WHERE s > 0
+    )
+    SELECT query_id, neighbor_id, cosine_sq FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               round(list_cosine_similarity(a.q, b.q), 6) AS cosine_sq,
+               row_number() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY round(list_cosine_similarity(a.q, b.q), 6) DESC,
+                            b.vec_id) AS rn
+        FROM qz a JOIN qz b ON b.vec_id <> a.vec_id
+        WHERE a.vec_id IN (0, 7, 42, 99, 123)
+    ) r WHERE rn <= 5
+    """,
+)
+def q_ann_sq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar-quantized cosine top-5 (operators/similarity.py::
+    ann_sq_topk) for the same 5 probes as q_ann_bruteforce — the
+    embedding-COMPRESSION tier of the ANN family (LSH/IVF prune
+    candidates; SQ shrinks vectors 4x, the page-cache lever at 100 TB).
+    floor(x+0.5) half-up on both engines (Spark round() is HALF_UP,
+    DuckDB's HALF_EVEN); the quantized ranking is a deterministic
+    function of exact integer dot products, hash-matched; recall vs
+    the exact ranking is pinned in tests/test_ann_sq.py."""
+    from .operators.similarity import ann_sq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_sq_topk(emb, [0, 7, 42, 99, 123], k=5).drop("rank")
