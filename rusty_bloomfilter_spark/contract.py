@@ -117,6 +117,7 @@ _WINDOW_MIDDLE = [
     "q_token_dispersion",
     "q_bm25_search",
     "q_ann_sq",
+    "q_peak_concurrency",
     "q_dataset_card",
     "q_skipgram_pmi",
     "q_containment_join",
@@ -6875,3 +6876,58 @@ def q_ann_sq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return ann_sq_topk(emb, [0, 7, 42, 99, 123], k=5).drop("rank")
+
+
+@register(
+    "q_peak_concurrency",
+    oracle="""
+    WITH ev AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+    flagged AS (
+        SELECT user_id, t,
+               CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w > 1800000000
+                    THEN 1 ELSE 0 END AS ns
+        FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY t)
+    ), sess AS (
+        SELECT user_id, t,
+               CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY t
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+        FROM flagged
+    ), iv AS (
+        SELECT min(t) AS s, max(t) AS e FROM sess GROUP BY user_id, sid
+    ), split AS (
+        SELECT unnest(range(s // 86400000000, e // 86400000000 + 1)) AS d, s, e
+        FROM iv
+    ), cl AS (
+        SELECT d, greatest(s, d * 86400000000) AS cs,
+               least(e, (d + 1) * 86400000000 - 1) AS ce
+        FROM split
+    ), bnd AS (
+        SELECT d, cs AS t, 1 AS delta FROM cl
+        UNION ALL SELECT d, ce + 1, -1 FROM cl
+    ), lv AS (
+        SELECT d, t, CAST(sum(delta) AS BIGINT) AS delta FROM bnd GROUP BY d, t
+    ), run AS (
+        SELECT d, t, CAST(sum(delta) OVER (PARTITION BY d ORDER BY t) AS BIGINT) AS conc
+        FROM lv
+    )
+    SELECT d AS day, conc AS peak_concurrency, t AS peak_at_us
+    FROM (SELECT d, t, conc,
+                 row_number() OVER (PARTITION BY d ORDER BY conc DESC, t) AS rn
+          FROM run) r
+    WHERE rn = 1 ORDER BY day
+    """,
+)
+def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day (operators/sweep.py): the
+    sweep-line +1/-1 running sum re-expressed as a TWO-LEVEL prefix sum
+    — day-split intervals (each day's sweep starts at 0, no carry),
+    per-(day, t) delta collapse (tie-order-free), hour-bucket running
+    sums + 24-row base-offset windows, two-level argmax. The DuckDB
+    oracle runs the FLAT single-window sweep; the hash match certifies
+    the decomposition. All integer micros (unix_micros == epoch_us)."""
+    from .operators.sweep import peak_concurrency_by_day
+    from .operators.temporal import session_intervals
+
+    ev = load_table(spark, sf_dir, "events")
+    iv = session_intervals(ev, gap_minutes=30)
+    return peak_concurrency_by_day(iv, "s_us", "e_us").orderBy("day")

@@ -261,3 +261,35 @@ def debounce(
         F.col(ts_col) > prev + F.expr(f"INTERVAL {int(gap_minutes)} MINUTES")
     )
     return events.withColumn("_keep", keep).filter("_keep").drop("_keep")
+
+
+def session_intervals(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """-> (user_id, s_us, e_us): closed per-session time spans in
+    integer epoch-MICROSECONDS (``unix_micros`` == DuckDB ``epoch_us``
+    on parquet timestamps — the cross-engine-exact convention; interval
+    or second-floored arithmetic would move gap decisions on
+    sub-second data). The interval feed for sweep-line analytics
+    (operators/sweep.py). Tie-safe: coincident events share a session
+    regardless of intra-tie window order (a gap of 0 never opens one).
+    """
+    gap_us = int(gap_minutes) * 60 * 1_000_000
+    ev = events.select(
+        F.col(user_col).alias("user_id"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("t"),
+    )
+    w = Window.partitionBy("user_id").orderBy("t")
+    prev = F.lag("t").over(w)
+    ns = F.when(prev.isNull() | (F.col("t") - prev > gap_us), 1).otherwise(0)
+    sid = F.sum(ns).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        ev.withColumn("sid", sid)
+        .groupBy("user_id", "sid")
+        .agg(F.min("t").alias("s_us"), F.max("t").alias("e_us"))
+        .select("user_id", "s_us", "e_us")
+    )
