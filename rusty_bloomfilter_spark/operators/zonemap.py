@@ -224,3 +224,118 @@ def zone_pruned_read_multi(
         .filter(pred)
     )
     return rows, len(survivors)
+
+
+def zone_index_from_footers(
+    spark: SparkSession,
+    input_path: str,
+    *,
+    col: str,
+    files: list[str] | None = None,
+) -> DataFrame:
+    """Build the SAME (file, lo, hi, n_nulls, n_rows) index as
+    ``zone_map_index`` from parquet FOOTER statistics only — no data
+    scan. At 100 TB this is the difference between a corpus-priced
+    index build and a seconds-priced one: each task opens only its
+    files' footers (KB-sized) and folds row-group min/max/null-count
+    stats; the data pages are never touched. Parquet writers (Spark,
+    pyarrow) store exact statistics for numeric columns, so the result
+    is row-for-row identical to the scan-built index (pytest-pinned).
+
+    Distribution: file paths are parallelized into a small frame and
+    footers are read inside ``mapInPandas`` — driver never opens a
+    footer, so millions of files spread across the cluster.
+
+    Restrictions (fail loud, never silently wrong):
+    - numeric/temporal physical types only: parquet may TRUNCATE
+      binary/string min-max stats, which would break the zero-false-
+      negative pruning contract -> NotImplementedError;
+    - a row group with values but no statistics raises ValueError
+      (an index silently missing a file's bounds would un-prune
+      nothing but missing BOUNDS would prune wrongly).
+
+    All-NULL files yield lo = hi = NULL, matching zone_map_index (such
+    files never match a range predicate and are always pruned).
+    """
+    import glob as _glob
+    import os
+
+    if files is None:
+        root = input_path[len("file:") :] if input_path.startswith("file:") else input_path
+        files = sorted(
+            p
+            for p in _glob.glob(os.path.join(root, "*.parquet"))
+            + _glob.glob(os.path.join(root, "*.snappy.parquet"))
+        )
+        files = sorted(set(files))
+    if not files:
+        raise ValueError(f"no parquet part files found under {input_path!r}")
+
+    schema = spark.read.parquet(*files[:1]).schema
+    if col not in schema.names:
+        raise ValueError(f"column {col!r} not found in {files[0]!r}")
+    sample_type = schema[col].dataType
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("file", StringType()),
+            StructField("lo", sample_type),
+            StructField("hi", sample_type),
+            StructField("n_nulls", LongType()),
+            StructField("n_rows", LongType()),
+        ]
+    )
+
+    paths = spark.createDataFrame([(p,) for p in files], "path string").repartition(
+        min(len(files), 64)
+    )
+
+    _ALLOWED = {"INT32", "INT64", "FLOAT", "DOUBLE", "INT96"}
+
+    def read_footers(batches):
+        import pandas as pd
+        import pyarrow.parquet as pq
+        from pathlib import Path
+
+        for pdf in batches:
+            rows = []
+            for p in pdf["path"]:
+                local = p[len("file:") :] if str(p).startswith("file:") else str(p)
+                md = pq.ParquetFile(local).metadata
+                col_idx = next(
+                    (i for i in range(md.num_columns) if md.schema.column(i).name == col),
+                    None,
+                )
+                if col_idx is None:
+                    raise ValueError(f"column {col!r} not found in {p}")
+                phys = md.schema.column(col_idx).physical_type
+                if phys not in _ALLOWED:
+                    raise NotImplementedError(
+                        f"footer stats for physical type {phys} (column {col!r}) may "
+                        "be truncated; build this index with zone_map_index instead"
+                    )
+                lo = hi = None
+                nulls = 0
+                for rg in range(md.num_row_groups):
+                    c = md.row_group(rg).column(col_idx)
+                    st = c.statistics
+                    if st is None or not st.has_null_count:
+                        raise ValueError(f"row group {rg} of {p} has no statistics")
+                    nulls += st.null_count
+                    if st.num_values == 0:
+                        continue  # all-NULL chunk: no bounds to fold
+                    if not st.has_min_max:
+                        raise ValueError(
+                            f"row group {rg} of {p} has values but no min/max stats"
+                        )
+                    lo = st.min if lo is None else min(lo, st.min)
+                    hi = st.max if hi is None else max(hi, st.max)
+                rows.append(
+                    (Path(local).resolve().as_uri(), lo, hi, nulls, md.num_rows)
+                )
+            yield pd.DataFrame(
+                rows, columns=["file", "lo", "hi", "n_nulls", "n_rows"]
+            )
+
+    return paths.mapInPandas(read_footers, schema=out_schema)
