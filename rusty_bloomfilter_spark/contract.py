@@ -118,6 +118,7 @@ _WINDOW_MIDDLE = [
     "q_bm25_search",
     "q_ann_sq",
     "q_peak_concurrency",
+    "q_set_reconcile",
     "q_dataset_card",
     "q_skipgram_pmi",
     "q_containment_join",
@@ -6931,3 +6932,53 @@ def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     iv = session_intervals(ev, gap_minutes=30)
     return peak_concurrency_by_day(iv, "s_us", "e_us").orderBy("day")
+
+
+@register(
+    "q_set_reconcile",
+    oracle="""
+    WITH a AS (
+        SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS key
+        FROM documents
+    ), b AS (
+        SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS key
+        FROM documents WHERE doc_id % 17 <> 0
+        UNION ALL
+        SELECT CAST(('0x' || substr(md5('new-' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        FROM documents WHERE doc_id % 29 = 0
+    )
+    SELECT key, 'only_a' AS side FROM a WHERE key NOT IN (SELECT key FROM b)
+    UNION ALL
+    SELECT key, 'only_b' AS side FROM b WHERE key NOT IN (SELECT key FROM a)
+    ORDER BY side, key
+    """,
+)
+def q_set_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT two-sided snapshot diff from IBLT difference sketches
+    (sketch/iblt.py + operators/reconcile.py, Eppstein et al. 2011):
+    snapshot B deterministically drops every 17th doc and adds a key
+    per 29th; each side folds its distinct keys into a
+    difference-sized invertible table (payload rows only shuffle,
+    canonical bytes), subtract cancels the shared ~91%, and peeling
+    recovers the actual differing keys — hash-matched against the
+    NOT-IN oracle. The un-sketched alternative shuffles both key sets;
+    this ships O(max_diff) cells. Decode failure raises, never
+    truncates."""
+    from .operators.reconcile import set_reconcile
+
+    docs = load_table(spark, sf_dir, "documents")
+    key_a = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    key_new = F.conv(
+        F.substring(F.md5(F.concat(F.lit("new-"), F.col("doc_id").cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    snap_a = docs.select(key_a.alias("key"))
+    snap_b = docs.filter(F.col("doc_id") % 17 != 0).select(key_a.alias("key")).unionByName(
+        docs.filter(F.col("doc_id") % 29 == 0).select(key_new.alias("key"))
+    )
+    n_docs = docs.count()
+    out = set_reconcile(snap_a, snap_b, "key", max_diff=max(64, n_docs // 8))
+    return out.orderBy("side", "key")

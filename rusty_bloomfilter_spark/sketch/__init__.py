@@ -7,6 +7,7 @@ identity, and serialization is canonical (a pure function of content),
 so distributed tree-merges are order-independent.
 """
 
+from .iblt import IBLT
 from .ams import CountSketch
 from .blocked import BlockedBloomFilter
 from .bloom import BloomFilter, SparseBloomBuilder, merge_payloads, popcount_words
@@ -31,6 +32,7 @@ _KINDS = {
     b"RDDS": DDSketch,
     b"RTDG": TDigest,
     b"RMGS": MisraGries,
+    b"RIBL": IBLT,
     b"RAMS": CountSketch,
     b"RGRM": GramMatrix,
     b"RFDS": FrequentDirections,
@@ -68,6 +70,7 @@ def merge_sketch_payloads(payloads: list[bytes]) -> bytes:
 
 __all__ = [
     "BlockedBloomFilter",
+    "IBLT",
     "BloomFilter",
     "CountMinSketch",
     "CountSketch",
