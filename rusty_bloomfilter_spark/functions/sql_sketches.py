@@ -8,7 +8,9 @@ pair: ``hll_agg``/``hll_estimate``, ``bloom_agg``/``bloom_estimate_n``,
 ``mg_agg``/``mg_candidates``, ``gram_agg``/``gram_eigvals``,
 ``ams_agg``/``ams_f2``/``ams_query`` (unbiased signed frequencies +
 the F2 skew oracle), the deletable-membership pair
-``cbf_agg``/``cbf_subtract``, and ``sketch_merge`` — a GROUPED_AGG
+``cbf_agg``/``cbf_subtract``, the exact-reconciliation pair
+``iblt_agg``/``iblt_diff`` (entry key+1 means only-in-a, -(key+1)
+only-in-b — shifted because key 0 has no sign), and ``sketch_merge`` — a GROUPED_AGG
 payload merge for ANY registry kind, so finest-grain sketch cells roll
 up to coarser groups in pure SQL without re-scanning the source:
 
@@ -99,6 +101,7 @@ def register_sketch_sql(
     dd_alpha: float = 0.01,
     ams_d: int = 5,
     ams_w: int = 8192,
+    iblt_max_diff: int = 4096,
     prefix: str = "",
 ) -> None:
     """Register hll_agg / hll_estimate / bloom_agg / bloom_estimate_n
@@ -167,6 +170,57 @@ def register_sketch_sql(
         if vals.size:
             cbf.add_tokens(vals)
         return cbf.to_bytes()
+
+    @pandas_udf("binary")
+    def iblt_agg(keys: pd.Series) -> bytes:
+        # invertible difference table over a scalar int64 key column;
+        # SET semantics — duplicate keys within the group XOR-cancel,
+        # so feed DISTINCT keys (sketch/iblt.py docstring)
+        from ..sketch.iblt import IBLT
+
+        t = IBLT.for_diff(iblt_max_diff)
+        vals = keys.dropna().to_numpy()
+        if vals.dtype.kind == "f":
+            if vals.size and np.abs(vals).max() >= 2.0**53:
+                raise ValueError(
+                    "iblt_agg: nullable int64 keys arrive as float64 and "
+                    "|key| >= 2^53 cannot be recovered exactly; filter "
+                    "NULLs out first (WHERE key IS NOT NULL)"
+                )
+            vals = vals.astype(np.int64)
+        if vals.size:
+            t.add_u64(np.unique(vals.astype(np.int64)).astype(np.uint64))
+        return t.to_bytes()
+
+    @pandas_udf("array<bigint>")
+    def iblt_diff(a: pd.Series, b: pd.Series) -> pd.Series:
+        # exact two-sided diff of two iblt_agg payloads: entry
+        # (key + 1) means key only in a, -(key + 1) only in b — the
+        # +1 shift because key 0 has no sign (-0 == 0); keys must be
+        # < 2^62 - 1 (md5-60-bit and id keys are). Raises on decode
+        # failure, never truncates.
+        from ..sketch.iblt import IBLT
+
+        out = []
+        for pa_, pb in zip(a, b):
+            if pa_ is None or pb is None:
+                out.append(None)
+                continue
+            d = IBLT.from_bytes(bytes(pa_)).subtract(IBLT.from_bytes(bytes(pb)))
+            add, rem, ok = d.peel()
+            if not ok:
+                raise ValueError(
+                    "iblt_diff: decode incomplete — difference exceeds the "
+                    "table's max_diff; rebuild iblt_agg with a larger bound"
+                )
+            hi = max(int(add.max()) if add.size else 0, int(rem.max()) if rem.size else 0)
+            if hi >= 2**62 - 1:
+                raise ValueError("iblt_diff: key >= 2^62-1 breaks the sign encoding")
+            out.append(
+                sorted(int(x) + 1 for x in add.astype(np.int64))
+                + sorted(-(int(x) + 1) for x in rem.astype(np.int64))
+            )
+        return pd.Series(out)
 
     @pandas_udf("binary")
     def cbf_subtract(a: pd.Series, b: pd.Series) -> pd.Series:
@@ -376,6 +430,8 @@ def register_sketch_sql(
     spark.udf.register(prefix + "bloom_estimate_n", bloom_estimate_n)
     spark.udf.register(prefix + "cbf_agg", cbf_agg)
     spark.udf.register(prefix + "cbf_subtract", cbf_subtract)
+    spark.udf.register(prefix + "iblt_agg", iblt_agg)
+    spark.udf.register(prefix + "iblt_diff", iblt_diff)
     spark.udf.register(prefix + "cms_agg", cms_agg)
     spark.udf.register(prefix + "cms_query", cms_query)
     spark.udf.register(prefix + "kll_agg", kll_agg)

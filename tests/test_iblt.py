@@ -127,3 +127,32 @@ def test_set_reconcile_undersized_raises(spark):
     b = spark.range(2000, 3000).select(F.col("id").alias("key"))
     with pytest.raises(ValueError, match="decode incomplete"):
         set_reconcile(a, b, "key", max_diff=16)
+
+
+def test_sql_pair_iblt_agg_diff(spark):
+    from pyspark.sql import functions as F
+
+    from rusty_bloomfilter_spark.functions.sql_sketches import register_sketch_sql
+
+    register_sketch_sql(spark)
+    # key 0 present only in a: the +1 shift must keep it visible
+    a = spark.range(0, 500).select(F.col("id").alias("key"), F.lit("a").alias("snap"))
+    b = (
+        spark.range(0, 510)
+        .filter("id % 31 != 0")
+        .select(F.col("id").alias("key"), F.lit("b").alias("snap"))
+    )
+    a.unionByName(b).createOrReplaceTempView("iblt_snaps")
+    diff = spark.sql(
+        """
+        WITH p AS (SELECT snap, iblt_agg(key) AS pay FROM iblt_snaps GROUP BY snap)
+        SELECT iblt_diff(x.pay, y.pay) AS diff
+        FROM p x JOIN p y ON x.snap = 'a' AND y.snap = 'b'
+        """
+    ).collect()[0]["diff"]
+    only_a = sorted(v - 1 for v in diff if v > 0)
+    only_b = sorted(-v - 1 for v in diff if v < 0)
+    b_set = {x for x in range(510) if x % 31}
+    assert only_a == sorted(set(range(500)) - b_set)
+    assert only_b == sorted(b_set - set(range(500)))
+    assert 0 in only_a
