@@ -172,3 +172,52 @@ def test_range_join_bin_cover_property(lows, rts, lower, span):
         for r in rts:
             if l + lower <= r <= l + upper:
                 assert lo_bin <= math.floor(r / width) <= hi_bin, (l, r, lower, upper)
+
+
+# ---------------------------------------------------------------------------
+# IBLT algebra (sketch/iblt.py)
+# ---------------------------------------------------------------------------
+
+_iblt_keys = st.lists(
+    st.integers(min_value=0, max_value=2**60 - 1), min_size=0, max_size=120, unique=True
+)
+
+
+@settings(max_examples=30, deadline=None)
+@given(a=_iblt_keys, b=_iblt_keys, c=_iblt_keys)
+def test_iblt_merge_associative_commutative(a, b, c):
+    from rusty_bloomfilter_spark.sketch.iblt import IBLT
+
+    def t(keys):
+        return IBLT.for_diff(16).add_u64(np.array(keys, dtype=np.uint64))
+
+    m1 = t(a).merge(t(b)).merge(t(c))
+    m2 = t(c).merge(t(a).merge(t(b)))
+    m3 = t(b).merge(t(c)).merge(t(a))
+    assert m1.to_bytes() == m2.to_bytes() == m3.to_bytes()
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    shared=_iblt_keys,
+    only_a=st.lists(
+        st.integers(min_value=2**60, max_value=2**61 - 1),
+        min_size=0, max_size=20, unique=True,
+    ),
+    only_b=st.lists(
+        st.integers(min_value=2**61, max_value=2**62 - 1),
+        min_size=0, max_size=20, unique=True,
+    ),
+)
+def test_iblt_subtract_peel_roundtrip(shared, only_a, only_b):
+    """peel(A - B) recovers exactly (A\\B, B\\A) whenever the diff fits
+    the sizing bound — the disjoint key ranges make truth trivial."""
+    from rusty_bloomfilter_spark.sketch.iblt import IBLT
+
+    A = np.array(shared + only_a, dtype=np.uint64)
+    B = np.array(shared + only_b, dtype=np.uint64)
+    d = IBLT.for_diff(40).add_u64(A).subtract(IBLT.for_diff(40).add_u64(B))
+    add, rem, ok = d.peel()
+    assert ok
+    assert set(add.tolist()) == set(only_a)
+    assert set(rem.tolist()) == set(only_b)
