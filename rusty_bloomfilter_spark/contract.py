@@ -119,6 +119,7 @@ _WINDOW_MIDDLE = [
     "q_ann_sq",
     "q_peak_concurrency",
     "q_set_reconcile",
+    "q_source_similarity",
     "q_dataset_card",
     "q_skipgram_pmi",
     "q_containment_join",
@@ -6982,3 +6983,47 @@ def q_set_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_docs = docs.count()
     out = set_reconcile(snap_a, snap_b, "key", max_diff=max(64, n_docs // 8))
     return out.orderBy("side", "key")
+
+
+@register(
+    "q_source_similarity",
+    oracle=_SEQ_CTE
+    + """
+    , sc AS (
+        SELECT source AS src, tok, count(*) AS c
+        FROM (SELECT source, unnest(tokens) AS tok FROM sequences) t
+        GROUP BY 1, 2
+    ), norms AS (
+        SELECT src, CAST(sum(c * c) AS BIGINT) AS nn FROM sc GROUP BY src
+    ), dots AS (
+        SELECT a.src AS src_a, b.src AS src_b,
+               CAST(sum(a.c * b.c) AS BIGINT) AS dot,
+               count(*) AS shared_tokens
+        FROM sc a JOIN sc b USING (tok)
+        WHERE a.src < b.src
+        GROUP BY 1, 2
+    )
+    SELECT src_a, src_b, shared_tokens,
+           round(CAST(dot AS DOUBLE)
+                 / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))), 6) AS cosine
+    FROM dots
+    JOIN norms na ON na.src = src_a
+    JOIN norms nb ON nb.src = src_b
+    ORDER BY cosine DESC, src_a, src_b LIMIT 100
+    """,
+)
+def q_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-level unigram cosine (operators/dispersion.py::
+    source_cosine_pairs): the feed-duplication screen — two crawls of
+    one site pair at cosine ~1 before any document comparison runs.
+    Dot products and norms are exact BIGINT sums (bitwise cross-engine);
+    one double division at the end, 6 dp. Vocab-bounded inverted-index
+    join, |S|^2 output rows."""
+    from .operators.dispersion import source_cosine_pairs
+
+    seq = sequences_from_documents(spark, sf_dir)
+    return (
+        source_cosine_pairs(seq)
+        .orderBy(F.desc("cosine"), "src_a", "src_b")
+        .limit(100)
+    )

@@ -106,3 +106,65 @@ def token_dispersion(
         "eff_sources",
     )
     return tie(out, sc)
+
+
+def source_cosine_pairs(
+    seq: DataFrame,
+    group_col: str = "source",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """Pairwise cosine similarity between the groups' unigram count
+    vectors — "which feeds are near-copies of each other", the
+    group-level complement of the per-token DP above and the
+    per-group-vs-corpus KL (q_source_token_drift): two crawls of the
+    same site show up as a cosine ~1 pair long before any document
+    pair is inspected.
+
+    Exactness: dot products and squared norms are sums of BIGINT count
+    products (exact in both engines); only the final
+    dot / (sqrt(na) * sqrt(nb)) touches floats — one double expression,
+    rounded to 6 dp.
+
+    Scale shape: ONE corpus-sized (group, token) aggregate (persisted
+    + tied — it feeds the norms and both join sides); the pair join is
+    an inverted-index equi-join on token over the vocab-bounded count
+    frame (per-token fan-out C(|groups_t|, 2) — groups are feeds, a
+    bounded set, so this is |vocab| x |S|^2 at worst, corpus-size-
+    independent); norms broadcast onto the |S|^2-row result.
+    """
+    sc = (
+        seq.select(F.col(group_col).alias("src"), F.explode(tokens_col).alias("tok"))
+        .groupBy("src", "tok")
+        .agg(F.count("*").alias("c"))
+        .persist()
+    )
+    norms = sc.groupBy("src").agg(F.sum(F.col("c") * F.col("c")).alias("nn"))
+    dots = (
+        sc.alias("a")
+        .join(sc.alias("b"), "tok")
+        .filter(F.col("a.src") < F.col("b.src"))
+        .groupBy(F.col("a.src").alias("src_a"), F.col("b.src").alias("src_b"))
+        .agg(
+            F.sum(F.col("a.c") * F.col("b.c")).alias("dot"),
+            F.count("*").alias("shared_tokens"),
+        )
+    )
+    out = (
+        dots.join(
+            F.broadcast(norms.withColumnRenamed("src", "src_a")), "src_a"
+        )
+        .withColumnRenamed("nn", "nn_a")
+        .join(F.broadcast(norms.withColumnRenamed("src", "src_b")), "src_b")
+        .withColumnRenamed("nn", "nn_b")
+        .select(
+            "src_a",
+            "src_b",
+            "shared_tokens",
+            F.round(
+                F.col("dot").cast("double")
+                / (F.sqrt(F.col("nn_a").cast("double")) * F.sqrt(F.col("nn_b").cast("double"))),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    return tie(out, sc)

@@ -72,3 +72,52 @@ def test_top_source_tiebreak_lexicographic(spark):
     rows = [("d0", [5], "b"), ("d1", [5], "a"), ("d2", [1, 2], "c")]
     got = _run(spark, rows)
     assert got[5]["top_source"] == "a"  # equal counts -> lexicographically first
+
+
+def _run_cosine(spark, rows):
+    from rusty_bloomfilter_spark.operators.dispersion import source_cosine_pairs
+
+    df = spark.createDataFrame(rows, "doc_id string, tokens array<int>, source string")
+    return {
+        (r["src_a"], r["src_b"]): (r["cosine"], r["shared_tokens"])
+        for r in source_cosine_pairs(df).collect()
+    }
+
+
+def test_source_cosine_matches_bruteforce(spark):
+    import math
+    from collections import Counter
+
+    rng = np.random.default_rng(61)
+    rows = [
+        (f"d{i}", rng.integers(0, 30, size=int(rng.integers(5, 40))).tolist(), f"s{i % 4}")
+        for i in range(40)
+    ]
+    got = _run_cosine(spark, rows)
+    per = {}
+    for _, toks, s in rows:
+        per.setdefault(s, Counter()).update(toks)
+    srcs = sorted(per)
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1 :]:
+            shared = set(per[a]) & set(per[b])
+            if not shared:
+                assert (a, b) not in got
+                continue
+            dot = sum(per[a][t] * per[b][t] for t in shared)
+            na = math.sqrt(sum(c * c for c in per[a].values()))
+            nb = math.sqrt(sum(c * c for c in per[b].values()))
+            cos, st = got[(a, b)]
+            assert st == len(shared)
+            assert abs(cos - dot / (na * nb)) < 1e-6
+
+
+def test_source_cosine_identical_and_disjoint(spark):
+    rows = [
+        ("d0", [1, 2, 2, 3], "a"),
+        ("d1", [1, 2, 2, 3], "b"),   # identical distribution -> cosine 1
+        ("d2", [100, 101], "c"),     # disjoint vocab -> pair absent
+    ]
+    got = _run_cosine(spark, rows)
+    assert got[("a", "b")][0] == 1.0
+    assert ("a", "c") not in got and ("b", "c") not in got
