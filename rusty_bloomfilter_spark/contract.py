@@ -120,6 +120,7 @@ _WINDOW_MIDDLE = [
     "q_peak_concurrency",
     "q_set_reconcile",
     "q_source_similarity",
+    "q_interarrival_ks",
     "q_dataset_card",
     "q_skipgram_pmi",
     "q_containment_join",
@@ -7027,3 +7028,50 @@ def q_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cosine"), "src_a", "src_b")
         .limit(100)
     )
+
+
+@register(
+    "q_interarrival_ks",
+    oracle="""
+    WITH ev AS (SELECT event_type AS grp, epoch_us(ts) AS t FROM events),
+    d2 AS (
+        SELECT grp, dt_us FROM (
+            SELECT grp, t - lag(t) OVER (PARTITION BY grp ORDER BY t) AS dt_us FROM ev
+        ) x WHERE dt_us IS NOT NULL
+    ), stats AS (
+        SELECT grp, count(*) AS n, CAST(sum(dt_us) AS BIGINT) AS sum_dt
+        FROM d2 GROUP BY grp
+    ), ranked AS (
+        SELECT grp, dt_us,
+               row_number() OVER (PARTITION BY grp ORDER BY dt_us) AS i
+        FROM d2
+    ), scored AS (
+        SELECT r.grp, s.n, s.sum_dt,
+               round(max(greatest(
+                   CAST(i AS DOUBLE) / s.n
+                     - (1.0 - exp(-(CAST(s.n AS DOUBLE) / s.sum_dt) * CAST(dt_us AS DOUBLE))),
+                   (1.0 - exp(-(CAST(s.n AS DOUBLE) / s.sum_dt) * CAST(dt_us AS DOUBLE)))
+                     - CAST(i - 1 AS DOUBLE) / s.n)), 6) AS ks_stat
+        FROM ranked r JOIN stats s USING (grp)
+        WHERE s.n >= 10
+        GROUP BY r.grp, s.n, s.sum_dt
+    )
+    SELECT grp AS event_type, n,
+           round(CAST(n AS DOUBLE) / sum_dt * 1000000.0, 6) AS lambda_per_s,
+           ks_stat,
+           round(1.358 / sqrt(CAST(n AS DOUBLE)), 6) AS ks_crit_05,
+           ks_stat <= round(1.358 / sqrt(CAST(n AS DOUBLE)), 6) AS exponential_ok
+    FROM scored ORDER BY event_type
+    """,
+)
+def q_interarrival_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type Kolmogorov-Smirnov exponential goodness-of-fit on
+    inter-arrival micros (operators/gof.py): the Poisson-traffic audit
+    that flags retry storms / bots (large D) where the drift family
+    (PSI/CUSUM/trend) sees only level changes. Integer-micro gaps, a
+    tie-invariant ranked ECDF, one double CDF expression both engines,
+    6 dp — hash-matched."""
+    from .operators.gof import interarrival_ks
+
+    ev = load_table(spark, sf_dir, "events")
+    return interarrival_ks(ev).orderBy("event_type")
