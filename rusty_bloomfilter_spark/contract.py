@@ -121,6 +121,7 @@ _WINDOW_MIDDLE = [
     "q_set_reconcile",
     "q_source_similarity",
     "q_interarrival_ks",
+    "q_value_ranksum",
     "q_dataset_card",
     "q_skipgram_pmi",
     "q_containment_join",
@@ -7075,3 +7076,55 @@ def q_interarrival_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return interarrival_ks(ev).orderBy("event_type")
+
+
+@register(
+    "q_value_ranksum",
+    oracle="""
+    WITH ev AS (
+        SELECT event_type AS g, CAST(value AS DOUBLE) AS v
+        FROM events WHERE value IS NOT NULL
+    ), types AS (SELECT DISTINCT g FROM ev),
+    pairs AS (SELECT a.g AS ga, b.g AS gb FROM types a JOIN types b ON a.g < b.g),
+    expanded AS (
+        SELECT p.ga, p.gb, e.g, e.v FROM ev e JOIN pairs p ON e.g = p.ga OR e.g = p.gb
+    ), ranked AS (
+        SELECT ga, gb, g, v,
+               CAST(rank() OVER (PARTITION BY ga, gb ORDER BY v) AS DOUBLE)
+                 + (CAST(count(*) OVER (PARTITION BY ga, gb, v) AS DOUBLE) - 1) / 2.0 AS midrank,
+               count(*) OVER (PARTITION BY ga, gb, v) AS tie_n
+        FROM expanded
+    ), agg AS (
+        SELECT ga, gb,
+               CAST(sum(CASE WHEN g = ga THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+               CAST(sum(CASE WHEN g = gb THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+               sum(CASE WHEN g = ga THEN midrank ELSE 0.0 END) AS r_a,
+               sum(CAST(tie_n AS DOUBLE) * tie_n - 1.0) AS tie_term
+        FROM ranked GROUP BY ga, gb
+    )
+    SELECT group_a, group_b, n_a, n_b, u_a, z, abs(z) <= 1.96 AS same_dist
+    FROM (
+        SELECT ga AS group_a, gb AS group_b, n_a, n_b,
+               round(r_a - CAST(n_a AS DOUBLE) * (n_a + 1) / 2.0, 6) AS u_a,
+               round((r_a - CAST(n_a AS DOUBLE) * (n_a + 1) / 2.0
+                      - CAST(n_a AS DOUBLE) * n_b / 2.0)
+                     / sqrt(CAST(n_a AS DOUBLE) * n_b / 12.0
+                            * ((CAST(n_a + n_b AS DOUBLE) + 1.0)
+                               - tie_term / (CAST(n_a + n_b AS DOUBLE)
+                                             * (CAST(n_a + n_b AS DOUBLE) - 1.0)))), 6) AS z
+        FROM agg
+    ) s ORDER BY group_a, group_b
+    """,
+)
+def q_value_ranksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U / rank-sum test for every event-type pair over
+    the value column (operators/stats.py::rank_sum_pairs): the
+    TWO-sample distribution comparison next to the one-sample KS —
+    binning-free (vs PSI) and normality-free (vs a t-test). Midranks
+    are rank() + (ties-1)/2 — multiples of 0.5 whose sums stay exact
+    in doubles, so U and the tie correction are bitwise cross-engine;
+    z is one double expression, 6 dp. Hash-matched."""
+    from .operators.stats import rank_sum_pairs
+
+    ev = load_table(spark, sf_dir, "events")
+    return rank_sum_pairs(ev, "event_type", "value").orderBy("group_a", "group_b")

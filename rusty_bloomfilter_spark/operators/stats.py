@@ -31,7 +31,7 @@ from __future__ import annotations
 
 from itertools import combinations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -94,4 +94,92 @@ def correlation_matrix(
     )
     return long.filter(
         F.col("corr").isNotNull() & (F.col("n_pairs") >= min_pairs)
+    )
+
+
+def rank_sum_pairs(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Mann-Whitney U / Wilcoxon rank-sum test for every pair of groups.
+
+    The TWO-sample companion of the one-sample KS audit
+    (operators/gof.py): "do these two slices draw their values from
+    the same distribution?" without binning (PSI) or normality
+    assumptions (a t-test). Emits per (group_a < group_b):
+
+        n_a, n_b, u_a  — the exact U statistic (from average ranks;
+                         ties get the standard midrank)
+        z              — normal approximation with the exact tie
+                         correction sigma^2 = n_a n_b / 12 *
+                         ((N+1) - sum(t^3 - t) / (N (N-1)))
+        same_dist      — |z| <= 1.96 (5% two-sided)
+
+    Cross-engine exactness: midranks are rank() + (tie_count - 1)/2 —
+    rank() assigns the tie group's MIN rank in both engines, so the
+    midrank is a deterministic function of the value multiset; U and
+    the tie term are sums of those exact halves (doubles hold .5
+    exactly), and z is one double expression, rounded to 6 dp.
+
+    Scale shape: each group joins into its (|G| choose 2) pairs —
+    groups are event types / feeds, a bounded set — and ranking is a
+    per-pair window sort; the output is pair-count rows. At extreme
+    per-pair volume, pre-aggregate to (pair, value, multiplicity) and
+    rank distinct values instead.
+    """
+    ev = df.select(
+        F.col(group_col).alias("g"), F.col(value_col).cast("double").alias("v")
+    ).filter(F.col("v").isNotNull())
+    types = ev.select("g").distinct()
+    pairs = (
+        types.alias("a")
+        .join(types.alias("b"), F.col("a.g") < F.col("b.g"))
+        .select(F.col("a.g").alias("ga"), F.col("b.g").alias("gb"))
+    )
+    expanded = ev.join(
+        F.broadcast(pairs), (F.col("g") == F.col("ga")) | (F.col("g") == F.col("gb"))
+    )
+    w_rank = Window.partitionBy("ga", "gb").orderBy("v")
+    w_tie = Window.partitionBy("ga", "gb", "v")
+    ranked = expanded.select(
+        "ga",
+        "gb",
+        "g",
+        "v",
+        (
+            F.rank().over(w_rank).cast("double")
+            + (F.count("*").over(w_tie) - 1).cast("double") / 2.0
+        ).alias("midrank"),
+        F.count("*").over(w_tie).alias("tie_n"),
+    )
+    agg = ranked.groupBy("ga", "gb").agg(
+        F.sum(F.when(F.col("g") == F.col("ga"), 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("g") == F.col("gb"), 1).otherwise(0)).alias("n_b"),
+        F.sum(
+            F.when(F.col("g") == F.col("ga"), F.col("midrank")).otherwise(0.0)
+        ).alias("r_a"),
+        # each tie group of size t contributes t rows of (t^3 - t)/t = t^2 - 1
+        F.sum(
+            F.col("tie_n").cast("double") * F.col("tie_n") - 1.0
+        ).alias("tie_term"),
+    )
+    n = (F.col("n_a") + F.col("n_b")).cast("double")
+    u_a = F.col("r_a") - F.col("n_a").cast("double") * (F.col("n_a") + 1) / 2.0
+    mu = F.col("n_a").cast("double") * F.col("n_b") / 2.0
+    sigma2 = (
+        F.col("n_a").cast("double")
+        * F.col("n_b")
+        / 12.0
+        * ((n + 1.0) - F.col("tie_term") / (n * (n - 1.0)))
+    )
+    z = (u_a - mu) / F.sqrt(sigma2)
+    return agg.select(
+        F.col("ga").alias("group_a"),
+        F.col("gb").alias("group_b"),
+        "n_a",
+        "n_b",
+        F.round(u_a, 6).alias("u_a"),
+        F.round(z, 6).alias("z"),
+        (F.abs(F.round(z, 6)) <= 1.96).alias("same_dist"),
     )
