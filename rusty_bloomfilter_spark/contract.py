@@ -123,6 +123,7 @@ _WINDOW_MIDDLE = [
     "q_interarrival_ks",
     "q_value_ranksum",
     "q_survival_km",
+    "q_lang_source_chi2",
     "q_dataset_card",
     "q_skipgram_pmi",
     "q_containment_join",
@@ -7193,3 +7194,44 @@ def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     return km_curve(
         iv, "s_us", "e_us", unit_us=60_000_000, censor_us=30 * 60 * 1_000_000
     ).orderBy("t_unit")
+
+
+@register(
+    "q_lang_source_chi2",
+    oracle="""
+    WITH cells AS (
+        SELECT lang AS a, source AS b, count(*) AS o
+        FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+        GROUP BY 1, 2
+    ), ra AS (SELECT a, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY a),
+    cb AS (SELECT b, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY b),
+    nrow AS (
+        SELECT CAST(sum(o) AS BIGINT) AS n, count(*) AS observed_cells FROM cells
+    ), folded AS (
+        SELECT sum(CAST(o AS DOUBLE) * o / (CAST(r AS DOUBLE) * c)) AS s
+        FROM cells JOIN ra USING (a) JOIN cb USING (b)
+    ), lv AS (
+        SELECT (SELECT count(*) FROM ra) AS r_levels,
+               (SELECT count(*) FROM cb) AS c_levels
+    )
+    SELECT n, r_levels, c_levels, observed_cells,
+           (r_levels - 1) * (c_levels - 1) AS dof,
+           round(CAST(n AS DOUBLE) * s - n, 6) AS chi2,
+           round(sqrt(greatest(CAST(n AS DOUBLE) * s - n, 0.0)
+                      / (CAST(n AS DOUBLE)
+                         * (CAST(least(r_levels, c_levels) AS DOUBLE) - 1.0))), 6)
+               AS cramers_v
+    FROM folded CROSS JOIN nrow CROSS JOIN lv
+    """,
+)
+def q_lang_source_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence of language vs source feed over the
+    documents table (operators/stats.py::chi2_independence) + Cramér's
+    V effect size — the categorical member of the statistical-audit
+    family. Zero cells folded analytically (chi2 = N·Σ_obs o²/(r·c)
+    − N), so the aggregate touches only observed cells; one row out,
+    hash-matched at 6 dp."""
+    from .operators.stats import chi2_independence
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chi2_independence(docs, "lang", "source")

@@ -34,6 +34,8 @@ from itertools import combinations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .cache import tie
+
 
 def correlation_matrix(
     df: DataFrame,
@@ -183,3 +185,78 @@ def rank_sum_pairs(
         F.round(z, 6).alias("z"),
         (F.abs(F.round(z, 6)) <= 1.96).alias("same_dist"),
     )
+
+
+def chi2_independence(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """Pearson chi-square test of independence between two categorical
+    columns, plus Cramér's V effect size — "is language independent of
+    the source feed", the categorical counterpart of the numeric
+    two-sample tests (rank-sum) and shape tests (KS, Benford).
+
+    Zero cells are folded ANALYTICALLY (the benford.py identity):
+    with e_ij = r_i * c_j / N,
+
+        chi2 = sum_all (o - e)^2 / e  =  N * sum_OBSERVED o^2/(r_i c_j) - N
+
+    so the aggregate touches only observed (a, b) cells — no R x C
+    grid join, no zero-fill. Cramér's V = sqrt(chi2 / (N * (min(R,C)
+    - 1))); dof = (R-1)(C-1).
+
+    Cross-engine exactness: counts and marginals are exact BIGINTs;
+    o^2/(r*c) is one double division per observed cell summed over a
+    small frame, and the closing expressions are single double ops —
+    6 dp. One corpus-sized (a, b) aggregate; marginals derive from it
+    (persisted + tied, three consumers); output is ONE row.
+    """
+    cells = (
+        df.select(F.col(col_a).alias("a"), F.col(col_b).alias("b"))
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("o"))
+        .persist()
+    )
+    ra = cells.groupBy("a").agg(F.sum("o").cast("bigint").alias("r"))
+    cb = cells.groupBy("b").agg(F.sum("o").cast("bigint").alias("c"))
+    n_row = cells.agg(
+        F.sum("o").cast("bigint").alias("n"),
+        F.count("*").alias("observed_cells"),
+    )
+    term = (
+        F.col("o").cast("double")
+        * F.col("o")
+        / (F.col("r").cast("double") * F.col("c"))
+    )
+    folded = (
+        cells.join(F.broadcast(ra), "a")
+        .join(F.broadcast(cb), "b")
+        .agg(F.sum(term).alias("s"))
+    )
+    levels = ra.agg(F.count("*").alias("r_levels")).crossJoin(
+        cb.agg(F.count("*").alias("c_levels"))
+    )
+    chi2 = F.col("n").cast("double") * F.col("s") - F.col("n")
+    min_rc = F.least("r_levels", "c_levels").cast("double")
+    out = (
+        folded.crossJoin(F.broadcast(n_row))
+        .crossJoin(F.broadcast(levels))
+        .select(
+            "n",
+            "r_levels",
+            "c_levels",
+            "observed_cells",
+            ((F.col("r_levels") - 1) * (F.col("c_levels") - 1)).alias("dof"),
+            F.round(chi2, 6).alias("chi2"),
+            F.round(
+                F.sqrt(
+                    F.greatest(chi2, F.lit(0.0))
+                    / (F.col("n").cast("double") * (min_rc - 1.0))
+                ),
+                6,
+            ).alias("cramers_v"),
+        )
+    )
+    return tie(out, cells)

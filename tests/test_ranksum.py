@@ -73,3 +73,55 @@ def test_identical_samples_z_zero_shift_detected(spark):
     assert got[("x", "y")]["u_a"] == 60 * 60 / 2
     assert abs(got[("x", "y")]["z"]) < 1e-9 and got[("x", "y")]["same_dist"]
     assert not got[("x", "z")]["same_dist"] and got[("x", "z")]["z"] < -5
+
+
+# ---------------------------------------------------------------------------
+# chi-square independence (stats.chi2_independence)
+# ---------------------------------------------------------------------------
+
+
+def _run_chi2(spark, pairs):
+    from rusty_bloomfilter_spark.operators.stats import chi2_independence
+
+    df = spark.createDataFrame(pairs, "a string, b string")
+    return chi2_independence(df, "a", "b").collect()[0].asDict()
+
+
+def brute_chi2(pairs):
+    from collections import Counter
+
+    cells = Counter(pairs)
+    ra, cb = Counter(), Counter()
+    for (a, b), o in cells.items():
+        ra[a] += o
+        cb[b] += o
+    n = sum(cells.values())
+    chi2 = 0.0
+    for a in ra:
+        for b in cb:
+            e = ra[a] * cb[b] / n
+            o = cells.get((a, b), 0)
+            chi2 += (o - e) ** 2 / e
+    return chi2
+
+
+def test_chi2_matches_full_grid_bruteforce(spark):
+    rng = np.random.default_rng(83)
+    pairs = [
+        (f"a{rng.integers(0, 4)}", f"b{rng.integers(0, 6)}") for _ in range(500)
+    ]
+    got = _run_chi2(spark, pairs)
+    want = brute_chi2(pairs)
+    assert abs(got["chi2"] - want) < 1e-5  # analytic zero-cell fold == full grid
+    assert got["n"] == 500 and got["dof"] == 3 * 5
+
+
+def test_chi2_independent_and_perfect(spark):
+    # exact product distribution -> chi2 == 0
+    indep = [(f"a{i}", f"b{j}") for i in range(3) for j in range(4) for _ in range(5)]
+    got = _run_chi2(spark, indep)
+    assert got["chi2"] == 0.0 and got["cramers_v"] == 0.0
+    # diagonal (perfect association) -> Cramér's V == 1
+    diag = [(f"x{i}", f"y{i}") for i in range(4) for _ in range(10)]
+    got = _run_chi2(spark, diag)
+    assert got["cramers_v"] == 1.0 and got["observed_cells"] == 4
