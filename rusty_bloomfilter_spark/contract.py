@@ -112,6 +112,7 @@ _WINDOW_MIDDLE = [
     # 34 new-this-round), so these are pinned here to avoid evicting a
     # never-verified query; round 5's rotation promotes them (they have
     # oracles and sit at the head of MIDDLE).
+    "q_xor_pruned_read",
     "q_winnow_overlap",
     "q_vocab_growth",
     "q_token_dispersion",
@@ -4305,6 +4306,49 @@ def q_bloom_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys = [
         r["o_orderkey"]
         for r in laid.filter(F.col("o_orderkey") % 997 == 0)
+        .select("o_orderkey")
+        .collect()
+    ]
+    rows, _files_read = bloom_pruned_read(
+        spark, scratch, index, keys, key_col="o_orderkey"
+    )
+    return rows.select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+@register(
+    "q_xor_pruned_read",
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        WHERE o_orderkey % 17 = 3
+          AND o_orderkey * 8 <= (SELECT max(o_orderkey) FROM orders)
+    """,
+)
+def q_xor_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATIC xor-filter file pruning (sketch/xorfilter.py +
+    operators/pruning.py::xor_file_index): the space-optimal static
+    tier of the AMQ family — ~19.7 bits/key at FPR exactly 2^-16 vs a
+    Bloom row's 23.1 bits/key at the same p, built once per file by
+    hypergraph peeling (Graf & Lemire 2020) and immutable after. Same
+    index schema as the Bloom file index, so prune_files/
+    bloom_pruned_read run unchanged via magic dispatch. The probe keys
+    sit in the LOW o_orderkey band of a range-partitioned layout, so
+    the index actually skips files; zero FN (reference contract
+    mod.rs:199-228 — here by construction of the xor identity) makes
+    the pruned scan hash-equal to the oracle's full-scan filter."""
+    from .operators.pruning import bloom_pruned_read, xor_file_index
+
+    orders = load_table(spark, sf_dir, "orders")
+    scratch = _scratch_dir("xorprune")
+    orders.repartitionByRange(8, "o_orderkey").write.mode("overwrite").parquet(scratch)
+    laid = spark.read.parquet(scratch)
+    index = xor_file_index(laid, key_col="o_orderkey")
+    hi = laid.agg(F.max("o_orderkey").alias("m")).collect()[0]["m"]
+    keys = [
+        r["o_orderkey"]
+        for r in laid.filter(
+            (F.col("o_orderkey") % 17 == 3) & (F.col("o_orderkey") * 8 <= hi)
+        )
         .select("o_orderkey")
         .collect()
     ]

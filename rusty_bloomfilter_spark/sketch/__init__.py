@@ -21,6 +21,7 @@ from .kll import KLLSketch
 from .misragries import MisraGries
 from .shape import Shape
 from .tdigest import TDigest
+from .xorfilter import XorFilter
 
 _KINDS = {
     b"RBSK": BloomFilter,
@@ -36,6 +37,7 @@ _KINDS = {
     b"RAMS": CountSketch,
     b"RGRM": GramMatrix,
     b"RFDS": FrequentDirections,
+    b"RXOR": XorFilter,
 }
 
 
@@ -93,4 +95,5 @@ __all__ = [
     "sketch_from_bytes",
     "splitmix64",
     "tokens_to_u64",
+    "XorFilter",
 ]
