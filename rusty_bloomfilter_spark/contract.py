@@ -113,6 +113,7 @@ _WINDOW_MIDDLE = [
     # never-verified query; round 5's rotation promotes them (they have
     # oracles and sit at the head of MIDDLE).
     "q_xor_pruned_read",
+    "q_theilsen_trend",
     "q_winnow_overlap",
     "q_vocab_growth",
     "q_token_dispersion",
@@ -6147,6 +6148,58 @@ def q_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("last_day", F.date_format("last_day", "yyyy-MM-dd"))
         .orderBy("event_type")
     )
+
+
+@register(
+    "q_theilsen_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS DOUBLE) AS y
+      FROM events GROUP BY 1, 2
+    ), x AS (
+      SELECT event_type,
+             CAST(date_diff('day', DATE '2024-01-15', day) AS DOUBLE) AS x,
+             y
+      FROM daily
+    ), pairs AS (
+      SELECT a.event_type, (b.y - a.y) / (b.x - a.x) AS s
+      FROM x a JOIN x b ON a.event_type = b.event_type AND a.x < b.x
+    ), sl AS (
+      SELECT event_type, quantile_cont(s, 0.5) AS slope,
+             CAST(count(*) AS BIGINT) AS n_pairs
+      FROM pairs GROUP BY 1
+    )
+    SELECT x.event_type,
+           round(sl.slope, 6) AS ts_slope_per_day,
+           round(quantile_cont(x.y - sl.slope * x.x, 0.5), 6) AS ts_intercept,
+           CAST(count(*) AS BIGINT) AS n_days,
+           sl.n_pairs
+    FROM x JOIN sl ON x.event_type = sl.event_type
+    GROUP BY x.event_type, sl.slope, sl.n_pairs
+    HAVING count(*) >= 2
+    ORDER BY x.event_type
+    """,
+)
+def q_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROBUST trend per event type — Theil–Sen median-of-pairwise-slopes
+    (operators/trend.py::theil_sen_trend) next to q_daily_trend's OLS:
+    up to ~29% corrupted days leave the estimate unmoved where one
+    spike drags OLS arbitrarily, so the OLS-vs-Theil–Sen gap is the
+    series' outlier alarm. The corpus collapses to the |keys|·|days|
+    daily frame in one map-side-combinable aggregate BEFORE pairing
+    (persisted + tied; the pair join is days²-per-key, never corpus²);
+    every pairwise slope is one IEEE division and the median is the
+    SQL-standard interpolated percentile, so DuckDB hash-matches at
+    round(6)."""
+    from .operators.trend import theil_sen_trend
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day")
+    )
+    daily = ev.groupBy("event_type", "day").agg(F.count("*").alias("cnt"))
+    out = theil_sen_trend(daily, "event_type", "day", "cnt", ref_day="2024-01-15")
+    return out.orderBy("event_type")
 
 
 def _benford_oracle() -> str:

@@ -38,6 +38,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .cache import tie
+
 
 def group_trend(
     df: DataFrame,
@@ -98,3 +100,80 @@ def group_trend(
         F.round(fit, 6).alias("fitted_first"),
         F.round(fit_last, 6).alias("fitted_last"),
     )
+
+
+def theil_sen_trend(
+    df: DataFrame,
+    key_col: str,
+    day_col: str,
+    value_col: str,
+    ref_day: str,
+    min_points: int = 2,
+) -> DataFrame:
+    """ROBUST slope per key: Theil–Sen (Theil 1950, Sen 1968) — the
+    median of all pairwise slopes (y_j−y_i)/(x_j−x_i), with Sen's
+    intercept median(y_i − slope·x_i). Up to ~29% of the points can be
+    arbitrarily corrupted before the estimate moves (breakdown point
+    1−1/√2), where a single spike day drags the OLS fit
+    (``group_trend``) by an unbounded amount — run both; a large
+    OLS-vs-Theil–Sen gap IS the outlier alarm.
+
+    Distributed shape: the pair set is generated by a self-join of the
+    per-(key, day) DAILY frame — the corpus-sized input collapses to
+    |keys|·|days| rows in one map-side-combinable aggregate BEFORE any
+    pairing, so the join is bounded by days² per key (a year of daily
+    points = 66k pairs — trivially partition-sized), never corpus².
+    The daily frame is persisted and tied (three consumers: both join
+    sides + the intercept pass). At decade-scale series, switch the
+    axis to weekly buckets before pairing; the estimator commutes with
+    any monotone re-bucketing of the axis.
+
+    Cross-engine determinism: every pairwise slope is one IEEE
+    division of exactly-representable integers-in-doubles, the median
+    is the SQL-standard interpolated percentile (DuckDB
+    ``quantile_cont``), and the even-count midpoint (a+b)/2 is the
+    same double in both engines — so results hash-match at round(6)
+    with ulp noise orders below the rounding step.
+    """
+    if min_points < 2:
+        raise ValueError(f"min_points must be >= 2, got {min_points}")
+    x = F.datediff(F.col(day_col), F.to_date(F.lit(ref_day))).cast("double")
+    daily = df.select(
+        F.col(key_col).alias("key"),
+        x.alias("x"),
+        F.col(value_col).cast("double").alias("y"),
+    ).persist()
+    a = daily.alias("a")
+    b = daily.alias("b")
+    pair_slope = (F.col("b.y") - F.col("a.y")) / (F.col("b.x") - F.col("a.x"))
+    slopes = (
+        a.join(b, on=[F.col("a.key") == F.col("b.key"), F.col("a.x") < F.col("b.x")])
+        .select(F.col("a.key").alias("key"), pair_slope.alias("s"))
+        .groupBy("key")
+        .agg(
+            F.percentile(F.col("s"), F.lit(0.5)).alias("slope"),
+            F.count("*").alias("n_pairs"),
+        )
+    )
+    resid = daily.join(slopes, on="key").select(
+        "key",
+        "slope",
+        "n_pairs",
+        (F.col("y") - F.col("slope") * F.col("x")).alias("r"),
+    )
+    out = (
+        resid.groupBy("key", "slope", "n_pairs")
+        .agg(
+            F.percentile(F.col("r"), F.lit(0.5)).alias("intercept"),
+            F.count("*").alias("n_days"),
+        )
+        .filter(F.col("n_days") >= min_points)
+        .select(
+            F.col("key").alias(key_col),
+            F.round("slope", 6).alias("ts_slope_per_day"),
+            F.round("intercept", 6).alias("ts_intercept"),
+            F.col("n_days"),
+            F.col("n_pairs"),
+        )
+    )
+    return tie(out, daily)

@@ -91,3 +91,60 @@ def test_single_aggregate_plan(spark):
     # one hash aggregate pair around one Exchange; no window, no join
     assert len(re.findall(r"^\(\d+\) Exchange", phys, re.M)) == 1, phys
     assert "Window" not in phys and "Join" not in phys, phys
+
+
+# -- Theil–Sen robust slope -------------------------------------------------
+
+from rusty_bloomfilter_spark.operators.trend import theil_sen_trend
+
+
+def _ts_oracle(ts, vals):
+    """Brute-force Theil–Sen: median of all pairwise slopes, then Sen's
+    intercept as the median residual at slope."""
+    ts = np.asarray(ts, dtype=float)
+    vals = np.asarray(vals, dtype=float)
+    slopes = [
+        (vals[j] - vals[i]) / (ts[j] - ts[i])
+        for i in range(len(ts))
+        for j in range(i + 1, len(ts))
+    ]
+    slope = float(np.median(slopes))
+    intercept = float(np.median(vals - slope * ts))
+    return slope, intercept
+
+
+def test_theilsen_matches_bruteforce(spark):
+    rng = np.random.default_rng(21)
+    ts = np.arange(25)
+    vals = (3.0 + 0.8 * ts + rng.normal(0, 2, 25)).round(3)
+    rows = [("a", D0 + dt.timedelta(days=int(t)), float(v)) for t, v in zip(ts, vals)]
+    got = _by_key(theil_sen_trend(_frame(spark, rows), "k", "day", "v", ref_day="2024-03-01"))["a"]
+    slope, intercept = _ts_oracle(ts, vals)
+    assert got["ts_slope_per_day"] == pytest.approx(slope, abs=1e-6)
+    assert got["ts_intercept"] == pytest.approx(intercept, abs=1e-6)
+    assert got["n_days"] == 25
+    assert got["n_pairs"] == 25 * 24 // 2
+
+
+def test_theilsen_shrugs_off_outlier_where_ols_moves(spark):
+    # clean line v = 2t, one corrupted day at +1000 at the window END —
+    # maximal leverage (a center spike moves only the OLS intercept)
+    ts = np.arange(21)
+    vals = 2.0 * ts
+    vals[20] += 1000.0
+    rows = [("a", D0 + dt.timedelta(days=int(t)), float(v)) for t, v in zip(ts, vals)]
+    f = _frame(spark, rows)
+    robust = _by_key(theil_sen_trend(f, "k", "day", "v", ref_day="2024-03-01"))["a"]
+    ols = _by_key(group_trend(f, "k", "day", "v", ref_day="2024-03-01"))["a"]
+    assert robust["ts_slope_per_day"] == pytest.approx(2.0, abs=0.01)
+    # OLS is visibly dragged by the spike — the gap IS the alarm
+    assert abs(ols["slope_per_day"] - 2.0) > 0.5
+
+
+def test_theilsen_two_points_and_guard(spark):
+    rows = [("b", D0, 1.0), ("b", D0 + dt.timedelta(days=2), 7.0)]
+    got = _by_key(theil_sen_trend(_frame(spark, rows), "k", "day", "v", ref_day="2024-03-01"))["b"]
+    assert got["ts_slope_per_day"] == pytest.approx(3.0, abs=1e-6)
+    assert got["n_pairs"] == 1
+    with pytest.raises(ValueError):
+        theil_sen_trend(_frame(spark, rows), "k", "day", "v", ref_day="2024-03-01", min_points=1)
