@@ -114,6 +114,7 @@ _WINDOW_MIDDLE = [
     # oracles and sit at the head of MIDDLE).
     "q_xor_pruned_read",
     "q_theilsen_trend",
+    "q_gap_fill",
     "q_winnow_overlap",
     "q_vocab_growth",
     "q_token_dispersion",
@@ -6148,6 +6149,64 @@ def q_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("last_day", F.date_format("last_day", "yyyy-MM-dd"))
         .orderBy("event_type")
     )
+
+
+@register(
+    "q_gap_fill",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, max(value) AS v
+      FROM events GROUP BY 1, 2
+    ), obs AS (
+      SELECT * FROM daily WHERE day(day) % 7 NOT IN (2, 5)
+    ), spans AS (
+      SELECT event_type, min(day) d0, max(day) d1 FROM obs GROUP BY 1
+    ), cal AS (
+      SELECT s.event_type, CAST(u.d AS DATE) AS day
+      FROM spans s,
+           LATERAL (SELECT unnest(generate_series(s.d0, s.d1, INTERVAL 1 DAY)) AS d) u
+    )
+    SELECT c.event_type, CAST(c.day AS VARCHAR) AS day,
+           round(last_value(o.v IGNORE NULLS) OVER w, 6) AS peak_value,
+           o.v IS NOT NULL AS is_observed,
+           CAST(date_diff('day',
+                last_value(CASE WHEN o.v IS NOT NULL THEN c.day END IGNORE NULLS)
+                  OVER w,
+                c.day) AS INT) AS fill_age_days
+    FROM cal c LEFT JOIN obs o USING (event_type, day)
+    WINDOW w AS (PARTITION BY c.event_type ORDER BY c.day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ORDER BY c.event_type, c.day
+    """,
+)
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar densification + LOCF (operators/temporal.py::
+    gap_fill_locf): per-type daily peak values with deterministic
+    "feed-outage" days removed (day-of-month % 7 ∈ {2,5} — the same
+    gap pattern at every SF), then the series re-densified over each
+    key's span with the last observation carried forward, an
+    is_observed flag, and fill_age_days staleness. The resample step
+    downstream windows silently assume: a trailing mean over the
+    sparse frame would average observed days only. Calendar rows come
+    from map-side sequence() per key span (never a driver loop), the
+    carry-forward is one last(ignorenulls) window per key — one hash
+    exchange end to end. Hash-matched vs DuckDB's generate_series +
+    IGNORE-NULLS window rendering."""
+    from .operators.temporal import gap_fill_locf
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day"), "value"
+    )
+    daily = ev.groupBy("event_type", "day").agg(F.max("value").alias("v"))
+    obs = daily.filter(~(F.dayofmonth("day") % 7).isin(2, 5))
+    out = gap_fill_locf(obs, "event_type", "day", "v")
+    return out.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.round("v", 6).alias("peak_value"),
+        "is_observed",
+        "fill_age_days",
+    ).orderBy("event_type", "day")
 
 
 @register(

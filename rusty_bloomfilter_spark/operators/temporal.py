@@ -293,3 +293,65 @@ def session_intervals(
         .agg(F.min("t").alias("s_us"), F.max("t").alias("e_us"))
         .select("user_id", "s_us", "e_us")
     )
+
+
+def gap_fill_locf(
+    daily: DataFrame,
+    key_col: str,
+    day_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Densify a sparse per-key daily series over each key's own
+    [min_day, max_day] span and carry the last observation forward
+    (LOCF) — the resample step every downstream window/trend consumer
+    silently assumes has already happened: a trailing-7-day mean over a
+    SPARSE frame averages observed days only, quietly skipping the gaps
+    (q_rolling_revenue dodges this with a RANGE frame; most consumers
+    don't).
+
+    Output one row per (key, calendar day): ``value`` (observed or
+    carried), ``is_observed``, and ``fill_age_days`` (0 on observed
+    days — the staleness signal that lets a consumer cap how far a
+    value may be dragged).
+
+    Distributed shape: the input is already the |keys|·|observed days|
+    daily aggregate (corpus-size-independent); the calendar explode is
+    map-side ``sequence()`` per key span (never a driver loop or a
+    calendar cross join), and the carry-forward is one
+    last(ignorenulls) window per key ordered by day — ONE hash
+    exchange on the key carries the whole operator. Dense output is
+    |keys|·|span days| rows — bounded by calendar time, not corpus
+    size.
+
+    No reference analogue (the reference library has no temporal
+    surface); semantics per the standard LOCF resample (pandas
+    ``asfreq('D').ffill()``).
+    """
+    spans = daily.groupBy(key_col).agg(
+        F.min(F.col(day_col)).alias("_d0"), F.max(F.col(day_col)).alias("_d1")
+    )
+    calendar = spans.select(
+        key_col,
+        F.explode(
+            F.sequence(F.col("_d0"), F.col("_d1"), F.expr("interval 1 day"))
+        ).alias(day_col),
+    )
+    obs = daily.select(
+        key_col, day_col, F.col(value_col).alias("_obs")
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(day_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    joined = calendar.join(obs, on=[key_col, day_col], how="left")
+    last_obs_day = F.last(
+        F.when(F.col("_obs").isNotNull(), F.col(day_col)), ignorenulls=True
+    ).over(w)
+    return joined.select(
+        F.col(key_col),
+        F.col(day_col),
+        F.last(F.col("_obs"), ignorenulls=True).over(w).alias(value_col),
+        F.col("_obs").isNotNull().alias("is_observed"),
+        F.datediff(F.col(day_col), last_obs_day).alias("fill_age_days"),
+    )

@@ -307,3 +307,67 @@ def test_debounce_rejects_bad_gap(spark):
     )
     with pytest.raises(ValueError):
         debounce(df, gap_minutes=0)
+
+
+# -- gap_fill_locf ----------------------------------------------------------
+
+
+def test_gap_fill_matches_pandas_ffill(spark):
+    import datetime as dt
+
+    import numpy as np
+    import pandas as pd
+
+    from rusty_bloomfilter_spark.operators.temporal import gap_fill_locf
+
+    rng = np.random.default_rng(5)
+    d0 = dt.date(2024, 2, 1)
+    rows = []
+    for key in ("a", "b"):
+        days = sorted(rng.choice(40, size=12, replace=False))
+        for t in days:
+            rows.append((key, d0 + dt.timedelta(days=int(t)), float(rng.integers(1, 100))))
+    df = spark.createDataFrame(rows, "k string, day date, v double").repartition(4)
+    got = (
+        gap_fill_locf(df, "k", "day", "v")
+        .orderBy("k", "day")
+        .toPandas()
+    )
+    for key in ("a", "b"):
+        pdf = pd.DataFrame(
+            [(d, v) for k, d, v in rows if k == key], columns=["day", "v"]
+        ).set_index("day")
+        pdf.index = pd.to_datetime(pdf.index)
+        dense = pdf.asfreq("D").ffill()
+        sub = got[got.k == key]
+        assert len(sub) == len(dense)
+        assert np.allclose(sub.v.to_numpy(), dense.v.to_numpy())
+        # observed flags mark exactly the original days
+        obs_days = {pd.Timestamp(d) for k, d, v in rows if k == key}
+        flags = {pd.Timestamp(d): o for d, o in zip(sub.day, sub.is_observed)}
+        for d, o in flags.items():
+            assert o == (d in obs_days)
+
+
+def test_gap_fill_age_and_dense_identity(spark):
+    import datetime as dt
+
+    from rusty_bloomfilter_spark.operators.temporal import gap_fill_locf
+
+    d0 = dt.date(2024, 2, 1)
+    # gap of 3 days: ages run 0,1,2,3 then reset
+    rows = [("a", d0, 1.0), ("a", d0 + dt.timedelta(days=4), 2.0)]
+    df = spark.createDataFrame(rows, "k string, day date, v double")
+    got = {r["day"]: r for r in gap_fill_locf(df, "k", "day", "v").collect()}
+    assert [got[d0 + dt.timedelta(days=i)]["fill_age_days"] for i in range(5)] == [0, 1, 2, 3, 0]
+    assert [got[d0 + dt.timedelta(days=i)]["v"] for i in range(5)] == [1.0, 1.0, 1.0, 1.0, 2.0]
+    # dense input is the identity (plus flags/age all observed/0)
+    dense_rows = [("b", d0 + dt.timedelta(days=i), float(i)) for i in range(5)]
+    dd = spark.createDataFrame(dense_rows, "k string, day date, v double")
+    out = gap_fill_locf(dd, "k", "day", "v").orderBy("day").collect()
+    assert [r["v"] for r in out] == [0.0, 1.0, 2.0, 3.0, 4.0]
+    assert all(r["is_observed"] and r["fill_age_days"] == 0 for r in out)
+    # single-observation key: one row, span of 1
+    single = spark.createDataFrame([("c", d0, 9.0)], "k string, day date, v double")
+    srow = gap_fill_locf(single, "k", "day", "v").collect()
+    assert len(srow) == 1 and srow[0]["v"] == 9.0
