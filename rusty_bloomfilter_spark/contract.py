@@ -115,6 +115,7 @@ _WINDOW_MIDDLE = [
     "q_xor_pruned_read",
     "q_theilsen_trend",
     "q_gap_fill",
+    "q_jsonl_scan",
     "q_winnow_overlap",
     "q_vocab_growth",
     "q_token_dispersion",
@@ -6148,6 +6149,66 @@ def q_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.withColumn("first_day", F.date_format("first_day", "yyyy-MM-dd"))
         .withColumn("last_day", F.date_format("last_day", "yyyy-MM-dd"))
         .orderBy("event_type")
+    )
+
+
+@register(
+    "q_jsonl_scan",
+    oracle="""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           md5(string_agg(md5(text), ',' ORDER BY doc_id)) AS text_md5,
+           3 AS n_quarantined
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q_jsonl_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL ingest with corrupt-line quarantine (sources/read_jsonl +
+    split_corrupt) — the format a curation pipeline reads FIRST. The
+    documents table is round-tripped through JSON Lines with THREE
+    malformed lines injected; the reader takes the schema as a
+    contract (zero inference passes over the corpus), routes the bad
+    lines to the corrupt column instead of silently NULLing them into
+    plausible empty documents (the PERMISSIVE default), and the good
+    rows hash-match the original table EXACTLY — text_md5 pins every
+    byte of every document through the JSON escape/unescape round
+    trip, per source in doc_id order; n_quarantined pins the bad-line
+    count cross-engine as a constant."""
+    import os
+
+    from .sources import read_jsonl, split_corrupt
+
+    docs = load_table(spark, sf_dir, "documents")
+    scratch = _scratch_dir("jsonl")
+    docs.write.mode("overwrite").json(scratch)
+    with open(os.path.join(scratch, "bad-lines.json"), "w") as fh:
+        fh.write('{"doc_id": 1, "text": unquoted}\n')
+        fh.write("not json at all\n")
+        fh.write('{"doc_id": "trailing...\n')
+    raw = read_jsonl(
+        spark,
+        scratch,
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    good, bad = split_corrupt(raw)
+    n_bad = bad.count()
+    sorted_hashes = F.array_sort(
+        F.collect_list(F.struct(F.col("doc_id"), F.md5("text").alias("h")))
+    )
+    return (
+        good.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.md5(
+                F.array_join(F.transform(sorted_hashes, lambda s: s["h"]), ",")
+            ).alias("text_md5"),
+        )
+        .withColumn("n_quarantined", F.lit(n_bad).cast("int"))
+        .orderBy("source")
     )
 
 

@@ -178,3 +178,66 @@ def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
     only survives via the catalog — a plain spark.read.parquet of the
     same files loses it and reintroduces the shuffle)."""
     return spark.read.table(table)
+
+
+# ---------------------------------------------------------------------------
+# JSONL ingest (the crawl-dump format a curation pipeline reads FIRST)
+# ---------------------------------------------------------------------------
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    *,
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """Schema-EXPLICIT JSONL reader with corrupt-line quarantine.
+
+    Crawl dumps arrive as JSON Lines, and the two defaults that work in
+    a notebook are scale bugs at 100 TB: schema inference runs a whole
+    extra pass over the corpus before the first real job, and the
+    default PERMISSIVE mode silently NULLs every field of a malformed
+    line — a parse failure becomes a plausible-looking empty document.
+    This reader takes the schema as a contract (zero inference passes)
+    and routes unparseable lines to ``corrupt_col`` so
+    :func:`split_corrupt` can count and quarantine them loudly.
+
+    Returns the raw frame INCLUDING the corrupt column; pass it to
+    :func:`split_corrupt` to separate good rows from quarantined lines.
+    """
+    from pyspark.sql.types import StructType, StringType
+
+    parsed = StructType.fromDDL(schema)
+    if corrupt_col in parsed.fieldNames():
+        raise ValueError(f"schema must not already contain {corrupt_col!r}")
+    # build a FRESH StructType: StructType.add mutates in place, and a
+    # cached schema object shared with a caller must not grow a column
+    full = StructType(list(parsed.fields)).add(corrupt_col, StringType(), True)
+    return (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+    )
+
+
+def split_corrupt(
+    df: DataFrame, *, corrupt_col: str = "_corrupt_record"
+) -> tuple[DataFrame, DataFrame]:
+    """(good_rows_without_corrupt_col, quarantined_raw_lines).
+
+    The frame is persisted and tied to both outputs: Spark disallows
+    queries whose only referenced column is the internal corrupt-record
+    column on an unmaterialized JSON scan (SPARK-21610), and without
+    the persist the two consumers would also re-parse the corpus twice.
+    Callers ``free()`` either output when done.
+    """
+    from ..operators.cache import tie
+
+    cached = df.persist()
+    good = cached.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    bad = cached.filter(F.col(corrupt_col).isNotNull()).select(
+        F.col(corrupt_col).alias("raw_line")
+    )
+    return tie(good, cached), tie(bad, cached)

@@ -150,3 +150,52 @@ def test_load_sequences_table_tried_before_parquet(spark, monkeypatch):
     assert out.count() == 1
     monkeypatch.setattr(DataFrameReader, "table", orig_table)
     monkeypatch.setattr(DataFrameReader, "parquet", orig_parquet)
+
+
+# -- JSONL ingest -----------------------------------------------------------
+
+
+def test_read_jsonl_quarantines_corrupt_lines(spark, tmp_path):
+    from rusty_bloomfilter_spark.sources import read_jsonl, split_corrupt
+
+    p = tmp_path / "dump"
+    p.mkdir()
+    (p / "a.json").write_text(
+        '{"doc_id": 1, "text": "hello", "n": 5}\n'
+        '{"doc_id": 2, "text": "with \\"quotes\\" and \\n newline", "n": 27}\n'
+        "this line is not json\n"
+        '{"doc_id": 3, "text": "ok", "n": 2}\n'
+        '{"doc_id": 4, "text": truncated\n'
+    )
+    raw = read_jsonl(spark, str(p), "doc_id bigint, text string, n bigint")
+    good, bad = split_corrupt(raw)
+    grows = {r["doc_id"]: r for r in good.collect()}
+    assert set(grows) == {1, 2, 3}
+    # JSON escape round trip is lossless
+    assert grows[2]["text"] == 'with "quotes" and \n newline'
+    bad_lines = [r["raw_line"] for r in bad.collect()]
+    assert len(bad_lines) == 2
+    assert "this line is not json" in bad_lines[0] + bad_lines[1]
+
+
+def test_read_jsonl_missing_field_is_null_not_corrupt(spark, tmp_path):
+    from rusty_bloomfilter_spark.sources import read_jsonl, split_corrupt
+
+    p = tmp_path / "dump2"
+    p.mkdir()
+    (p / "a.json").write_text('{"doc_id": 7}\n')
+    good, bad = split_corrupt(
+        read_jsonl(spark, str(p), "doc_id bigint, text string")
+    )
+    rows = good.collect()
+    assert bad.count() == 0
+    assert rows[0]["doc_id"] == 7 and rows[0]["text"] is None
+
+
+def test_read_jsonl_rejects_reserved_column(spark, tmp_path):
+    import pytest
+
+    from rusty_bloomfilter_spark.sources import read_jsonl
+
+    with pytest.raises(ValueError, match="_corrupt_record"):
+        read_jsonl(spark, str(tmp_path), "doc_id bigint, _corrupt_record string")
