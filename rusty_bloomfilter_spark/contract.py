@@ -116,6 +116,7 @@ _WINDOW_MIDDLE = [
     "q_theilsen_trend",
     "q_gap_fill",
     "q_jsonl_scan",
+    "q_daily_acf",
     "q_winnow_overlap",
     "q_vocab_growth",
     "q_token_dispersion",
@@ -6149,6 +6150,71 @@ def q_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.withColumn("first_day", F.date_format("first_day", "yyyy-MM-dd"))
         .withColumn("last_day", F.date_format("last_day", "yyyy-MM-dd"))
         .orderBy("event_type")
+    )
+
+
+def _acf_oracle(max_lag: int = 7) -> str:
+    """DuckDB rendering of the identical sample-ACF algebra (wide lead
+    windows -> per-key aggregate -> UNION-ALL unpivot, mirroring
+    Spark's stack())."""
+    leads = ",\n             ".join(
+        f"lead(x, {k}) OVER w AS l{k}" for k in range(1, max_lag + 1)
+    )
+    nums = ",\n             ".join(
+        f"sum((x - xbar) * (l{k} - xbar)) AS n{k}" for k in range(1, max_lag + 1)
+    )
+    unions = "\n      UNION ALL ".join(
+        f"SELECT event_type, n_days, ss, {k} AS lag, n{k} AS num FROM agg"
+        for k in range(1, max_lag + 1)
+    )
+    return f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS DOUBLE) AS x
+      FROM events GROUP BY 1, 2
+    ), base AS (
+      SELECT event_type, x,
+             avg(x) OVER (PARTITION BY event_type) AS xbar,
+             {leads}
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    ), agg AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+             sum((x - xbar) * (x - xbar)) AS ss,
+             {nums}
+      FROM base GROUP BY 1
+    ), long AS (
+      {unions}
+    )
+    SELECT event_type, CAST(lag AS INT) AS lag,
+           round(num / NULLIF(ss, 0), 6) AS acf,
+           n_days,
+           round(1.96 / sqrt(n_days), 6) AS ci,
+           abs(round(num / NULLIF(ss, 0), 6)) > round(1.96 / sqrt(n_days), 6)
+             AS is_significant
+    FROM long ORDER BY event_type, lag
+    """
+
+
+@register("q_daily_acf", oracle=_acf_oracle())
+def q_daily_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation per event type (operators/trend.py::acf):
+    r_k for lags 1..7 over the daily count series, with the ±1.96/√n
+    white-noise band — the seasonality/memory diagnostic completing
+    the series family (trend says HOW FAST, CUSUM says WHEN, ACF says
+    WHETHER THE SERIES REMEMBERS — a weekly cycle lights up r_7, white
+    noise stays inside the band). One hash exchange on the key carries
+    the mean window, all lead windows, and the final aggregate; output
+    |keys|·7 rows. Hash-matched vs DuckDB's identical centered-product
+    algebra at round(6)."""
+    from .operators.trend import acf
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day")
+    )
+    daily = ev.groupBy("event_type", "day").agg(F.count("*").alias("cnt"))
+    return acf(daily, "event_type", "day", "cnt", max_lag=7).orderBy(
+        "event_type", "lag"
     )
 
 

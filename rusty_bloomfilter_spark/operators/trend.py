@@ -177,3 +177,73 @@ def theil_sen_trend(
         )
     )
     return tie(out, daily)
+
+
+def acf(
+    df: DataFrame,
+    key_col: str,
+    day_col: str,
+    value_col: str,
+    max_lag: int = 7,
+) -> DataFrame:
+    """Sample autocorrelation function per key: r_k = Σ(x_t−x̄)(x_{t+k}−x̄)
+    / Σ(x_t−x̄)² for k = 1..max_lag — the seasonality/memory diagnostic
+    the trend family lacks: a weekly-cycled series shows r_7 ≫ 0 with
+    r_1..r_6 oscillating, a level shift shows slow uniform decay, white
+    noise stays inside the ±1.96/√n band (emitted per row as ``ci`` and
+    ``is_significant``).
+
+    ASSUMES A REGULAR AXIS: lags are row-adjacency in day order, so a
+    sparse series must be densified first (``temporal.gap_fill_locf``)
+    or gaps silently become "adjacent" days. Distributed shape: input
+    is the |keys|·|days| daily aggregate; one hash exchange on the key
+    carries the mean window, all max_lag lead windows, and the final
+    per-key aggregate; output |keys|·max_lag rows.
+
+    Determinism: x̄ is one exact-integer-sum division for count series;
+    the centered products are double sums whose cross-engine ulp noise
+    sits orders below the round(6) hash step (30-365-point series).
+    """
+    from pyspark.sql import Window
+
+    if max_lag < 1:
+        raise ValueError(f"max_lag must be >= 1, got {max_lag}")
+    w_all = Window.partitionBy(key_col)
+    w_ord = Window.partitionBy(key_col).orderBy(day_col)
+    x = F.col(value_col).cast("double")
+    base = df.select(
+        F.col(key_col),
+        F.col(day_col),
+        x.alias("_x"),
+        F.avg(x).over(w_all).alias("_xbar"),
+        *[
+            F.lead(x, k).over(w_ord).alias(f"_lead{k}")
+            for k in range(1, max_lag + 1)
+        ],
+    )
+    dev = F.col("_x") - F.col("_xbar")
+    agg = base.groupBy(key_col).agg(
+        F.count("*").alias("n_days"),
+        F.sum(dev * dev).alias("_ss"),
+        *[
+            F.sum(dev * (F.col(f"_lead{k}") - F.col("_xbar"))).alias(f"_num{k}")
+            for k in range(1, max_lag + 1)
+        ],
+    )
+    pairs = ", ".join(f"{k}, _num{k}" for k in range(1, max_lag + 1))
+    long = agg.select(
+        key_col,
+        "n_days",
+        "_ss",
+        F.expr(f"stack({max_lag}, {pairs}) as (lag, _num)"),
+    )
+    ci = F.round(F.lit(1.96) / F.sqrt(F.col("n_days").cast("double")), 6)
+    r = F.round(F.try_divide(F.col("_num"), F.col("_ss")), 6)
+    return long.select(
+        F.col(key_col),
+        F.col("lag").cast("int").alias("lag"),
+        r.alias("acf"),
+        F.col("n_days"),
+        ci.alias("ci"),
+        (F.abs(r) > ci).alias("is_significant"),
+    )

@@ -148,3 +148,53 @@ def test_theilsen_two_points_and_guard(spark):
     assert got["n_pairs"] == 1
     with pytest.raises(ValueError):
         theil_sen_trend(_frame(spark, rows), "k", "day", "v", ref_day="2024-03-01", min_points=1)
+
+
+# -- sample autocorrelation -------------------------------------------------
+
+from rusty_bloomfilter_spark.operators.trend import acf
+
+
+def _acf_oracle_np(vals, max_lag):
+    x = np.asarray(vals, dtype=float)
+    xbar = x.mean()
+    dev = x - xbar
+    ss = float((dev * dev).sum())
+    return {
+        k: float((dev[:-k] * dev[k:]).sum() / ss) for k in range(1, max_lag + 1)
+    }
+
+
+def test_acf_matches_numpy(spark):
+    rng = np.random.default_rng(3)
+    vals = rng.integers(10, 100, size=40).astype(float)
+    rows = [("a", D0 + dt.timedelta(days=i), float(v)) for i, v in enumerate(vals)]
+    got = {
+        r["lag"]: r
+        for r in acf(_frame(spark, rows), "k", "day", "v", max_lag=5).collect()
+    }
+    want = _acf_oracle_np(vals, 5)
+    for k in range(1, 6):
+        assert got[k]["acf"] == pytest.approx(want[k], abs=2e-6)
+        assert got[k]["n_days"] == 40
+        assert got[k]["ci"] == pytest.approx(1.96 / np.sqrt(40), abs=1e-6)
+
+
+def test_acf_weekly_cycle_lights_up_lag7(spark):
+    # strong period-7 signal + small noise: r_7 significant, r_1..r_3 not all
+    rng = np.random.default_rng(4)
+    days = 70
+    vals = 50 + 30 * np.sin(2 * np.pi * np.arange(days) / 7) + rng.normal(0, 1, days)
+    rows = [("a", D0 + dt.timedelta(days=i), float(v)) for i, v in enumerate(vals)]
+    got = {r["lag"]: r for r in acf(_frame(spark, rows), "k", "day", "v").collect()}
+    assert got[7]["acf"] > 0.8 and got[7]["is_significant"]
+    # half-period anti-correlation is the cycle's signature
+    assert got[3]["acf"] < 0 or got[4]["acf"] < 0
+
+
+def test_acf_constant_series_is_null_and_guard(spark):
+    rows = [("c", D0 + dt.timedelta(days=i), 5.0) for i in range(10)]
+    got = acf(_frame(spark, rows), "k", "day", "v", max_lag=2).collect()
+    assert all(r["acf"] is None for r in got)  # try_divide on zero variance
+    with pytest.raises(ValueError):
+        acf(_frame(spark, rows), "k", "day", "v", max_lag=0)
