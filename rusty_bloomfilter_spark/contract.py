@@ -117,6 +117,7 @@ _WINDOW_MIDDLE = [
     "q_gap_fill",
     "q_jsonl_scan",
     "q_daily_acf",
+    "q_filter_sweep",
     "q_winnow_overlap",
     "q_vocab_growth",
     "q_token_dispersion",
@@ -6151,6 +6152,70 @@ def q_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("last_day", F.date_format("last_day", "yyyy-MM-dd"))
         .orderBy("event_type")
     )
+
+
+_SWEEP_TS = [round(i * 0.03, 2) for i in range(11)]  # 0.00 .. 0.30
+
+
+def _filter_sweep_oracle() -> str:
+    """DuckDB rendering of the identical one-aggregate threshold sweep
+    (conditional sums -> UNION-ALL unpivot, mirroring Spark's stack());
+    the score expression is the q_quality_scores stopword_ratio."""
+    conds = "\n             ".join(
+        f"sum(CASE WHEN s >= CAST({t!r} AS DOUBLE) THEN 1 ELSE 0 END) AS n{i},\n"
+        f"             sum(CASE WHEN s >= CAST({t!r} AS DOUBLE) THEN n_chars ELSE 0 END) AS m{i},"
+        for i, t in enumerate(_SWEEP_TS)
+    ).rstrip(",")
+    unions = "\n      UNION ALL ".join(
+        f"SELECT source, n, m, CAST({t!r} AS DOUBLE) AS threshold, "
+        f"n{i} AS docs_kept, m{i} AS mass_kept FROM wide"
+        for i, t in enumerate(_SWEEP_TS)
+    )
+    return rf"""
+    WITH scored AS (
+      SELECT source, n_chars,
+             round(len(list_filter(list_filter(regexp_split_to_array(lower(text), '\s+'), w -> w <> ''),
+                   w -> list_contains(['the','a','of','and','to','in','is','it','for','on'], w)))::DOUBLE
+                   / len(list_filter(regexp_split_to_array(text, '\s+'), w -> w <> '')), 6) AS s
+      FROM documents
+    ), wide AS (
+      SELECT source, count(*) AS n, sum(n_chars) AS m,
+             {conds}
+      FROM scored GROUP BY 1
+    ), long AS (
+      {unions}
+    )
+    SELECT source, threshold,
+           CAST(docs_kept AS BIGINT) AS docs_kept,
+           round(docs_kept / n, 6) AS frac_docs,
+           CAST(mass_kept AS BIGINT) AS mass_kept,
+           round(mass_kept / NULLIF(m, 0), 6) AS frac_mass
+    FROM long ORDER BY source, threshold
+    """
+
+
+@register("q_filter_sweep", oracle=_filter_sweep_oracle())
+def q_filter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter RETENTION SWEEP (operators/curation.py::
+    filter_sweep): for 11 candidate stopword-ratio cutoffs, how many
+    documents and how much character mass survive per source — the
+    decision table read BEFORE committing a corpus-scale delete (pick
+    the knee; watch for a source cliff-dropping, the filter-bias
+    fairness check). ONE map-side-combinable aggregate with 22
+    conditional sums — no explode-by-threshold row multiplication, no
+    histogram intermediary; adding a threshold adds a column, not a
+    pass. Hash-matched vs DuckDB's identical conditional-sum algebra."""
+    from .functions.text import quality_exprs
+    from .operators.curation import filter_sweep
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = quality_exprs(F.col("text"))
+    scored = docs.select(
+        "source", "n_chars", q["stopword_ratio"].alias("s")
+    )
+    return filter_sweep(
+        scored, "source", "s", _SWEEP_TS, mass_col="n_chars"
+    ).orderBy("source", "threshold")
 
 
 def _acf_oracle(max_lag: int = 7) -> str:

@@ -234,3 +234,63 @@ def mixture_replicate(
         )
         .drop("_rbf_n_full", "_rbf_thr", "_rbf_copies")
     )
+
+
+def filter_sweep(
+    df: DataFrame,
+    key_col: str,
+    score_col: str,
+    thresholds: Sequence[float],
+    *,
+    mass_col: str | None = None,
+) -> DataFrame:
+    """Retention curve for tuning a quality-filter cutoff BEFORE
+    committing a corpus-scale delete: for every candidate threshold t,
+    how many documents (and how much ``mass_col`` — chars/tokens/bytes)
+    survive ``score >= t``, per key. The decision table for "where do
+    we set the quality bar": pick the knee where doc retention drops
+    faster than mass retention (you are deleting short junk) or the
+    cliff where a source vanishes entirely (the filter is biased
+    against it — the fairness check curation reviews demand).
+
+    Distributed shape: ONE map-side-combinable aggregate with
+    2·|thresholds| conditional sums — the corpus is scanned once, no
+    explode-by-threshold row multiplication, no bucket histogram
+    intermediary; the |keys| result unpivots to |keys|·|thresholds|
+    rows driver-side-free via stack(). Adding a threshold adds a
+    column, not a pass.
+    """
+    if not thresholds:
+        raise ValueError("thresholds must be non-empty")
+    ts = [round(float(t), 6) for t in thresholds]
+    if len(set(ts)) != len(ts):
+        raise ValueError(f"duplicate thresholds after rounding: {ts}")
+    s = F.col(score_col)
+    mass = F.col(mass_col) if mass_col else F.length(F.lit(""))
+    aggs = [F.count("*").alias("_n"), F.sum(mass).alias("_m")]
+    for i, t in enumerate(ts):
+        keep = s >= F.lit(t)
+        aggs.append(F.sum(F.when(keep, 1).otherwise(0)).alias(f"_n{i}"))
+        aggs.append(F.sum(F.when(keep, mass).otherwise(0)).alias(f"_m{i}"))
+    wide = df.groupBy(key_col).agg(*aggs)
+    pairs = ", ".join(
+        f"CAST({t!r} AS DOUBLE), _n{i}, _m{i}" for i, t in enumerate(ts)
+    )
+    long = wide.select(
+        key_col,
+        "_n",
+        "_m",
+        F.expr(
+            f"stack({len(ts)}, {pairs}) as (threshold, docs_kept, mass_kept)"
+        ),
+    )
+    return long.select(
+        F.col(key_col),
+        F.col("threshold"),
+        F.col("docs_kept").cast("bigint").alias("docs_kept"),
+        F.round(F.col("docs_kept") / F.col("_n"), 6).alias("frac_docs"),
+        F.col("mass_kept").cast("bigint").alias("mass_kept"),
+        F.round(F.try_divide(F.col("mass_kept"), F.col("_m")), 6).alias(
+            "frac_mass"
+        ),
+    )

@@ -164,3 +164,58 @@ def test_mixture_replicate_default_weight_and_guards(spark):
     assert [r["epoch"] for r in out.collect()] == [0, 0]
     with pytest.raises(ValueError):
         mixture_replicate(df, {"a": -0.5})
+
+
+# -- filter_sweep -----------------------------------------------------------
+
+
+def test_filter_sweep_matches_bruteforce(spark):
+    import numpy as np
+    import pytest
+
+    from rusty_bloomfilter_spark.operators.curation import filter_sweep
+
+    rng = np.random.default_rng(9)
+    rows = [
+        (("a" if i % 3 else "b"), round(float(rng.uniform(0, 1)), 6), int(rng.integers(10, 500)))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "src string, s double, chars bigint").repartition(4)
+    ts = [0.0, 0.25, 0.5, 0.75, 0.9]
+    got = {
+        (r["src"], r["threshold"]): r
+        for r in filter_sweep(df, "src", "s", ts, mass_col="chars").collect()
+    }
+    for src in ("a", "b"):
+        sub = [(s, c) for g, s, c in rows if g == src]
+        n, m = len(sub), sum(c for _, c in sub)
+        for t in ts:
+            kept = [(s, c) for s, c in sub if s >= t]
+            r = got[(src, t)]
+            assert r["docs_kept"] == len(kept)
+            assert r["mass_kept"] == sum(c for _, c in kept)
+            assert r["frac_docs"] == pytest.approx(len(kept) / n, abs=1e-6)
+            assert r["frac_mass"] == pytest.approx(sum(c for _, c in kept) / m, abs=1e-6)
+
+
+def test_filter_sweep_monotone_and_guards(spark):
+    import pytest
+
+    from rusty_bloomfilter_spark.operators.curation import filter_sweep
+
+    rows = [("a", float(i) / 10, 100) for i in range(10)]
+    df = spark.createDataFrame(rows, "src string, s double, chars bigint")
+    out = sorted(
+        filter_sweep(df, "src", "s", [0.0, 0.3, 0.7], mass_col="chars").collect(),
+        key=lambda r: r["threshold"],
+    )
+    kept = [r["docs_kept"] for r in out]
+    assert kept == sorted(kept, reverse=True)  # retention is monotone down
+    assert out[0]["frac_docs"] == 1.0  # threshold 0 keeps everything
+    with pytest.raises(ValueError, match="non-empty"):
+        filter_sweep(df, "src", "s", [])
+    with pytest.raises(ValueError, match="duplicate"):
+        filter_sweep(df, "src", "s", [0.1, 0.1])
+    # no mass column: counts still correct, frac_mass NULL
+    nm = filter_sweep(df, "src", "s", [0.5]).collect()[0]
+    assert nm["docs_kept"] == 5 and nm["frac_mass"] is None
