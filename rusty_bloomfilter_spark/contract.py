@@ -118,6 +118,7 @@ _WINDOW_MIDDLE = [
     "q_jsonl_scan",
     "q_daily_acf",
     "q_filter_sweep",
+    "q_fd_audit",
     "q_winnow_overlap",
     "q_vocab_growth",
     "q_token_dispersion",
@@ -6152,6 +6153,55 @@ def q_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("last_day", F.date_format("last_day", "yyyy-MM-dd"))
         .orderBy("event_type")
     )
+
+
+_FD_RULES = [
+    ("o_orderkey", "o_custkey"),      # key -> anything: FD by uniqueness
+    ("o_orderkey", "o_orderstatus"),
+    ("o_custkey", "o_orderkey"),      # reversed: violated (customers reorder)
+    ("o_custkey", "o_orderpriority"),
+    ("o_orderdate", "o_orderstatus"),
+]
+
+
+def _fd_oracle() -> str:
+    """Programmatic DuckDB rendering of the identical per-rule FD
+    audit; NULL dependents count as a value of their own (count(*) >
+    count(dep) adds one), NULL determinants are excluded."""
+    parts = []
+    for det, dep in _FD_RULES:
+        parts.append(f"""
+        SELECT '{det} -> {dep}' AS rule,
+               CAST(count(*) AS BIGINT) AS n_det_values,
+               CAST(sum(CASE WHEN fan > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_violating_dets,
+               CAST(max(fan) AS INT) AS max_fanout,
+               sum(CASE WHEN fan > 1 THEN 1 ELSE 0 END) = 0 AS is_fd
+        FROM (
+          SELECT {det} AS det,
+                 count(DISTINCT {dep})
+                   + CASE WHEN count(*) > count({dep}) THEN 1 ELSE 0 END AS fan
+          FROM orders WHERE {det} IS NOT NULL GROUP BY 1
+        )""")
+    return "\nUNION ALL ".join(parts) + "\nORDER BY rule"
+
+
+@register("q_fd_audit", oracle=_fd_oracle())
+def q_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit (operators/integrity.py::fd_audit) —
+    the intra-table complement of q_fk_audit: does every determinant
+    map to exactly one dependent? A violated "obvious" FD is the
+    symptom of an upstream join fanning rows out; a confirmed FD is a
+    license to normalize a wide fact table. Five rules over orders
+    (both key-backed FDs, a reversed non-FD, and the constant
+    shippriority). Per rule: one det-cardinality groupBy over a
+    two-column projection, map-side combined; NULL dependents count as
+    their own value, NULL determinants are excluded. Hash-matched vs
+    the identical per-rule DuckDB algebra."""
+    from .operators.integrity import fd_audit
+
+    orders = load_table(spark, sf_dir, "orders")
+    return fd_audit(orders, _FD_RULES).orderBy("rule")
 
 
 _SWEEP_TS = [round(i * 0.03, 2) for i in range(11)]  # 0.00 .. 0.30

@@ -120,3 +120,55 @@ def fk_audit(
     for r in reports[1:]:
         out = out.unionByName(r)
     return out
+
+
+def fd_audit(
+    df: DataFrame,
+    pairs: "list[tuple[str, str]]",
+) -> DataFrame:
+    """Functional-dependency audit WITHIN one table — the intra-table
+    complement of :func:`fk_audit`: for each candidate rule det → dep,
+    does every determinant value map to exactly ONE dependent value?
+    The schema-inference / denormalization-safety pass: a violated
+    "obvious" FD (order → customer, nation → region) is the classic
+    symptom of a bad upstream join fanning rows out, and a CONFIRMED
+    FD is a license to normalize the column pair out of a wide 100-TB
+    fact table.
+
+    Per rule: ``n_det_values`` (distinct determinants),
+    ``n_violating_dets`` (determinants mapping to >1 dependent),
+    ``max_fanout`` (worst dependents-per-determinant), ``is_fd``.
+    NULL determinants are excluded (SQL grouping would conflate them
+    into a fake single value); NULL dependents count as a value of
+    their own (det → sometimes-NULL is a real violation).
+
+    Distributed shape per rule: one groupBy on the determinant over a
+    two-column projection — the shuffle carries det-cardinality rows,
+    map-side combined; rules are unioned, so the audit is |rules|
+    bounded aggregates, each prunable to two columns at the scan.
+    """
+    if not pairs:
+        raise ValueError("pairs must be non-empty")
+    outs = []
+    for det, dep in pairs:
+        per_det = (
+            df.filter(F.col(det).isNotNull())
+            .groupBy(det)
+            .agg(
+                F.size(F.collect_set(F.struct(F.col(dep)))).alias("_fan")
+            )
+        )
+        outs.append(
+            per_det.agg(
+                F.lit(f"{det} -> {dep}").alias("rule"),
+                F.count("*").alias("n_det_values"),
+                F.sum(F.when(F.col("_fan") > 1, 1).otherwise(0)).alias(
+                    "n_violating_dets"
+                ),
+                F.max("_fan").cast("int").alias("max_fanout"),
+            )
+        )
+    unioned = outs[0]
+    for o in outs[1:]:
+        unioned = unioned.unionByName(o)
+    return unioned.withColumn("is_fd", F.col("n_violating_dets") == 0)

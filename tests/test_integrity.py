@@ -62,3 +62,45 @@ def test_multi_relationship_report_and_guards(spark):
         fk_audit([])
     with pytest.raises(ValueError):
         fk_audit([("x", c, "fk", p, "pk"), ("x", c, "fk", p, "pk")])
+
+
+# -- fd_audit ---------------------------------------------------------------
+
+
+def test_fd_audit_confirms_and_violates(spark):
+    import pytest
+
+    from rusty_bloomfilter_spark.operators.integrity import fd_audit
+
+    rows = [
+        (1, "x", 10),
+        (2, "x", 10),
+        (3, "y", 20),
+        (3, "y", 20),   # duplicate row: still one dep value per det
+        (4, "y", 21),
+        (4, "y", 22),   # det 4 maps to two deps: violation
+    ]
+    df = spark.createDataFrame(rows, "a int, b string, c int")
+    got = {r["rule"]: r for r in fd_audit(df, [("a", "c"), ("b", "c"), ("c", "b")]).collect()}
+    r = got["a -> c"]
+    assert not r["is_fd"] and r["n_violating_dets"] == 1 and r["max_fanout"] == 2
+    assert r["n_det_values"] == 4
+    rb = got["b -> c"]  # x->10, y->{20,21,22}
+    assert not rb["is_fd"] and rb["max_fanout"] == 3
+    rc = got["c -> b"]  # 10->x, 20/21/22->y: a confirmed FD
+    assert rc["is_fd"] and rc["max_fanout"] == 1
+
+
+def test_fd_audit_null_semantics_and_guard(spark):
+    import pytest
+
+    from rusty_bloomfilter_spark.operators.integrity import fd_audit
+
+    rows = [(1, "x"), (1, None), (None, "z")]
+    df = spark.createDataFrame(rows, "a int, b string")
+    got = fd_audit(df, [("a", "b")]).collect()[0]
+    # NULL det excluded; det 1 maps to {x, NULL} = 2 values (NULL dep counts)
+    assert got["n_det_values"] == 1
+    assert got["max_fanout"] == 2 and not got["is_fd"]
+    with pytest.raises(ValueError, match="non-empty"):
+        fd_audit(df, [])
