@@ -119,6 +119,7 @@ _WINDOW_MIDDLE = [
     "q_daily_acf",
     "q_filter_sweep",
     "q_fd_audit",
+    "q_compressibility",
     "q_winnow_overlap",
     "q_vocab_growth",
     "q_token_dispersion",
@@ -6153,6 +6154,48 @@ def q_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("last_day", F.date_format("last_day", "yyyy-MM-dd"))
         .orderBy("event_type")
     )
+
+
+@register("q_compressibility")
+def q_compressibility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEFLATE compressibility quality profile (operators/quality.py):
+    per-source mean zlib ratio + fractions in the repetitive tail
+    (boilerplate/spam compresses far below prose) and the high-entropy
+    tail (base64/hex/minified blobs) — the Gopher-family repetition
+    signal the Catalyst ratio features can't express. One scoring scan
+    (per-payload C call, same cost class as the multimodal codecs)
+    into one map-side-combinable aggregate. Rows-only (zlib is not
+    SQL-expressible); in-query gates: a planted repeated-phrase doc
+    must land deep in the repetitive tail, a planted md5-chain hex doc
+    in the high-entropy tail, and every real source mean must sit in
+    (0, 1.1]."""
+    import hashlib
+
+    from .operators.quality import compressibility_profile
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    chain, h = [], b"seed"
+    for _ in range(80):
+        h = hashlib.md5(h).digest()
+        chain.append(h.hex())
+    planted = spark.createDataFrame(
+        [
+            ("_planted_rep", "click here to buy now " * 150),
+            ("_planted_rand", "".join(chain)),
+        ],
+        "source string, text string",
+    )
+    out = compressibility_profile(
+        docs.unionByName(planted), "source", "text"
+    )
+    gate = (
+        F.when(F.col("source") == "_planted_rep", F.col("mean_ratio") < 0.2)
+        .when(F.col("source") == "_planted_rand", F.col("mean_ratio") > 0.55)
+        .otherwise(
+            (F.col("mean_ratio") > 0) & (F.col("mean_ratio") <= 1.1)
+        )
+    )
+    return out.withColumn("gate_ok", gate).orderBy("source")
 
 
 _FD_RULES = [
