@@ -120,6 +120,7 @@ _WINDOW_MIDDLE = [
     "q_filter_sweep",
     "q_fd_audit",
     "q_compressibility",
+    "q_seasonality_dow",
     "q_winnow_overlap",
     "q_vocab_growth",
     "q_token_dispersion",
@@ -6153,6 +6154,58 @@ def q_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.withColumn("first_day", F.date_format("first_day", "yyyy-MM-dd"))
         .withColumn("last_day", F.date_format("last_day", "yyyy-MM-dd"))
         .orderBy("event_type")
+    )
+
+
+@register(
+    "q_seasonality_dow",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type AS k, isodow(CAST(ts AS DATE)) AS dow,
+             CAST(count(*) AS DOUBLE) AS x
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ), dowm AS (
+      SELECT k, dow, avg(x) AS m FROM daily GROUP BY 1, 2
+    ), peak AS (
+      SELECT k, dow AS peak_dow, round(m, 6) AS peak_avg
+      FROM (
+        SELECT k, dow, m,
+               row_number() OVER (
+                 PARTITION BY k ORDER BY round(m, 6) DESC, dow DESC
+               ) AS rn
+        FROM dowm
+      ) WHERE rn = 1
+    ), r AS (
+      SELECT d.k, CAST(count(*) AS BIGINT) AS n_days,
+             var_pop(d.x) AS vt, var_pop(d.x - m.m) AS vr
+      FROM daily d JOIN dowm m USING (k, dow) GROUP BY 1
+    )
+    SELECT r.k AS event_type, r.n_days,
+           round(greatest(0.0, 1.0 - vr / NULLIF(vt, 0)), 6)
+             AS seasonal_strength,
+           CAST(p.peak_dow AS INT) AS peak_dow,
+           p.peak_avg
+    FROM r JOIN peak p ON r.k = p.k
+    ORDER BY event_type
+    """,
+)
+def q_seasonality_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality strength per event type (operators/
+    trend.py::seasonal_strength_dow): the Hyndman strength statistic
+    1 − var(residual)/var(series) with the 7 day-of-week means as the
+    seasonal fit, plus the peak ISO day. ACF says whether the series
+    remembers; this says how much of its variance the weekly shape
+    explains. Two map-side-combinable aggregates + one broadcast join
+    of the |keys|·7 means frame. Hash-matched vs DuckDB's identical
+    decomposition (max-of-struct ≡ ORDER BY m DESC, dow DESC)."""
+    from .operators.trend import seasonal_strength_dow
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day")
+    )
+    daily = ev.groupBy("event_type", "day").agg(F.count("*").alias("cnt"))
+    return seasonal_strength_dow(daily, "event_type", "day", "cnt").orderBy(
+        "event_type"
     )
 
 

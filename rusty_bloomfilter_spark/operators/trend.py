@@ -247,3 +247,56 @@ def acf(
         ci.alias("ci"),
         (F.abs(r) > ci).alias("is_significant"),
     )
+
+
+def seasonal_strength_dow(
+    df: DataFrame,
+    key_col: str,
+    day_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Day-of-week seasonality strength per key (STL-lite): fit the
+    seasonal component as the 7 day-of-week means, then
+    strength = max(0, 1 − var(residual)/var(series)) — the Hyndman
+    "strength of seasonality" statistic. ACF says whether the series
+    remembers; this says how much of its variance the weekly shape
+    explains (strength ≈ 0 white noise, ≈ 1 a pure weekly cycle), and
+    ``peak_dow`` (ISO: 1 = Monday) names the heavy day.
+
+    Distributed shape: the |keys|·7 day-of-week means aggregate first
+    (map-side combined), then broadcast-join back onto the daily frame
+    for residuals — the daily frame is already corpus-size-independent
+    and the join side is 7 rows per key; two aggregates total. Ties in
+    peak day resolve to the later ISO day, identically cross-engine
+    (max-of-struct here ≡ ORDER BY m DESC, dow DESC in the oracle).
+    """
+    dow = (F.weekday(F.col(day_col)) + F.lit(1)).alias("_dow")  # ISO 1=Mon
+    daily = df.select(
+        F.col(key_col).alias("_k"),
+        dow,
+        F.col(value_col).cast("double").alias("_x"),
+    )
+    dowm = daily.groupBy("_k", "_dow").agg(F.avg("_x").alias("_m"))
+    peak = dowm.groupBy("_k").agg(
+        F.max(
+            F.struct(F.round("_m", 6).alias("m"), F.col("_dow").alias("dow"))
+        ).alias("_p")
+    )
+    resid = daily.join(F.broadcast(dowm), on=["_k", "_dow"]).groupBy("_k").agg(
+        F.count("*").alias("n_days"),
+        F.var_pop("_x").alias("_vt"),
+        F.var_pop(F.col("_x") - F.col("_m")).alias("_vr"),
+    )
+    strength = F.round(
+        F.greatest(
+            F.lit(0.0), F.lit(1.0) - F.try_divide(F.col("_vr"), F.col("_vt"))
+        ),
+        6,
+    )
+    return resid.join(peak, on="_k").select(
+        F.col("_k").alias(key_col),
+        F.col("n_days"),
+        strength.alias("seasonal_strength"),
+        F.col("_p.dow").cast("int").alias("peak_dow"),
+        F.col("_p.m").alias("peak_avg"),
+    )

@@ -198,3 +198,47 @@ def test_acf_constant_series_is_null_and_guard(spark):
     assert all(r["acf"] is None for r in got)  # try_divide on zero variance
     with pytest.raises(ValueError):
         acf(_frame(spark, rows), "k", "day", "v", max_lag=0)
+
+
+# -- day-of-week seasonality strength ---------------------------------------
+
+from rusty_bloomfilter_spark.operators.trend import seasonal_strength_dow
+
+
+def test_seasonality_pure_weekly_cycle_is_one(spark):
+    # value depends ONLY on the weekday: residual variance 0 -> strength 1
+    base = {0: 10.0, 1: 20.0, 2: 30.0, 3: 40.0, 4: 50.0, 5: 5.0, 6: 2.0}
+    rows = [
+        ("a", D0 + dt.timedelta(days=i), base[(D0 + dt.timedelta(days=i)).weekday()])
+        for i in range(35)
+    ]
+    got = _by_key(seasonal_strength_dow(_frame(spark, rows), "k", "day", "v"))["a"]
+    assert got["seasonal_strength"] == pytest.approx(1.0, abs=1e-6)
+    assert got["n_days"] == 35
+    # peak ISO day: Friday (weekday()==4 -> isodow 5) at 50.0
+    assert got["peak_dow"] == 5 and got["peak_avg"] == pytest.approx(50.0)
+
+
+def test_seasonality_matches_numpy_decomposition(spark):
+    rng = np.random.default_rng(8)
+    vals = {}
+    rows = []
+    for i in range(70):
+        d = D0 + dt.timedelta(days=i)
+        v = float(20 + 8 * (d.weekday() in (5, 6)) + rng.normal(0, 3))
+        rows.append(("a", d, v))
+        vals.setdefault(d.weekday(), []).append(v)
+    x = np.array([v for _, _, v in rows])
+    m = np.array([np.mean(vals[(D0 + dt.timedelta(days=i)).weekday()]) for i in range(70)])
+    want = max(0.0, 1.0 - np.var(x - m) / np.var(x))
+    got = _by_key(seasonal_strength_dow(_frame(spark, rows), "k", "day", "v"))["a"]
+    assert got["seasonal_strength"] == pytest.approx(want, abs=2e-6)
+    assert got["seasonal_strength"] > 0.3  # planted weekend lift is visible
+
+
+def test_seasonality_white_noise_is_small(spark):
+    rng = np.random.default_rng(10)
+    rows = [("w", D0 + dt.timedelta(days=i), float(rng.normal(100, 10))) for i in range(140)]
+    got = _by_key(seasonal_strength_dow(_frame(spark, rows), "k", "day", "v"))["w"]
+    # dow means still absorb ~6/140 dof of noise; strength stays small
+    assert got["seasonal_strength"] < 0.15
