@@ -121,6 +121,7 @@ _WINDOW_MIDDLE = [
     "q_fd_audit",
     "q_compressibility",
     "q_seasonality_dow",
+    "q_readability",
     "q_winnow_overlap",
     "q_vocab_growth",
     "q_token_dispersion",
@@ -6154,6 +6155,51 @@ def q_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.withColumn("first_day", F.date_format("first_day", "yyyy-MM-dd"))
         .withColumn("last_day", F.date_format("last_day", "yyyy-MM-dd"))
         .orderBy("event_type")
+    )
+
+
+def _readability_oracle() -> str:
+    from .functions.text import duckdb_readability
+
+    r = duckdb_readability("text")
+    return f"""
+    SELECT doc_id,
+           {r['n_words']} AS n_words,
+           {r['n_sentences']} AS n_sentences,
+           {r['n_syllables']} AS n_syllables,
+           {r['fre']} AS fre,
+           {r['fk_grade']} AS fk_grade
+    FROM documents
+    ORDER BY doc_id LIMIT 200
+    """
+
+
+@register("q_readability", oracle=_readability_oracle())
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch Reading Ease + Flesch–Kincaid grade per document
+    (functions/text.py::readability_exprs) — the register/fluency tier
+    of the quality family: ratio features catch structural junk,
+    compression catches repetition and entropy, readability catches
+    text whose sentence and word shapes sit far from prose (legalese,
+    keyword stuffing). Pure Catalyst higher-order functions over one
+    word array; min-1 clamps for sentences and per-word syllables make
+    the classic approximations total. Hash-matched vs the 1:1 DuckDB
+    rendering at round(4)."""
+    from .functions.text import readability_exprs
+
+    docs = load_table(spark, sf_dir, "documents")
+    r = readability_exprs(F.col("text"))
+    return (
+        docs.select(
+            "doc_id",
+            r["n_words"].alias("n_words"),
+            r["n_sentences"].alias("n_sentences"),
+            r["n_syllables"].alias("n_syllables"),
+            r["fre"].alias("fre"),
+            r["fk_grade"].alias("fk_grade"),
+        )
+        .orderBy("doc_id")
+        .limit(200)
     )
 
 

@@ -389,3 +389,67 @@ def doc_token_entropy(seq: DataFrame) -> DataFrame:
             F.log("n_tok") - F.sum(F.col("c") * F.log("c")) / F.col("n_tok"), 6
         ).alias("entropy")
     ).select("doc_id", "entropy")
+
+
+# ---------------------------------------------------------------------------
+# Readability (Flesch Reading Ease / Flesch–Kincaid grade)
+# ---------------------------------------------------------------------------
+
+
+def readability_exprs(text: Column) -> dict[str, Column]:
+    """Flesch Reading Ease and Flesch–Kincaid grade level from the
+    classic approximations: sentences = runs of [.!?] (min 1), syllables
+    per word = runs of [aeiouy] in the lowercased word (min 1 — "rhythm"
+    has no vowel letter but one spoken syllable). The fluency tier of
+    the quality family: ratio features catch structure junk, compression
+    catches repetition/entropy, readability catches register (legalese
+    and keyword-stuffed spam both land far from conversational prose).
+    All Catalyst higher-order functions over the ONE word array —
+    1:1 DuckDB rendering in ``duckdb_readability``."""
+    words = _words(text)
+    n_words = F.size(words)
+    n_sentences = F.greatest(
+        F.lit(1), F.size(F.regexp_extract_all(text, F.lit(r"[.!?]+"), 0))
+    )
+    syllables = F.aggregate(
+        words,
+        F.lit(0),
+        lambda acc, w: acc
+        + F.greatest(
+            F.lit(1),
+            F.size(F.regexp_extract_all(F.lower(w), F.lit("[aeiouy]+"), 0)),
+        ),
+    )
+    wps = n_words.cast("double") / n_sentences.cast("double")
+    spw = syllables.cast("double") / n_words.cast("double")
+    fre = F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw
+    fkgl = F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59)
+    guard = n_words > 0
+    return {
+        "n_words": n_words.cast("int"),
+        "n_sentences": n_sentences.cast("int"),
+        "n_syllables": F.when(guard, syllables).otherwise(0).cast("int"),
+        "fre": F.when(guard, F.round(fre, 4)),
+        "fk_grade": F.when(guard, F.round(fkgl, 4)),
+    }
+
+
+def duckdb_readability(text_expr: str) -> dict[str, str]:
+    """DuckDB SQL rendering of readability_exprs (same min-1 clamps,
+    same double algebra, same round(4))."""
+    words = f"list_filter(regexp_split_to_array({text_expr}, '\\s+'), w -> w <> '')"
+    n_words = f"len({words})"
+    n_sent = f"greatest(1, len(regexp_extract_all({text_expr}, '[.!?]+')))"
+    syl = (
+        f"list_sum(list_transform({words}, "
+        f"w -> greatest(1, len(regexp_extract_all(lower(w), '[aeiouy]+')))))"
+    )
+    wps = f"({n_words}::DOUBLE / {n_sent}::DOUBLE)"
+    spw = f"({syl}::DOUBLE / {n_words}::DOUBLE)"
+    return {
+        "n_words": f"CAST({n_words} AS INT)",
+        "n_sentences": f"CAST({n_sent} AS INT)",
+        "n_syllables": f"CAST(CASE WHEN {n_words} > 0 THEN {syl} ELSE 0 END AS INT)",
+        "fre": f"CASE WHEN {n_words} > 0 THEN round(206.835 - 1.015 * {wps} - 84.6 * {spw}, 4) END",
+        "fk_grade": f"CASE WHEN {n_words} > 0 THEN round(0.39 * {wps} + 11.8 * {spw} - 15.59, 4) END",
+    }

@@ -53,3 +53,49 @@ def test_profile_fractions_and_guard(spark):
     assert got["b"]["frac_repetitive"] == 0.0
     with pytest.raises(ValueError, match="low"):
         compressibility_profile(df, "k", "text", low=0.9, high=0.5)
+
+
+# -- readability ------------------------------------------------------------
+
+
+def test_readability_hand_computed(spark):
+    from pyspark.sql import functions as F
+
+    from rusty_bloomfilter_spark.functions.text import readability_exprs
+
+    # "The cat sat. It ran fast!" -> 6 words, 2 sentences,
+    # syllables: the(1) cat(1) sat.(1) it(1) ran(1) fast!(1) = 6
+    rows = [(1, "The cat sat. It ran fast!"), (2, ""), (3, "rhythm myth")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    r = readability_exprs(F.col("text"))
+    got = {
+        row["doc_id"]: row
+        for row in df.select(
+            "doc_id", *[r[k].alias(k) for k in r]
+        ).collect()
+    }
+    one = got[1]
+    assert one["n_words"] == 6 and one["n_sentences"] == 2 and one["n_syllables"] == 6
+    wps, spw = 6 / 2, 6 / 6
+    assert one["fre"] == pytest.approx(round(206.835 - 1.015 * wps - 84.6 * spw, 4))
+    assert one["fk_grade"] == pytest.approx(round(0.39 * wps + 11.8 * spw - 15.59, 4))
+    # empty text: zero words, NULL scores (never fake readable)
+    assert got[2]["n_words"] == 0 and got[2]["fre"] is None
+    # vowel-less words clamp to 1 syllable each ('y' counts: myth has y)
+    assert got[3]["n_syllables"] == 2
+
+
+def test_readability_direction(spark):
+    from pyspark.sql import functions as F
+
+    from rusty_bloomfilter_spark.functions.text import readability_exprs
+
+    simple = "The dog is big. The cat is small. We run a lot. It is fun."
+    dense = (
+        "Notwithstanding heretofore promulgated administrative determinations, "
+        "organizational restructuring necessitates comprehensive reevaluation."
+    )
+    df = spark.createDataFrame([(1, simple), (2, dense)], "doc_id int, text string")
+    r = readability_exprs(F.col("text"))
+    got = {x["doc_id"]: x["fre"] for x in df.select("doc_id", r["fre"].alias("fre")).collect()}
+    assert got[1] > 70 > got[2]  # conversational prose reads easy; legalese doesn't
