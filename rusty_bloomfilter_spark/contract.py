@@ -122,6 +122,7 @@ _WINDOW_MIDDLE = [
     "q_compressibility",
     "q_seasonality_dow",
     "q_readability",
+    "q_chunk_windows",
     "q_winnow_overlap",
     "q_vocab_growth",
     "q_token_dispersion",
@@ -6156,6 +6157,53 @@ def q_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("last_day", F.date_format("last_day", "yyyy-MM-dd"))
         .orderBy("event_type")
     )
+
+
+_CHUNK_SIZE, _CHUNK_STRIDE = 48, 32
+
+
+@register(
+    "q_chunk_windows",
+    oracle=_SEQ_CTE
+    + f"""
+    , c AS (
+      SELECT doc_id, tokens, len(tokens) AS n,
+             CASE WHEN len(tokens) <= {_CHUNK_SIZE} THEN 1
+                  ELSE CAST((len(tokens) - {_CHUNK_SIZE} + {_CHUNK_STRIDE} - 1)
+                            // {_CHUNK_STRIDE} AS INT) + 1
+             END AS n_chunks
+      FROM sequences WHERE len(tokens) > 0
+    )
+    SELECT doc_id,
+           CAST(i AS INT) AS chunk_idx,
+           CAST(i * {_CHUNK_STRIDE} AS INT) AS start,
+           CAST(least(i * {_CHUNK_STRIDE} + {_CHUNK_SIZE}, n)
+                - i * {_CHUNK_STRIDE} AS INT) AS chunk_len,
+           md5(array_to_string(
+             tokens[i * {_CHUNK_STRIDE} + 1
+                    : least(i * {_CHUNK_STRIDE} + {_CHUNK_SIZE}, n)], ','))
+             AS chunk_md5,
+           i = n_chunks - 1 AS is_last
+    FROM c, LATERAL (SELECT unnest(range(0, n_chunks)) AS i)
+    ORDER BY doc_id, chunk_idx
+    """,
+)
+def q_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window training-chunk manifest (operators/curation.py::
+    chunk_windows): every tokenized document cut into size-48 windows
+    advancing by 32 (16-token overlap carries context across cuts) —
+    the step between raw docs and pack_sequences (packing fills
+    context windows with whole SHORT docs; chunking makes LONG docs
+    fit at all). chunk_md5 pins the exact token content of every
+    window cross-engine; the manifest ships instead of materialized
+    slices. Map-side sequence()+explode, no shuffle. Hash-matched vs
+    DuckDB's 1-based list-slice rendering."""
+    from .operators.curation import chunk_windows
+
+    seq = sequences_from_documents(spark, sf_dir)
+    return chunk_windows(
+        seq, size=_CHUNK_SIZE, stride=_CHUNK_STRIDE
+    ).orderBy("doc_id", "chunk_idx")
 
 
 def _readability_oracle() -> str:

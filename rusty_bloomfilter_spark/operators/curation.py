@@ -294,3 +294,62 @@ def filter_sweep(
             "frac_mass"
         ),
     )
+
+
+def chunk_windows(
+    df: DataFrame,
+    *,
+    doc_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    size: int,
+    stride: int,
+) -> DataFrame:
+    """Sliding-window chunk plan: cut every token sequence into
+    fixed-``size`` training windows advancing by ``stride`` (overlap =
+    size − stride carries context across cuts) — the step between raw
+    documents and ``pack_sequences``: packing fills context windows
+    with WHOLE short docs; chunking makes long docs fit a context
+    window at all.
+
+    Emits the chunk MANIFEST (doc, chunk_idx, start, chunk_len,
+    chunk_md5, is_last), not materialized slices — the md5 pins the
+    exact token content of every window so a downstream writer can be
+    audited, while the manifest stays a few dozen bytes per chunk.
+    Coverage guarantees: chunks tile [0, n) (every token belongs to at
+    least one chunk; the final chunk may run short — cap-aware
+    consumers drop or pad it), n ≤ size yields exactly one chunk.
+    Map-side only: sequence() + explode per row, no shuffle, no driver
+    loop; empty docs are excluded.
+    """
+    if size < 1:
+        raise ValueError(f"size must be >= 1, got {size}")
+    if not 1 <= stride <= size:
+        raise ValueError(f"need 1 <= stride <= size, got stride={stride}")
+    n = F.size(F.col(tokens_col))
+    n_chunks = F.when(n <= size, F.lit(1)).otherwise(
+        F.floor(
+            (n - F.lit(size) + F.lit(stride) - F.lit(1)).cast("double")
+            / F.lit(stride)
+        ).cast("int")
+        + 1
+    )
+    base = df.filter(n > 0).select(
+        F.col(doc_col),
+        F.col(tokens_col).alias("_toks"),
+        n.alias("_n"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+        (n_chunks - 1).alias("_last"),
+    )
+    start = F.col("chunk_idx") * stride
+    end = F.least(start + size, F.col("_n"))
+    piece = F.slice(F.col("_toks"), start + 1, end - start)
+    return base.select(
+        F.col(doc_col),
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        start.cast("int").alias("start"),
+        (end - start).cast("int").alias("chunk_len"),
+        F.md5(
+            F.array_join(F.transform(piece, lambda x: x.cast("string")), ",")
+        ).alias("chunk_md5"),
+        (F.col("chunk_idx") == F.col("_last")).alias("is_last"),
+    )

@@ -219,3 +219,58 @@ def test_filter_sweep_monotone_and_guards(spark):
     # no mass column: counts still correct, frac_mass NULL
     nm = filter_sweep(df, "src", "s", [0.5]).collect()[0]
     assert nm["docs_kept"] == 5 and nm["frac_mass"] is None
+
+
+# -- chunk_windows ----------------------------------------------------------
+
+
+def test_chunk_windows_tiling_and_content(spark):
+    import hashlib
+
+    import pytest
+
+    from rusty_bloomfilter_spark.operators.curation import chunk_windows
+
+    rows = [
+        ("short", list(range(5))),     # n <= size: one chunk
+        ("exact", list(range(8))),     # n == size: one chunk
+        ("long", list(range(20))),     # ceil((20-8)/4)+1 = 4 chunks
+        ("empty", []),                 # excluded
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, tokens array<int>")
+    out = chunk_windows(df, size=8, stride=4)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["doc_id"], []).append(r)
+    assert "empty" not in got
+    assert len(got["short"]) == 1 and got["short"][0]["chunk_len"] == 5
+    assert len(got["exact"]) == 1 and got["exact"][0]["chunk_len"] == 8
+    chunks = sorted(got["long"], key=lambda r: r["chunk_idx"])
+    assert [(c["start"], c["chunk_len"]) for c in chunks] == [
+        (0, 8), (4, 8), (8, 8), (12, 8)
+    ]
+    assert [c["is_last"] for c in chunks] == [False, False, False, True]
+    # every token covered (tiling)
+    covered = set()
+    for c in chunks:
+        covered.update(range(c["start"], c["start"] + c["chunk_len"]))
+    assert covered == set(range(20))
+    # content md5 pins the exact slice
+    toks = list(range(20))
+    want = hashlib.md5(",".join(map(str, toks[4:12])).encode()).hexdigest()
+    assert chunks[1]["chunk_md5"] == want
+    with pytest.raises(ValueError, match="stride"):
+        chunk_windows(df, size=8, stride=9)
+    with pytest.raises(ValueError, match="size"):
+        chunk_windows(df, size=0, stride=1)
+
+
+def test_chunk_windows_short_tail(spark):
+    from rusty_bloomfilter_spark.operators.curation import chunk_windows
+
+    df = spark.createDataFrame([("d", list(range(10)))], "doc_id string, tokens array<int>")
+    out = sorted(chunk_windows(df, size=8, stride=4).collect(), key=lambda r: r["chunk_idx"])
+    # ceil((10-8)/4)+1 = 2 chunks; tail runs short (len 6), flagged last
+    assert [(c["start"], c["chunk_len"], c["is_last"]) for c in out] == [
+        (0, 8, False), (4, 6, True)
+    ]
