@@ -123,6 +123,7 @@ _WINDOW_MIDDLE = [
     "q_seasonality_dow",
     "q_readability",
     "q_chunk_windows",
+    "q_oov_rate",
     "q_winnow_overlap",
     "q_vocab_growth",
     "q_token_dispersion",
@@ -6157,6 +6158,47 @@ def q_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("last_day", F.date_format("last_day", "yyyy-MM-dd"))
         .orderBy("event_type")
     )
+
+
+@register(
+    "q_oov_rate",
+    oracle=_SEQ_CTE
+    + """
+    , tok AS (SELECT source AS g, unnest(tokens) AS t FROM sequences),
+    st AS (SELECT g, t, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2),
+    gt AS (SELECT t, sum(c) AS n FROM st GROUP BY 1),
+    vocab AS (
+      SELECT t FROM gt
+      QUALIFY row_number() OVER (ORDER BY n DESC, t ASC) <= 500
+    )
+    SELECT st.g AS source,
+           CAST(sum(c) AS BIGINT) AS total_tokens,
+           CAST(sum(CASE WHEN v.t IS NULL THEN c ELSE 0 END) AS BIGINT)
+             AS oov_occurrences,
+           round(sum(CASE WHEN v.t IS NULL THEN c ELSE 0 END) / sum(c), 6)
+             AS oov_rate,
+           CAST(sum(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS oov_types,
+           CAST(count(*) AS BIGINT) AS distinct_types
+    FROM st LEFT JOIN vocab v ON st.t = v.t
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary audit (operators/vocab.py::oov_rate): per
+    source, the fraction of token occurrences and types outside the
+    top-500 frequency-built reference vocabulary (deterministic
+    count-desc/token-asc cut) — the tokenizer-fit check: an OOV
+    outlier source is being shredded into fallback bytes (code against
+    a prose vocab, wrong language) and trains badly regardless of its
+    quality scores. One corpus explode into a map-side-combinable
+    (source, token) count (persisted + tied, two consumers);
+    everything downstream bounded by sources × vocab. Hash-matched vs
+    DuckDB's QUALIFY rendering."""
+    from .operators.vocab import oov_rate
+
+    seq = sequences_from_documents(spark, sf_dir)
+    return oov_rate(seq, vocab_size=500).orderBy("source")
 
 
 _CHUNK_SIZE, _CHUNK_STRIDE = 48, 32

@@ -101,3 +101,67 @@ def heaps_fit(curve: DataFrame, group_col: str = "source") -> DataFrame:
         F.round(slope, 4).alias("heaps_beta"),
         F.round(F.avg("y") - slope * F.avg("x"), 4).alias("heaps_lnk"),
     )
+
+
+def oov_rate(
+    df: DataFrame,
+    *,
+    group_col: str = "source",
+    tokens_col: str = "tokens",
+    vocab_size: int,
+) -> DataFrame:
+    """Out-of-vocabulary rate per group against a frequency-built
+    reference vocabulary: the top ``vocab_size`` tokens by corpus
+    count (ties broken by token id — fully deterministic), then per
+    group the fraction of token OCCURRENCES and distinct token TYPES
+    falling outside it. The tokenizer-fit audit: a source whose OOV
+    rate is an outlier is being shredded into fallback bytes by the
+    tokenizer (code vs a prose-trained vocab, wrong language, emoji
+    dumps) and will train badly regardless of its quality scores.
+
+    Distributed shape: ONE corpus explode into a map-side-combinable
+    (group, token) count; the global vocabulary derives from that
+    frame (sum over groups, window top-V), everything after is bounded
+    by groups × vocab — the corpus is scanned once. The counts frame
+    is persisted and tied (two consumers: vocab build + the rate
+    aggregate).
+    """
+    from .cache import tie
+
+    if vocab_size < 1:
+        raise ValueError(f"vocab_size must be >= 1, got {vocab_size}")
+    st = (
+        df.select(F.col(group_col).alias("_g"), F.explode(tokens_col).alias("_t"))
+        .groupBy("_g", "_t")
+        .agg(F.count("*").alias("_c"))
+        .persist()
+    )
+    gt = st.groupBy("_t").agg(F.sum("_c").alias("_n"))
+    w = Window.orderBy(F.col("_n").desc(), F.col("_t").asc())
+    vocab = (
+        gt.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= vocab_size)
+        .select("_t")
+    )
+    joined = st.join(
+        F.broadcast(vocab.withColumn("_in", F.lit(True))), on="_t", how="left"
+    )
+    out = joined.groupBy("_g").agg(
+        F.sum("_c").alias("total_tokens"),
+        F.sum(F.when(F.col("_in").isNull(), F.col("_c")).otherwise(0)).alias(
+            "oov_occurrences"
+        ),
+        F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0)).alias("oov_types"),
+        F.count("*").alias("distinct_types"),
+    )
+    out = out.select(
+        F.col("_g").alias(group_col),
+        "total_tokens",
+        "oov_occurrences",
+        F.round(F.col("oov_occurrences") / F.col("total_tokens"), 6).alias(
+            "oov_rate"
+        ),
+        F.col("oov_types").cast("bigint").alias("oov_types"),
+        F.col("distinct_types").cast("bigint").alias("distinct_types"),
+    )
+    return tie(out, st)

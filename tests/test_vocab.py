@@ -62,3 +62,47 @@ def test_heaps_fit_recovers_power_law(spark):
     fit = heaps_fit(curve).collect()[0]
     assert abs(fit["heaps_beta"] - 0.5) < 0.01
     assert abs(fit["heaps_lnk"] - math.log(3.0)) < 0.05
+
+
+# -- oov_rate ---------------------------------------------------------------
+
+
+def test_oov_rate_bruteforce_and_ties(spark):
+    from collections import Counter
+
+    import pytest
+
+    from rusty_bloomfilter_spark.operators.vocab import oov_rate
+
+    rows = [
+        ("a", [1, 1, 1, 2, 2, 3]),
+        ("a", [1, 4, 5]),
+        ("b", [2, 2, 6, 6, 6, 7]),
+    ]
+    df = spark.createDataFrame(rows, "source string, tokens array<int>")
+    # counts: 1->4, 2->4, 6->3, 3/4/5/7->1 ; V=3 with tie-break by token
+    # asc -> vocab = {1, 2, 6}
+    got = {r["source"]: r for r in oov_rate(df, vocab_size=3).collect()}
+    all_toks = {"a": [1, 1, 1, 2, 2, 3, 1, 4, 5], "b": [2, 2, 6, 6, 6, 7]}
+    vocab = {1, 2, 6}
+    for g, toks in all_toks.items():
+        c = Counter(toks)
+        oov_occ = sum(v for t, v in c.items() if t not in vocab)
+        r = got[g]
+        assert r["total_tokens"] == len(toks)
+        assert r["oov_occurrences"] == oov_occ
+        assert r["oov_rate"] == pytest.approx(oov_occ / len(toks), abs=1e-6)
+        assert r["oov_types"] == sum(1 for t in c if t not in vocab)
+        assert r["distinct_types"] == len(c)
+    with pytest.raises(ValueError, match="vocab_size"):
+        oov_rate(df, vocab_size=0)
+
+
+def test_oov_rate_full_vocab_is_zero(spark):
+    from rusty_bloomfilter_spark.operators.vocab import oov_rate
+
+    df = spark.createDataFrame(
+        [("a", [1, 2, 3]), ("b", [3, 4])], "source string, tokens array<int>"
+    )
+    got = {r["source"]: r for r in oov_rate(df, vocab_size=100).collect()}
+    assert all(r["oov_rate"] == 0.0 and r["oov_occurrences"] == 0 for r in got.values())
