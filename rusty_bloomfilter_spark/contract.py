@@ -124,6 +124,7 @@ _WINDOW_MIDDLE = [
     "q_readability",
     "q_chunk_windows",
     "q_oov_rate",
+    "q_cluster_quality",
     "q_winnow_overlap",
     "q_vocab_growth",
     "q_token_dispersion",
@@ -6158,6 +6159,66 @@ def q_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("last_day", F.date_format("last_day", "yyyy-MM-dd"))
         .orderBy("event_type")
     )
+
+
+@register(
+    "q_cluster_quality",
+    oracle="""
+    -- constant 1..64 series recovers positions (q_embedding_centroids
+    -- convention; a dim mismatch surfaces as a row-count/hash FAIL)
+    WITH e AS (
+      SELECT vec_id, label, CAST(i AS INT) AS pos,
+             embedding[CAST(i AS INT)] AS v
+      FROM embeddings CROSS JOIN generate_series(1, 64) AS t(i)
+    ), cent AS (
+      SELECT label, pos, avg(v) AS m FROM e GROUP BY 1, 2
+    ), pd AS (
+      SELECT e.vec_id, e.label,
+             sqrt(sum((e.v - c.m) * (e.v - c.m))) AS dist
+      FROM e JOIN cent c ON e.label = c.label AND e.pos = c.pos
+      GROUP BY 1, 2
+    ), s AS (
+      SELECT label, avg(dist) AS s_i, CAST(count(*) AS BIGINT) AS n_vecs
+      FROM pd GROUP BY 1
+    ), dmat AS (
+      SELECT a.label AS la, b.label AS lb,
+             sqrt(sum((a.m - b.m) * (a.m - b.m))) AS d
+      FROM cent a JOIN cent b ON a.pos = b.pos AND a.label <> b.label
+      GROUP BY 1, 2
+    ), ratios AS (
+      SELECT la, sa.n_vecs, sa.s_i,
+             round((sa.s_i + sb.s_i) / d, 6) AS r, lb
+      FROM dmat JOIN s sa ON sa.label = la JOIN s sb ON sb.label = lb
+    ), per_label AS (
+      SELECT la, n_vecs, s_i, r, lb
+      FROM ratios
+      QUALIFY row_number() OVER (
+        PARTITION BY la ORDER BY r DESC, lb DESC
+      ) = 1
+    ), db AS (
+      SELECT round(avg(r), 6) AS db_index FROM per_label
+    )
+    SELECT la AS label, n_vecs, round(s_i, 6) AS scatter,
+           r AS worst_ratio, CAST(lb AS INT) AS worst_neighbor, db_index
+    FROM per_label CROSS JOIN db
+    ORDER BY label
+    """,
+)
+def q_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Davies–Bouldin label-cluster quality over the embedding corpus
+    (operators/spectral.py::cluster_quality): per-label scatter, the
+    worst separation ratio and which neighbor attains it, plus the
+    corpus DB index — the label-health diagnostic after
+    q_embedding_centroids (centroids say WHERE each domain sits, this
+    says WHICH domains collapsed into each other — the pair a
+    dedup/mixing pass reviews first). One persisted posexplode feeds
+    both passes; everything after the per-vector aggregate is
+    |labels|²-bounded. Hash-matched vs DuckDB's constant-series
+    rendering at round(6)."""
+    from .operators.spectral import cluster_quality
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cluster_quality(emb).orderBy("label")
 
 
 @register(

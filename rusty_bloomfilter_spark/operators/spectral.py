@@ -137,3 +137,104 @@ def embedding_spectrum(
     return df.sparkSession.createDataFrame(
         rows, "component int, sigma_sq_est double, sigma_sq_exact double, delta double, in_bound boolean"
     )
+
+
+def cluster_quality(
+    df: DataFrame,
+    *,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Davies–Bouldin cluster quality over a labeled embedding corpus
+    (Davies & Bouldin 1979, q = 1 average-Euclidean scatter): per
+    label, within-cluster scatter s_i, the worst separation ratio
+    R_i = max_{j≠i} (s_i + s_j)/d(c_i, c_j), which neighbor attains
+    it, and the corpus DB index (mean R_i — lower is better). The
+    label-health diagnostic after q_embedding_centroids: centroids say
+    WHERE each domain sits, this says WHICH domains have collapsed
+    into each other (the pair a dedup/mixing pass should look at
+    first).
+
+    Distributed shape: the corpus posexplodes ONCE into a persisted
+    (id, label, pos, v) frame feeding both passes (centroids, then
+    per-vector distances against the broadcast |labels|·dim centroid
+    frame — a second pass is inherent: mean distance TO the centroid
+    is not a function of moments). Everything after the per-vector
+    aggregate is bounded by |labels|² — label pairs, ratios, and the
+    final index never touch corpus-sized data. Ties in the worst
+    neighbor resolve to the larger label, identically cross-engine
+    (max-of-struct ≡ ORDER BY ratio DESC, label DESC).
+    """
+    from pyspark.sql import functions as F
+
+    from .cache import tie
+
+    e = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(label_col).alias("_l"),
+        F.posexplode(vec_col).alias("_pos", "_v"),
+    ).persist()
+    cent = e.groupBy("_l", "_pos").agg(F.avg("_v").alias("_m"))
+    pd_ = (
+        e.join(
+            F.broadcast(cent),
+            on=["_l", "_pos"],
+        )
+        .groupBy("_id", "_l")
+        .agg(
+            F.sqrt(F.sum((F.col("_v") - F.col("_m")) * (F.col("_v") - F.col("_m"))))
+            .alias("_dist")
+        )
+    )
+    s = pd_.groupBy("_l").agg(
+        F.avg("_dist").alias("_s"), F.count("*").alias("n_vecs")
+    )
+    a = cent.alias("a")
+    b = cent.alias("b")
+    dmat = (
+        a.join(
+            b,
+            on=[
+                F.col("a._pos") == F.col("b._pos"),
+                F.col("a._l") != F.col("b._l"),
+            ],
+        )
+        .groupBy(F.col("a._l").alias("_la"), F.col("b._l").alias("_lb"))
+        .agg(
+            F.sqrt(
+                F.sum(
+                    (F.col("a._m") - F.col("b._m"))
+                    * (F.col("a._m") - F.col("b._m"))
+                )
+            ).alias("_d")
+        )
+    )
+    sa = s.select(F.col("_l").alias("_la"), F.col("_s").alias("_sa"), "n_vecs")
+    sb = s.select(F.col("_l").alias("_lb"), F.col("_s").alias("_sb"))
+    ratios = (
+        dmat.join(sa, on="_la")
+        .join(sb, on="_lb")
+        .select(
+            "_la",
+            "n_vecs",
+            "_sa",
+            F.round((F.col("_sa") + F.col("_sb")) / F.col("_d"), 6).alias("_r"),
+            "_lb",
+        )
+    )
+    per_label = ratios.groupBy("_la", "n_vecs", "_sa").agg(
+        F.max(F.struct(F.col("_r").alias("r"), F.col("_lb").alias("lb"))).alias(
+            "_w"
+        )
+    )
+    db = per_label.agg(F.round(F.avg("_w.r"), 6).alias("db_index"))
+    out = per_label.crossJoin(F.broadcast(db)).select(
+        F.col("_la").alias(label_col),
+        F.col("n_vecs"),
+        F.round("_sa", 6).alias("scatter"),
+        F.col("_w.r").alias("worst_ratio"),
+        F.col("_w.lb").cast("int").alias("worst_neighbor"),
+        F.col("db_index"),
+    )
+    return tie(out, e)

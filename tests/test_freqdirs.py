@@ -192,3 +192,70 @@ def test_gram_sql_surface(spark, emb_df):
     ).collect()[0]["e"]
     want = np.linalg.eigvalsh(clean.astype(np.float64).T @ clean.astype(np.float64))[::-1]
     assert np.allclose(np.array(got), want, atol=1e-6)
+
+
+# -- Davies–Bouldin cluster quality -----------------------------------------
+
+
+def test_cluster_quality_matches_numpy(spark):
+    import numpy as np
+    import pytest
+
+    from rusty_bloomfilter_spark.operators.spectral import cluster_quality
+
+    rng = np.random.default_rng(13)
+    dim, rows = 8, []
+    centers = {0: np.zeros(dim), 1: np.full(dim, 5.0), 2: np.full(dim, -4.0)}
+    pts = {}
+    vid = 0
+    for lab, c in centers.items():
+        pts[lab] = c + rng.normal(0, 0.5, size=(30, dim))
+        for p in pts[lab]:
+            rows.append((vid, lab, [float(x) for x in p]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<float>")
+    got = {r["label"]: r for r in cluster_quality(df).collect()}
+
+    # numpy oracle (float32 storage: compare at 1e-4)
+    cents = {l: np.asarray(p, dtype=np.float32).astype(float).mean(0) for l, p in pts.items()}
+    s = {
+        l: float(np.mean(np.linalg.norm(np.asarray(p, dtype=np.float32).astype(float) - cents[l], axis=1)))
+        for l, p in pts.items()
+    }
+    ratios = {}
+    for i in centers:
+        ratios[i] = max(
+            ((s[i] + s[j]) / np.linalg.norm(cents[i] - cents[j]), j)
+            for j in centers
+            if j != i
+        )
+    db = np.mean([r for r, _ in ratios.values()])
+    for lab in centers:
+        assert got[lab]["n_vecs"] == 30
+        assert got[lab]["scatter"] == pytest.approx(s[lab], abs=1e-4)
+        assert got[lab]["worst_ratio"] == pytest.approx(ratios[lab][0], abs=1e-4)
+        assert got[lab]["worst_neighbor"] == ratios[lab][1]
+        assert got[lab]["db_index"] == pytest.approx(db, abs=1e-4)
+    # geometry sanity: 0's nearest trouble is the closer center (-4), i.e. 2
+    assert got[0]["worst_neighbor"] == 2
+
+
+def test_cluster_quality_tight_vs_overlapping(spark):
+    import numpy as np
+
+    from rusty_bloomfilter_spark.operators.spectral import cluster_quality
+
+    rng = np.random.default_rng(14)
+
+    def frame(spread):
+        rows, vid = [], 0
+        for lab, c in ((0, 0.0), (1, 3.0)):
+            for _ in range(25):
+                v = (c + rng.normal(0, spread, 4)).astype(float)
+                rows.append((vid, lab, [float(x) for x in v]))
+                vid += 1
+        return spark.createDataFrame(rows, "vec_id long, label int, embedding array<float>")
+
+    tight = cluster_quality(frame(0.1)).collect()[0]["db_index"]
+    blurry = cluster_quality(frame(2.0)).collect()[0]["db_index"]
+    assert tight < 0.3 < blurry  # well-separated clusters score far lower
