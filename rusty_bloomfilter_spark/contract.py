@@ -125,6 +125,7 @@ _WINDOW_MIDDLE = [
     "q_chunk_windows",
     "q_oov_rate",
     "q_cluster_quality",
+    "q_rfm_segments",
     "q_winnow_overlap",
     "q_vocab_growth",
     "q_token_dispersion",
@@ -6159,6 +6160,55 @@ def q_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("last_day", F.date_format("last_day", "yyyy-MM-dd"))
         .orderBy("event_type")
     )
+
+
+@register(
+    "q_rfm_segments",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey AS c,
+             date_diff('day', max(o_orderdate),
+                       (SELECT max(o_orderdate) FROM orders)) AS rec,
+             count(*) AS freq,
+             sum(CAST(o_totalprice AS DECIMAL(38,4))) AS money
+      FROM orders GROUP BY 1
+    ), scored AS (
+      SELECT ntile(5) OVER (ORDER BY rec ASC, c ASC) AS r_score,
+             ntile(5) OVER (ORDER BY freq ASC, c ASC) AS f_score,
+             ntile(5) OVER (ORDER BY money ASC, c ASC) AS m_score,
+             money
+      FROM per_cust
+    )
+    SELECT r_score, f_score, m_score,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(max(money) AS DOUBLE) AS max_monetary,
+           CAST(sum(money) AS DOUBLE) AS total_monetary
+    FROM scored GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+    """,
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (operators/retention.py::
+    rfm_segments): recency/frequency/monetary quintile scores with a
+    fully deterministic (metric, customer) ordering, aggregated to the
+    segment grid — behavioral tiering before sampling/marketing. One
+    map-side-combinable corpus aggregate to |customers| rows, three
+    ntile windows over that frame, one ≤5³ grid aggregate; money
+    through DECIMAL(38,4) per the cross-engine convention.
+    Hash-matched because the total order makes every ntile bucket
+    engine-exact."""
+    from .operators.retention import rfm_segments
+
+    orders = load_table(spark, sf_dir, "orders")
+    out = rfm_segments(orders)
+    return out.select(
+        "r_score",
+        "f_score",
+        "m_score",
+        "n_customers",
+        F.col("max_monetary").cast("double").alias("max_monetary"),
+        F.col("total_monetary").cast("double").alias("total_monetary"),
+    ).orderBy("r_score", "f_score", "m_score")
 
 
 @register(

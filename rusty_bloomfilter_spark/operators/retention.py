@@ -66,3 +66,66 @@ def retention_cohorts(
             6,
         ),
     )
+
+
+def rfm_segments(
+    orders: DataFrame,
+    *,
+    cust_col: str = "o_custkey",
+    date_col: str = "o_orderdate",
+    amount_col: str = "o_totalprice",
+    quantiles: int = 5,
+) -> DataFrame:
+    """RFM segmentation (Hughes 1994): score every active customer
+    1..q on Recency (days since last order; score 1 = most recent),
+    Frequency (order count; score q = most orders) and Monetary
+    (lifetime spend; score q = highest), then report the segment grid
+    — the behavioral tiering a retention/marketing pass starts from,
+    and on a training corpus the exact shape used to tier users by
+    engagement before sampling.
+
+    Distributed shape: ONE corpus aggregate to per-customer (recency,
+    frequency, monetary) — map-side combined, |customers| rows out —
+    then three global ntile windows over that frame and a |grid|≤q³
+    aggregate. The unpartitioned ntile windows move |customers| rows
+    through one task: corpus-size-independent, but at 10⁹ customers
+    swap ntile for percent_rank bucketing on the same ordering.
+    Determinism: every ntile orders by (metric, customer id) — the
+    total order makes bucket assignment, and therefore the whole
+    grid, engine-exact. Money aggregates run in DECIMAL(38,4).
+    """
+    if quantiles < 2:
+        raise ValueError(f"quantiles must be >= 2, got {quantiles}")
+    ref = orders.agg(F.max(F.col(date_col)).alias("_ref"))
+    per_cust = (
+        orders.groupBy(F.col(cust_col).alias("_c"))
+        .agg(
+            F.max(F.col(date_col)).alias("_last"),
+            F.count("*").alias("_freq"),
+            F.sum(F.col(amount_col).cast("decimal(38,4)")).alias("_money"),
+        )
+        .crossJoin(F.broadcast(ref))
+        .select(
+            "_c",
+            F.datediff(F.col("_ref"), F.col("_last")).alias("_rec"),
+            "_freq",
+            "_money",
+        )
+    )
+    w_r = Window.orderBy(F.col("_rec").asc(), F.col("_c").asc())
+    w_f = Window.orderBy(F.col("_freq").asc(), F.col("_c").asc())
+    w_m = Window.orderBy(F.col("_money").asc(), F.col("_c").asc())
+    scored = per_cust.select(
+        "_c",
+        "_rec",
+        "_freq",
+        "_money",
+        F.ntile(quantiles).over(w_r).alias("r_score"),
+        F.ntile(quantiles).over(w_f).alias("f_score"),
+        F.ntile(quantiles).over(w_m).alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count("*").alias("n_customers"),
+        F.max("_money").alias("max_monetary"),
+        F.sum("_money").alias("total_monetary"),
+    )

@@ -78,3 +78,56 @@ def test_partitioning_invariance(spark, events):
         for r in retention_cohorts(events.repartition(7)).collect()
     )
     assert a == b
+
+
+# -- RFM segmentation -------------------------------------------------------
+
+
+def test_rfm_scores_hand_computed(spark):
+    import datetime as dt
+
+    import pytest
+
+    from rusty_bloomfilter_spark.operators.retention import rfm_segments
+
+    d = dt.date(2024, 1, 1)
+    rows = []
+    # 4 customers, quartiles: recency/frequency/monetary all strictly ordered
+    # cust 1: 1 order day 0, 100  -> oldest, fewest, least
+    # cust 2: 2 orders .. day 10, 400
+    # cust 3: 3 orders .. day 20, 900
+    # cust 4: 4 orders .. day 30, 1600
+    for c, (n, last, amt) in {
+        1: (1, 0, 100.0), 2: (2, 10, 200.0), 3: (3, 20, 300.0), 4: (4, 30, 400.0)
+    }.items():
+        for i in range(n):
+            rows.append((c, d + dt.timedelta(days=last - i), amt))
+    df = spark.createDataFrame(rows, "o_custkey int, o_orderdate date, o_totalprice double")
+    got = {r["r_score"]: r for r in rfm_segments(df, quantiles=4).collect()}
+    # recency asc ordering: cust4 most recent -> r_score 1; freq/money asc:
+    # cust4 has most -> f=m=4. Perfect anti-diagonal.
+    for r_score, row in got.items():
+        assert row["n_customers"] == 1
+        assert row["f_score"] == 5 - r_score and row["m_score"] == 5 - r_score
+    assert got[1]["max_monetary"] == pytest.approx(4 * 400.0)
+    with pytest.raises(ValueError, match="quantiles"):
+        rfm_segments(df, quantiles=1)
+
+
+def test_rfm_tie_break_deterministic(spark):
+    import datetime as dt
+
+    from rusty_bloomfilter_spark.operators.retention import rfm_segments
+
+    d = dt.date(2024, 1, 1)
+    # identical metrics: ntile buckets split by custkey tie-break only —
+    # result must be stable across partitionings
+    rows = [(c, d, 50.0) for c in range(1, 7)]
+    df = spark.createDataFrame(rows, "o_custkey int, o_orderdate date, o_totalprice double")
+    a = sorted(map(tuple, rfm_segments(df, quantiles=3).collect()))
+    b = sorted(map(tuple, rfm_segments(df.repartition(5), quantiles=3).collect()))
+    assert a == b
+    # 6 customers in 3 buckets of 2: grid is the diagonal (1,1,1),(2,2,2),(3,3,3)
+    assert [(r[0], r[1], r[2], r[3]) for r in a] == [
+        (1, 1, 1, 2), (2, 2, 2, 2), (3, 3, 3, 2)
+    ]
