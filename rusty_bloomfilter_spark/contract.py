@@ -126,6 +126,7 @@ _WINDOW_MIDDLE = [
     "q_oov_rate",
     "q_cluster_quality",
     "q_rfm_segments",
+    "q_bigram_entropy",
     "q_winnow_overlap",
     "q_vocab_growth",
     "q_token_dispersion",
@@ -6160,6 +6161,54 @@ def q_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("last_day", F.date_format("last_day", "yyyy-MM-dd"))
         .orderBy("event_type")
     )
+
+
+@register(
+    "q_bigram_entropy",
+    oracle=_SEQ_CTE
+    + """
+    , pk AS (
+      SELECT source AS g,
+             unnest(list_transform(range(len(tokens) - 1),
+                    i -> CAST(tokens[i+1] AS BIGINT) * 50261 + tokens[i+2]))
+               AS pk
+      FROM sequences WHERE len(tokens) >= 2
+    ), pc AS (
+      SELECT g, pk, CAST(count(*) AS BIGINT) AS c FROM pk GROUP BY 1, 2
+    ), base AS (
+      SELECT g, c, (pk - pk % 50261) / 50261 AS a, pk % 50261 AS b FROM pc
+    ), enr AS (
+      SELECT g, c,
+             sum(c) OVER (PARTITION BY g, a) AS ca,
+             sum(c) OVER (PARTITION BY g, b) AS cb,
+             sum(c) OVER (PARTITION BY g) AS n
+      FROM base
+    )
+    SELECT g AS source,
+           CAST(max(n) AS BIGINT) AS n_pairs,
+           round(-sum(c::DOUBLE * ln(c::DOUBLE / ca)) / max(n), 6) AS h_cond,
+           round(-sum(c::DOUBLE * ln(cb::DOUBLE / n)) / max(n), 6) AS h_right,
+           round((-sum(c::DOUBLE * ln(cb::DOUBLE / n)) / max(n))
+                 - (-sum(c::DOUBLE * ln(c::DOUBLE / ca)) / max(n)), 6)
+             AS mutual_info
+    FROM enr GROUP BY g ORDER BY g
+    """,
+)
+def q_bigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source bigram information profile (operators/lm.py::
+    bigram_entropy): conditional entropy H(next|prev), unigram
+    H(next), and their gap — mutual information — in nats. The
+    PREDICTABILITY axis of the text-statistics family (Zipf/Heaps read
+    frequency/growth laws, KL reads between-group shift, this reads
+    within-text structure: template corpora pin each next token, MI≈0
+    means shuffled); also the exact average log-loss of the unsmoothed
+    bigram LM. One corpus scan of map-side pair keys into a (source,
+    pair) count; marginals are window sums over the vocab²-bounded
+    frame. Hash-matched vs DuckDB's identical window algebra."""
+    from .operators.lm import bigram_entropy
+
+    seq = sequences_from_documents(spark, sf_dir)
+    return bigram_entropy(seq).orderBy("source")
 
 
 @register(

@@ -121,3 +121,72 @@ def bigram_lm_scores_cms(
     return sequences.select(id_col, tokens_col).mapInArrow(
         score, schema="doc_id string, n_pairs bigint, lm_score_cms double"
     )
+
+
+def bigram_entropy(
+    df: DataFrame,
+    *,
+    group_col: str = "source",
+    tokens_col: str = "tokens",
+    vocab: int = 50261,
+) -> DataFrame:
+    """Per-group bigram information profile: conditional entropy
+    H(next | prev) = −(1/N)·Σ_ab c_ab·ln(c_ab / c_a·), the right-
+    marginal unigram entropy H(next), and their difference — the
+    mutual information I(prev; next) — all in nats. The
+    PREDICTABILITY axis of the text-statistics family: Zipf/Heaps read
+    the frequency and growth laws, KL/keyness read BETWEEN-group
+    shifts, this reads WITHIN-text structure — template/boilerplate
+    corpora have low H(next|prev) (each token pins the next), shuffled
+    or high-entropy corpora sit near H(next) with MI ≈ 0. It is also
+    the exact average log-loss (base e) of the un-smoothed bigram LM
+    q_bigram_lm_scores scores documents with.
+
+    Distributed shape: ONE corpus scan explodes map-side adjacent-pair
+    keys (functions/text.py::adjacent_pair_keys — no join, no window
+    over tokens) into a map-side-combinable (group, pair) count;
+    marginals are window sums OVER that vocab²-bounded frame, and the
+    final row set is |groups|. Key decode uses subtract-then-divide
+    ((pk − pk % vocab)/vocab), exact in doubles below 2^53 — the same
+    engine-portable integer trick the sweep/shift operators pin.
+    """
+    from ..functions.text import adjacent_pair_keys
+
+    pairs = df.select(
+        F.col(group_col).alias("_g"),
+        F.explode(adjacent_pair_keys(F.col(tokens_col), vocab)).alias("_pk"),
+    )
+    pc = pairs.groupBy("_g", "_pk").agg(F.count("*").alias("_c"))
+    left = ((F.col("_pk") - F.col("_pk") % vocab) / vocab).cast("long")
+    right = (F.col("_pk") % vocab).cast("long")
+    from pyspark.sql import Window
+
+    base = pc.select(
+        "_g", "_c", left.alias("_a"), right.alias("_b")
+    )
+    w_a = Window.partitionBy("_g", "_a")
+    w_b = Window.partitionBy("_g", "_b")
+    w_g = Window.partitionBy("_g")
+    enriched = base.select(
+        "_g",
+        "_c",
+        F.sum("_c").over(w_a).alias("_ca"),
+        F.sum("_c").over(w_b).alias("_cb"),
+        F.sum("_c").over(w_g).alias("_n"),
+    )
+    c = F.col("_c").cast("double")
+    h_cond = -F.sum(c * F.log(c / F.col("_ca"))) / F.first("_n")
+    h_right = -F.sum(c * F.log(F.col("_cb") / F.col("_n"))) / F.first("_n")
+    out = enriched.groupBy("_g").agg(
+        F.first("_n").alias("n_pairs"),
+        F.round(h_cond, 6).alias("h_cond"),
+        F.round(h_right, 6).alias("h_right"),
+        F.round(h_right - h_cond, 6).alias("mutual_info"),
+    )
+    return out.select(
+        F.col("_g").alias(group_col),
+        F.col("n_pairs").cast("bigint").alias("n_pairs"),
+        "h_cond",
+        "h_right",
+        "mutual_info",
+    )

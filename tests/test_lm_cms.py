@@ -91,3 +91,61 @@ def test_matches_exact_spark_scorer(spark, corpus):
         for r in bigram_lm_scores_cms(df, vocab=50257).collect()
     }
     assert ex == cm
+
+
+# -- bigram_entropy ---------------------------------------------------------
+
+
+def test_bigram_entropy_matches_bruteforce(spark):
+    import math
+    from collections import Counter
+
+    import pytest
+
+    from rusty_bloomfilter_spark.operators.lm import bigram_entropy
+
+    rows = [
+        ("a", [1, 2, 1, 2, 1, 2, 3]),
+        ("a", [2, 1, 2, 1]),
+        ("b", [5, 5, 5, 5, 5]),
+    ]
+    df = spark.createDataFrame(rows, "source string, tokens array<int>")
+    got = {r["source"]: r for r in bigram_entropy(df).collect()}
+
+    for g in ("a", "b"):
+        pairs = []
+        for src, toks in rows:
+            if src == g:
+                pairs += list(zip(toks, toks[1:]))
+        c = Counter(pairs)
+        n = len(pairs)
+        ca = Counter(a for a, _ in pairs)
+        cb = Counter(b for _, b in pairs)
+        h_cond = -sum(v * math.log(v / ca[a]) for (a, _), v in c.items()) / n
+        h_right = -sum(v * math.log(cb[b] / n) for (_, b), v in c.items()) / n
+        r = got[g]
+        assert r["n_pairs"] == n
+        assert r["h_cond"] == pytest.approx(h_cond, abs=1e-6)
+        assert r["h_right"] == pytest.approx(h_right, abs=1e-6)
+        assert r["mutual_info"] == pytest.approx(h_right - h_cond, abs=1e-6)
+    # constant text: every next token is pinned -> zero conditional entropy
+    assert got["b"]["h_cond"] == 0.0 and got["b"]["h_right"] == 0.0
+
+
+def test_bigram_entropy_template_vs_shuffled(spark):
+    import numpy as np
+
+    from rusty_bloomfilter_spark.operators.lm import bigram_entropy
+
+    rng = np.random.default_rng(6)
+    template = [int(x) for x in ([7, 8, 9, 10] * 100)]
+    shuffled = [int(x) for x in rng.integers(7, 11, size=400)]
+    df = spark.createDataFrame(
+        [("tmpl", template), ("rand", shuffled)], "source string, tokens array<int>"
+    )
+    got = {r["source"]: r for r in bigram_entropy(df).collect()}
+    # deterministic cycle: H(next|prev) = 0 but H(next) = ln 4
+    assert got["tmpl"]["h_cond"] == 0.0
+    assert got["tmpl"]["mutual_info"] > 1.3
+    # iid uniform: next is unpredictable, MI near 0
+    assert got["rand"]["h_cond"] > 1.2 and got["rand"]["mutual_info"] < 0.1
