@@ -6565,10 +6565,11 @@ def _fd_oracle() -> str:
         parts.append(f"""
         SELECT '{det} -> {dep}' AS rule,
                CAST(count(*) AS BIGINT) AS n_det_values,
-               CAST(sum(CASE WHEN fan > 1 THEN 1 ELSE 0 END) AS BIGINT)
-                 AS n_violating_dets,
-               CAST(max(fan) AS INT) AS max_fanout,
-               sum(CASE WHEN fan > 1 THEN 1 ELSE 0 END) = 0 AS is_fd
+               CAST(coalesce(sum(CASE WHEN fan > 1 THEN 1 ELSE 0 END), 0)
+                 AS BIGINT) AS n_violating_dets,
+               CAST(coalesce(max(fan), 0) AS INT) AS max_fanout,
+               coalesce(sum(CASE WHEN fan > 1 THEN 1 ELSE 0 END), 0) = 0
+                 AS is_fd
         FROM (
           SELECT {det} AS det,
                  count(DISTINCT {dep})

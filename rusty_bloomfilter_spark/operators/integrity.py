@@ -162,10 +162,16 @@ def fd_audit(
             per_det.agg(
                 F.lit(f"{det} -> {dep}").alias("rule"),
                 F.count("*").alias("n_det_values"),
-                F.sum(F.when(F.col("_fan") > 1, 1).otherwise(0)).alias(
-                    "n_violating_dets"
+                # coalesce: sum/max over ZERO determinants (all-NULL or
+                # empty column) are SQL NULL — report 0 violations and
+                # a vacuously-true FD with n_det_values = 0, never a
+                # NULL verdict a boolean filter silently drops
+                F.coalesce(
+                    F.sum(F.when(F.col("_fan") > 1, 1).otherwise(0)), F.lit(0)
+                ).alias("n_violating_dets"),
+                F.coalesce(F.max("_fan"), F.lit(0)).cast("int").alias(
+                    "max_fanout"
                 ),
-                F.max("_fan").cast("int").alias("max_fanout"),
             )
         )
     unioned = outs[0]

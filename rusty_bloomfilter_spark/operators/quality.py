@@ -59,22 +59,33 @@ def compressibility_profile(
     low: float = 0.25,
     high: float = 0.95,
 ) -> DataFrame:
-    """Per-key compressibility profile: document count, mean ratio, and
-    the fraction outside [low, high] — the repetitive tail (below) and
-    the high-entropy tail (above), the two populations a curation pass
-    reviews first. One corpus scan (the UDF scoring pass) into one
+    """Per-key compressibility profile: document counts, mean ratio,
+    and the fraction outside [low, high] — the repetitive tail (below)
+    and the high-entropy tail (above), the two populations a curation
+    pass reviews first. Every ratio statistic uses the SCORED docs as
+    its denominator (``n_scored``; NULL-ratio empty/NULL-text docs are
+    reported in ``n_docs`` but excluded everywhere else — counting
+    them as "not repetitive" would dilute exactly the tail the filter
+    is tuning on). One corpus scan (the UDF scoring pass) into one
     map-side-combinable aggregate."""
     if not 0.0 < low < high:
         raise ValueError(f"need 0 < low < high, got low={low}, high={high}")
     r = compression_ratio(F.col(text_col))
     scored = df.select(F.col(key_col), r.alias("_r"))
+    # avg() skips NULLs, so NULL-ratio docs leave BOTH the numerator and
+    # the denominator of the tail fractions (CASE keeps NULL for them)
+    tail = lambda cond: F.round(  # noqa: E731
+        F.avg(
+            F.when(F.col("_r").isNull(), None)
+            .when(cond, 1.0)
+            .otherwise(0.0)
+        ),
+        4,
+    )
     return scored.groupBy(key_col).agg(
         F.count("*").alias("n_docs"),
+        F.count("_r").alias("n_scored"),
         F.round(F.avg("_r"), 4).alias("mean_ratio"),
-        F.round(
-            F.avg(F.when(F.col("_r") < low, 1.0).otherwise(0.0)), 4
-        ).alias("frac_repetitive"),
-        F.round(
-            F.avg(F.when(F.col("_r") > high, 1.0).otherwise(0.0)), 4
-        ).alias("frac_high_entropy"),
+        tail(F.col("_r") < low).alias("frac_repetitive"),
+        tail(F.col("_r") > high).alias("frac_high_entropy"),
     )

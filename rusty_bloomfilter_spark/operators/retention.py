@@ -112,9 +112,13 @@ def rfm_segments(
             "_money",
         )
     )
-    w_r = Window.orderBy(F.col("_rec").asc(), F.col("_c").asc())
-    w_f = Window.orderBy(F.col("_freq").asc(), F.col("_c").asc())
-    w_m = Window.orderBy(F.col("_money").asc(), F.col("_c").asc())
+    # asc_nulls_last: Spark's ASC default is NULLS FIRST, which would
+    # score a customer with only NULL order dates as MOST recent — and
+    # diverge from SQL engines whose ASC default is NULLS LAST. NULL
+    # metrics rank worst, explicitly and identically cross-engine.
+    w_r = Window.orderBy(F.col("_rec").asc_nulls_last(), F.col("_c").asc())
+    w_f = Window.orderBy(F.col("_freq").asc_nulls_last(), F.col("_c").asc())
+    w_m = Window.orderBy(F.col("_money").asc_nulls_last(), F.col("_c").asc())
     scored = per_cust.select(
         "_c",
         "_rec",

@@ -212,6 +212,14 @@ def cluster_quality(
     )
     sa = s.select(F.col("_l").alias("_la"), F.col("_s").alias("_sa"), "n_vecs")
     sb = s.select(F.col("_l").alias("_lb"), F.col("_s").alias("_sb"))
+    # identical centroids (d = 0) are exactly the collapsed-cluster case
+    # this diagnostic exists to surface: report +inf rather than crash
+    # (Spark 4 ANSI double/0 THROWS — guard BEFORE dividing; CaseWhen
+    # short-circuits per row, so the division never sees d = 0)
+    ratio = F.when(
+        F.col("_d") > 0.0,
+        F.round((F.col("_sa") + F.col("_sb")) / F.col("_d"), 6),
+    ).otherwise(F.lit(float("inf")))
     ratios = (
         dmat.join(sa, on="_la")
         .join(sb, on="_lb")
@@ -219,7 +227,7 @@ def cluster_quality(
             "_la",
             "n_vecs",
             "_sa",
-            F.round((F.col("_sa") + F.col("_sb")) / F.col("_d"), 6).alias("_r"),
+            ratio.alias("_r"),
             "_lb",
         )
     )

@@ -137,9 +137,23 @@ def oov_rate(
         .persist()
     )
     gt = st.groupBy("_t").agg(F.sum("_c").alias("_n"))
+    # two-stage top-V: a global unpartitioned row_number would funnel
+    # EVERY distinct token (Heaps-law: 10^8+ on byte-noisy crawl data)
+    # through one task. Per-bucket top-V first — each bucket's top-V is
+    # a superset of the global top-V members hashed into it, so the
+    # global rank over <= 32·V survivors is exact, and the single task
+    # sees a bounded frame regardless of vocabulary size.
+    w_bkt = Window.partitionBy("_bkt").orderBy(
+        F.col("_n").desc(), F.col("_t").asc()
+    )
+    survivors = (
+        gt.withColumn("_bkt", F.pmod(F.hash("_t"), F.lit(32)))
+        .withColumn("_brk", F.row_number().over(w_bkt))
+        .filter(F.col("_brk") <= vocab_size)
+    )
     w = Window.orderBy(F.col("_n").desc(), F.col("_t").asc())
     vocab = (
-        gt.withColumn("_rk", F.row_number().over(w))
+        survivors.withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") <= vocab_size)
         .select("_t")
     )

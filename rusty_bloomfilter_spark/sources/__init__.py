@@ -225,19 +225,28 @@ def read_jsonl(
 def split_corrupt(
     df: DataFrame, *, corrupt_col: str = "_corrupt_record"
 ) -> tuple[DataFrame, DataFrame]:
-    """(good_rows_without_corrupt_col, quarantined_raw_lines).
+    """(good_rows_without_corrupt_col, quarantine_frame).
 
-    The frame is persisted and tied to both outputs: Spark disallows
-    queries whose only referenced column is the internal corrupt-record
-    column on an unmaterialized JSON scan (SPARK-21610), and without
-    the persist the two consumers would also re-parse the corpus twice.
-    Callers ``free()`` either output when done.
+    The quarantine frame carries ``raw_line`` (the unparsed text)
+    FOLLOWED BY every partially-parsed data column — useful for triage
+    (which fields survived?) and REQUIRED for the cache lifecycle: a
+    corrupt-column-only plan is illegal to (re)compute on a raw JSON
+    scan (SPARK-21610), so a quarantine frame that referenced nothing
+    else would ERROR — not recompute — if its persist were freed or
+    FIFO-evicted, violating cache.py's "recompute on use, never wrong
+    results" contract. Referencing the data columns keeps every
+    recompute legal.
+
+    The frame is persisted and tied to both outputs so the corpus
+    parses once for the two consumers; ``free()`` on either output
+    (or FIFO eviction) downgrades the other to a legal recompute.
     """
     from ..operators.cache import tie
 
     cached = df.persist()
+    data_cols = [c for c in df.columns if c != corrupt_col]
     good = cached.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
     bad = cached.filter(F.col(corrupt_col).isNotNull()).select(
-        F.col(corrupt_col).alias("raw_line")
+        F.col(corrupt_col).alias("raw_line"), *data_cols
     )
     return tie(good, cached), tie(bad, cached)

@@ -259,3 +259,22 @@ def test_cluster_quality_tight_vs_overlapping(spark):
     tight = cluster_quality(frame(0.1)).collect()[0]["db_index"]
     blurry = cluster_quality(frame(2.0)).collect()[0]["db_index"]
     assert tight < 0.3 < blurry  # well-separated clusters score far lower
+
+
+def test_cluster_quality_identical_centroids_report_inf(spark):
+    # review fix: collapsed clusters (d = 0) are the case the diagnostic
+    # exists for — report +inf, never an ANSI DIVIDE_BY_ZERO crash
+    import math
+
+    from rusty_bloomfilter_spark.operators.spectral import cluster_quality
+
+    rows = []
+    vid = 0
+    for lab in (0, 1):  # identical point sets under two labels
+        for i in range(5):
+            rows.append((vid, lab, [float(i), float(-i), 1.0]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<float>")
+    got = {r["label"]: r for r in cluster_quality(df).collect()}
+    assert math.isinf(got[0]["worst_ratio"]) and got[0]["worst_neighbor"] == 1
+    assert math.isinf(got[0]["db_index"])

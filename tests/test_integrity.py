@@ -104,3 +104,15 @@ def test_fd_audit_null_semantics_and_guard(spark):
     assert got["max_fanout"] == 2 and not got["is_fd"]
     with pytest.raises(ValueError, match="non-empty"):
         fd_audit(df, [])
+
+
+def test_fd_audit_all_null_det_vacuous_true(spark):
+    # review fix: zero determinants -> 0 violations, vacuously-true FD,
+    # never a NULL verdict a boolean filter silently drops
+    from rusty_bloomfilter_spark.operators.integrity import fd_audit
+
+    df = spark.createDataFrame([(None, "x"), (None, "y")], "a string, b string")
+    got = fd_audit(df, [("a", "b")]).collect()[0]
+    assert got["n_det_values"] == 0
+    assert got["n_violating_dets"] == 0 and got["max_fanout"] == 0
+    assert got["is_fd"] is True

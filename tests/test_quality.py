@@ -99,3 +99,19 @@ def test_readability_direction(spark):
     r = readability_exprs(F.col("text"))
     got = {x["doc_id"]: x["fre"] for x in df.select("doc_id", r["fre"].alias("fre")).collect()}
     assert got[1] > 70 > got[2]  # conversational prose reads easy; legalese doesn't
+
+
+def test_profile_null_docs_leave_tail_denominator(spark):
+    # review fix: NULL-ratio docs count in n_docs but NOT in fractions
+    from rusty_bloomfilter_spark.operators.quality import compressibility_profile
+
+    rows = [
+        ("a", "spam spam spam spam " * 200),  # repetitive (scored)
+        ("a", ""),                            # unscored
+        ("a", None),                          # unscored
+    ]
+    df = spark.createDataFrame(rows, "k string, text string")
+    got = compressibility_profile(df, "k", "text").collect()[0]
+    assert got["n_docs"] == 3 and got["n_scored"] == 1
+    # the one scored doc is repetitive: fraction is 1.0 OF SCORED, not 1/3
+    assert got["frac_repetitive"] == 1.0

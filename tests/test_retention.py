@@ -131,3 +131,19 @@ def test_rfm_tie_break_deterministic(spark):
     assert [(r[0], r[1], r[2], r[3]) for r in a] == [
         (1, 1, 1, 2), (2, 2, 2, 2), (3, 3, 3, 2)
     ]
+
+
+def test_rfm_null_dates_rank_worst(spark):
+    # review fix: NULL recency sorts LAST (worst tier) on both engines,
+    # not NULLS-FIRST into the best bucket
+    import datetime as dt
+
+    from rusty_bloomfilter_spark.operators.retention import rfm_segments
+
+    d = dt.date(2024, 1, 1)
+    rows = [(1, d, 100.0), (2, d + dt.timedelta(days=5), 100.0), (3, None, 100.0)]
+    df = spark.createDataFrame(rows, "o_custkey int, o_orderdate date, o_totalprice double")
+    got = rfm_segments(df, quantiles=3).collect()
+    by_r = {r["r_score"]: r for r in got}
+    # cust 2 most recent -> r 1; cust 1 -> r 2; cust 3 (NULL) -> r 3
+    assert set(by_r) == {1, 2, 3} and all(r["n_customers"] == 1 for r in got)

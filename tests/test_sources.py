@@ -199,3 +199,21 @@ def test_read_jsonl_rejects_reserved_column(spark, tmp_path):
 
     with pytest.raises(ValueError, match="_corrupt_record"):
         read_jsonl(spark, str(tmp_path), "doc_id bigint, _corrupt_record string")
+
+
+def test_split_corrupt_survives_free_and_eviction(spark, tmp_path):
+    # review fix: the quarantine plan references data columns, so a
+    # recompute after free() is LEGAL (SPARK-21610 forbids
+    # corrupt-column-only plans), honoring the cache contract
+    from rusty_bloomfilter_spark.operators.cache import free
+    from rusty_bloomfilter_spark.sources import read_jsonl, split_corrupt
+
+    p = tmp_path / "dump3"
+    p.mkdir()
+    (p / "a.json").write_text('{"doc_id": 1}\nbroken line\n')
+    good, bad = split_corrupt(read_jsonl(spark, str(p), "doc_id bigint"))
+    assert good.count() == 1
+    free(good)  # unpersists the shared cache out from under `bad`
+    rows = bad.collect()  # must recompute, not raise
+    assert len(rows) == 1 and rows[0]["raw_line"] == "broken line"
+    assert "doc_id" in bad.columns  # partially-parsed fields for triage

@@ -106,3 +106,23 @@ def test_oov_rate_full_vocab_is_zero(spark):
     )
     got = {r["source"]: r for r in oov_rate(df, vocab_size=100).collect()}
     assert all(r["oov_rate"] == 0.0 and r["oov_occurrences"] == 0 for r in got.values())
+
+
+def test_oov_two_stage_vocab_cut_is_exact(spark):
+    # review fix: bucketed pre-cut before the global top-V rank — the
+    # result must equal the naive global cut on an adversarial count
+    # profile (many ties at the boundary)
+    from collections import Counter
+
+    from rusty_bloomfilter_spark.operators.vocab import oov_rate
+
+    toks = [t for t in range(200) for _ in range(1 + (t % 3))]
+    df = spark.createDataFrame([("s", toks)], "source string, tokens array<int>")
+    got = oov_rate(df, vocab_size=50).collect()[0]
+    c = Counter(toks)
+    vocab = set(
+        t for t, _ in sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+    )
+    oov_occ = sum(v for t, v in c.items() if t not in vocab)
+    assert got["oov_occurrences"] == oov_occ
+    assert got["oov_types"] == sum(1 for t in c if t not in vocab)
