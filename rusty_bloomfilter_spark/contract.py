@@ -127,6 +127,7 @@ _WINDOW_MIDDLE = [
     "q_cluster_quality",
     "q_rfm_segments",
     "q_bigram_entropy",
+    "q_pareto_coverage",
     "q_winnow_overlap",
     "q_vocab_growth",
     "q_token_dispersion",
@@ -6161,6 +6162,49 @@ def q_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("last_day", F.date_format("last_day", "yyyy-MM-dd"))
         .orderBy("event_type")
     )
+
+
+@register(
+    "q_pareto_coverage",
+    oracle=_SEQ_CTE
+    + """
+    , base AS (
+      SELECT source, doc_id, CAST(len(tokens) AS BIGINT) AS w,
+             sum(CAST(len(tokens) AS BIGINT)) OVER (
+               PARTITION BY source ORDER BY len(tokens) DESC, doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             sum(CAST(len(tokens) AS BIGINT)) OVER (PARTITION BY source) AS tot,
+             count(*) OVER (PARTITION BY source) AS n,
+             row_number() OVER (
+               PARTITION BY source ORDER BY len(tokens) DESC, doc_id ASC) AS rk
+      FROM sequences
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(max(tot) AS BIGINT) AS total_weight,
+           CAST(sum(CASE WHEN 100 * (cum - w) < 80 * tot THEN 1 ELSE 0 END)
+             AS BIGINT) AS docs_to_threshold,
+           round(sum(CASE WHEN 100 * (cum - w) < 80 * tot THEN 1 ELSE 0 END)
+                 / count(*), 6) AS frac_docs_to_threshold,
+           round(sum(CASE WHEN rk <= floor((n + 9) / 10) THEN w ELSE 0 END)
+                 / max(tot), 6) AS top_decile_share
+    FROM base GROUP BY source ORDER BY source
+    """,
+)
+def q_pareto_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-mass concentration per source (operators/datacard.py::
+    pareto_coverage): how many documents carry 80% of the tokens, and
+    the top decile's share — the Pareto companion to the datasheet (a
+    few-giant-documents feed needs different dedup/chunking treatment
+    than a flat one, so this runs before chunk/pack parameter
+    choices). The threshold test is pure BIGINT arithmetic
+    (100·before < 80·total — no float boundary can flip a count);
+    deterministic (weight desc, doc_id asc) total order. Hash-matched
+    vs DuckDB's identical window algebra."""
+    from .operators.datacard import pareto_coverage
+
+    seq = sequences_from_documents(spark, sf_dir)
+    return pareto_coverage(seq).orderBy("source")
 
 
 @register(

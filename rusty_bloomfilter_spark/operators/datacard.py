@@ -113,3 +113,70 @@ def dataset_card(
             ),
         )
     )
+
+
+def pareto_coverage(
+    df: DataFrame,
+    *,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    weight_col: str = "n_tok",
+    threshold_pct: int = 80,
+) -> DataFrame:
+    """Concentration profile of a weight (token mass) per group: how
+    many documents carry ``threshold_pct``% of the tokens, and what
+    share the top decile of documents holds — the Pareto companion to
+    the datasheet's entropy line. A source where 2% of docs carry 80%
+    of tokens is a few-giant-documents feed (one bad scrape dominates
+    training mass); a flat profile is many-small-docs. Both need
+    different dedup/chunking treatment, which is why this runs before
+    ``chunk_windows``/``pack_sequences`` parameter choices.
+
+    Exactness: the threshold test is pure BIGINT arithmetic —
+    100·(running sum BEFORE this doc) < pct·total — so no float
+    boundary can flip a count cross-engine; only the two emitted
+    shares divide. Deterministic total order (weight desc, id asc).
+
+    Distributed shape: windows partitioned by group over the
+    |docs|-per-group frame (the input is one row per doc already);
+    one aggregate after. At 100 TB run it on the (group, doc, n_tok)
+    projection — three columns, pruned at the scan.
+    """
+    from pyspark.sql import Window
+
+    if not 0 < threshold_pct < 100:
+        raise ValueError(f"threshold_pct must be in (0,100), got {threshold_pct}")
+    w_ord = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col(weight_col).desc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(group_col)
+    wt = F.col(weight_col).cast("bigint")
+    base = df.select(
+        F.col(group_col),
+        F.col(id_col),
+        wt.alias("_w"),
+        F.sum(wt).over(w_ord).alias("_cum"),
+        F.sum(wt).over(w_all).alias("_tot"),
+        F.count("*").over(w_all).alias("_n"),
+        F.row_number().over(
+            Window.partitionBy(group_col).orderBy(
+                F.col(weight_col).desc(), F.col(id_col).asc()
+            )
+        ).alias("_rk"),
+    )
+    before = F.col("_cum") - F.col("_w")
+    in_head = F.lit(100) * before < F.lit(threshold_pct) * F.col("_tot")
+    decile = F.col("_rk") <= F.floor((F.col("_n") + 9) / 10).cast("bigint")
+    return base.groupBy(group_col).agg(
+        F.count("*").alias("n_docs"),
+        F.max("_tot").alias("total_weight"),
+        F.sum(F.when(in_head, 1).otherwise(0)).alias("docs_to_threshold"),
+        F.round(
+            F.sum(F.when(in_head, 1).otherwise(0)) / F.count("*"), 6
+        ).alias("frac_docs_to_threshold"),
+        F.round(
+            F.sum(F.when(decile, F.col("_w")).otherwise(0)) / F.max("_tot"), 6
+        ).alias("top_decile_share"),
+    )

@@ -51,3 +51,55 @@ def test_single_language_entropy_zero(spark):
     out = dataset_card(df).collect()[0]
     assert out["lang_entropy_nats"] == pytest.approx(0.0, abs=1e-9)
     assert out["n_langs"] == 1
+
+
+# -- pareto_coverage --------------------------------------------------------
+
+
+def test_pareto_matches_bruteforce(spark):
+    import numpy as np
+    import pytest
+
+    from rusty_bloomfilter_spark.operators.datacard import pareto_coverage
+
+    rng = np.random.default_rng(17)
+    rows = []
+    for g in ("a", "b"):
+        for i in range(40):
+            rows.append((g, f"{g}-{i:04d}", int(rng.zipf(1.6))))
+    df = spark.createDataFrame(rows, "source string, doc_id string, n_tok long")
+    got = {r["source"]: r for r in pareto_coverage(df).collect()}
+    for g in ("a", "b"):
+        ws = sorted(
+            [(w, i) for s, i, w in rows if s == g], key=lambda t: (-t[0], t[1])
+        )
+        tot = sum(w for w, _ in ws)
+        cum, k = 0, 0
+        for w, _ in ws:
+            if 100 * cum < 80 * tot:
+                k += 1
+            cum += w
+        dec = (len(ws) + 9) // 10
+        top_share = sum(w for w, _ in ws[:dec]) / tot
+        r = got[g]
+        assert r["n_docs"] == 40 and r["total_weight"] == tot
+        assert r["docs_to_threshold"] == k
+        assert r["frac_docs_to_threshold"] == pytest.approx(k / 40, abs=1e-6)
+        assert r["top_decile_share"] == pytest.approx(top_share, abs=1e-6)
+
+
+def test_pareto_extremes_and_guard(spark):
+    import pytest
+
+    from rusty_bloomfilter_spark.operators.datacard import pareto_coverage
+
+    # one giant doc + 9 tiny: the giant alone crosses 80%
+    rows = [("g", "d0", 1000)] + [("g", f"d{i}", 1) for i in range(1, 10)]
+    # perfectly flat: need 80% of the docs
+    rows += [("f", f"d{i}", 10) for i in range(10)]
+    df = spark.createDataFrame(rows, "source string, doc_id string, n_tok long")
+    got = {r["source"]: r for r in pareto_coverage(df).collect()}
+    assert got["g"]["docs_to_threshold"] == 1
+    assert got["f"]["docs_to_threshold"] == 8
+    with pytest.raises(ValueError, match="threshold_pct"):
+        pareto_coverage(df, threshold_pct=100)
