@@ -128,6 +128,7 @@ _WINDOW_MIDDLE = [
     "q_rfm_segments",
     "q_bigram_entropy",
     "q_pareto_coverage",
+    "q_trimmed_stats",
     "q_winnow_overlap",
     "q_vocab_growth",
     "q_token_dispersion",
@@ -6161,6 +6162,56 @@ def q_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.withColumn("first_day", F.date_format("first_day", "yyyy-MM-dd"))
         .withColumn("last_day", F.date_format("last_day", "yyyy-MM-dd"))
         .orderBy("event_type")
+    )
+
+
+@register(
+    "q_trimmed_stats",
+    oracle="""
+    WITH base AS (
+      SELECT event_type, CAST(value AS DOUBLE) AS v,
+             row_number() OVER (
+               PARTITION BY event_type ORDER BY value ASC, event_id ASC) AS rlo,
+             row_number() OVER (
+               PARTITION BY event_type ORDER BY value DESC, event_id DESC) AS rhi,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    ), enr AS (
+      SELECT event_type, v, n,
+             CAST(floor(0.1 * n) AS BIGINT) AS k,
+             max(CASE WHEN rlo = CAST(floor(0.1 * n) AS BIGINT) + 1 THEN v END)
+               OVER (PARTITION BY event_type) AS lo_edge,
+             max(CASE WHEN rhi = CAST(floor(0.1 * n) AS BIGINT) + 1 THEN v END)
+               OVER (PARTITION BY event_type) AS hi_edge,
+             rlo, rhi
+      FROM base
+    )
+    SELECT event_type,
+           CAST(max(n) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN rlo > k AND rhi > k THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           round(avg(v), 6) AS mean,
+           round(avg(CASE WHEN rlo > k AND rhi > k THEN v END), 6)
+             AS trimmed_mean,
+           round(avg(CASE WHEN rlo <= k THEN lo_edge
+                          WHEN rhi <= k THEN hi_edge
+                          ELSE v END), 6) AS winsorized_mean
+    FROM enr GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_trimmed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trimmed + winsorized means per event type (operators/
+    outliers.py::trimmed_stats) — the robust LOCATION tier next to the
+    MAD fences' robust spread: rank-based 10% trim at each end on the
+    deterministic (value, event_id) total order, so WHICH rows drop or
+    clamp is engine-exact and only the final averages round(6). One
+    window pass + one aggregate per key. Hash-matched vs DuckDB's
+    identical rank algebra."""
+    from .operators.outliers import trimmed_stats
+
+    ev = load_table(spark, sf_dir, "events")
+    return trimmed_stats(ev, "event_type", "value", "event_id").orderBy(
+        "event_type"
     )
 
 

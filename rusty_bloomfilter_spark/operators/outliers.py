@@ -152,3 +152,68 @@ def robust_group_stats(
             ),
         )
     )
+
+
+def trimmed_stats(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    id_col: str,
+    *,
+    trim_frac: float = 0.1,
+) -> DataFrame:
+    """Trimmed and winsorized means per key — the robust LOCATION tier
+    next to robust_group_fences' robust SPREAD: drop (trimmed) or
+    clamp (winsorized) the k = floor(trim_frac·n) most extreme rows at
+    EACH end before averaging. The mean a reporting pass should quote
+    when the MAD fences flag a heavy tail: plain avg follows the tail,
+    the median ignores magnitude entirely, the 10% trimmed mean is the
+    standard compromise (and the winsorized variant keeps n constant
+    for variance bookkeeping).
+
+    Determinism: the trim is RANK-based on the total order (value, id)
+    — k is an integer per key, so WHICH rows are dropped/clamped is
+    engine-exact; only the final double averages round(6). One window
+    pass per key (rank from both ends) + one aggregate; input is a
+    per-row frame, shuffled once on the key.
+    """
+    from pyspark.sql import Window
+
+    if not 0.0 <= trim_frac < 0.5:
+        raise ValueError(f"trim_frac must be in [0, 0.5), got {trim_frac}")
+    v = F.col(value_col).cast("double")
+    w_lo = Window.partitionBy(key_col).orderBy(
+        F.col(value_col).asc(), F.col(id_col).asc()
+    )
+    w_hi = Window.partitionBy(key_col).orderBy(
+        F.col(value_col).desc(), F.col(id_col).desc()
+    )
+    w_all = Window.partitionBy(key_col)
+    base = df.select(
+        F.col(key_col),
+        v.alias("_v"),
+        F.row_number().over(w_lo).alias("_rlo"),
+        F.row_number().over(w_hi).alias("_rhi"),
+        F.count("*").over(w_all).alias("_n"),
+    )
+    k = F.floor(F.lit(float(trim_frac)) * F.col("_n")).cast("bigint")
+    kept = (F.col("_rlo") > k) & (F.col("_rhi") > k)
+    # winsorize: rows inside the trim bands are replaced by the nearest
+    # kept value = the (k+1)-th from that end
+    lo_edge = F.max(F.when(F.col("_rlo") == k + 1, F.col("_v"))).over(w_all)
+    hi_edge = F.max(F.when(F.col("_rhi") == k + 1, F.col("_v"))).over(w_all)
+    wins = (
+        F.when(F.col("_rlo") <= k, lo_edge)
+        .when(F.col("_rhi") <= k, hi_edge)
+        .otherwise(F.col("_v"))
+    )
+    enr = base.select(F.col(key_col), "_v", "_n", kept.alias("_kept"), wins.alias("_w"))
+    return enr.groupBy(key_col).agg(
+        F.max("_n").cast("bigint").alias("n_rows"),
+        F.sum(F.when(F.col("_kept"), 1).otherwise(0)).alias("n_kept"),
+        F.round(F.avg("_v"), 6).alias("mean"),
+        F.round(F.avg(F.when(F.col("_kept"), F.col("_v"))), 6).alias(
+            "trimmed_mean"
+        ),
+        F.round(F.avg("_w"), 6).alias("winsorized_mean"),
+    )

@@ -104,3 +104,45 @@ def test_approx_path_and_validation(spark, frame):
         assert approx[g]["med"] == pytest.approx(exact[g]["med"], rel=1e-2, abs=1e-2)
     with pytest.raises(ValueError, match="k must be positive"):
         robust_group_fences(df, value_col="v", key_col="g", k=0)
+
+
+# -- trimmed_stats ----------------------------------------------------------
+
+
+def test_trimmed_stats_matches_scipy_style_bruteforce(spark):
+    import numpy as np
+    import pytest
+
+    from rusty_bloomfilter_spark.operators.outliers import trimmed_stats
+
+    rng = np.random.default_rng(23)
+    vals = np.round(rng.normal(50, 10, 40), 3)
+    rows = [("a", int(i), float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k string, id long, v double").repartition(4)
+    got = trimmed_stats(df, "k", "v", "id").collect()[0]
+    k = int(0.1 * 40)
+    s = np.sort(vals)
+    trimmed = s[k:-k] if k else s
+    wins = np.clip(vals, s[k], s[-k - 1])
+    assert got["n_rows"] == 40 and got["n_kept"] == 40 - 2 * k
+    assert got["mean"] == pytest.approx(vals.mean(), abs=1e-6)
+    assert got["trimmed_mean"] == pytest.approx(trimmed.mean(), abs=1e-6)
+    assert got["winsorized_mean"] == pytest.approx(wins.mean(), abs=1e-6)
+
+
+def test_trimmed_resists_outlier_and_guards(spark):
+    import pytest
+
+    from rusty_bloomfilter_spark.operators.outliers import trimmed_stats
+
+    rows = [("a", i, 10.0) for i in range(19)] + [("a", 99, 100000.0)]
+    df = spark.createDataFrame(rows, "k string, id long, v double")
+    got = trimmed_stats(df, "k", "v", "id", trim_frac=0.1).collect()[0]
+    assert got["trimmed_mean"] == pytest.approx(10.0)
+    assert got["winsorized_mean"] == pytest.approx(10.0)  # spike clamps to 10
+    assert got["mean"] > 5000
+    # trim_frac 0: all three agree
+    allk = trimmed_stats(df, "k", "v", "id", trim_frac=0.0).collect()[0]
+    assert allk["trimmed_mean"] == allk["mean"] == allk["winsorized_mean"]
+    with pytest.raises(ValueError, match="trim_frac"):
+        trimmed_stats(df, "k", "v", "id", trim_frac=0.5)
