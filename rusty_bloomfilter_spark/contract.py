@@ -129,6 +129,8 @@ _WINDOW_MIDDLE = [
     "q_bigram_entropy",
     "q_pareto_coverage",
     "q_trimmed_stats",
+    "q_weighted_length_quantiles",
+    "q_lexical_richness",
     "q_winnow_overlap",
     "q_vocab_growth",
     "q_token_dispersion",
@@ -6163,6 +6165,77 @@ def q_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("last_day", F.date_format("last_day", "yyyy-MM-dd"))
         .orderBy("event_type")
     )
+
+
+@register(
+    "q_weighted_length_quantiles",
+    oracle=_SEQ_CTE
+    + """
+    , base AS (
+      SELECT source, CAST(len(tokens) AS BIGINT) AS w,
+             sum(CAST(len(tokens) AS BIGINT)) OVER (
+               PARTITION BY source ORDER BY len(tokens) ASC, doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             sum(CAST(len(tokens) AS BIGINT)) OVER (PARTITION BY source) AS tot
+      FROM sequences
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(max(tot) AS BIGINT) AS total_weight,
+           CAST(min(CASE WHEN 100 * cum >= 50 * tot THEN w END) AS BIGINT)
+             AS w_p50,
+           CAST(min(CASE WHEN 100 * cum >= 90 * tot THEN w END) AS BIGINT)
+             AS w_p90
+    FROM base GROUP BY source ORDER BY source
+    """,
+)
+def q_weighted_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKEN-weighted document-length quantiles per source
+    (operators/percentiles.py::weighted_length_quantiles): the length
+    of the document the median (and p90) TOKEN lives in — what a
+    typical token's context looks like, vs the doc-weighted median's
+    typical document. Converts the Pareto skew into the quantile the
+    chunk/pack parameter choice needs. Selection is pure BIGINT
+    arithmetic on the deterministic (weight, id) order — exact integer
+    quantiles, no interpolation, no float boundary. Hash-matched."""
+    from .operators.percentiles import weighted_length_quantiles
+
+    seq = sequences_from_documents(spark, sf_dir)
+    return weighted_length_quantiles(seq).orderBy("source")
+
+
+@register(
+    "q_lexical_richness",
+    oracle=_SEQ_CTE
+    + """
+    , tok AS (SELECT source AS g, unnest(tokens) AS t FROM sequences),
+    st AS (SELECT g, t, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2)
+    SELECT g AS source,
+           CAST(count(*) AS BIGINT) AS n_types,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dis,
+           round(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) / count(*), 6)
+             AS hapax_type_share,
+           round(sum(CASE WHEN c = 1 THEN c ELSE 0 END) / sum(c), 6)
+             AS hapax_mass_share,
+           round(count(*) / sum(c), 6) AS type_token_ratio
+    FROM st GROUP BY g ORDER BY g
+    """,
+)
+def q_lexical_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hapax-based lexical richness per source (operators/vocab.py::
+    lexical_richness): hapax/dis legomena counts, their type and mass
+    shares, and the type-token ratio — the TAIL's weight next to
+    Zipf's head slope and Heaps' growth (collapsed hapax share =
+    boilerplate; inflated = OCR noise/tokenizer shredding, the same
+    pathologies the OOV audit sees from the vocabulary side). One
+    corpus explode into a map-side-combinable (source, token) count,
+    one aggregate after. Hash-matched."""
+    from .operators.vocab import lexical_richness
+
+    seq = sequences_from_documents(spark, sf_dir)
+    return lexical_richness(seq).orderBy("source")
 
 
 @register(

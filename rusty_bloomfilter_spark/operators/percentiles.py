@@ -24,6 +24,7 @@ from typing import Iterator
 import numpy as np
 import pyarrow as pa
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, StructField, StructType
 
 __all__ = ["percentile_normalize"]
@@ -69,3 +70,59 @@ def percentile_normalize(
             yield b.append_column(out_col, pa.array(ranks, type=pa.float64()))
 
     return df.mapInArrow(annotate, schema=out_schema)
+
+
+def weighted_length_quantiles(
+    df: DataFrame,
+    *,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    weight_col: str = "n_tok",
+    pcts: "tuple[int, ...]" = (50, 90),
+) -> DataFrame:
+    """TOKEN-weighted document-length quantiles per group: the length
+    of the document the p-th percentile TOKEN lives in — "half the
+    training tokens come from docs of at least N tokens". The
+    doc-weighted median (q_ntok_quantiles_by_source) answers what a
+    typical DOCUMENT looks like; this answers what a typical TOKEN's
+    context looks like, which is what actually hits the model — a few
+    giant documents can hold most of the mass while the doc-median
+    stays tiny (q_pareto_coverage measures that same skew as a
+    concentration ratio; this converts it into the quantile the
+    chunk/pack parameter choice needs).
+
+    Exactness: selection is pure BIGINT arithmetic — the smallest
+    length whose cumulative token mass reaches pct% (100·cum ≥
+    pct·total on the deterministic (weight, id) ascending order), so
+    every emitted quantile is an exact integer cross-engine, no
+    interpolation, no float boundary. One windowed pass per group +
+    one aggregate.
+    """
+    from pyspark.sql import Window
+
+    for p in pcts:
+        if not 0 < p <= 100:
+            raise ValueError(f"pcts must be in (0,100], got {p}")
+    w_ord = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col(weight_col).asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(group_col)
+    wt = F.col(weight_col).cast("bigint")
+    base = df.select(
+        F.col(group_col),
+        wt.alias("_w"),
+        F.sum(wt).over(w_ord).alias("_cum"),
+        F.sum(wt).over(w_all).alias("_tot"),
+    )
+    aggs = [
+        F.count("*").alias("n_docs"),
+        F.max("_tot").alias("total_weight"),
+    ]
+    for p in pcts:
+        qualifies = F.lit(100) * F.col("_cum") >= F.lit(int(p)) * F.col("_tot")
+        aggs.append(
+            F.min(F.when(qualifies, F.col("_w"))).alias(f"w_p{int(p)}")
+        )
+    return base.groupBy(group_col).agg(*aggs)

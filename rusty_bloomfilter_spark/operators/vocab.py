@@ -179,3 +179,55 @@ def oov_rate(
         F.col("distinct_types").cast("bigint").alias("distinct_types"),
     )
     return tie(out, st)
+
+
+def lexical_richness(
+    df: DataFrame,
+    *,
+    group_col: str = "source",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """Hapax-based lexical richness per group: how much of the
+    vocabulary — and how much of the token MASS — comes from types
+    seen only once or twice within the group. The third axis of the
+    lexical family: Zipf reads the head's slope, Heaps reads growth,
+    this reads the TAIL's weight (hapax share ≈ 0.5 of types is
+    normal prose; a collapsed hapax share means boilerplate/templated
+    text, an inflated one means OCR noise or tokenizer shredding —
+    the same pathologies the OOV audit sees from the vocabulary side).
+    Also emits the type-token ratio, the classic (length-confounded)
+    richness summary.
+
+    One corpus explode into a map-side-combinable (group, token)
+    count; everything after is one aggregate over the groups × vocab
+    frame. Exact integers except the three round(6) ratios.
+    """
+    st = (
+        df.select(F.col(group_col).alias("_g"), F.explode(tokens_col).alias("_t"))
+        .groupBy("_g", "_t")
+        .agg(F.count("*").alias("_c"))
+    )
+    return st.groupBy("_g").agg(
+        F.count("*").alias("n_types"),
+        F.sum("_c").alias("n_tokens"),
+        F.sum(F.when(F.col("_c") == 1, 1).otherwise(0)).alias("n_hapax"),
+        F.sum(F.when(F.col("_c") == 2, 1).otherwise(0)).alias("n_dis"),
+        F.round(
+            F.sum(F.when(F.col("_c") == 1, 1).otherwise(0)) / F.count("*"), 6
+        ).alias("hapax_type_share"),
+        F.round(
+            F.sum(F.when(F.col("_c") == 1, F.col("_c")).otherwise(0))
+            / F.sum("_c"),
+            6,
+        ).alias("hapax_mass_share"),
+        F.round(F.count("*") / F.sum("_c"), 6).alias("type_token_ratio"),
+    ).select(
+        F.col("_g").alias(group_col),
+        F.col("n_types").cast("bigint").alias("n_types"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("n_hapax").cast("bigint").alias("n_hapax"),
+        F.col("n_dis").cast("bigint").alias("n_dis"),
+        "hapax_type_share",
+        "hapax_mass_share",
+        "type_token_ratio",
+    )

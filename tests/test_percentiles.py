@@ -82,3 +82,50 @@ def test_percentile_normalize_partitioning_stays_in_bound(values_df):
     assert a.keys() == b.keys()
     worst = max(abs(a[i] - b[i]) for i in a)
     assert worst <= 2 * 3 * rank_err
+
+
+# -- weighted_length_quantiles ----------------------------------------------
+
+
+def test_weighted_quantiles_bruteforce(spark):
+    import numpy as np
+    import pytest
+
+    from rusty_bloomfilter_spark.operators.percentiles import (
+        weighted_length_quantiles,
+    )
+
+    rng = np.random.default_rng(19)
+    rows = [("a", f"d{i:03d}", int(rng.integers(1, 500))) for i in range(50)]
+    df = spark.createDataFrame(rows, "source string, doc_id string, n_tok long")
+    got = weighted_length_quantiles(df, pcts=(50, 90)).collect()[0]
+    ws = sorted(w for _, _, w in rows)
+    tot = sum(ws)
+
+    def pick(p):
+        cum = 0
+        for w in ws:
+            cum += w
+            if 100 * cum >= p * tot:
+                return w
+
+    assert got["total_weight"] == tot and got["n_docs"] == 50
+    assert got["w_p50"] == pick(50)
+    assert got["w_p90"] == pick(90)
+
+
+def test_weighted_vs_doc_median_on_skew(spark):
+    import pytest
+
+    from rusty_bloomfilter_spark.operators.percentiles import (
+        weighted_length_quantiles,
+    )
+
+    # 9 tiny docs + 1 giant: doc-median is 1 but the median TOKEN
+    # lives in the giant
+    rows = [("s", f"d{i}", 1) for i in range(9)] + [("s", "d9", 1000)]
+    df = spark.createDataFrame(rows, "source string, doc_id string, n_tok long")
+    got = weighted_length_quantiles(df, pcts=(50,)).collect()[0]
+    assert got["w_p50"] == 1000
+    with pytest.raises(ValueError, match="pcts"):
+        weighted_length_quantiles(df, pcts=(0,))

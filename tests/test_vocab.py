@@ -126,3 +126,26 @@ def test_oov_two_stage_vocab_cut_is_exact(spark):
     oov_occ = sum(v for t, v in c.items() if t not in vocab)
     assert got["oov_occurrences"] == oov_occ
     assert got["oov_types"] == sum(1 for t in c if t not in vocab)
+
+
+def test_lexical_richness_bruteforce(spark):
+    from collections import Counter
+
+    import pytest
+
+    from rusty_bloomfilter_spark.operators.vocab import lexical_richness
+
+    rows = [
+        ("a", [1, 1, 2, 3, 4, 4, 4]),  # hapax: 2,3  dis: 1
+        ("b", [7, 7, 7, 7]),           # no hapax
+    ]
+    df = spark.createDataFrame(rows, "source string, tokens array<int>")
+    got = {r["source"]: r for r in lexical_richness(df).collect()}
+    a = got["a"]
+    assert a["n_types"] == 4 and a["n_tokens"] == 7
+    assert a["n_hapax"] == 2 and a["n_dis"] == 1
+    assert a["hapax_type_share"] == pytest.approx(2 / 4)
+    assert a["hapax_mass_share"] == pytest.approx(2 / 7, abs=1e-6)
+    assert a["type_token_ratio"] == pytest.approx(4 / 7, abs=1e-6)
+    b = got["b"]
+    assert b["n_hapax"] == 0 and b["hapax_mass_share"] == 0.0
