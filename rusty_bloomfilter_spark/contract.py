@@ -131,6 +131,7 @@ _WINDOW_MIDDLE = [
     "q_trimmed_stats",
     "q_weighted_length_quantiles",
     "q_lexical_richness",
+    "q_dedup_savings",
     "q_winnow_overlap",
     "q_vocab_growth",
     "q_token_dispersion",
@@ -6165,6 +6166,54 @@ def q_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("last_day", F.date_format("last_day", "yyyy-MM-dd"))
         .orderBy("event_type")
     )
+
+
+@register(
+    "q_dedup_savings",
+    oracle=f"""
+    WITH base AS (
+      SELECT source, doc_id,
+             md5(substr(text, 1, 40)) AS fp,
+             CAST(len({DUCKDB_TOKENIZE("text")}) AS BIGINT) AS w,
+             row_number() OVER (
+               PARTITION BY md5(substr(text, 1, 40)) ORDER BY doc_id ASC
+             ) AS rn
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(w) AS BIGINT) AS total_tokens,
+           CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_docs,
+           CAST(sum(CASE WHEN rn > 1 THEN w ELSE 0 END) AS BIGINT)
+             AS dup_tokens,
+           round(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) / count(*), 6)
+             AS frac_dup_docs,
+           round(sum(CASE WHEN rn > 1 THEN w ELSE 0 END) / sum(w), 6)
+             AS frac_dup_tokens
+    FROM base GROUP BY source ORDER BY source
+    """,
+)
+def q_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dedup SAVINGS report per source (operators/dedup.py::
+    dedup_savings): duplicate docs under the keep-first-by-id
+    fingerprint rule and the token mass they waste — the sizing read
+    before a corpus-rewrite dedup pass and the attribution read after
+    (duplicates attach to the COPY's source, so a mirror feed shows in
+    its own row). Same plan shape and cost as one exact_dedup
+    candidate pass (one fingerprint exchange). Hash-matched vs the
+    identical DuckDB window algebra."""
+    from .functions.text import tokenize_md5
+    from .operators.dedup import dedup_savings
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "source",
+        "doc_id",
+        F.md5(F.substring("text", 1, 40)).alias("fp"),
+        F.size(tokenize_md5(F.col("text"))).alias("n_tok"),
+    )
+    return dedup_savings(base).orderBy("source")
 
 
 @register(

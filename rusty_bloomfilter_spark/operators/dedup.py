@@ -643,3 +643,50 @@ def bigram_lm_scores(
     return scored.groupBy("doc_id").agg(
         F.count("*").alias("n_pairs"), F.round(F.avg("lp"), 6).alias("lm_score")
     )
+
+
+def dedup_savings(
+    df: DataFrame,
+    *,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    fp_col: str = "fp",
+    weight_col: str = "n_tok",
+) -> DataFrame:
+    """What would exact dedup reclaim, per group — the sizing report
+    read BEFORE running the dedup pass (is it worth a corpus rewrite?)
+    and the attribution report after (WHICH feed ships the copies):
+    per group, duplicate docs (keep-first by id within each
+    fingerprint, the exact_dedup canonical rule) and the token mass
+    they waste. Duplicates are attributed to the group of the COPY,
+    not the canonical holder — a mirror site shows up in its own row.
+
+    One window per fingerprint (rank by id) + one group aggregate;
+    shuffle is one hash exchange on the fingerprint over (fp, id,
+    group, weight) rows — the same plan shape as exact_dedup itself,
+    so the report costs what one dedup candidate pass costs.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(fp_col).orderBy(F.col(id_col).asc())
+    ranked = df.select(
+        F.col(group_col),
+        F.col(weight_col).cast("bigint").alias("_w"),
+        (F.row_number().over(w) > 1).alias("_dup"),
+    )
+    return ranked.groupBy(group_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("_w").alias("total_tokens"),
+        F.sum(F.when(F.col("_dup"), 1).otherwise(0)).alias("n_dup_docs"),
+        F.sum(F.when(F.col("_dup"), F.col("_w")).otherwise(0)).alias(
+            "dup_tokens"
+        ),
+        F.round(
+            F.sum(F.when(F.col("_dup"), 1).otherwise(0)) / F.count("*"), 6
+        ).alias("frac_dup_docs"),
+        F.round(
+            F.sum(F.when(F.col("_dup"), F.col("_w")).otherwise(0))
+            / F.sum("_w"),
+            6,
+        ).alias("frac_dup_tokens"),
+    )

@@ -324,3 +324,43 @@ def test_lsh_plan_default_matches_operator_defaults():
     # this is a sane plan for threshold ~0.5 territory
     plan = lsh_plan(0.5, n_hashes=128)
     assert 0.3 < plan["threshold_50"] < 0.7
+
+
+# -- dedup_savings ----------------------------------------------------------
+
+
+def test_dedup_savings_attribution_and_math(spark):
+    import pytest
+
+    from rusty_bloomfilter_spark.operators.dedup import dedup_savings
+
+    rows = [
+        # fp X: canonical doc 1 in src a; copies 5 (a) and 7 (b)
+        ("a", 1, "X", 100),
+        ("a", 5, "X", 100),
+        ("b", 7, "X", 100),
+        # fp Y: unique
+        ("b", 2, "Y", 50),
+        # fp Z: canonical in b, copy in a — attribution flips
+        ("b", 3, "Z", 30),
+        ("a", 9, "Z", 30),
+    ]
+    df = spark.createDataFrame(rows, "source string, doc_id long, fp string, n_tok long")
+    got = {r["source"]: r for r in dedup_savings(df).collect()}
+    a, b = got["a"], got["b"]
+    # src a: docs 1,5,9 -> dups are 5 (X copy) and 9 (Z copy)
+    assert a["n_docs"] == 3 and a["n_dup_docs"] == 2 and a["dup_tokens"] == 130
+    assert a["frac_dup_docs"] == pytest.approx(2 / 3, abs=1e-6)
+    # src b: docs 7,2,3 -> only 7 is a copy (3 is Z's canonical)
+    assert b["n_docs"] == 3 and b["n_dup_docs"] == 1 and b["dup_tokens"] == 100
+    # totals conserve
+    assert a["total_tokens"] + b["total_tokens"] == sum(w for *_, w in rows)
+
+
+def test_dedup_savings_no_dups_is_zero(spark):
+    from rusty_bloomfilter_spark.operators.dedup import dedup_savings
+
+    rows = [("a", i, f"fp{i}", 10) for i in range(5)]
+    df = spark.createDataFrame(rows, "source string, doc_id long, fp string, n_tok long")
+    got = dedup_savings(df).collect()[0]
+    assert got["n_dup_docs"] == 0 and got["frac_dup_tokens"] == 0.0
