@@ -132,6 +132,7 @@ _WINDOW_MIDDLE = [
     "q_weighted_length_quantiles",
     "q_lexical_richness",
     "q_dedup_savings",
+    "q_cohort_ltv",
     "q_winnow_overlap",
     "q_vocab_growth",
     "q_token_dispersion",
@@ -6166,6 +6167,58 @@ def q_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("last_day", F.date_format("last_day", "yyyy-MM-dd"))
         .orderBy("event_type")
     )
+
+
+@register(
+    "q_cohort_ltv",
+    oracle="""
+    WITH first AS (
+      SELECT o_custkey AS c, min(o_orderdate) AS f FROM orders GROUP BY 1
+    ), firsts AS (
+      SELECT c, year(f) * 12 + month(f) AS cm,
+             strftime(f, '%Y-%m') AS cohort
+      FROM first
+    ), tagged AS (
+      SELECT fr.cohort,
+             CAST(year(o.o_orderdate) * 12 + month(o.o_orderdate) - fr.cm
+               AS INT) AS period,
+             CAST(o.o_totalprice AS DECIMAL(38,4)) AS amt
+      FROM orders o JOIN firsts fr ON o.o_custkey = fr.c
+    ), sizes AS (
+      SELECT cohort, CAST(count(*) AS BIGINT) AS n_customers
+      FROM firsts GROUP BY 1
+    ), per AS (
+      SELECT cohort, period, sum(amt) AS rev FROM tagged GROUP BY 1, 2
+    ), cum AS (
+      SELECT cohort, period, CAST(rev AS DOUBLE) AS period_revenue,
+             CAST(sum(rev) OVER (
+               PARTITION BY cohort ORDER BY period
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS DOUBLE) AS cum_revenue
+      FROM per
+    )
+    SELECT cohort AS cohort_month, period, n_customers,
+           round(period_revenue, 6) AS period_revenue,
+           round(cum_revenue, 6) AS cum_revenue,
+           round(cum_revenue / n_customers, 6) AS ltv_per_customer
+    FROM cum JOIN sizes USING (cohort)
+    ORDER BY cohort_month, period
+    """,
+)
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves (operators/retention.py::
+    cohort_ltv) — the revenue companion to q_retention_cohorts:
+    first-order-month cohorts, cumulative revenue per cohort customer
+    by month-period ("are newer cohorts monetizing faster"). Integer
+    month arithmetic (year·12+month — no months_between float
+    semantics), money through DECIMAL(38,4) then DOUBLE; one
+    |customers| aggregate broadcast back for the period tag, one
+    (cohort, period) aggregate, cumulative windows over the tiny
+    result frame. Hash-matched."""
+    from .operators.retention import cohort_ltv
+
+    orders = load_table(spark, sf_dir, "orders")
+    return cohort_ltv(orders).orderBy("cohort_month", "period")
 
 
 @register(

@@ -133,3 +133,72 @@ def rfm_segments(
         F.max("_money").alias("max_monetary"),
         F.sum("_money").alias("total_monetary"),
     )
+
+
+def cohort_ltv(
+    orders: DataFrame,
+    *,
+    cust_col: str = "o_custkey",
+    date_col: str = "o_orderdate",
+    amount_col: str = "o_totalprice",
+) -> DataFrame:
+    """Cohort lifetime-value curves — the REVENUE companion to
+    ``retention_cohorts``: customers cohorted by first-order month,
+    then cumulative revenue per cohort customer by month-period.
+    Retention says how many come back; this says what coming back is
+    worth, and comparing curves across cohorts is the standard "are
+    newer cohorts monetizing faster" read.
+
+    Month arithmetic is integer (year·12 + month), engine-portable —
+    no months_between float or truncation semantics. Distributed
+    shape: one aggregate to per-customer first months (|customers|
+    rows), broadcast back onto orders for the period tag, one
+    (cohort, period) aggregate, then cumulative windows over the
+    cohorts × periods frame. Money sums in DECIMAL(38,4), emitted as
+    DOUBLE per the cross-engine convention.
+    """
+    m = lambda c: F.year(c) * 12 + F.month(c)  # noqa: E731
+    first = orders.groupBy(F.col(cust_col).alias("_c")).agg(
+        F.min(F.col(date_col)).alias("_first")
+    )
+    firsts = first.select(
+        "_c",
+        m(F.col("_first")).alias("_cm"),
+        F.date_format("_first", "yyyy-MM").alias("_cohort"),
+    )
+    tagged = orders.join(
+        F.broadcast(firsts), on=orders[cust_col] == F.col("_c")
+    ).select(
+        "_cohort",
+        "_cm",
+        "_c",
+        (m(F.col(date_col)) - F.col("_cm")).cast("int").alias("period"),
+        F.col(amount_col).cast("decimal(38,4)").alias("_amt"),
+    )
+    sizes = firsts.groupBy("_cohort").agg(
+        F.countDistinct("_c").alias("n_customers")
+    )
+    per = tagged.groupBy("_cohort", "period").agg(
+        F.sum("_amt").alias("_rev")
+    )
+    w = (
+        Window.partitionBy("_cohort")
+        .orderBy("period")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = per.select(
+        "_cohort",
+        "period",
+        F.col("_rev").cast("double").alias("period_revenue"),
+        F.sum("_rev").over(w).cast("double").alias("cum_revenue"),
+    )
+    return cum.join(F.broadcast(sizes), on="_cohort").select(
+        F.col("_cohort").alias("cohort_month"),
+        "period",
+        "n_customers",
+        F.round("period_revenue", 6).alias("period_revenue"),
+        F.round("cum_revenue", 6).alias("cum_revenue"),
+        F.round(F.col("cum_revenue") / F.col("n_customers"), 6).alias(
+            "ltv_per_customer"
+        ),
+    )

@@ -147,3 +147,37 @@ def test_rfm_null_dates_rank_worst(spark):
     by_r = {r["r_score"]: r for r in got}
     # cust 2 most recent -> r 1; cust 1 -> r 2; cust 3 (NULL) -> r 3
     assert set(by_r) == {1, 2, 3} and all(r["n_customers"] == 1 for r in got)
+
+
+def test_cohort_ltv_hand_computed(spark):
+    import datetime as dt
+
+    import pytest
+
+    from rusty_bloomfilter_spark.operators.retention import cohort_ltv
+
+    rows = [
+        # cohort 2024-01: two customers
+        (1, dt.date(2024, 1, 5), 100.0),
+        (2, dt.date(2024, 1, 20), 50.0),
+        (1, dt.date(2024, 2, 3), 30.0),   # period 1
+        (2, dt.date(2024, 3, 9), 20.0),   # period 2
+        # cohort 2024-02: one customer
+        (3, dt.date(2024, 2, 1), 10.0),
+        (3, dt.date(2024, 4, 1), 40.0),   # period 2
+    ]
+    df = spark.createDataFrame(rows, "o_custkey int, o_orderdate date, o_totalprice double")
+    got = {(r["cohort_month"], r["period"]): r for r in cohort_ltv(df).collect()}
+    a0 = got[("2024-01", 0)]
+    assert a0["n_customers"] == 2 and a0["period_revenue"] == 150.0
+    assert a0["ltv_per_customer"] == pytest.approx(75.0)
+    a1 = got[("2024-01", 1)]
+    assert a1["cum_revenue"] == 180.0 and a1["ltv_per_customer"] == pytest.approx(90.0)
+    a2 = got[("2024-01", 2)]
+    assert a2["cum_revenue"] == 200.0
+    b2 = got[("2024-02", 2)]
+    assert b2["n_customers"] == 1 and b2["cum_revenue"] == 50.0
+    # cumulative LTV is monotone within a cohort
+    periods = sorted(p for c, p in got if c == "2024-01")
+    ltvs = [got[("2024-01", p)]["ltv_per_customer"] for p in periods]
+    assert ltvs == sorted(ltvs)
