@@ -133,6 +133,7 @@ _WINDOW_MIDDLE = [
     "q_lexical_richness",
     "q_dedup_savings",
     "q_cohort_ltv",
+    "q_erasure_manifest",
     "q_winnow_overlap",
     "q_vocab_growth",
     "q_token_dispersion",
@@ -6167,6 +6168,72 @@ def q_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("last_day", F.date_format("last_day", "yyyy-MM-dd"))
         .orderBy("event_type")
     )
+
+
+@register(
+    "q_erasure_manifest",
+    oracle="""
+    SELECT 'events' AS table_name,
+           CAST(count(*) AS BIGINT) AS n_rows_total,
+           CAST(sum(CASE WHEN user_id % 13 = 3 AND user_id < 2000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_rows_affected,
+           CAST(count(DISTINCT CASE WHEN user_id % 13 = 3 AND user_id < 2000 THEN user_id END)
+             AS BIGINT) AS n_subjects_present,
+           round(sum(CASE WHEN user_id % 13 = 3 AND user_id < 2000 THEN 1 ELSE 0 END)
+                 / count(*), 6) AS frac_rows
+    FROM events
+    UNION ALL
+    SELECT 'orders',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN o_custkey % 13 = 3 AND o_custkey < 2000 THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(DISTINCT CASE WHEN o_custkey % 13 = 3 AND o_custkey < 2000 THEN o_custkey END)
+             AS BIGINT),
+           round(sum(CASE WHEN o_custkey % 13 = 3 AND o_custkey < 2000 THEN 1 ELSE 0 END)
+                 / count(*), 6)
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem_via_orders',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN o_custkey % 13 = 3 AND o_custkey < 2000 THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(DISTINCT CASE WHEN o_custkey % 13 = 3 AND o_custkey < 2000 THEN o_custkey END)
+             AS BIGINT),
+           round(sum(CASE WHEN o_custkey % 13 = 3 AND o_custkey < 2000 THEN 1 ELSE 0 END)
+                 / count(*), 6)
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ORDER BY table_name
+    """,
+)
+def q_erasure_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure impact manifest (operators/integrity.py::
+    erasure_manifest): given a broadcast data-subject key list (here
+    ids ≡ 3 mod 13 — the arithmetic form so the oracle needs no
+    registry table), how many rows and distinct subjects each table
+    would lose — including lineitem reached TRANSITIVELY through its
+    order's customer. The relational companion to the sketch-side
+    revocation (q_counting_bloom_revoke deletes from membership state;
+    this scopes the row deletes and leaves the audit trail). One scan
+    per table with a broadcast left-join mark. Hash-matched."""
+    from .operators.integrity import erasure_manifest
+
+    ev = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    subjects = spark.range(0, 2000).filter(F.col("id") % 13 == 3).select(
+        F.col("id").alias("subject")
+    )
+    li_keyed = li.join(
+        orders.select("o_orderkey", "o_custkey"),
+        on=li["l_orderkey"] == F.col("o_orderkey"),
+    )
+    out = erasure_manifest(
+        subjects,
+        [
+            ("events", ev, "user_id"),
+            ("orders", orders, "o_custkey"),
+            ("lineitem_via_orders", li_keyed, "o_custkey"),
+        ],
+    )
+    return out.orderBy("table_name")
 
 
 @register(

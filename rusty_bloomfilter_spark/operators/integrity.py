@@ -178,3 +178,68 @@ def fd_audit(
     for o in outs[1:]:
         unioned = unioned.unionByName(o)
     return unioned.withColumn("is_fd", F.col("n_violating_dets") == 0)
+
+
+def erasure_manifest(
+    subjects: DataFrame,
+    tables: "list[tuple[str, DataFrame, str]]",
+) -> DataFrame:
+    """Right-to-erasure IMPACT manifest: given the data-subject key
+    list, how many rows (and distinct subjects) each table would lose
+    — the report a deletion request generates BEFORE any rewrite runs
+    (sizing, review, and the audit trail), and the relational
+    companion to the sketch-side revocation flow
+    (q_counting_bloom_revoke deletes from MEMBERSHIP state; this
+    scopes the row deletes). For tables keyed indirectly (lineitem →
+    orders → customer), pass a pre-joined frame with the subject key
+    resolved.
+
+    One scan per table: the subject list broadcasts (erasure batches
+    are small by nature), a left-join mark feeds a single aggregate —
+    affected rows, affected distinct subjects, and the table's total,
+    so frac_rows needs no second pass. NULL keys never match (SQL
+    join semantics — an unowned row is not erasable by any subject).
+    """
+    if not tables:
+        raise ValueError("tables must be non-empty")
+    subj = F.broadcast(
+        subjects.select(F.col(subjects.columns[0]).alias("_s")).distinct()
+    )
+    outs = []
+    for name, df, key_col in tables:
+        marked = df.select(F.col(key_col).alias("_k")).join(
+            subj.withColumn("_hit", F.lit(True)),
+            on=F.col("_k") == F.col("_s"),
+            how="left",
+        )
+        outs.append(
+            marked.agg(
+                F.lit(name).alias("table_name"),
+                F.count("*").alias("n_rows_total"),
+                F.coalesce(
+                    F.sum(F.when(F.col("_hit"), 1).otherwise(0)), F.lit(0)
+                ).alias("n_rows_affected"),
+                F.countDistinct(F.when(F.col("_hit"), F.col("_k"))).alias(
+                    "n_subjects_present"
+                ),
+                # try_divide: an EMPTY table's count(*) is 0 and ANSI
+                # double/0 throws — an empty table loses nothing: 0.0
+                F.coalesce(
+                    F.round(
+                        F.try_divide(
+                            F.coalesce(
+                                F.sum(F.when(F.col("_hit"), 1).otherwise(0)),
+                                F.lit(0),
+                            ),
+                            F.count("*"),
+                        ),
+                        6,
+                    ),
+                    F.lit(0.0),
+                ).alias("frac_rows"),
+            )
+        )
+    unioned = outs[0]
+    for o in outs[1:]:
+        unioned = unioned.unionByName(o)
+    return unioned

@@ -116,3 +116,24 @@ def test_fd_audit_all_null_det_vacuous_true(spark):
     assert got["n_det_values"] == 0
     assert got["n_violating_dets"] == 0 and got["max_fanout"] == 0
     assert got["is_fd"] is True
+
+
+def test_erasure_manifest_counts_and_nulls(spark):
+    import pytest
+
+    from rusty_bloomfilter_spark.operators.integrity import erasure_manifest
+
+    subjects = spark.createDataFrame([(1,), (3,)], "subject long")
+    rows = [(1, "x"), (1, "y"), (2, "z"), (None, "w")]
+    t = spark.createDataFrame(rows, "uid long, v string")
+    out = erasure_manifest(subjects, [("t", t, "uid")]).collect()[0]
+    assert out["n_rows_total"] == 4
+    assert out["n_rows_affected"] == 2         # both uid=1 rows
+    assert out["n_subjects_present"] == 1      # subject 3 absent
+    assert out["frac_rows"] == pytest.approx(0.5)
+    # empty table: zeros, never NULL
+    empty = spark.createDataFrame([], "uid long, v string")
+    z = erasure_manifest(subjects, [("e", empty, "uid")]).collect()[0]
+    assert z["n_rows_affected"] == 0 and z["n_subjects_present"] == 0
+    with pytest.raises(ValueError, match="non-empty"):
+        erasure_manifest(subjects, [])
