@@ -134,6 +134,7 @@ _WINDOW_MIDDLE = [
     "q_dedup_savings",
     "q_cohort_ltv",
     "q_erasure_manifest",
+    "q_regional_volume",
     "q_winnow_overlap",
     "q_vocab_growth",
     "q_token_dispersion",
@@ -6167,6 +6168,71 @@ def q_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.withColumn("first_day", F.date_format("first_day", "yyyy-MM-dd"))
         .withColumn("last_day", F.date_format("last_day", "yyyy-MM-dd"))
         .orderBy("event_type")
+    )
+
+
+@register(
+    "q_regional_volume",
+    oracle="""
+    SELECT n_name AS nation,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(38,4))
+                    * (1 - CAST(l_discount AS DECIMAL(38,4)))) AS DOUBLE)
+             AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lineitems
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND c_nationkey = s_nationkey
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n_name ORDER BY n_name
+    """,
+)
+def q_regional_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped local-supplier volume: the six-table join
+    (customer ⋈ orders ⋈ lineitem ⋈ supplier ⋈ nation ⋈ region) with
+    the local-supply correlation c_nationkey = s_nationkey, a region
+    filter, and a one-year window — the relational join-breadth
+    workout: the three dimension tables broadcast (plus supplier —
+    10k rows at sf1), the date filter pushes into the orders scan, and
+    the only real shuffles are the customer⋈orders and orders⋈lineitem
+    fact joins. Money through DECIMAL(38,4) then DOUBLE per the
+    convention; hash-matched."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    dec = lambda c: F.col(c).cast("decimal(38,4)")  # noqa: E731
+    joined = (
+        cust.join(
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+            ),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+    )
+    return (
+        joined.groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+        .orderBy("nation")
     )
 
 

@@ -304,3 +304,26 @@ def test_pack_sequences_no_global_sort(spark):
     plan = plan_of(q_pack_sequences(spark, SF))
     assert "rangepartitioning" not in plan, plan
     assert "partial_count" in plan or "partial_sum" in plan, plan
+
+
+def test_regional_volume_plan_broadcasts_dims(spark):
+    """q_regional_volume's six-table join: dimension sides broadcast
+    (no shuffle for supplier/nation/region) and the date filter pushes
+    into the orders scan."""
+    import contextlib
+    import io
+    import re
+
+    from rusty_bloomfilter_spark.contract import _QUERIES
+
+    df = _QUERIES["q_regional_volume"](spark, "/root/testdata/sf0.001")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    phys = buf.getvalue()
+    assert phys.count("BroadcastHashJoin") >= 3, phys
+    # date predicate reaches the orders parquet scan
+    m = re.search(r"PushedFilters: \[[^\]]*o_orderdate[^\]]*GreaterThanOrEqual", phys)
+    assert m or "o_orderdate" in phys.split("PushedFilters")[1][:400], phys
+    rows = df.collect()
+    assert all(r["revenue"] > 0 for r in rows)
