@@ -135,6 +135,7 @@ _WINDOW_MIDDLE = [
     "q_cohort_ltv",
     "q_erasure_manifest",
     "q_regional_volume",
+    "q_streaming_enrich",
     "q_winnow_overlap",
     "q_vocab_growth",
     "q_token_dispersion",
@@ -6169,6 +6170,69 @@ def q_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("last_day", F.date_format("last_day", "yyyy-MM-dd"))
         .orderBy("event_type")
     )
+
+
+@register(
+    "q_streaming_enrich",
+    oracle="""
+    SELECT c.c_mktsegment AS segment, e.event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(e.value AS DECIMAL(38,4))) AS DOUBLE) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC enrichment join (streaming/enrich.py::
+    stream_static_enrich): the events feed replayed as 4 micro-batches
+    is joined per batch against the static customer dimension
+    (broadcast — zero join state, no watermark: the one streaming join
+    that is free at scale), then aggregated per (segment, event_type)
+    in complete mode. A STREAMING query whose final table HASH-MATCHES
+    the batch SQL join — replay-split invariance is exactly what the
+    value hash certifies."""
+    import uuid
+
+    from .streaming.enrich import stream_static_enrich
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    src = _scratch_dir("senrich_src")
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(
+            "event_id bigint, user_id bigint, event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    joined = stream_static_enrich(
+        stream, cust, on=F.col("user_id") == F.col("c_custkey")
+    )
+    agg = joined.groupBy(
+        F.col("c_mktsegment").alias("segment"), "event_type"
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(38,4)"))
+        .cast("double")
+        .alias("total_value"),
+    )
+    name = "rbf_senrich_" + uuid.uuid4().hex[:8]
+    ckpt = _scratch_dir("senrich_ckpt")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_stream(q)
+    return spark.table(name).orderBy("segment", "event_type")
 
 
 @register(
