@@ -136,6 +136,7 @@ _WINDOW_MIDDLE = [
     "q_erasure_manifest",
     "q_regional_volume",
     "q_streaming_enrich",
+    "q_streaming_attribution",
     "q_winnow_overlap",
     "q_vocab_growth",
     "q_token_dispersion",
@@ -6169,6 +6170,108 @@ def q_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.withColumn("first_day", F.date_format("first_day", "yyyy-MM-dd"))
         .withColumn("last_day", F.date_format("last_day", "yyyy-MM-dd"))
         .orderBy("event_type")
+    )
+
+
+def _stream_events_typed_ordered(spark: SparkSession, sf_dir: str, n_files: int = 4):
+    """(user_id, event_type, ts) TIME-ORDERED micro-batches — the
+    typed-timestamp replay for watermarked stream-stream joins (range-
+    disjoint batches keep every row inside the watermark tolerance)."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.col("ts").cast("timestamp").alias("ts")
+    )
+    us = F.unix_micros(F.col("ts"))
+    b = ev.agg(F.min(us).alias("lo"), F.max(us).alias("hi")).collect()[0]
+    src = _scratch_dir("sattr_src")
+    os.makedirs(src, exist_ok=True)
+    span = (b["hi"] - b["lo"]) or 1
+    for i in range(n_files):
+        lo = b["lo"] + span * i // n_files
+        hi = b["hi"] + 1 if i == n_files - 1 else b["lo"] + span * (i + 1) // n_files
+        part_dir = _scratch_dir(f"sattr_part{i}")
+        ev.where((us >= lo) & (us < hi)).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(part_dir)
+        (f,) = glob.glob(os.path.join(part_dir, "part-*.parquet"))
+        shutil.copy(f, os.path.join(src, f"batch_{i}.parquet"))
+        time.sleep(1.1)  # mtime order == micro-batch order
+    return (
+        spark.readStream.schema("user_id bigint, event_type string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+
+@register(
+    "q_streaming_attribution",
+    oracle="""
+    SELECT p.user_id,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT p.ts) AS BIGINT) AS n_attributed_purchases
+    FROM (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT user_id, ts FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id
+     AND v.ts >= p.ts - INTERVAL 1 HOUR
+     AND v.ts <= p.ts
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_streaming_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM interval join (streaming/enrich.py::
+    stream_stream_interval_join) — the attribution query: views within
+    the hour BEFORE each purchase, both sides streaming with 2-hour
+    watermarks bounding the join state (right rows evict once the
+    watermark passes vts+1h; left once it passes pts — state is
+    O(horizon), never O(stream)). Inner matches emit on arrival (the
+    watermark gates cleanup, not emission), and the range-disjoint
+    time-ordered replay keeps every needed row inside the horizon, so
+    the appended pair set aggregates to EXACTLY the batch interval
+    join — hash-matched."""
+    import uuid
+
+    from .streaming.enrich import stream_stream_interval_join
+
+    stream = _stream_events_typed_ordered(spark, sf_dir)
+    purchases = stream.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("puid"), F.col("ts").alias("pts")
+    )
+    views = stream.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("vuid"), F.col("ts").alias("vts")
+    )
+    pairs = stream_stream_interval_join(
+        purchases,
+        views,
+        left_key="puid",
+        right_key="vuid",
+        left_ts="pts",
+        right_ts="vts",
+        before="1 HOUR",
+        after="0 SECONDS",
+        watermark="2 hours",
+    ).select("puid", "pts", "vts")
+    name = "rbf_sattr_" + uuid.uuid4().hex[:8]
+    q = (
+        pairs.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", _scratch_dir("sattr_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_stream(q)
+    return (
+        spark.table(name)
+        .groupBy(F.col("puid").alias("user_id"))
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.countDistinct("pts").alias("n_attributed_purchases"),
+        )
+        .orderBy("user_id")
     )
 
 

@@ -52,3 +52,49 @@ def stream_static_enrich(
         )
     d = F.broadcast(dim) if broadcast_dim else dim
     return stream.join(d, on=on, how="inner")
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    before: str,
+    after: str,
+    watermark: str,
+) -> DataFrame:
+    """Stream-stream INNER join on key equality plus an event-time
+    interval: right rows with ``right_ts`` in
+    [left_ts − before, left_ts + after] — the attribution shape (views
+    within the hour before a purchase). The STATEFUL streaming join:
+    both sides buffer rows in state, and the interval condition plus
+    the two watermarks are what BOUND that state — Spark derives each
+    side's retention horizon from them (a right row is evictable once
+    watermark passes right_ts + before; a left row once watermark
+    passes left_ts + after), so state is O(rows within the horizon),
+    never O(stream). Without the time bounds the state never drains —
+    this function therefore requires all three time parameters.
+
+    Inner-join matches emit as soon as both rows are present (the
+    watermark gates CLEANUP, not emission), so with replay ordered
+    within the watermark tolerance the result is exactly the batch
+    interval join — which is what the contract query's hash check
+    certifies. ``before``/``after``/``watermark`` are SQL interval
+    body strings (e.g. ``"1 hour"``).
+    """
+    if not (left.isStreaming and right.isStreaming):
+        raise ValueError(
+            "stream_stream_interval_join: both sides must be streaming "
+            "(for a static side use stream_static_enrich — no state at all)"
+        )
+    l = left.withWatermark(left_ts, watermark).alias("l")
+    r = right.withWatermark(right_ts, watermark).alias("r")
+    cond = F.expr(
+        f"l.{left_key} = r.{right_key} AND "
+        f"r.{right_ts} >= l.{left_ts} - INTERVAL {before} AND "
+        f"r.{right_ts} <= l.{left_ts} + INTERVAL {after}"
+    )
+    return l.join(r, on=cond, how="inner")

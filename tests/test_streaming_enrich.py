@@ -66,3 +66,80 @@ def test_enrich_guards(spark, tmp_path):
     stream2 = _replay(spark, tmp_path, [(2, 1.0)], 1)
     with pytest.raises(ValueError, match="STATIC"):
         stream_static_enrich(stream, stream2, on=F.col("uid") == F.col("k"))
+
+
+# -- stream_stream_interval_join --------------------------------------------
+
+
+def _ts_rows():
+    import datetime as dt
+
+    base = dt.datetime(2024, 5, 1, 12, 0, 0)
+    mk = lambda m: base + dt.timedelta(minutes=m)
+    # user 1: purchase at +60 attributed to views at +10, +59 (not +61,
+    # not -5 relative to window [0,60]); user 2: no views
+    return [
+        (1, "view", mk(10)),
+        (1, "view", mk(59)),
+        (1, "view", mk(61)),   # after the purchase: excluded
+        (1, "view", mk(-5)),   # > 1h before: excluded
+        (1, "purchase", mk(60)),
+        (2, "purchase", mk(30)),
+        (3, "view", mk(30)),   # view without purchase
+    ]
+
+
+def test_interval_join_matches_batch(spark, tmp_path):
+    from rusty_bloomfilter_spark.streaming.enrich import (
+        stream_stream_interval_join,
+    )
+
+    src = str(tmp_path / "attr_src")
+    df = spark.createDataFrame(_ts_rows(), "uid long, kind string, ts timestamp")
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema("uid long, kind string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    p = stream.filter(F.col("kind") == "purchase").select(
+        F.col("uid").alias("puid"), F.col("ts").alias("pts")
+    )
+    v = stream.filter(F.col("kind") == "view").select(
+        F.col("uid").alias("vuid"), F.col("ts").alias("vts")
+    )
+    pairs = stream_stream_interval_join(
+        p, v,
+        left_key="puid", right_key="vuid",
+        left_ts="pts", right_ts="vts",
+        before="1 HOUR", after="0 SECONDS", watermark="2 hours",
+    ).select("puid", "pts", "vts")
+    q = (
+        pairs.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("attr_t")
+        .option("checkpointLocation", str(tmp_path / "attr_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    got = sorted(
+        (r["puid"], r["vts"].minute) for r in spark.table("attr_t").collect()
+    )
+    assert got == [(1, 10), (1, 59)]
+
+
+def test_interval_join_guards(spark, tmp_path):
+    import pytest
+
+    from rusty_bloomfilter_spark.streaming.enrich import (
+        stream_stream_interval_join,
+    )
+
+    static = spark.createDataFrame([(1, None)], "puid long, pts timestamp")
+    kw = dict(
+        left_key="puid", right_key="vuid", left_ts="pts", right_ts="vts",
+        before="1 HOUR", after="0 SECONDS", watermark="1 hour",
+    )
+    with pytest.raises(ValueError, match="both sides must be streaming"):
+        stream_stream_interval_join(static, static, **kw)
