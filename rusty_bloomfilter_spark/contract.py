@@ -137,6 +137,7 @@ _WINDOW_MIDDLE = [
     "q_regional_volume",
     "q_streaming_enrich",
     "q_streaming_attribution",
+    "q_partitioned_scan",
     "q_winnow_overlap",
     "q_vocab_growth",
     "q_token_dispersion",
@@ -6170,6 +6171,49 @@ def q_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.withColumn("first_day", F.date_format("first_day", "yyyy-MM-dd"))
         .withColumn("last_day", F.date_format("last_day", "yyyy-MM-dd"))
         .orderBy("event_type")
+    )
+
+
+@register(
+    "q_partitioned_scan",
+    oracle="""
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS total_value
+    FROM events
+    WHERE event_type IN ('purchase', 'signup')
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style PARTITIONED layout + partition-pruned read: events
+    written partitionBy(event_type) (the directory-level pruning tier
+    ABOVE the file-level zone/Bloom/xor indexes — a predicate on the
+    partition column prunes whole directories in the driver's file
+    index, before any file is even listed for I/O), then an IN-filter
+    read that must touch only 2 of 5 partitions. The plan gate lives
+    in tests/test_plans.py (PartitionFilters carries the predicate,
+    and a partition-count assertion); the hash check here pins that
+    pruning loses no rows — the pruned scan aggregates exactly like
+    the oracle's full-table filter. The partition column is restored
+    to its position in the output (partitionBy moves it to the
+    directory key)."""
+    ev = load_table(spark, sf_dir, "events")
+    scratch = _scratch_dir("hivepart")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(scratch)
+    laid = spark.read.parquet(scratch)
+    return (
+        laid.filter(F.col("event_type").isin("purchase", "signup"))
+        .groupBy(
+            F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"), "user_id"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,4)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .orderBy("day", "user_id")
     )
 
 

@@ -327,3 +327,35 @@ def test_regional_volume_plan_broadcasts_dims(spark):
     assert m or "o_orderdate" in phys.split("PushedFilters")[1][:400], phys
     rows = df.collect()
     assert all(r["revenue"] > 0 for r in rows)
+
+
+def test_partitioned_scan_prunes_directories(spark, tmp_path):
+    """q_partitioned_scan's layout: a predicate on the partition column
+    must land in PartitionFilters (directory pruning, before any file
+    I/O) and the scan must read only the matching partitions."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    scratch = str(tmp_path / "hp")
+    spark.range(0, 1000).select(
+        (F.col("id") % 5).cast("string").alias("k"), F.col("id").alias("v")
+    ).write.mode("overwrite").partitionBy("k").parquet(scratch)
+    laid = spark.read.parquet(scratch)
+    pruned = laid.filter(F.col("k").isin("1", "3"))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pruned.explain("formatted")
+    phys = buf.getvalue()
+    part_section = phys.split("PartitionFilters")[1][:200]
+    assert "k" in part_section and "1" in part_section, phys
+    # only 2 of 5 partition directories are actually READ (inputFiles()
+    # reports the unpruned relation; input_file_name() at execution time
+    # reflects the post-pruning scan)
+    files = [
+        r["f"]
+        for r in pruned.select(F.input_file_name().alias("f")).distinct().collect()
+    ]
+    assert files and all(("k=1" in f or "k=3" in f) for f in files)
+    assert pruned.count() == 400
