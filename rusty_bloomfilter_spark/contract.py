@@ -138,6 +138,7 @@ _WINDOW_MIDDLE = [
     "q_streaming_enrich",
     "q_streaming_attribution",
     "q_partitioned_scan",
+    "q_index_append",
     "q_winnow_overlap",
     "q_vocab_growth",
     "q_token_dispersion",
@@ -6172,6 +6173,66 @@ def q_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("last_day", F.date_format("last_day", "yyyy-MM-dd"))
         .orderBy("event_type")
     )
+
+
+@register(
+    "q_index_append",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_orderkey % 501 = 0
+    """,
+)
+def q_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL file-index maintenance (operators/pruning.py::
+    compact_index, driver-visible): snapshot 1 (even order keys) lands
+    and gets indexed; snapshot 2 (odd keys) is APPENDED to the same
+    table directory and ONLY its new files are indexed; compact_index
+    unions the two index frames (per-file OR-merge handles split
+    rows). The pruned point-lookup over the combined table must equal
+    the oracle's full-scan filter — the zero-FN contract surviving the
+    append loop a daily-snapshot table lives by, without ever
+    re-indexing old files."""
+    from .operators.pruning import (
+        bloom_file_index,
+        bloom_pruned_read,
+        compact_index,
+    )
+    from .sketch import Shape
+
+    orders = load_table(spark, sf_dir, "orders")
+    scratch = _scratch_dir("idxappend")
+    shape = Shape.for_np(250_000, 0.001)
+    orders.filter(F.col("o_orderkey") % 2 == 0).repartitionByRange(
+        4, "o_orderkey"
+    ).write.mode("overwrite").parquet(scratch)
+    snap1_files = set(spark.read.parquet(scratch).inputFiles())
+    idx1 = bloom_file_index(
+        spark.read.parquet(scratch), shape, key_col="o_orderkey"
+    ).localCheckpoint()  # pin snapshot-1 rows before the append changes the dir
+    orders.filter(F.col("o_orderkey") % 2 == 1).repartitionByRange(
+        4, "o_orderkey"
+    ).write.mode("append").parquet(scratch)
+    new_files = sorted(
+        set(spark.read.parquet(scratch).inputFiles()) - snap1_files
+    )
+    idx2 = bloom_file_index(
+        spark.read.option("basePath", scratch).parquet(*new_files),
+        shape,
+        key_col="o_orderkey",
+    )
+    index = compact_index(idx1, idx2)
+    keys = [
+        r["o_orderkey"]
+        for r in spark.read.parquet(scratch)
+        .filter(F.col("o_orderkey") % 501 == 0)
+        .select("o_orderkey")
+        .collect()
+    ]
+    rows, _files_read = bloom_pruned_read(
+        spark, scratch, index, keys, key_col="o_orderkey"
+    )
+    return rows.select("o_orderkey", "o_custkey", "o_totalprice")
 
 
 @register(
