@@ -139,6 +139,7 @@ _WINDOW_MIDDLE = [
     "q_streaming_attribution",
     "q_partitioned_scan",
     "q_index_append",
+    "q_data_diff",
     "q_winnow_overlap",
     "q_vocab_growth",
     "q_token_dispersion",
@@ -6173,6 +6174,83 @@ def q_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("last_day", F.date_format("last_day", "yyyy-MM-dd"))
         .orderBy("event_type")
     )
+
+
+@register(
+    "q_data_diff",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderkey AS k, o_orderstatus AS st, o_totalprice AS pr,
+             o_orderpriority AS pp
+      FROM orders
+    ), b AS (
+      SELECT k,
+             CASE WHEN k % 97 = 0 THEN 'X' ELSE st END AS st,
+             CASE WHEN k % 89 = 0 THEN pr + 1 ELSE pr END AS pr,
+             pp
+      FROM a WHERE k % 997 <> 0
+      UNION ALL
+      SELECT k + 10000000, 'N', pr, pp FROM a WHERE k % 499 = 0
+    ), j AS (
+      SELECT coalesce(a.k, b.k) AS k,
+             a.k IS NOT NULL AS ina, b.k IS NOT NULL AS inb,
+             a.st AS ast, b.st AS bst, a.pr AS apr, b.pr AS bpr,
+             a.pp AS app, b.pp AS bpp
+      FROM a FULL OUTER JOIN b ON a.k = b.k
+    )
+    SELECT CAST(sum(CASE WHEN ina AND inb THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_common,
+           CAST(sum(CASE WHEN NOT ina THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_added,
+           CAST(sum(CASE WHEN NOT inb THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_removed,
+           CAST(sum(CASE WHEN ina AND inb
+                          AND (ast IS DISTINCT FROM bst
+                               OR apr IS DISTINCT FROM bpr
+                               OR app IS DISTINCT FROM bpp)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_changed_rows,
+           CAST(sum(CASE WHEN ina AND inb AND ast IS DISTINCT FROM bst
+                         THEN 1 ELSE 0 END) AS BIGINT) AS changed_st,
+           CAST(sum(CASE WHEN ina AND inb AND apr IS DISTINCT FROM bpr
+                         THEN 1 ELSE 0 END) AS BIGINT) AS changed_pr,
+           CAST(sum(CASE WHEN ina AND inb AND app IS DISTINCT FROM bpp
+                         THEN 1 ELSE 0 END) AS BIGINT) AS changed_pp
+    FROM j
+    """,
+)
+def q_data_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level snapshot CONTENT diff (operators/reconcile.py::
+    snapshot_diff) — the third snapshot-comparison tier: IBLT recovers
+    WHICH keys churned, PSI says whether distributions moved, this
+    says what actually changed cell-by-cell (the data-diff a
+    bad-backfill investigation reads). Snapshot 2 is derived from
+    orders with deterministic edits (status flips at %97, price bumps
+    at %89, deletions at %997, additions at %499 — identical
+    arithmetic both engines), and the one-row diff must count exactly
+    those. NULL-safe equality (eqNullSafe ≡ IS DISTINCT FROM).
+    Hash-matched."""
+    from .operators.reconcile import snapshot_diff
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        F.col("o_totalprice").alias("pr"),
+        F.col("o_orderpriority").alias("pp"),
+    )
+    kept = o.filter(F.col("k") % 997 != 0).select(
+        "k",
+        F.when(F.col("k") % 97 == 0, F.lit("X")).otherwise(F.col("st")).alias("st"),
+        F.when(F.col("k") % 89 == 0, F.col("pr") + 1).otherwise(F.col("pr")).alias("pr"),
+        "pp",
+    )
+    added = o.filter(F.col("k") % 499 == 0).select(
+        (F.col("k") + 10_000_000).alias("k"),
+        F.lit("N").alias("st"),
+        "pr",
+        "pp",
+    )
+    snap2 = kept.unionByName(added)
+    return snapshot_diff(o, snap2, key_col="k", compare_cols=["st", "pr", "pp"])
 
 
 @register(

@@ -156,3 +156,41 @@ def test_sql_pair_iblt_agg_diff(spark):
     assert only_a == sorted(set(range(500)) - b_set)
     assert only_b == sorted(b_set - set(range(500)))
     assert 0 in only_a
+
+
+# -- snapshot_diff (row-content tier) ---------------------------------------
+
+
+def test_snapshot_diff_hand_computed(spark):
+    import pytest
+
+    from rusty_bloomfilter_spark.operators.reconcile import snapshot_diff
+
+    a = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", None), (4, "d", 40.0)],
+        "k long, s string, v double",
+    )
+    b = spark.createDataFrame(
+        [
+            (1, "a", 10.0),    # unchanged
+            (2, "B", 20.0),    # s changed
+            (3, "c", 30.0),    # v NULL -> value: a change (NULL-safe)
+            (5, "e", 50.0),    # added
+        ],
+        "k long, s string, v double",
+    )
+    got = snapshot_diff(a, b, key_col="k", compare_cols=["s", "v"]).collect()[0]
+    assert got["n_common"] == 3 and got["n_added"] == 1 and got["n_removed"] == 1
+    assert got["changed_s"] == 1 and got["changed_v"] == 1
+    assert got["n_changed_rows"] == 2
+    with pytest.raises(ValueError, match="compare_cols"):
+        snapshot_diff(a, b, key_col="k", compare_cols=[])
+
+
+def test_snapshot_diff_null_to_null_not_a_change(spark):
+    from rusty_bloomfilter_spark.operators.reconcile import snapshot_diff
+
+    a = spark.createDataFrame([(1, None)], "k long, v double")
+    b = spark.createDataFrame([(1, None)], "k long, v double")
+    got = snapshot_diff(a, b, key_col="k", compare_cols=["v"]).collect()[0]
+    assert got["n_changed_rows"] == 0 and got["changed_v"] == 0
