@@ -140,6 +140,7 @@ _WINDOW_MIDDLE = [
     "q_partitioned_scan",
     "q_index_append",
     "q_data_diff",
+    "q_encoding_audit",
     "q_winnow_overlap",
     "q_vocab_growth",
     "q_token_dispersion",
@@ -6173,6 +6174,86 @@ def q_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.withColumn("first_day", F.date_format("first_day", "yyyy-MM-dd"))
         .withColumn("last_day", F.date_format("last_day", "yyyy-MM-dd"))
         .orderBy("event_type")
+    )
+
+
+def _encoding_oracle() -> str:
+    from .functions.text import duckdb_encoding
+
+    e = duckdb_encoding("text")
+    return f"""
+    WITH allrows AS (
+      SELECT source, text FROM documents
+      UNION ALL
+      SELECT '_planted', 'bad' || chr(7) || 'ctrl' || chr(65533) ||
+             'caf' || chr(233)
+      UNION ALL
+      SELECT '_planted', 'clean ascii only'
+    ), feats AS (
+      SELECT source, {e['n_ctrl']} AS n_ctrl,
+             {e['n_replacement']} AS n_repl,
+             {e['n_non_ascii']} AS n_na,
+             {e['n_chars']} AS n_ch
+      FROM allrows
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN n_ctrl > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_with_ctrl,
+           CAST(sum(CASE WHEN n_repl > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_with_replacement,
+           CAST(sum(n_na) AS BIGINT) AS total_non_ascii,
+           CAST(sum(n_ch) AS BIGINT) AS total_chars,
+           round(sum(n_na) / NULLIF(sum(n_ch), 0), 6) AS non_ascii_ratio
+    FROM feats GROUP BY source ORDER BY source
+    """
+
+
+@register("q_encoding_audit", oracle=_encoding_oracle())
+def q_encoding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding/mojibake audit (functions/text.py::encoding_exprs):
+    per-source C0-control-character docs, U+FFFD replacement-character
+    docs (the smoking gun of a wrong-charset decode upstream), and the
+    exact non-ASCII character mass — the byte-hygiene gate run before
+    any tokenizer sees the corpus. Two planted docs (one with BEL +
+    U+FFFD + é, one clean) make the audit visibly fire and pin the
+    regex semantics cross-engine; integer sums keep everything exact
+    except one round(6) ratio of sums. Hash-matched."""
+    from .functions.text import encoding_exprs
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    planted = spark.createDataFrame(
+        [
+            ("_planted", "bad\x07ctrl�café"),
+            ("_planted", "clean ascii only"),
+        ],
+        "source string, text string",
+    )
+    e = encoding_exprs(F.col("text"))
+    feats = docs.unionByName(planted).select(
+        "source",
+        e["n_ctrl"].alias("n_ctrl"),
+        e["n_replacement"].alias("n_repl"),
+        e["n_non_ascii"].alias("n_na"),
+        e["n_chars"].alias("n_ch"),
+    )
+    return (
+        feats.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("n_ctrl") > 0, 1).otherwise(0)).alias(
+                "docs_with_ctrl"
+            ),
+            F.sum(F.when(F.col("n_repl") > 0, 1).otherwise(0)).alias(
+                "docs_with_replacement"
+            ),
+            F.sum("n_na").alias("total_non_ascii"),
+            F.sum("n_ch").alias("total_chars"),
+            F.round(
+                F.try_divide(F.sum("n_na"), F.sum("n_ch")), 6
+            ).alias("non_ascii_ratio"),
+        )
+        .orderBy("source")
     )
 
 

@@ -453,3 +453,45 @@ def duckdb_readability(text_expr: str) -> dict[str, str]:
         "fre": f"CASE WHEN {n_words} > 0 THEN round(206.835 - 1.015 * {wps} - 84.6 * {spw}, 4) END",
         "fk_grade": f"CASE WHEN {n_words} > 0 THEN round(0.39 * {wps} + 11.8 * {spw} - 15.59, 4) END",
     }
+
+
+# ---------------------------------------------------------------------------
+# Encoding / mojibake audit
+# ---------------------------------------------------------------------------
+
+
+def encoding_exprs(text: Column) -> dict[str, Column]:
+    """Byte-hygiene features: C0 control characters (minus tab/LF/CR —
+    legitimate text), U+FFFD replacement characters (the smoking gun of
+    a mis-decoded byte stream: some upstream read bytes with the wrong
+    charset and "fixed" it), and the non-ASCII character count (high
+    ratios are fine for non-Latin languages — read it against the lang
+    column, not alone). All Catalyst regex counts with 1:1 DuckDB
+    renderings (``duckdb_encoding``)."""
+    ctrl = F.size(
+        F.regexp_extract_all(text, F.lit(r"[\x00-\x08\x0B\x0C\x0E-\x1F]"), 0)
+    )
+    repl = F.size(F.regexp_extract_all(text, F.lit("�"), 0))
+    non_ascii = F.length(F.regexp_replace(text, r"[\x00-\x7F]", ""))
+    return {
+        "n_ctrl": ctrl.cast("long"),
+        "n_replacement": repl.cast("long"),
+        "n_non_ascii": non_ascii.cast("long"),
+        "n_chars": F.length(text).cast("long"),
+    }
+
+
+def duckdb_encoding(text_expr: str) -> dict[str, str]:
+    return {
+        "n_ctrl": (
+            f"CAST(len(regexp_extract_all({text_expr}, "
+            f"'[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]')) AS BIGINT)"
+        ),
+        "n_replacement": (
+            f"CAST(len(regexp_extract_all({text_expr}, chr(65533))) AS BIGINT)"
+        ),
+        "n_non_ascii": (
+            f"CAST(length(regexp_replace({text_expr}, '[\\x00-\\x7F]', '', 'g')) AS BIGINT)"
+        ),
+        "n_chars": f"CAST(length({text_expr}) AS BIGINT)",
+    }

@@ -115,3 +115,33 @@ def test_profile_null_docs_leave_tail_denominator(spark):
     assert got["n_docs"] == 3 and got["n_scored"] == 1
     # the one scored doc is repetitive: fraction is 1.0 OF SCORED, not 1/3
     assert got["frac_repetitive"] == 1.0
+
+
+# -- encoding audit ---------------------------------------------------------
+
+
+def test_encoding_exprs_hand_computed(spark):
+    from pyspark.sql import functions as F
+
+    from rusty_bloomfilter_spark.functions.text import encoding_exprs
+
+    rows = [
+        (1, "plain ascii"),
+        (2, "tab\tand\nnewline are fine"),      # tab/LF are NOT control hits
+        (3, "bell\x07 and esc\x1b"),            # 2 control chars
+        (4, "café über straße"), # 3 non-ASCII, no ctrl
+        (5, "mojibake �� here"),      # 2 replacement chars
+    ]
+    df = spark.createDataFrame(rows, "i int, text string")
+    e = encoding_exprs(F.col("text"))
+    got = {
+        r["i"]: r
+        for r in df.select("i", *[e[k].alias(k) for k in e]).collect()
+    }
+    assert got[1]["n_ctrl"] == 0 and got[1]["n_non_ascii"] == 0
+    assert got[2]["n_ctrl"] == 0  # tab and newline excluded by design
+    assert got[3]["n_ctrl"] == 2
+    assert got[4]["n_non_ascii"] == 3 and got[4]["n_ctrl"] == 0
+    assert got[5]["n_replacement"] == 2
+    # replacement chars also count as non-ASCII
+    assert got[5]["n_non_ascii"] == 2
