@@ -6177,6 +6177,41 @@ def q_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STORAGE_SNAPSHOT = "/root/testdata/sf0.01/lineitem.parquet"
+
+
+@register(
+    "q_storage_profile",
+    oracle=f"""
+    SELECT path_in_schema AS column_name,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(total_compressed_size) AS BIGINT) AS compressed_bytes,
+           CAST(sum(total_uncompressed_size) AS BIGINT) AS uncompressed_bytes,
+           CAST(sum(num_values) AS BIGINT) AS n_values,
+           round(sum(total_uncompressed_size)
+                 / NULLIF(sum(total_compressed_size), 0), 4)
+             AS compression_ratio
+    FROM parquet_metadata('{_STORAGE_SNAPSHOT}')
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_storage_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column storage profile from parquet FOOTERS only
+    (operators/zonemap.py::storage_profile): compressed/uncompressed
+    bytes, chunk and value counts, compression ratio per column — the
+    table-bloat report behind every drop-a-column / recode /
+    re-sort-for-compression decision, priced in KB footer reads (data
+    pages never touched; paths parallelized, the driver opens no
+    footer). Both engines read ONE FIXED snapshot (the driver's sf0.01
+    lineitem) because oracle SQL is static — the check is two
+    INDEPENDENT parquet implementations (pyarrow footers vs DuckDB
+    parquet_metadata()) agreeing on every byte count of the same
+    files; data scale is meaningless for a metadata reader."""
+    from .operators.zonemap import storage_profile
+
+    return storage_profile(spark, _STORAGE_SNAPSHOT).orderBy("column_name")
+
+
 def _encoding_oracle() -> str:
     from .functions.text import duckdb_encoding
 

@@ -339,3 +339,86 @@ def zone_index_from_footers(
             )
 
     return paths.mapInPandas(read_footers, schema=out_schema)
+
+
+def storage_profile(
+    spark: SparkSession,
+    input_path: str,
+    *,
+    files: list[str] | None = None,
+) -> DataFrame:
+    """Per-COLUMN storage profile from parquet footers only — the
+    table-bloat report ("which column eats the bytes, and does its
+    encoding earn its keep"): for every leaf column, chunk count,
+    compressed and uncompressed byte totals, and value count, summed
+    over all row groups of all files. The input to every
+    drop-a-column / recode / re-sort-for-compression decision, priced
+    in footer reads (KB per file — the zone_index_from_footers
+    economics; data pages never touched).
+
+    Distribution: file paths parallelized, footers read inside
+    ``mapInPandas``, one |columns|-bounded aggregate after — the
+    driver opens no footer. DuckDB's ``parquet_metadata()`` reads the
+    identical footer fields, which is what makes the driver contract
+    hash-matchable.
+    """
+    import glob as _glob
+    import os
+
+    if files is None:
+        root = input_path[len("file:") :] if input_path.startswith("file:") else input_path
+        if os.path.isfile(root):  # a single-file table IS its own part list
+            files = [root]
+        else:
+            files = sorted(
+                set(
+                    _glob.glob(os.path.join(root, "*.parquet"))
+                    + _glob.glob(os.path.join(root, "*.snappy.parquet"))
+                )
+            )
+    if not files:
+        raise ValueError(f"no parquet part files found under {input_path!r}")
+
+    paths = spark.createDataFrame([(p,) for p in files], "path string").repartition(
+        min(len(files), 64)
+    )
+
+    def read_footers(batches):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            rows = []
+            for p in pdf["path"]:
+                local = p[len("file:") :] if str(p).startswith("file:") else str(p)
+                md = pq.ParquetFile(local).metadata
+                for rg in range(md.num_row_groups):
+                    g = md.row_group(rg)
+                    for ci in range(g.num_columns):
+                        c = g.column(ci)
+                        rows.append(
+                            (
+                                c.path_in_schema,
+                                c.total_compressed_size,
+                                c.total_uncompressed_size,
+                                c.num_values,
+                            )
+                        )
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=["column_name", "comp", "uncomp", "nvals"]
+                )
+
+    chunks = paths.mapInPandas(
+        read_footers,
+        schema="column_name string, comp long, uncomp long, nvals long",
+    )
+    return chunks.groupBy("column_name").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum("comp").alias("compressed_bytes"),
+        F.sum("uncomp").alias("uncompressed_bytes"),
+        F.sum("nvals").alias("n_values"),
+        F.round(
+            F.try_divide(F.sum("uncomp"), F.sum("comp")), 4
+        ).alias("compression_ratio"),
+    )

@@ -92,3 +92,60 @@ def test_empty_dir_raises(spark):
 
     with pytest.raises(ValueError):
         zone_index_from_footers(spark, tempfile.mkdtemp(), col="x")
+
+
+# -- storage_profile --------------------------------------------------------
+
+
+def test_storage_profile_matches_pyarrow_truth(spark, tmp_path):
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from rusty_bloomfilter_spark.operators.zonemap import storage_profile
+
+    d = str(tmp_path / "sp")
+    spark.range(0, 20_000).select(
+        F.col("id").alias("a"),
+        (F.col("id") % 7).alias("b"),
+        F.md5(F.col("id").cast("string")).alias("c"),
+    ).repartition(3).write.mode("overwrite").parquet(d)
+    got = {r["column_name"]: r for r in storage_profile(spark, d).collect()}
+    assert set(got) == {"a", "b", "c"}
+    # independent truth: fold the footers with pyarrow directly
+    import glob
+
+    want = {}
+    for f in glob.glob(d + "/part-*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                c = g.column(ci)
+                w = want.setdefault(c.path_in_schema, [0, 0, 0])
+                w[0] += c.total_compressed_size
+                w[1] += c.total_uncompressed_size
+                w[2] += c.num_values
+    for name, (comp, uncomp, nvals) in want.items():
+        r = got[name]
+        assert r["compressed_bytes"] == comp
+        assert r["uncompressed_bytes"] == uncomp
+        assert r["n_values"] == nvals == 20_000
+    # repeated md5 strings compress worse than the sequential id column
+    assert got["c"]["compression_ratio"] < got["a"]["compression_ratio"]
+
+
+def test_storage_profile_single_file_and_missing(spark, tmp_path):
+    import glob
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from rusty_bloomfilter_spark.operators.zonemap import storage_profile
+
+    d = str(tmp_path / "single")
+    spark.range(10).coalesce(1).write.mode("overwrite").parquet(d)
+    (f,) = glob.glob(d + "/part-*.parquet")
+    got = storage_profile(spark, f).collect()
+    assert len(got) == 1 and got[0]["n_values"] == 10
+    with pytest.raises(ValueError, match="no parquet"):
+        storage_profile(spark, str(tmp_path / "nope"))
