@@ -141,6 +141,8 @@ _WINDOW_MIDDLE = [
     "q_index_append",
     "q_data_diff",
     "q_encoding_audit",
+    "q_storage_profile",
+    "q_pseudonym_join",
     "q_winnow_overlap",
     "q_vocab_growth",
     "q_token_dispersion",
@@ -6175,6 +6177,73 @@ def q_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("last_day", F.date_format("last_day", "yyyy-MM-dd"))
         .orderBy("event_type")
     )
+
+
+def _pseudonym_oracle() -> str:
+    from .functions.text import duckdb_pseudonym
+
+    pe = duckdb_pseudonym("e.user_id", "rot-2026-08")
+    pc = duckdb_pseudonym("c.c_custkey", "rot-2026-08")
+    return f"""
+    WITH ev AS (
+      SELECT {pe} AS pseu, e.user_id, e.event_type FROM events e
+    ), cu AS (
+      SELECT {pc} AS pseu, c.c_custkey, c.c_mktsegment FROM customer c
+    )
+    SELECT cu.c_mktsegment AS segment,
+           CAST(count(*) AS BIGINT) AS n_events_pseudonym_join,
+           CAST(count(DISTINCT ev.pseu) AS BIGINT) AS n_users_pseudonym,
+           CAST((SELECT count(*) FROM events e2 JOIN customer c2
+                 ON e2.user_id = c2.c_custkey
+                 WHERE c2.c_mktsegment = cu.c_mktsegment) AS BIGINT)
+             AS n_events_raw_join
+    FROM ev JOIN cu ON ev.pseu = cu.pseu
+    GROUP BY cu.c_mktsegment
+    ORDER BY segment
+    """
+
+
+@register("q_pseudonym_join", oracle=_pseudonym_oracle())
+def q_pseudonym_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted pseudonymization with REFERENTIAL CONSISTENCY
+    (functions/text.py::pseudonym_expr) — the privacy tier between
+    pii_scrub (destroys the value) and erasure (destroys the row):
+    events and customers re-keyed under the same salt, then joined ON
+    THE PSEUDONYMS; the per-segment counts must equal the raw-key join
+    computed independently in the same query (both columns emitted —
+    the hash certifies joins survive re-keying), while rotating the
+    salt severs all history at once. Pure Catalyst md5, 1:1 DuckDB
+    rendering."""
+    from .functions.text import pseudonym_expr
+
+    ev = load_table(spark, sf_dir, "events").select(
+        pseudonym_expr(F.col("user_id"), "rot-2026-08").alias("pseu"),
+        "user_id",
+        "event_type",
+    )
+    cu = load_table(spark, sf_dir, "customer").select(
+        pseudonym_expr(F.col("c_custkey"), "rot-2026-08").alias("cpseu"),
+        "c_custkey",
+        "c_mktsegment",
+    )
+    pj = (
+        ev.join(cu, on=F.col("pseu") == F.col("cpseu"))
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").alias("n_events_pseudonym_join"),
+            F.countDistinct("pseu").alias("n_users_pseudonym"),
+        )
+    )
+    raw = (
+        load_table(spark, sf_dir, "events")
+        .join(
+            load_table(spark, sf_dir, "customer"),
+            on=F.col("user_id") == F.col("c_custkey"),
+        )
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(F.count("*").alias("n_events_raw_join"))
+    )
+    return pj.join(raw, on="segment").orderBy("segment")
 
 
 _STORAGE_SNAPSHOT = "/root/testdata/sf0.01/lineitem.parquet"

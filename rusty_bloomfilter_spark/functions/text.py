@@ -495,3 +495,34 @@ def duckdb_encoding(text_expr: str) -> dict[str, str]:
         ),
         "n_chars": f"CAST(length({text_expr}) AS BIGINT)",
     }
+
+
+# ---------------------------------------------------------------------------
+# Pseudonymization (privacy family: scrub -> erase -> pseudonymize)
+# ---------------------------------------------------------------------------
+
+
+def pseudonym_expr(key: Column, salt: str, *, width: int = 16) -> Column:
+    """Salted deterministic pseudonym for an identifier column:
+    substr(md5(salt || ':' || key), 1, width). The privacy tier
+    BETWEEN pii_scrub (destroys the value) and erasure (destroys the
+    row): analytics keep working — equal keys map to equal pseudonyms
+    ACROSS TABLES under the same salt, so joins, distinct counts and
+    cohorts survive re-keying — while the raw identifier never leaves
+    the trusted zone and rotating the salt severs all history at once.
+    NULL keys stay NULL (an unowned row must not acquire a shared fake
+    owner). NOT format-preserving and not reversible; reversal is the
+    salt table's job, which lives where the raw keys live."""
+    if not salt:
+        raise ValueError("pseudonym_expr: salt must be non-empty")
+    return F.when(
+        key.isNotNull(),
+        F.substring(F.md5(F.concat(F.lit(salt), F.lit(":"), key.cast("string"))), 1, width),
+    )
+
+
+def duckdb_pseudonym(key_expr: str, salt: str, *, width: int = 16) -> str:
+    return (
+        f"CASE WHEN {key_expr} IS NOT NULL THEN "
+        f"substr(md5('{salt}' || ':' || CAST({key_expr} AS VARCHAR)), 1, {width}) END"
+    )

@@ -145,3 +145,30 @@ def test_encoding_exprs_hand_computed(spark):
     assert got[5]["n_replacement"] == 2
     # replacement chars also count as non-ASCII
     assert got[5]["n_non_ascii"] == 2
+
+
+# -- pseudonymization -------------------------------------------------------
+
+
+def test_pseudonym_referential_consistency(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from rusty_bloomfilter_spark.functions.text import pseudonym_expr
+
+    a = spark.createDataFrame([(1,), (2,), (None,)], "k long")
+    b = spark.createDataFrame([(1,), (3,)], "k long")
+    pa = a.select(pseudonym_expr(F.col("k"), "s1").alias("p"), "k")
+    pb = b.select(pseudonym_expr(F.col("k"), "s1").alias("p"), "k")
+    rows = {r["k"]: r["p"] for r in pa.collect()}
+    # NULL keys stay NULL (no shared fake owner)
+    assert rows[None] is None
+    assert rows[1] is not None and len(rows[1]) == 16
+    # same key + same salt -> same pseudonym ACROSS frames: join survives
+    joined = pa.join(pb, on="p").collect()
+    assert len(joined) == 1
+    # salt rotation severs linkage
+    pb2 = b.select(pseudonym_expr(F.col("k"), "s2").alias("p"))
+    assert pa.join(pb2, on="p").count() == 0
+    with pytest.raises(ValueError, match="salt"):
+        pseudonym_expr(F.col("k"), "")
