@@ -127,8 +127,17 @@ def main() -> None:
     ap.add_argument("--n-per-file", type=int, default=250_000)
     ap.add_argument("--p", type=float, default=0.001)
     ap.add_argument("--keys", default="", help="comma-separated probe keys")
-    ap.add_argument("--lo", type=float, default=None, help="zone-index range lower bound")
-    ap.add_argument("--hi", type=float, default=None, help="zone-index range upper bound")
+    # int-first parsing: float bounds on a BIGINT key silently round at
+    # 2^53 and --verify can't catch it (both filters use the same
+    # rounded literal) — the false-negative class CLAUDE.md guards
+    def _num(v: str):
+        try:
+            return int(v)
+        except ValueError:
+            return float(v)
+
+    ap.add_argument("--lo", type=_num, default=None, help="zone range lower bound (numeric)")
+    ap.add_argument("--hi", type=_num, default=None, help="zone range upper bound (numeric)")
     ap.add_argument("--verify", action="store_true")
     ap.add_argument("--cpus", type=int, default=0, help="local[N] when no master set")
     args = ap.parse_args()

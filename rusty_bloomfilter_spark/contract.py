@@ -2146,6 +2146,9 @@ def _stream_events_source(spark: SparkSession, sf_dir: str, n_files: int = 4):
     return spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(src)
 
 
+_T0 = 1_600_000_000  # fixed epoch base for replay-file mtimes
+
+
 def _stream_fp_source(spark: SparkSession, sf_dir: str, n_files: int = 4):
     """Documents prefix-fingerprint column replayed as n micro-batches —
     the ONE source both streaming-dedup queries read, so the exact and
@@ -5239,7 +5242,6 @@ def _stream_events_ordered(spark: SparkSession, sf_dir: str, n_files: int = 4):
     import glob
     import os
     import shutil
-    import time
 
     ev = load_table(spark, sf_dir, "events").select(
         "ts", F.col("user_id").cast("string").alias("fp")
@@ -5260,8 +5262,12 @@ def _stream_events_ordered(spark: SparkSession, sf_dir: str, n_files: int = 4):
             "overwrite"
         ).parquet(part_dir)
         (f,) = glob.glob(os.path.join(part_dir, "part-*.parquet"))
-        shutil.copy(f, os.path.join(src, f"batch_{i}.parquet"))
-        time.sleep(1.1)  # mtime order == micro-batch order
+        dst = os.path.join(src, f"batch_{i}.parquet")
+        shutil.copy(f, dst)
+        # explicit increasing mtimes pin micro-batch order with no
+        # wall-clock sleep (review fix: 3 helpers x 4 files x 1.1s of
+        # pure latency per contract run, gone)
+        os.utime(dst, (_T0 + i, _T0 + i))
     stream = (
         spark.readStream.schema("ts timestamp, fp string")
         .option("maxFilesPerTrigger", 1)
@@ -5280,7 +5286,6 @@ def _stream_sessions_ordered(spark: SparkSession, sf_dir: str, n_files: int = 4)
     import glob
     import os
     import shutil
-    import time
 
     ev = load_table(spark, sf_dir, "events").select(
         "user_id",
@@ -5298,8 +5303,12 @@ def _stream_sessions_ordered(spark: SparkSession, sf_dir: str, n_files: int = 4)
             "overwrite"
         ).parquet(part_dir)
         (f,) = glob.glob(os.path.join(part_dir, "part-*.parquet"))
-        shutil.copy(f, os.path.join(src, f"batch_{i}.parquet"))
-        time.sleep(1.1)  # mtime order == micro-batch order
+        dst = os.path.join(src, f"batch_{i}.parquet")
+        shutil.copy(f, dst)
+        # explicit increasing mtimes pin micro-batch order with no
+        # wall-clock sleep (review fix: 3 helpers x 4 files x 1.1s of
+        # pure latency per contract run, gone)
+        os.utime(dst, (_T0 + i, _T0 + i))
     return (
         spark.readStream.schema("user_id bigint, ts_us bigint")
         .option("maxFilesPerTrigger", 1)
@@ -6548,7 +6557,6 @@ def _stream_events_typed_ordered(spark: SparkSession, sf_dir: str, n_files: int 
     import glob
     import os
     import shutil
-    import time
 
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_type", F.col("ts").cast("timestamp").alias("ts")
@@ -6566,8 +6574,12 @@ def _stream_events_typed_ordered(spark: SparkSession, sf_dir: str, n_files: int 
             "overwrite"
         ).parquet(part_dir)
         (f,) = glob.glob(os.path.join(part_dir, "part-*.parquet"))
-        shutil.copy(f, os.path.join(src, f"batch_{i}.parquet"))
-        time.sleep(1.1)  # mtime order == micro-batch order
+        dst = os.path.join(src, f"batch_{i}.parquet")
+        shutil.copy(f, dst)
+        # explicit increasing mtimes pin micro-batch order with no
+        # wall-clock sleep (review fix: 3 helpers x 4 files x 1.1s of
+        # pure latency per contract run, gone)
+        os.utime(dst, (_T0 + i, _T0 + i))
     return (
         spark.readStream.schema("user_id bigint, event_type string, ts timestamp")
         .option("maxFilesPerTrigger", 1)

@@ -522,7 +522,13 @@ def pseudonym_expr(key: Column, salt: str, *, width: int = 16) -> Column:
 
 
 def duckdb_pseudonym(key_expr: str, salt: str, *, width: int = 16) -> str:
+    """Must accept exactly what pseudonym_expr accepts (the contract
+    relies on the two renderings being 1:1): empty salt raises, and a
+    quote in the salt is SQL-escaped rather than breaking the oracle."""
+    if not salt:
+        raise ValueError("duckdb_pseudonym: salt must be non-empty")
+    esc = salt.replace("'", "''")
     return (
         f"CASE WHEN {key_expr} IS NOT NULL THEN "
-        f"substr(md5('{salt}' || ':' || CAST({key_expr} AS VARCHAR)), 1, {width}) END"
+        f"substr(md5('{esc}' || ':' || CAST({key_expr} AS VARCHAR)), 1, {width}) END"
     )

@@ -176,7 +176,11 @@ def pareto_coverage(
         F.round(
             F.sum(F.when(in_head, 1).otherwise(0)) / F.count("*"), 6
         ).alias("frac_docs_to_threshold"),
+        # try_divide: an all-zero-weight group has _tot=0; ANSI throws
         F.round(
-            F.sum(F.when(decile, F.col("_w")).otherwise(0)) / F.max("_tot"), 6
+            F.try_divide(
+                F.sum(F.when(decile, F.col("_w")).otherwise(0)), F.max("_tot")
+            ),
+            6,
         ).alias("top_decile_share"),
     )

@@ -684,9 +684,13 @@ def dedup_savings(
         F.round(
             F.sum(F.when(F.col("_dup"), 1).otherwise(0)) / F.count("*"), 6
         ).alias("frac_dup_docs"),
+        # try_divide: a group of all-zero-weight docs has sum(_w)=0 and
+        # ANSI double/0 THROWS — report NULL, never crash the report
         F.round(
-            F.sum(F.when(F.col("_dup"), F.col("_w")).otherwise(0))
-            / F.sum("_w"),
+            F.try_divide(
+                F.sum(F.when(F.col("_dup"), F.col("_w")).otherwise(0)),
+                F.sum("_w"),
+            ),
             6,
         ).alias("frac_dup_tokens"),
     )

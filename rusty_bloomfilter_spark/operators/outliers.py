@@ -176,6 +176,13 @@ def trimmed_stats(
     engine-exact; only the final double averages round(6). One window
     pass per key (rank from both ends) + one aggregate; input is a
     per-row frame, shuffled once on the key.
+
+    NULL values are EXCLUDED before ranking (review fix): a NULL is
+    not a measurement — under Spark's NULLS-FIRST default it would
+    rank most-extreme-low and winsorize into a fabricated lo_edge
+    value (while mean/trimmed_mean skip it), and it would diverge
+    from SQL engines' NULLS-LAST ordering. n_rows counts the ranked
+    (non-NULL) rows.
     """
     from pyspark.sql import Window
 
@@ -189,7 +196,7 @@ def trimmed_stats(
         F.col(value_col).desc(), F.col(id_col).desc()
     )
     w_all = Window.partitionBy(key_col)
-    base = df.select(
+    base = df.filter(F.col(value_col).isNotNull()).select(
         F.col(key_col),
         v.alias("_v"),
         F.row_number().over(w_lo).alias("_rlo"),

@@ -226,6 +226,22 @@ def zone_pruned_read_multi(
     return rows, len(survivors)
 
 
+def _part_files(input_path: str) -> list[str]:
+    """Parquet part files under a table path: a single file, a flat
+    directory, or a hive-partitioned tree (recursive — the layout
+    q_partitioned_scan writes must be discoverable too). Sorted for
+    deterministic task assignment."""
+    import glob as _glob
+    import os
+
+    root = input_path[len("file:") :] if input_path.startswith("file:") else input_path
+    if os.path.isfile(root):
+        return [root]
+    return sorted(
+        set(_glob.glob(os.path.join(root, "**", "*.parquet"), recursive=True))
+    )
+
+
 def zone_index_from_footers(
     spark: SparkSession,
     input_path: str,
@@ -257,17 +273,8 @@ def zone_index_from_footers(
     All-NULL files yield lo = hi = NULL, matching zone_map_index (such
     files never match a range predicate and are always pruned).
     """
-    import glob as _glob
-    import os
-
     if files is None:
-        root = input_path[len("file:") :] if input_path.startswith("file:") else input_path
-        files = sorted(
-            p
-            for p in _glob.glob(os.path.join(root, "*.parquet"))
-            + _glob.glob(os.path.join(root, "*.snappy.parquet"))
-        )
-        files = sorted(set(files))
+        files = _part_files(input_path)
     if not files:
         raise ValueError(f"no parquet part files found under {input_path!r}")
 
@@ -362,20 +369,8 @@ def storage_profile(
     identical footer fields, which is what makes the driver contract
     hash-matchable.
     """
-    import glob as _glob
-    import os
-
     if files is None:
-        root = input_path[len("file:") :] if input_path.startswith("file:") else input_path
-        if os.path.isfile(root):  # a single-file table IS its own part list
-            files = [root]
-        else:
-            files = sorted(
-                set(
-                    _glob.glob(os.path.join(root, "*.parquet"))
-                    + _glob.glob(os.path.join(root, "*.snappy.parquet"))
-                )
-            )
+        files = _part_files(input_path)
     if not files:
         raise ValueError(f"no parquet part files found under {input_path!r}")
 

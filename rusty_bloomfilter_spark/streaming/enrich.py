@@ -92,9 +92,11 @@ def stream_stream_interval_join(
         )
     l = left.withWatermark(left_ts, watermark).alias("l")
     r = right.withWatermark(right_ts, watermark).alias("r")
+    # backquote every interpolated identifier: a key named `order` (or
+    # containing a space/dot) must parse as a COLUMN, never as SQL
     cond = F.expr(
-        f"l.{left_key} = r.{right_key} AND "
-        f"r.{right_ts} >= l.{left_ts} - INTERVAL {before} AND "
-        f"r.{right_ts} <= l.{left_ts} + INTERVAL {after}"
+        f"l.`{left_key}` = r.`{right_key}` AND "
+        f"r.`{right_ts}` >= l.`{left_ts}` - INTERVAL {before} AND "
+        f"r.`{right_ts}` <= l.`{left_ts}` + INTERVAL {after}"
     )
     return l.join(r, on=cond, how="inner")

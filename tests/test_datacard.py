@@ -103,3 +103,14 @@ def test_pareto_extremes_and_guard(spark):
     assert got["f"]["docs_to_threshold"] == 8
     with pytest.raises(ValueError, match="threshold_pct"):
         pareto_coverage(df, threshold_pct=100)
+
+
+def test_pareto_zero_weight_group_no_crash(spark):
+    # review fix: _tot = 0 -> NULL share, never ANSI DIVIDE_BY_ZERO
+    from rusty_bloomfilter_spark.operators.datacard import pareto_coverage
+
+    df = spark.createDataFrame(
+        [("z", "d1", 0), ("z", "d2", 0)], "source string, doc_id string, n_tok long"
+    )
+    got = pareto_coverage(df).collect()[0]
+    assert got["total_weight"] == 0 and got["top_decile_share"] is None

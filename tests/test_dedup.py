@@ -364,3 +364,14 @@ def test_dedup_savings_no_dups_is_zero(spark):
     df = spark.createDataFrame(rows, "source string, doc_id long, fp string, n_tok long")
     got = dedup_savings(df).collect()[0]
     assert got["n_dup_docs"] == 0 and got["frac_dup_tokens"] == 0.0
+
+
+def test_dedup_savings_zero_weight_group_no_crash(spark):
+    # review fix: all-zero-weight group -> NULL fraction, never an
+    # ANSI DIVIDE_BY_ZERO crash
+    from rusty_bloomfilter_spark.operators.dedup import dedup_savings
+
+    rows = [("z", 1, "f1", 0), ("z", 2, "f1", 0)]
+    df = spark.createDataFrame(rows, "source string, doc_id long, fp string, n_tok long")
+    got = dedup_savings(df).collect()[0]
+    assert got["n_dup_docs"] == 1 and got["frac_dup_tokens"] is None

@@ -149,3 +149,18 @@ def test_storage_profile_single_file_and_missing(spark, tmp_path):
     assert len(got) == 1 and got[0]["n_values"] == 10
     with pytest.raises(ValueError, match="no parquet"):
         storage_profile(spark, str(tmp_path / "nope"))
+
+
+def test_storage_profile_hive_partitioned_tree(spark, tmp_path):
+    # review fix: recursive part-file discovery — the partitionBy
+    # layout q_partitioned_scan writes must be profileable too
+    from pyspark.sql import functions as F
+
+    from rusty_bloomfilter_spark.operators.zonemap import storage_profile
+
+    d = str(tmp_path / "hive")
+    spark.range(0, 1000).select(
+        (F.col("id") % 3).cast("string").alias("k"), F.col("id").alias("v")
+    ).write.mode("overwrite").partitionBy("k").parquet(d)
+    got = {r["column_name"]: r for r in storage_profile(spark, d).collect()}
+    assert got["v"]["n_values"] == 1000  # all three partitions folded

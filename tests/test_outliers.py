@@ -146,3 +146,22 @@ def test_trimmed_resists_outlier_and_guards(spark):
     assert allk["trimmed_mean"] == allk["mean"] == allk["winsorized_mean"]
     with pytest.raises(ValueError, match="trim_frac"):
         trimmed_stats(df, "k", "v", "id", trim_frac=0.5)
+
+
+def test_trimmed_stats_null_values_excluded(spark):
+    # review fix: NULLs are not measurements — never a fabricated
+    # winsorized edge, never NULLS-FIRST rank divergence from SQL
+    import pytest
+
+    from rusty_bloomfilter_spark.operators.outliers import trimmed_stats
+
+    rows = [("a", i, float(v)) for i, v in enumerate([10, 20, 30, 40, 50, 60, 70, 80, 90, 100])]
+    rows += [("a", 99, None), ("a", 98, None)]
+    df = spark.createDataFrame(rows, "k string, id long, v double")
+    got = trimmed_stats(df, "k", "v", "id", trim_frac=0.1).collect()[0]
+    assert got["n_rows"] == 10  # ranked rows only
+    assert got["n_kept"] == 8
+    assert got["mean"] == pytest.approx(55.0)
+    assert got["trimmed_mean"] == pytest.approx(sum(range(20, 100, 10)) / 8)
+    # winsorized: 10->20, 100->90
+    assert got["winsorized_mean"] == pytest.approx((20 + 20 + 30 + 40 + 50 + 60 + 70 + 80 + 90 + 90) / 10)

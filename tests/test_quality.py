@@ -172,3 +172,27 @@ def test_pseudonym_referential_consistency(spark):
     assert pa.join(pb2, on="p").count() == 0
     with pytest.raises(ValueError, match="salt"):
         pseudonym_expr(F.col("k"), "")
+
+
+def test_duckdb_pseudonym_parity_guards(spark):
+    # review fix: the SQL twin must accept exactly what the Spark twin
+    # accepts, and a quoted salt must render as legal SQL
+    import duckdb
+    import pytest
+    from pyspark.sql import functions as F
+
+    from rusty_bloomfilter_spark.functions.text import (
+        duckdb_pseudonym,
+        pseudonym_expr,
+    )
+
+    with pytest.raises(ValueError, match="salt"):
+        duckdb_pseudonym("k", "")
+    frag = duckdb_pseudonym("k", "rot'26")
+    got_sql = duckdb.sql(f"SELECT {frag} AS p FROM (SELECT 7 AS k)").fetchone()[0]
+    got_spark = (
+        spark.createDataFrame([(7,)], "k long")
+        .select(pseudonym_expr(F.col("k"), "rot'26").alias("p"))
+        .collect()[0]["p"]
+    )
+    assert got_sql == got_spark

@@ -143,3 +143,43 @@ def test_interval_join_guards(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="both sides must be streaming"):
         stream_stream_interval_join(static, static, **kw)
+
+
+def test_interval_join_backquoted_identifiers(spark, tmp_path):
+    # review fix: a reserved-word column name must parse as a COLUMN
+    from rusty_bloomfilter_spark.streaming.enrich import (
+        stream_stream_interval_join,
+    )
+
+    src = str(tmp_path / "bq_src")
+    df = spark.createDataFrame(_ts_rows(), "uid long, kind string, ts timestamp")
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema("uid long, kind string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    # `order` is a SQL reserved word; backquoting must keep it a column
+    p = stream.filter(F.col("kind") == "purchase").select(
+        F.col("uid").alias("order"), F.col("ts").alias("pts")
+    )
+    v = stream.filter(F.col("kind") == "view").select(
+        F.col("uid").alias("vuid"), F.col("ts").alias("vts")
+    )
+    pairs = stream_stream_interval_join(
+        p, v,
+        left_key="order", right_key="vuid",
+        left_ts="pts", right_ts="vts",
+        before="1 HOUR", after="0 SECONDS", watermark="2 hours",
+    ).select(F.col("order"), "vts")
+    q = (
+        pairs.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("attr_bq")
+        .option("checkpointLocation", str(tmp_path / "bq_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    got = sorted((r["order"], r["vts"].minute) for r in spark.table("attr_bq").collect())
+    assert got == [(1, 10), (1, 59)]
