@@ -143,6 +143,7 @@ _WINDOW_MIDDLE = [
     "q_encoding_audit",
     "q_storage_profile",
     "q_pseudonym_join",
+    "q_streaming_late_audit",
     "q_winnow_overlap",
     "q_vocab_growth",
     "q_token_dispersion",
@@ -6185,6 +6186,86 @@ def q_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.withColumn("first_day", F.date_format("first_day", "yyyy-MM-dd"))
         .withColumn("last_day", F.date_format("last_day", "yyyy-MM-dd"))
         .orderBy("event_type")
+    )
+
+
+@register("q_streaming_late_audit")
+def q_streaming_late_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATE-DATA accounting (streaming/metrics.py::progress_drop_stats):
+    a watermark is a contract to DROP data, and the only record of how
+    much is the per-batch numRowsDroppedByWatermark counter — this
+    query reads it. The stateful operator is dropDuplicates, chosen
+    deliberately: its state rows are INPUT rows, so the counter is an
+    exact late-row count (under a windowed aggregation the same
+    counter counts post-partial-aggregation STATE rows — one per
+    late window, not one per late row — a measured trap this query's
+    docstring is the record of). Three micro-batches: two in time
+    order, then a batch of planted stragglers a full 7 hours behind
+    the advanced watermark. Rows-only with in-query gates: dropped ==
+    planted, emitted == on-time, and emitted + dropped == input
+    (exact conservation — dedup state never holds rows back)."""
+    import datetime as dt
+    import glob
+    import os
+    import shutil
+    import uuid
+
+    from .streaming.metrics import progress_drop_stats
+
+    base = dt.datetime(2024, 6, 1, 0, 0, 0)
+    on_time = [
+        (i % 7, base + dt.timedelta(minutes=5 * i)) for i in range(96)
+    ]  # 0h .. 8h in two halves; all (uid, ts) pairs unique
+    stragglers = [
+        (i % 7, base + dt.timedelta(minutes=i, seconds=30)) for i in range(25)
+    ]  # back at hour 0: far behind the watermark after batch 2
+    src = _scratch_dir("late_src")
+    os.makedirs(src, exist_ok=True)
+    batches = [on_time[:48], on_time[48:], stragglers]
+    for i, rows in enumerate(batches):
+        part_dir = _scratch_dir(f"late_part{i}")
+        spark.createDataFrame(rows, "uid long, ts timestamp").coalesce(
+            1
+        ).write.mode("overwrite").parquet(part_dir)
+        (f,) = glob.glob(os.path.join(part_dir, "part-*.parquet"))
+        dst = os.path.join(src, f"batch_{i}.parquet")
+        shutil.copy(f, dst)
+        os.utime(dst, (_T0 + i, _T0 + i))
+    stream = (
+        spark.readStream.schema("uid long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    deduped = stream.withWatermark("ts", "1 hour").dropDuplicates(["uid", "ts"])
+    name = "rbf_late_" + uuid.uuid4().hex[:8]
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", _scratch_dir("late_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_stream(q)
+    stats = progress_drop_stats(q)
+    n_emitted = spark.table(name).count()
+    n_planted = len(stragglers)
+    return spark.createDataFrame(
+        [
+            (
+                stats["n_input_rows"],
+                stats["n_dropped_late"],
+                stats["n_batches"],
+                n_emitted,
+                n_planted,
+                stats["n_dropped_late"] == n_planted,
+                n_emitted == len(on_time),
+                n_emitted + stats["n_dropped_late"] == stats["n_input_rows"],
+            )
+        ],
+        "n_input bigint, n_dropped_late bigint, n_batches bigint, "
+        "n_emitted bigint, n_planted bigint, "
+        "drop_gate boolean, emit_gate boolean, conservation_gate boolean",
     )
 
 

@@ -183,3 +183,51 @@ def test_interval_join_backquoted_identifiers(spark, tmp_path):
     assert q.awaitTermination(300)
     got = sorted((r["order"], r["vts"].minute) for r in spark.table("attr_bq").collect())
     assert got == [(1, 10), (1, 59)]
+
+
+# -- late-data accounting ----------------------------------------------------
+
+
+def test_progress_drop_stats_counts_planted_stragglers(spark, tmp_path):
+    import datetime as dt
+    import os
+    import shutil
+    import glob
+
+    from rusty_bloomfilter_spark.streaming.metrics import progress_drop_stats
+
+    base = dt.datetime(2024, 6, 1)
+    on_time = [(i, base + dt.timedelta(minutes=10 * i)) for i in range(30)]
+    late = [(100 + i, base + dt.timedelta(seconds=i)) for i in range(7)]
+    src = str(tmp_path / "late")
+    os.makedirs(src, exist_ok=True)
+    for i, rows in enumerate([on_time[:15], on_time[15:], late]):
+        part = str(tmp_path / f"p{i}")
+        spark.createDataFrame(rows, "uid long, ts timestamp").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(part)
+        (f,) = glob.glob(part + "/part-*.parquet")
+        dst = os.path.join(src, f"b{i}.parquet")
+        shutil.copy(f, dst)
+        os.utime(dst, (1_600_000_000 + i, 1_600_000_000 + i))
+    stream = (
+        spark.readStream.schema("uid long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.withWatermark("ts", "30 minutes")
+        .dropDuplicates(["uid", "ts"])
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_t")
+        .option("checkpointLocation", str(tmp_path / "late_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    stats = progress_drop_stats(q)
+    assert stats["n_input_rows"] == 37
+    assert stats["n_dropped_late"] == 7   # exactly the planted stragglers
+    assert stats["n_batches"] >= 3
+    assert spark.table("late_t").count() == 30
