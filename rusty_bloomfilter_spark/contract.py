@@ -81,69 +81,100 @@ def register(name: str, oracle: str | None = None):
 #   4. _WINDOW_LAST — thrice-green (r1+r2+r3) stable basics; re-verifying
 #      them a fourth time is the least informative use of the window.
 # ---------------------------------------------------------------------------
-_WINDOW_FIRST = [
-    # never driver-verified in any round (r3 positions 51-65)
-    "q_kmv_overlap",
-    "q_decontaminate",
-    "q_bigram_lm_scores",
-    "q_bpe_learn",
-    "q_repetition_filters",
-    "q_curate_corpus",
-    "q_tdigest_quantiles",
-    "q_quantiles_exact",
-    "q_pivot_status",
-    "q_grouping_sets",
-    "q_cube_events",
-    # driver-green in r2 only; fell out of the r3 window
-    "q_stratified_sample",
-    "q_kmv_distinct",
-    "q_bpe_merge_pairs",
-    "q_contamination_exact",
-    # hard-errored in r3 (pandas ndarray inference; fixed round 4)
-    "q_sharded_bloom",
+# Round-5 rotation (final round): the driver verifies only the FIRST 50
+# queries() entries. 102 of 201 registered queries have never received a
+# driver CORRECTNESS row; 89 of those are oracle-backed. _WINDOW_FIRST
+# holds 42 of them (oracle-backed first, registration age second, per
+# VERDICT r4 item 2) incl. the three rows-only->oracle conversion targets
+# (q_join_size_est / q_user_novelty_hll / q_kll_ntok_by_source); queries
+# NEW this round auto-sort into positions 43+ (see queries()), so up to 8
+# additions still land inside the window. Remaining never-appeared queries
+# head _WINDOW_MIDDLE; r5 additions beyond 8 would evict them, so prefer
+# deepening oracles over widening the count this round.
+_WINDOW_FIRST = [  # 42 oracle-backed, zero driver rows ever (r5 rotation)
+    "q_heavy_tokens_mg",
+    "q_zone_pruned_read",
+    "q_range_layout_prune",
+    "q_zorder_pruned_read",
+    "q_event_funnel",
+    "q_rolling_revenue",
+    "q_compaction_plan",
+    "q_pagerank",
+    "q_value_outliers",
+    "q_similar_names",
+    "q_retention_cohorts",
+    "q_table_profile",
+    "q_join_advisor",
+    "q_hll_rollup",
+    "q_inverted_index",
+    "q_key_skew_exact",
+    "q_xor_pruned_read",
+    "q_source_token_drift",
+    "q_tfidf_top_terms",
+    "q_embedding_gram",
+    "q_collocations_pmi",
+    "q_sliding_distinct",
+    "q_token_shift_exact",
+    "q_ntok_percentile_exact",
+    "q_psi_drift",
+    "q_bloom_shape_plan",
+    "q_data_validation",
+    "q_streaming_sessionize",
+    "q_bloom_anti_join",
+    "q_mixture_replicate",
+    "q_bloom_inner_join",
+    "q_scd2_history",
+    "q_scd2_apply",
+    "q_event_transitions",
+    "q_triangle_count",
+    "q_distinctive_terms",
+    "q_debounce",
+    "q_cooccurrence_lift",
+    "q_cusum_changepoint",
+    "q_join_size_est",
+    "q_user_novelty_hll",
+    "q_kll_ntok_by_source",
 ]
 
-# r3-green queries (driver positions 15-50), kept in their r3 relative
-# order; the tail of this list is what falls out of the window when new
-# queries are added — all were hash/rows-green in r3, so a one-round gap
-# still leaves the r2-r4 union complete.
-_WINDOW_MIDDLE = [
-    # -- added late in round 4: the r4 window is exactly full (16 FIRST +
-    # 34 new-this-round), so these are pinned here to avoid evicting a
-    # never-verified query; round 5's rotation promotes them (they have
-    # oracles and sit at the head of MIDDLE).
-    "q_xor_pruned_read",
-    "q_theilsen_trend",
-    "q_gap_fill",
-    "q_jsonl_scan",
-    "q_daily_acf",
-    "q_filter_sweep",
-    "q_fd_audit",
-    "q_compressibility",
-    "q_seasonality_dow",
-    "q_readability",
-    "q_chunk_windows",
-    "q_oov_rate",
-    "q_cluster_quality",
-    "q_rfm_segments",
-    "q_bigram_entropy",
-    "q_pareto_coverage",
-    "q_trimmed_stats",
+_WINDOW_MIDDLE = [  # 63 remaining never-appeared, then stale-green (oldest green first)
+    "q_daily_trend",
+    "q_pseudonym_join",
+    "q_storage_profile",
+    "q_encoding_audit",
+    "q_data_diff",
+    "q_index_append",
+    "q_partitioned_scan",
+    "q_streaming_attribution",
+    "q_streaming_enrich",
+    "q_regional_volume",
+    "q_erasure_manifest",
+    "q_cohort_ltv",
+    "q_dedup_savings",
     "q_weighted_length_quantiles",
     "q_lexical_richness",
-    "q_dedup_savings",
-    "q_cohort_ltv",
-    "q_erasure_manifest",
-    "q_regional_volume",
-    "q_streaming_enrich",
-    "q_streaming_attribution",
-    "q_partitioned_scan",
-    "q_index_append",
-    "q_data_diff",
-    "q_encoding_audit",
-    "q_storage_profile",
-    "q_pseudonym_join",
-    "q_streaming_late_audit",
+    "q_trimmed_stats",
+    "q_pareto_coverage",
+    "q_bigram_entropy",
+    "q_rfm_segments",
+    "q_cluster_quality",
+    "q_oov_rate",
+    "q_chunk_windows",
+    "q_readability",
+    "q_seasonality_dow",
+    "q_fd_audit",
+    "q_filter_sweep",
+    "q_daily_acf",
+    "q_jsonl_scan",
+    "q_gap_fill",
+    "q_theilsen_trend",
+    "q_benford_audit",
+    "q_feature_correlations",
+    "q_jaccard_join",
+    "q_tfidf_cosine_pairs",
+    "q_fk_audit",
+    "q_dataset_card",
+    "q_skipgram_pmi",
+    "q_containment_join",
     "q_winnow_overlap",
     "q_vocab_growth",
     "q_token_dispersion",
@@ -156,101 +187,83 @@ _WINDOW_MIDDLE = [
     "q_value_ranksum",
     "q_survival_km",
     "q_lang_source_chi2",
-    "q_dataset_card",
-    "q_skipgram_pmi",
-    "q_containment_join",
-    "q_streaming_sessionize",
-    "q_fk_audit",
-    "q_tfidf_cosine_pairs",
-    "q_lsh_recall_audit",
-    "q_jaccard_join",
-    "q_feature_correlations",
-    "q_benford_audit",
-    "q_daily_trend",
-    "q_cusum_changepoint",
-    "q_value_quantiles_dd",
-    "q_scd2_history",
-    "q_scd2_apply",
-    "q_event_transitions",
-    "q_triangle_count",
-    "q_distinctive_terms",
-    "q_debounce",
-    "q_cooccurrence_lift",
-    "q_psi_drift",
-    "q_bloom_shape_plan",
-    "q_data_validation",
-    "q_streaming_generational_dedup",
-    "q_bloom_anti_join",
-    "q_mixture_replicate",
-    "q_bloom_inner_join",
-    "q_collocations_pmi",
-    "q_bigram_lm_cms",
-    "q_token_shift_exact",
-    "q_token_shift_cs",
-    "q_ntok_percentile_exact",
-    "q_ntok_percentile_kll",
-    "q_sliding_distinct",
-    "q_sliding_distinct_hll",
-    "q_streaming_sliding_distinct",
-    "q_heavy_tokens_mg",
-    "q_embedding_gram",
-    "q_embedding_spectrum",
-    "q_zone_pruned_read",
-    "q_key_skew_exact",
-    "q_key_skew_profile",
-    "q_range_layout_prune",
-    "q_zorder_pruned_read",
-    "q_table_profile",
-    "q_event_funnel",
-    "q_retention_cohorts",
-    "q_rolling_revenue",
-    "q_similar_names",
-    "q_value_outliers",
-    "q_pagerank",
-    "q_compaction_plan",
-    "q_join_advisor",
-    "q_hll_rollup",
     "q_streaming_drift",
-    "q_inverted_index",
-    # -- r3-green below
-    "q_bloom_source_profile",
-    "q_bloom_probe",
-    "q_hll_distinct_tokens",
-    "q_cms_top_tokens",
-    "q_kll_quantiles",
-    "q_minhash_near_dups",
-    "q_simhash_near_dups",
-    "q_embedding_near_dups",
+    "q_key_skew_profile",
+    "q_embedding_spectrum",
+    "q_sliding_distinct_hll",
+    "q_bigram_lm_cms",
+    "q_token_shift_cs",
+    "q_ntok_percentile_kll",
+    "q_streaming_sliding_distinct",
+    "q_streaming_generational_dedup",
+    "q_value_quantiles_dd",
+    "q_streaming_late_audit",
+    "q_compressibility",
+    "q_lsh_recall_audit",
     "q_embedding_near_dups_exact",
-    "q_ann_lsh",
-    "q_media_features",
     "q_ann_ivf",
     "q_media_stats",
-    "q_source_overlap_exact",
-    "q_source_overlap_bloom",
     "q_source_overlap_hll",
-    "q_bloom_doc_ids",
     "q_incremental_dedup_exact",
     "q_incremental_dedup",
-    "q_topk_two_pass",
-    "q_topk_cms",
-    "q_rollup_revenue",
-    "q_window_user_ranks",
-    "q_set_ops",
     "q_anti_join",
     "q_keep_latest",
     "q_correlated_subquery",
-    "q_sessionize",
     "q_asof_join",
     "q_range_join",
-    "q_token_count_bpe",
-    "q_rolling_fingerprint",
     "q_ngram_jaccard",
     "q_bottomk_sample",
     "q_weighted_sample",
+    "q_salted_skew_build",
+    "q_mp4_frame_plan",
+    "q_container_stats",
+    "q_video_near_dups",
+    "q_sharded_bloom",
+    "q_stratified_sample",
+    "q_kmv_distinct",
+    "q_kmv_overlap",
+    "q_bpe_merge_pairs",
+    "q_contamination_exact",
+    "q_decontaminate",
+    "q_bigram_lm_scores",
+    "q_bpe_learn",
+    "q_repetition_filters",
+    "q_curate_corpus",
+    "q_tdigest_quantiles",
+    "q_quantiles_exact",
+    "q_pivot_status",
+    "q_grouping_sets",
+    "q_cube_events",
+    "q_streaming_windowed_counts",
+    "q_streaming_windowed_topk",
+    "q_catalog_scan",
+    "q_checkpoint_resume",
+    "q_dup_clusters",
+    "q_pii_scrub",
+    "q_token_entropy",
+    "q_bloom_join_prune",
+    "q_domain_cap",
+    "q_pack_sequences",
+    "q_ntok_histogram",
+    "q_span_dedup",
+    "q_span_cut",
+    "q_temperature_mix",
+    "q_shard_manifest",
+    "q_split_manifest",
+    "q_epoch_shuffle",
+    "q_json_props",
+    "q_user_distinct_hll",
+    "q_zipf_slope",
+    "q_user_novelty_exact",
+    "q_ntok_quantiles_by_source",
+    "q_counting_bloom_revoke",
+    "q_bloom_pruned_read",
+    "q_streaming_dedup",
+    "q_streaming_bloom_dedup",
+    "q_embedding_centroids",
 ]
 
-_WINDOW_LAST = [
+_WINDOW_LAST = [  # 35 thrice-green
     "q_pricing_summary",
     "q_top_customers",
     "q_events_by_type",
@@ -265,6 +278,27 @@ _WINDOW_LAST = [
     "q_exact_dedup",
     "q_events_quantiles",
     "q_ann_bruteforce",
+    "q_bloom_source_profile",
+    "q_bloom_probe",
+    "q_hll_distinct_tokens",
+    "q_cms_top_tokens",
+    "q_kll_quantiles",
+    "q_minhash_near_dups",
+    "q_simhash_near_dups",
+    "q_embedding_near_dups",
+    "q_ann_lsh",
+    "q_media_features",
+    "q_source_overlap_exact",
+    "q_source_overlap_bloom",
+    "q_bloom_doc_ids",
+    "q_topk_two_pass",
+    "q_topk_cms",
+    "q_rollup_revenue",
+    "q_window_user_ranks",
+    "q_set_ops",
+    "q_sessionize",
+    "q_token_count_bpe",
+    "q_rolling_fingerprint",
 ]
 
 
