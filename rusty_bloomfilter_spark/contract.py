@@ -780,9 +780,39 @@ def q_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_hll_distinct_tokens")
+from .functions.sqlhash import cms_table_ctes as _cms_ctes2  # noqa: E402
+from .functions.sqlhash import hll_estimate_select as _hll_est2  # noqa: E402
+from .functions.sqlhash import hll_rows_ctes as _hll_rows2  # noqa: E402
+from .functions.sqlhash import sm64_pair_ctes as _sm64_ctes  # noqa: E402
+
+
+def _hll_tokens_oracle() -> str:
+    return (
+        _SEQ_CTE
+        + f""",
+tk AS (SELECT source, unnest(tokens) AS tok FROM sequences),
+dk AS (SELECT DISTINCT source, CAST(tok AS UBIGINT) AS k FROM tk),
+{_hll_rows2('hd', 'SELECT k, source FROM dk', 14, ', source')},
+rg AS (SELECT source, idx, max(rank) AS r FROM hdr GROUP BY source, idx),
+es AS ({_hll_est2('rg', 'source')}),
+ex AS (SELECT source, CAST(count(DISTINCT tok) AS BIGINT) AS distinct_exact
+       FROM tk GROUP BY source)
+SELECT ex.source, ex.distinct_exact, round(es.est, 2) AS distinct_est,
+       round(abs(round(es.est, 2) - ex.distinct_exact) / ex.distinct_exact, 6)
+           AS rel_err
+FROM ex JOIN es ON ex.source = es.source
+"""
+    )
+
+
+@register("q_hll_distinct_tokens", oracle=_hll_tokens_oracle())
 def q_hll_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL distinct-token estimates per source next to exact counts."""
+    """HLL distinct-token estimates per source next to exact counts.
+    FULLY oracle-backed: the DuckDB oracle rebuilds each source's
+    registers bit-for-bit from the parity tokenizer's ids (splitmix64
+    + exact clz CTEs, functions/sqlhash.py) and runs the same
+    estimator, so distinct_est itself hash-matches; 2-dp rounding
+    absorbs summation-order ulps."""
     from .operators.sketches import HllSketch
     from .sketch import HyperLogLog
 
@@ -823,10 +853,34 @@ def q_hll_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_cms_top_tokens")
+def _cms_top_oracle() -> str:
+    return (
+        _SEQ_CTE
+        + f""",
+tk AS (SELECT unnest(tokens) AS tok FROM sequences),
+ex AS (SELECT tok, CAST(count(*) AS BIGINT) AS freq_exact FROM tk
+       GROUP BY tok ORDER BY freq_exact DESC, tok LIMIT 20),
+{_cms_ctes2('ct', 'SELECT CAST(tok AS UBIGINT) AS k FROM tk', 5, 32768)},
+{_sm64_ctes('pt', 'SELECT CAST(tok AS UBIGINT) AS k, tok FROM ex', ', tok')},
+pcols AS (SELECT tok, t.r,
+          (CAST(h1 % 32768 AS BIGINT) + t.r * CAST(h2 % 32768 AS BIGINT))
+              % 32768 AS col
+          FROM pth CROSS JOIN (SELECT unnest(range(5)) AS r) t),
+pest AS (SELECT p.tok, CAST(min(COALESCE(c.c, 0)) AS BIGINT) AS freq_est
+         FROM pcols p LEFT JOIN ctcnt c ON c.r = p.r AND c.col = p.col
+         GROUP BY p.tok)
+SELECT ex.tok, ex.freq_exact, pest.freq_est FROM ex JOIN pest ON ex.tok = pest.tok
+"""
+    )
+
+
+@register("q_cms_top_tokens", oracle=_cms_top_oracle())
 def q_cms_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CMS frequency estimates for the exact top-20 tokens: estimate
-    must be >= exact (one-sided CMS guarantee), small overestimate."""
+    must be >= exact (one-sided CMS guarantee), small overestimate.
+    FULLY oracle-backed: the DuckDB oracle rebuilds the d x w CMS
+    table cell-for-cell (splitmix64 CTEs, functions/sqlhash.py) and
+    probes the same min-over-rows cells, so freq_est hash-matches."""
     import numpy as np
 
     from .operators.sketches import CmsSketch
@@ -2719,7 +2773,29 @@ def q_bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_join_size_est")
+from .functions.sqlhash import cms_table_ctes as _cms_ctes  # noqa: E402
+
+_JS_EPS_FULL = repr(__import__("math").e / 65536)
+_JS_ORACLE = f"""
+WITH
+{_cms_ctes('ja', 'SELECT CAST(l_orderkey AS UBIGINT) AS k FROM lineitem', 5, 65536)},
+{_cms_ctes('jb', 'SELECT CAST(o_orderkey AS UBIGINT) AS k FROM orders', 5, 65536)},
+ip AS (SELECT a.r, sum(CAST(a.c AS HUGEINT) * b.c) AS dot
+       FROM jacnt a JOIN jbcnt b ON a.r = b.r AND a.col = b.col GROUP BY a.r),
+est AS (SELECT CAST(min(dot) AS BIGINT) AS est_join_size FROM ip),
+ex AS (SELECT CAST(count(*) AS BIGINT) AS exact_join_size
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+ns AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_left,
+              (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_right)
+SELECT n_left, n_right, exact_join_size, est_join_size,
+       {round(__import__("math").e / 65536, 8)!r} AS eps,
+       CASE WHEN est_join_size <= exact_join_size + {_JS_EPS_FULL} * n_left * n_right
+            THEN 1 ELSE 0 END AS within_bound
+FROM ns, ex, est
+"""
+
+
+@register("q_join_size_est", oracle=_JS_ORACLE)
 def q_join_size_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-size estimation from two mergeable CMS sketches
     (Cormode–Muthukrishnan inner product): |lineitem ⋈ orders| on
@@ -2728,10 +2804,13 @@ def q_join_size_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     product of two payloads. At 100 TB this is the planner's
     join-cardinality probe: O(sketch) bytes moved vs an actual join.
     In-query asserts pin the one-sided bound (est ≥ exact) and the
-    eps·N_a·N_b error cap at delta confidence; rows-only registration
-    (the estimator is not SQL-expressible), exact side cross-checked
-    by DuckDB through the ``exact_join_size`` column's value hash in
-    pytest instead."""
+    eps·N_a·N_b error cap at delta confidence. FULLY oracle-backed —
+    including the estimate itself: the DuckDB oracle rebuilds both CMS
+    tables bit-for-bit (splitmix64 rendered as wrapping HUGEINT SQL,
+    functions/sqlhash.py) and takes the same min-over-rows inner
+    product, so est_join_size hash-matches cross-engine. Sums are
+    exact: cell products at this scale are < 2^53, so Spark's float64
+    accumulation and DuckDB's HUGEINT agree integer-for-integer."""
     from .operators.sketches import CmsSketch
     from .sketch.cms import CountMinSketch
 
@@ -3187,7 +3266,25 @@ def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_user_distinct_hll")
+_USER_HLL_ORACLE = f"""
+WITH
+dk AS (SELECT DISTINCT user_id, CAST(event_id AS UBIGINT) AS k FROM events),
+{_hll_rows2('ud', 'SELECT k, user_id FROM dk', 14, ', user_id')},
+rg AS (SELECT user_id, idx, max(rank) AS r FROM udr GROUP BY user_id, idx),
+es AS ({_hll_est2('rg', 'user_id')}),
+nz AS (SELECT user_id, CAST(16 + 4 * count(*) AS BIGINT) AS wire_bytes
+       FROM rg GROUP BY user_id),
+ex AS (SELECT user_id, CAST(count(DISTINCT event_id) AS BIGINT)
+           AS distinct_exact FROM events GROUP BY user_id)
+SELECT ex.user_id, ex.distinct_exact, round(es.est, 2) AS distinct_est,
+       nz.wire_bytes,
+       round(abs(round(es.est, 2) - ex.distinct_exact) / ex.distinct_exact, 6)
+           AS rel_err
+FROM ex JOIN es ON ex.user_id = es.user_id JOIN nz ON ex.user_id = nz.user_id
+"""
+
+
+@register("q_user_distinct_hll", oracle=_USER_HLL_ORACLE)
 def q_user_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-USER HLL distinct-event estimates — the many-small-groups
     keyed build (150 users x ~67 events at sf0.01; millions of users
@@ -3198,9 +3295,12 @@ def q_user_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     16 KiB — a ~60x reduction in keyed-sketch shuffle volume, the
     cost that dominates per-entity sketching at corpus scale). The
     estimate rides linear counting at this fill, so rel_err is tiny;
-    pinned <= 3*1.04/sqrt(m) in tests/test_hll_sparse.py. Rows-only
-    (estimates aren't SQL-derivable); exact companion columns come
-    from the same frame via countDistinct."""
+    pinned <= 3*1.04/sqrt(m) in tests/test_hll_sparse.py. FULLY
+    oracle-backed: the DuckDB oracle rebuilds every user's registers
+    bit-for-bit (functions/sqlhash.py), runs the same estimator, and
+    derives wire_bytes from the sparse-wire formula 16 + 4*nnz (the
+    chooser is a pure function of register state, so nnz is
+    SQL-computable — hll.py v2 invariant)."""
     from .operators.sketches import HllSketch
     from .sketch import HyperLogLog
 
@@ -3352,15 +3452,56 @@ def q_user_novelty_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_user_novelty_hll")
+from .functions.sqlhash import hll_estimate_select as _hll_est  # noqa: E402
+from .functions.sqlhash import hll_rows_ctes as _hll_rows  # noqa: E402
+
+_NOVELTY_HLL_ORACLE = f"""
+WITH
+ev AS (SELECT strftime(ts, '%Y-%m-%d') AS day, CAST(user_id AS UBIGINT) AS k
+       FROM events),
+{_hll_rows('nh', 'SELECT DISTINCT day, k FROM ev', 14, ', day')},
+rg AS (SELECT day, idx, max(rank) AS r FROM nhr GROUP BY day, idx),
+dl AS (SELECT DISTINCT day FROM rg),
+pde AS ({_hll_est('rg', 'day')}),
+cumr AS (SELECT d.day, r.idx, max(r.r) AS r FROM dl d
+         JOIN rg r ON r.day <= d.day GROUP BY d.day, r.idx),
+cume AS ({_hll_est('cumr', 'day')}),
+curve AS (SELECT p.day, round(p.est, 2) AS est_period,
+                 round(c.est, 2) AS est_cumulative,
+                 round(c.est - COALESCE(lag(c.est) OVER (ORDER BY c.day), 0.0),
+                       2) AS est_new
+          FROM pde p JOIN cume c ON p.day = c.day),
+daysx AS (SELECT strftime(ts, '%Y-%m-%d') AS day, user_id FROM events),
+firsts AS (SELECT user_id, min(day) AS first_day FROM daysx GROUP BY user_id),
+per_day AS (SELECT day, count(DISTINCT user_id) AS n_active
+            FROM daysx GROUP BY day),
+novel AS (SELECT first_day AS day, count(*) AS n_new
+          FROM firsts GROUP BY first_day),
+exacts AS (SELECT p.day, p.n_active,
+                  CAST(sum(COALESCE(n.n_new, 0)) OVER (ORDER BY p.day)
+                       AS BIGINT) AS cum_distinct
+           FROM per_day p LEFT JOIN novel n ON n.day = p.day)
+SELECT e.day, e.n_active, e.cum_distinct, v.est_period, v.est_cumulative,
+       v.est_new,
+       round(abs(v.est_cumulative - e.cum_distinct), 2) AS cum_abs_err
+FROM exacts e JOIN curve v ON e.day = v.day
+"""
+
+
+@register("q_user_novelty_hll", oracle=_NOVELTY_HLL_ORACLE)
 def q_user_novelty_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL novelty curve (operators/novelty.py): per-day sketches from
     ONE corpus scan, prefix-merged in day order — est_new(i) =
     est(prefix_i) - est(prefix_{i-1}); register-max union means each
     prefix state IS the sketch of the true prefix union. Joined to the
     exact curve; abs_err columns pin accuracy in-row (rel bound pinned
-    in tests/test_novelty.py). Rows-only: estimates aren't
-    SQL-derivable."""
+    in tests/test_novelty.py). FULLY oracle-backed — the ESTIMATES
+    hash-match too: the DuckDB oracle rebuilds the per-day registers
+    bit-for-bit (splitmix64 + exact integer clz via functions/
+    sqlhash.py), takes the same running register max for prefixes, and
+    evaluates the same Flajolet estimator with linear-counting
+    correction; the 2-dp rounding the curve already applies absorbs
+    cross-engine last-ulp summation-order differences."""
     from .operators.novelty import novelty_curve
 
     ev = load_table(spark, sf_dir, "events").select(
@@ -3408,15 +3549,36 @@ def q_ntok_quantiles_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_kll_ntok_by_source")
+@register(
+    "q_kll_ntok_by_source",
+    oracle=_SEQ_CTE
+    + """
+    SELECT source,
+           round(CAST(quantile_cont(len(tokens), 0.5) AS DOUBLE), 6)
+               AS p50_exact,
+           round(CAST(quantile_cont(len(tokens), 0.95) AS DOUBLE), 6)
+               AS p95_exact,
+           1 AS p50_in_bound, 1 AS p95_in_bound
+    FROM sequences GROUP BY source
+    """,
+)
 def q_kll_ntok_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-SOURCE KLL sequence-length quantile ESTIMATES next to the
+    """Per-SOURCE KLL sequence-length quantiles, certified against the
     exact values — the keyed mergeable-quantile path (one sketch per
-    source via map-side combine; sketch rows only shuffle). Rank error
-    <= eps(k=200) is pinned in tests/test_sampling.py-style bounds
-    in-row here: err columns stay tiny at sf0.01. Rows-only."""
+    source via map-side combine; sketch rows only shuffle). KLL is the
+    one merge-order-DEPENDENT sketch in the repo (compaction coin
+    order varies with partitioning), so its raw estimates can never
+    hash-match a cross-engine oracle; instead the query emits the
+    exact quantiles (hash-matched) plus in-bound FLAGS: the estimate
+    must land between the exact quantile values at q ± 3x the
+    published rank-error bound (2.296/k^0.9, k=200 — the same 3x
+    margin q_ntok_percentile_kll pins). The oracle emits literal 1s,
+    so any accuracy regression under ANY partitioning flips a flag and
+    fails the driver's value hash."""
     from .operators.sketches import KllQuantiles
+    from .sketch.kll import KLLSketch
 
+    eps3 = 3.0 * KLLSketch(200).rank_error()
     seq = sequences_from_documents(spark, sf_dir).withColumn(
         "n_tok", F.size("tokens")
     )
@@ -3432,14 +3594,26 @@ def q_kll_ntok_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("`0.95`").alias("p95_est"),
         )
     )
+    bounds = seq.groupBy("source").agg(
+        F.expr(f"percentile(size(tokens), {max(0.5 - eps3, 0.0)!r}D)").alias("lo50"),
+        F.expr(f"percentile(size(tokens), {min(0.5 + eps3, 1.0)!r}D)").alias("hi50"),
+        F.expr(f"percentile(size(tokens), {max(0.95 - eps3, 0.0)!r}D)").alias("lo95"),
+        F.expr(f"percentile(size(tokens), {min(0.95 + eps3, 1.0)!r}D)").alias("hi95"),
+    )
     exact = q_ntok_quantiles_by_source(spark, sf_dir)
     return (
         exact.join(est, "source")
-        .withColumn(
-            "p50_abs_err", F.round(F.abs(F.col("p50_est") - F.col("p50_exact")), 6)
-        )
-        .withColumn(
-            "p95_abs_err", F.round(F.abs(F.col("p95_est") - F.col("p95_exact")), 6)
+        .join(bounds, "source")
+        .select(
+            "source",
+            "p50_exact",
+            "p95_exact",
+            F.when(
+                F.col("p50_est").between(F.col("lo50"), F.col("hi50")), 1
+            ).otherwise(0).alias("p50_in_bound"),
+            F.when(
+                F.col("p95_est").between(F.col("lo95"), F.col("hi95")), 1
+            ).otherwise(0).alias("p95_in_bound"),
         )
         .orderBy("source")
     )

@@ -1,0 +1,164 @@
+"""DuckDB-SQL rendering of the package's splitmix64 hash kernels.
+
+The sketch tier hashes items with a vectorized splitmix64 finalizer
+(sketch/hashing.py — public-domain mixer, Steele et al.); the K-M pair
+is (h1, h2) = (sm64(v), sm64(v ^ tweak)).  Those are pure 64-bit
+wrapping integer ops, so they can be rendered EXACTLY in DuckDB SQL:
+UBIGINT carries xor/shift, and wrapping add/multiply go through HUGEINT
+with an explicit mod 2^64 (the 64x64 product is split 32/32 because
+HUGEINT is a signed 128-bit type and a full 2^128 product overflows).
+
+This makes sketch *estimates* — not just their exact companions —
+oracle-renderable: a DuckDB CTE chain reproduces the same h1/h2 streams
+bit-for-bit, so linear sketches rebuilt in SQL (CMS tables, HLL
+registers) match the Spark-built payloads exactly.  Used by the
+contract oracles for q_join_size_est / q_user_novelty_hll.
+
+Generated SQL is a CTE *chain* (one stage per CTE) rather than one
+nested expression: each stage references the previous alias at most
+twice, so the text stays linear instead of 2^stages.
+"""
+
+from __future__ import annotations
+
+# Constants mirrored from sketch/hashing.py (decimal renderings).
+GOLDEN = 11400714819323198485  # 0x9E3779B97F4A7C15
+MIX1 = 13787848793156543929  # 0xBF58476D1CE4E5B9
+MIX2 = 10723151780598845931  # 0x94D049BB133111EB
+H2_TWEAK = 15485907386658061715  # 0xD6E8FEB86659FD93
+
+_MOD64 = 18446744073709551616  # 2^64
+_MOD32 = 4294967296  # 2^32
+
+
+def _wadd(e: str, c: int) -> str:
+    """(e + c) mod 2^64 as UBIGINT (sum < 2^65 fits HUGEINT)."""
+    return (
+        f"CAST((CAST({e} AS HUGEINT) + {c}) % {_MOD64} AS UBIGINT)"
+    )
+
+
+def _wmul(e: str, c: int) -> str:
+    """(e * c) mod 2^64 as UBIGINT via 32/32 split (HUGEINT-safe)."""
+    return (
+        f"CAST(((CAST({e} AS HUGEINT) % {_MOD32}) * {c}"
+        f" + (((CAST({e} AS HUGEINT) // {_MOD32}) * {c}) % {_MOD32}) * {_MOD32}"
+        f") % {_MOD64} AS UBIGINT)"
+    )
+
+
+def _xs(e: str, s: int) -> str:
+    """e ^ (e >> s) — UBIGINT shift is logical in DuckDB."""
+    return f"xor({e}, {e} >> {s})"
+
+
+def sm64_pair_ctes(prefix: str, source_sql: str, carry: str = "") -> str:
+    """CTE chain computing the K-M hash pair for every row of a relation.
+
+    ``source_sql`` must be a SELECT producing a UBIGINT column ``k``
+    (plus any ``carry`` columns, comma-led, e.g. ", day"); the final CTE
+    ``<prefix>h`` exposes (h1, h2 [, carry]) — bit-identical to
+    sketch/hashing.hash_pair(tokens_to_u64(k)).
+
+    Returns the chain WITHOUT a leading WITH so callers can splice it
+    into a larger WITH list.
+    """
+    stages = []
+    stages.append(f"{prefix}0 AS (SELECT k{carry} FROM ({source_sql}))")
+    # z-stream = sm64(k); y-stream = sm64(k ^ tweak)
+    stages.append(
+        f"{prefix}1 AS (SELECT {_wadd('k', GOLDEN)} AS z,"
+        f" {_wadd(f'xor(k, {H2_TWEAK}::UBIGINT)', GOLDEN)} AS y{carry}"
+        f" FROM {prefix}0)"
+    )
+    for i, (op, arg) in enumerate(
+        [("xs", 30), ("mul", MIX1), ("xs", 27), ("mul", MIX2), ("xs", 31)],
+        start=2,
+    ):
+        f = _xs if op == "xs" else _wmul
+        stages.append(
+            f"{prefix}{i} AS (SELECT {f('z', arg)} AS z, {f('y', arg)} AS y{carry}"
+            f" FROM {prefix}{i - 1})"
+        )
+    stages.append(
+        f"{prefix}h AS (SELECT z AS h1, y AS h2{carry} FROM {prefix}6)"
+    )
+    return ",\n".join(stages)
+
+
+def hll_rows_ctes(prefix: str, source_sql: str, p: int = 14, carry: str = "") -> str:
+    """CTE chain computing each row's HLL (bucket, rank) contribution —
+    bit-identical to sketch/hll.py::add_hashes over h1 = sm64(k):
+    idx = h >> (64-p); rank = clz(h << p) + 1 capped at 64-p+1, with
+    the clz as the same 6-stage integer binary search the numpy kernel
+    runs (no float log2 — exact on every uint64).  Final CTE
+    ``<prefix>r`` exposes (idx, rank [, carry]).  UBIGINT left-shift
+    raises on overflow in DuckDB, so shifts-left render as wrapping
+    multiplies by 2^s."""
+    hashes = sm64_pair_ctes(prefix, source_sql, carry)
+    stages = [hashes]
+    stages.append(
+        f"{prefix}w0 AS (SELECT CAST(h1 >> {64 - p} AS BIGINT) AS idx,"
+        f" {_wmul('h1', 1 << p)} AS w, 0 AS n{carry} FROM {prefix}h)"
+    )
+    prev = f"{prefix}w0"
+    for i, shift in enumerate((32, 16, 8, 4, 2, 1), start=1):
+        cur = f"{prefix}w{i}"
+        zero = f"(w >> {64 - shift}) = 0"
+        stages.append(
+            f"{cur} AS (SELECT idx,"
+            f" CASE WHEN {zero} THEN {_wmul('w', 1 << shift)} ELSE w END AS w,"
+            f" n + CASE WHEN {zero} THEN {shift} ELSE 0 END AS n{carry}"
+            f" FROM {prev})"
+        )
+        prev = cur
+    stages.append(
+        f"{prefix}r AS (SELECT idx, least(n + 1, {64 - p + 1}) AS rank{carry}"
+        f" FROM {prev})"
+    )
+    return ",\n".join(stages)
+
+
+def hll_estimate_select(rel: str, grp: str, p: int = 14) -> str:
+    """SELECT computing the HLL estimate per group from a relation
+    ``rel`` of register rows (``grp``, idx, r) — one row per nonzero
+    register.  Mirrors sketch/hll.py::estimate exactly: raw =
+    alpha(m)*m^2 / (zeros*2^0 + sum 2^-r), linear counting
+    m*ln(m/zeros) when raw <= 2.5m and zeros > 0.  The alpha*m*m
+    numerator is folded HERE in Python with the same left-associated
+    float ops numpy runs, so the doubles agree; summation order can
+    differ in the last ulp, which is why every caller rounds estimates
+    (novelty_curve rounds to 2 dp)."""
+    m = 1 << p
+    if m == 16:
+        alpha = 0.673
+    elif m == 32:
+        alpha = 0.697
+    elif m == 64:
+        alpha = 0.709
+    else:
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+    num = alpha * m * m  # same eval order as _alpha(m) * m * m
+    return (
+        f"SELECT {grp}, CASE WHEN raw <= {2.5 * m!r} AND zeros > 0"
+        f" THEN {float(m)!r} * ln({float(m)!r} / zeros) ELSE raw END AS est"
+        f" FROM (SELECT {grp}, {num!r} / ((({m} - count(*)) * 1.0"
+        f" + sum(power(2.0, -r)))) AS raw, {m} - count(*) AS zeros"
+        f" FROM {rel} GROUP BY {grp})"
+    )
+
+
+def cms_table_ctes(prefix: str, source_sql: str, d: int, w: int) -> str:
+    """CTE chain building a count-min table from a relation of keys:
+    ``<prefix>cnt`` has (r, col, c) — the nonzero cells of the d x w
+    CMS table CountMinSketch.add_tokens would build over the same keys
+    (row hashing (h1 + r*h2) mod w, sketch/cms.py::_columns)."""
+    hashes = sm64_pair_ctes(prefix, source_sql)
+    return (
+        f"{hashes},\n"
+        f"{prefix}cols AS (SELECT t.r,"
+        f" (CAST(h1 % {w} AS BIGINT) + t.r * CAST(h2 % {w} AS BIGINT)) % {w} AS col"
+        f" FROM {prefix}h CROSS JOIN (SELECT unnest(range({d})) AS r) t),\n"
+        f"{prefix}cnt AS (SELECT r, col, CAST(count(*) AS BIGINT) AS c"
+        f" FROM {prefix}cols GROUP BY r, col)"
+    )
