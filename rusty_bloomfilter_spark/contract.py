@@ -9265,3 +9265,153 @@ def q_lang_source_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return chi2_independence(docs, "lang", "source")
+
+
+# ===========================================================================
+# HTML boilerplate extraction (round-5: the crawl-curation stage the r4
+# verdict flagged as the one missing text-pipeline tier)
+# ===========================================================================
+
+
+def _html_extract_oracle() -> str:
+    from .operators.html import (
+        LINK_WEIGHT,
+        MIN_CHARS,
+        duckdb_clean_segment,
+        duckdb_link_count,
+        duckdb_segments,
+        duckdb_strip_blocks,
+    )
+
+    page = (
+        "'<!DOCTYPE html><html><head><title>' || source || ' · doc ' || doc_id"
+        " || '</title><style>p{margin:0} .x{color:red}</style>"
+        "<script src=\"a.js\"></script></head><body>"
+        "<nav><ul><li><a href=\"/\">Home</a></li>"
+        "<li><a href=\"/about\">About</a></li>"
+        "<li><a href=\"/contact\">Contact</a></li></ul></nav>"
+        "<header><h1>' || source || '</h1></header>"
+        "<!-- rendered ' || doc_id || ' --><div id=\"main\"><p>'"
+        " || substr(text, 1, CAST(floor(len(text) / 2) AS INT)) || '</p><p>'"
+        " || substr(text, CAST(floor(len(text) / 2) AS INT) + 1)"
+        " || ' &amp; more &lt;escaped&gt;</p></div>"
+        "<aside><p>Related: <a href=\"/r1\">one</a> <a href=\"/r2\">two</a>"
+        " <a href=\"/r3\">three</a></p></aside>"
+        "<footer><p>© corp — <a href=\"/tos\">terms</a></p></footer>"
+        "<script>var x=1;</script></body></html>'"
+    )
+    return f"""
+    WITH pages AS (
+        SELECT CAST(doc_id AS VARCHAR) AS doc_id, {page} AS html
+        FROM documents
+    ), segs AS (
+        SELECT doc_id, len(html) AS n_chars_html,
+               unnest({duckdb_segments(duckdb_strip_blocks('html'))}) AS seg,
+               generate_subscripts({duckdb_segments(duckdb_strip_blocks('html'))}, 1)
+                   AS seg_idx
+        FROM pages
+    ), scored AS (
+        SELECT doc_id, n_chars_html, seg_idx,
+               {duckdb_clean_segment('seg')} AS txt,
+               {duckdb_link_count('seg')} AS n_links
+        FROM segs WHERE trim(seg) <> ''
+    ), docs AS (
+        SELECT doc_id, any_value(n_chars_html) AS n_chars_html,
+               count(*) AS n_segments,
+               CAST(sum(CASE WHEN len(txt) >= {MIN_CHARS}
+                             AND n_links * {LINK_WEIGHT} < len(txt)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               string_agg(CASE WHEN len(txt) >= {MIN_CHARS}
+                               AND n_links * {LINK_WEIGHT} < len(txt)
+                          THEN txt END, ' ' ORDER BY seg_idx) AS text
+        FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, n_chars_html, n_segments, n_kept,
+           CAST(len(COALESCE(text, '')) AS BIGINT) AS n_chars_text,
+           md5(COALESCE(text, '')) AS text_md5,
+           round(len(COALESCE(text, '')) * 1.0 / n_chars_html, 6)
+               AS text_density,
+           CASE WHEN contains(COALESCE(text, ''), 'Home')
+                  OR contains(COALESCE(text, ''), 'var x=1')
+                  OR contains(COALESCE(text, ''), '© corp')
+                THEN 1 ELSE 0 END AS boilerplate_leak
+    FROM docs
+    """
+
+
+@register("q_html_extract", oracle=_html_extract_oracle())
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML boilerplate extraction (operators/html.py) over synthetic
+    crawl pages built deterministically from the documents fixture:
+    every page wraps the doc text in a realistic shell (title, style,
+    script, link-dense nav, header, comment, main div split into two
+    paragraphs with planted HTML entities, link-heavy aside, footer,
+    inline script). The extractor removes boilerplate containers,
+    splits block segments, keeps content by the densitometric rule
+    (len >= 25, n_links*20 < len), cleans and re-joins — all Catalyst,
+    explode/groupBy shape (no HOF-over-derived-array re-inlining;
+    CLAUDE.md winnow lesson). Pinned by text_md5 per document — the
+    extracted CONTENT, not just counts, hash-matches the identical
+    RE2/Java-regex-common rendering in DuckDB; boilerplate_leak
+    asserts none of the planted nav/script/footer markers survive
+    (expected constant 0)."""
+    from .operators.html import extract_text
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "source", "text"
+    )
+    half = F.floor(F.length("text") / 2).cast("int")
+    page = F.concat(
+        F.lit("<!DOCTYPE html><html><head><title>"),
+        F.col("source"),
+        F.lit(" · doc "),
+        F.col("doc_id"),
+        F.lit(
+            '</title><style>p{margin:0} .x{color:red}</style>'
+            '<script src="a.js"></script></head><body>'
+            '<nav><ul><li><a href="/">Home</a></li>'
+            '<li><a href="/about">About</a></li>'
+            '<li><a href="/contact">Contact</a></li></ul></nav>'
+            "<header><h1>"
+        ),
+        F.col("source"),
+        F.lit("</h1></header><!-- rendered "),
+        F.col("doc_id"),
+        F.lit(' --><div id="main"><p>'),
+        F.substring(F.col("text"), F.lit(1), half),
+        F.lit("</p><p>"),
+        F.col("text").substr(half + 1, F.length("text")),
+        F.lit(
+            " &amp; more &lt;escaped&gt;</p></div>"
+            '<aside><p>Related: <a href="/r1">one</a> <a href="/r2">two</a>'
+            ' <a href="/r3">three</a></p></aside>'
+            '<footer><p>© corp — <a href="/tos">terms</a></p></footer>'
+            "<script>var x=1;</script></body></html>"
+        ),
+    )
+    pages = docs.select("doc_id", page.alias("html"))
+    out = extract_text(pages, "html", "doc_id")
+    sized = pages.select("doc_id", F.length("html").alias("n_chars_html"))
+    return (
+        out.join(sized, "doc_id")
+        .select(
+            "doc_id",
+            "n_chars_html",
+            "n_segments",
+            "n_kept",
+            F.length("text").cast("bigint").alias("n_chars_text"),
+            F.md5("text").alias("text_md5"),
+            F.round(
+                F.length("text") * F.lit(1.0) / F.col("n_chars_html"), 6
+            ).alias("text_density"),
+            F.when(
+                F.col("text").contains("Home")
+                | F.col("text").contains("var x=1")
+                | F.col("text").contains("© corp"),
+                1,
+            )
+            .otherwise(0)
+            .alias("boilerplate_leak"),
+        )
+        .orderBy("doc_id")
+    )
