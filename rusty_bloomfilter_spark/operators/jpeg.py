@@ -521,14 +521,37 @@ def encode_jpeg(
 # --------------------------------------------------------------------------
 
 
-def decode_jpeg(payload: bytes) -> np.ndarray:
+# Per-image byte budget for the pure-Python entropy decoder. The
+# Huffman bit-walk is the ONE per-symbol Python loop in the repo
+# (round-4 verdict): fine for thumbnails and fixture-scale media, a
+# scale-killer if a corpus-size decode ever lands on it. Refuse large
+# streams loudly instead of silently burning executor hours — a
+# production cluster ships libjpeg-turbo for the decode tier, while the
+# container/frame-plan tier (ranged reads, no decode) stays the 100-TB
+# path. Mirrors the count-guard exception hygiene in containers.py.
+DECODE_BUDGET_BYTES = 4 << 20  # 4 MiB compressed ≈ tens of MP decoded
+
+
+def decode_jpeg(payload: bytes, *, allow_large: bool = False) -> np.ndarray:
     """Baseline JFIF bytes -> (H, W, 3) RGB (or (H, W) grayscale) uint8.
 
     Supports SOF0 (baseline sequential, 8-bit), any Hi/Vi sampling
     factors, multiple DQT/DHT segments, and DRI/RSTn restart markers.
     Progressive (SOF2), extended (SOF1), lossless, and arithmetic-coded
     streams raise NotImplementedError naming the marker.
+
+    Streams larger than ``DECODE_BUDGET_BYTES`` raise ValueError unless
+    ``allow_large=True``: the per-symbol Python entropy loop must never
+    sit on a corpus-scale hot path (see budget note above).
     """
+    if len(payload) > DECODE_BUDGET_BYTES and not allow_large:
+        raise ValueError(
+            f"JPEG stream of {len(payload)} bytes exceeds the "
+            f"{DECODE_BUDGET_BYTES}-byte Python-decode budget; this "
+            "thumbnail-tier decoder walks Huffman symbols in Python — "
+            "pass allow_large=True only for explicit one-off decodes, "
+            "or route bulk media through the container/frame-plan tier"
+        )
     data = memoryview(payload)
     if len(data) < 4 or data[0] != 0xFF or data[1] != 0xD8:
         raise ValueError("not a JPEG (missing SOI)")

@@ -226,3 +226,29 @@ def test_multiscan_baseline_rejected_loudly():
     patched = bytes(enc[:sos]) + single + bytes(enc[sos + 14 :])
     with pytest.raises(NotImplementedError, match="multi-scan"):
         decode_jpeg(patched)
+
+
+def test_decode_budget_guard():
+    """Streams over DECODE_BUDGET_BYTES refuse loudly without opt-in:
+    the Python entropy loop is thumbnail-tier by contract (r4 verdict
+    item 6) — bulk media must take the container/frame-plan tier."""
+    import numpy as np
+    import pytest
+
+    from rusty_bloomfilter_spark.operators.jpeg import (
+        DECODE_BUDGET_BYTES,
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(5)
+    px = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    small = encode_jpeg(px, quality=90)
+    # pad with legal pre-SOI fill to exceed the budget without a
+    # multi-MB real encode: the guard must fire on BYTES, pre-parse
+    big = small + b"\x00" * (DECODE_BUDGET_BYTES + 1 - len(small))
+    with pytest.raises(ValueError, match="decode budget"):
+        decode_jpeg(big)
+    # explicit opt-in still decodes (trailing pad after EOI is ignored)
+    assert decode_jpeg(big, allow_large=True).shape == (16, 16, 3)
+    assert decode_jpeg(small).shape == (16, 16, 3)
