@@ -753,10 +753,55 @@ def q_salted_skew_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_bloom_probe")
+def _bloom_probe_oracle() -> str:
+    from .functions.sqlhash import sm64_pair_ctes
+    from .sketch.blocked import _SALT, BlockedBloomFilter
+
+    nb = BlockedBloomFilter.for_np(n=500_000, p=1e-4).n_blocks
+    salts = ", ".join(f"({j}, {int(s)})" for j, s in enumerate(_SALT))
+    return (
+        _SEQ_CTE
+        + f""",
+tok AS (SELECT unnest(tokens) AS tok FROM sequences),
+ins AS (SELECT DISTINCT CAST(tok AS UBIGINT) AS k FROM tok),
+{sm64_pair_ctes('bi', 'SELECT k FROM ins')},
+ibits AS (SELECT DISTINCT CAST((h1 >> 32) % {nb} AS BIGINT) AS block, s.j,
+          CAST(((CAST(h1 % 4294967296 AS HUGEINT) * s.salt) % 4294967296)
+               AS BIGINT) >> 27 AS bit
+          FROM bih CROSS JOIN (VALUES {salts}) s(j, salt)),
+{sm64_pair_ctes('bp',
+                'SELECT CAST(tok AS UBIGINT) AS k, tok FROM '
+                '(SELECT unnest(range(1000000, 1200000)) AS tok)',
+                ', tok')},
+pbits AS (SELECT tok, CAST((h1 >> 32) % {nb} AS BIGINT) AS block, s.j,
+          CAST(((CAST(h1 % 4294967296 AS HUGEINT) * s.salt) % 4294967296)
+               AS BIGINT) >> 27 AS bit
+          FROM bph CROSS JOIN (VALUES {salts}) s(j, salt)),
+fhits AS (SELECT p.tok FROM pbits p
+          JOIN ibits i ON p.block = i.block AND p.j = i.j AND p.bit = i.bit
+          GROUP BY p.tok HAVING count(*) = 8),
+ni AS (SELECT CAST(sum(len(tokens)) AS BIGINT) AS n FROM sequences),
+fh AS (SELECT CAST(count(*) AS BIGINT) AS false_hits FROM fhits)
+SELECT ni.n AS n_inserted, ni.n AS present_hits, ni.n AS present_probes,
+       fh.false_hits, CAST(200000 AS BIGINT) AS n_probes,
+       round(fh.false_hits / CAST(200000 AS BIGINT), 8) AS observed_fpr
+FROM ni CROSS JOIN fh
+"""
+    )
+
+
+@register("q_bloom_probe", oracle=_bloom_probe_oracle())
 def q_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Build a Bloom over all tokens, probe present + disjoint-domain
-    tokens: (hits_present == n_present pins zero FN; fp_rate vs p)."""
+    tokens: (hits_present == n_present pins zero FN; fp_rate vs p).
+    FULLY oracle-backed (r5): the DuckDB oracle rebuilds the Parquet
+    split-block layout bit-for-bit — splitmix64 item hash
+    (functions/sqlhash.py), block = (h >> 32) mod n_blocks, word-j bit
+    = top-5 of (low32 * SALT_j) — and probes the same 200k disjoint
+    ids, so the FALSE-POSITIVE count itself hash-matches cross-engine.
+    The oracle renders present_hits as the exact occurrence total,
+    which IS the zero-false-negative guarantee: any FN would break the
+    driver's value hash."""
     from .operators.sketches import BlockedBloomSketch
 
     seq = sequences_from_documents(spark, sf_dir)
