@@ -1240,11 +1240,59 @@ def q_source_overlap_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_source_overlap_bloom")
+def _overlap_bloom_oracle() -> str:
+    from .functions.sqlhash import sm64_pair_ctes
+    from .sketch import Shape
+
+    sh = Shape.for_np(n=200_000, p=1e-4)
+    m, k = sh.m, sh.k
+    a = repr(-(sh.m / sh.k))  # same eval order as Shape.estimate_n
+    return (
+        _SEQ_CTE
+        + f""",
+tk AS (SELECT source, unnest(tokens) AS tok FROM sequences),
+dk AS (SELECT DISTINCT source, CAST(tok AS UBIGINT) AS k FROM tk
+       WHERE source IS NOT NULL),
+{sm64_pair_ctes('ob', 'SELECT k, source FROM dk', ', source')},
+bits AS (SELECT DISTINCT source,
+         (CAST(h1 % {m} AS BIGINT) + t.i * CAST(h2 % {m} AS BIGINT)) % {m}
+             AS bit
+         FROM obh CROSS JOIN (SELECT unnest(range({k})) AS i) t),
+pc AS (SELECT source, CAST(count(*) AS BIGINT) AS c FROM bits GROUP BY source),
+pairs AS (SELECT a.source AS sa, b.source AS sb
+          FROM pc a JOIN pc b ON a.source < b.source),
+inter AS (SELECT x.source AS sa, y.source AS sb,
+                 CAST(count(*) AS BIGINT) AS ci
+          FROM bits x JOIN bits y ON x.bit = y.bit AND x.source < y.source
+          GROUP BY x.source, y.source),
+cards AS (SELECT p.sa, p.sb, pa.c AS ca, pb.c AS cb,
+                 pa.c + pb.c - COALESCE(i.ci, 0) AS cu
+          FROM pairs p
+          JOIN pc pa ON pa.source = p.sa
+          JOIN pc pb ON pb.source = p.sb
+          LEFT JOIN inter i ON i.sa = p.sa AND i.sb = p.sb)
+SELECT sa AS source_a, sb AS source_b,
+       round({a} * ln(1.0 - ca / {m}), 2) AS est_distinct_a,
+       round({a} * ln(1.0 - cb / {m}), 2) AS est_distinct_b,
+       round({a} * ln(1.0 - cu / {m}), 2) AS est_union,
+       round({a} * ln(1.0 - ca / {m}) + {a} * ln(1.0 - cb / {m})
+             - {a} * ln(1.0 - cu / {m}), 2) AS est_intersection
+FROM cards ORDER BY source_a, source_b LIMIT 50
+"""
+    )
+
+
+@register("q_source_overlap_bloom", oracle=_overlap_bloom_oracle())
 def q_source_overlap_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom union/intersection estimates per source pair (reference
     estimators mod.rs:38-54 as a distributed query); accuracy vs the
-    exact companion is pinned in tests."""
+    exact companion is pinned in tests. FULLY oracle-backed (r5): the
+    DuckDB oracle rebuilds every source's K-M bit set exactly
+    (splitmix64 pair + (h1 + i*h2) mod m, functions/sqlhash.py),
+    popcounts unions by inclusion-exclusion on bit overlap, and
+    applies the same Swamidass-Baldi estimator -(m/k)*ln(1-c/m) — so
+    the reference's estimate_n / estimate_union /
+    estimate_intersection OUTPUTS hash-match cross-engine."""
     from .plans import source_overlap
     from .sketch import Shape
 
@@ -1254,11 +1302,50 @@ def q_source_overlap_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(50)
 
 
-@register("q_source_overlap_hll")
+def _overlap_hll_oracle() -> str:
+    from .functions.sqlhash import hll_estimate_select, hll_rows_ctes
+
+    pair_est = hll_estimate_select("urg", "sa, sb", 14)
+    src_est = hll_estimate_select("rg", "source", 14)
+    return (
+        _SEQ_CTE
+        + f""",
+tk AS (SELECT source, unnest(tokens) AS tok FROM sequences),
+dk AS (SELECT DISTINCT source, CAST(tok AS UBIGINT) AS k FROM tk
+       WHERE source IS NOT NULL),
+{hll_rows_ctes('oh', 'SELECT k, source FROM dk', 14, ', source')},
+rg AS (SELECT source, idx, max(rank) AS r FROM ohr GROUP BY source, idx),
+se AS ({src_est}),
+pairs AS (SELECT a.source AS sa, b.source AS sb
+          FROM se a JOIN se b ON a.source < b.source),
+urg AS (SELECT p.sa, p.sb, r.idx, max(r.r) AS r
+        FROM pairs p JOIN rg r ON r.source = p.sa OR r.source = p.sb
+        GROUP BY p.sa, p.sb, r.idx),
+ue AS ({pair_est})
+SELECT p.sa AS source_a, p.sb AS source_b,
+       round(ea.est, 2) AS est_distinct_a,
+       round(eb.est, 2) AS est_distinct_b,
+       round(u.est, 2) AS est_union,
+       round(greatest(0.0, ea.est + eb.est - u.est), 2) AS est_intersection
+FROM pairs p
+JOIN se ea ON ea.source = p.sa
+JOIN se eb ON eb.source = p.sb
+JOIN ue u ON u.sa = p.sa AND u.sb = p.sb
+ORDER BY source_a, source_b LIMIT 50
+"""
+    )
+
+
+@register("q_source_overlap_hll", oracle=_overlap_hll_oracle())
 def q_source_overlap_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL-based source-pair overlap (register-max union + inclusion-
     exclusion intersection): 16 KB per key vs the Bloom variant's m/8
-    bytes; accuracy vs q_source_overlap_exact pinned in pytest."""
+    bytes; accuracy vs q_source_overlap_exact pinned in pytest. FULLY
+    oracle-backed (r5): the DuckDB oracle rebuilds per-source
+    registers bit-for-bit, takes the same register-wise max for each
+    pair union (the union sketch IS the sketch of the union), and
+    runs the same Flajolet estimator — estimates hash-match at 2 dp
+    cross-engine (functions/sqlhash.py)."""
     from .plans import source_overlap
 
     seq = sequences_from_documents(spark, sf_dir)
