@@ -29,6 +29,12 @@ from .functions import (
     tokenize_md5,
 )
 from .sources import load_table, sequences_from_documents
+from .functions.sqlhash import (
+    cms_table_ctes as _cms_ctes,
+    hll_estimate_select as _hll_est,
+    hll_rows_ctes as _hll_rows,
+    sm64_pair_ctes as _sm64_ctes,
+)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -754,7 +760,6 @@ def q_salted_skew_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bloom_probe_oracle() -> str:
-    from .functions.sqlhash import sm64_pair_ctes
     from .sketch.blocked import _SALT, BlockedBloomFilter
 
     nb = BlockedBloomFilter.for_np(n=500_000, p=1e-4).n_blocks
@@ -764,12 +769,12 @@ def _bloom_probe_oracle() -> str:
         + f""",
 tok AS (SELECT unnest(tokens) AS tok FROM sequences),
 ins AS (SELECT DISTINCT CAST(tok AS UBIGINT) AS k FROM tok),
-{sm64_pair_ctes('bi', 'SELECT k FROM ins')},
+{_sm64_ctes('bi', 'SELECT k FROM ins')},
 ibits AS (SELECT DISTINCT CAST((h1 >> 32) % {nb} AS BIGINT) AS block, s.j,
           CAST(((CAST(h1 % 4294967296 AS HUGEINT) * s.salt) % 4294967296)
                AS BIGINT) >> 27 AS bit
           FROM bih CROSS JOIN (VALUES {salts}) s(j, salt)),
-{sm64_pair_ctes('bp',
+{_sm64_ctes('bp',
                 'SELECT CAST(tok AS UBIGINT) AS k, tok FROM '
                 '(SELECT unnest(range(1000000, 1200000)) AS tok)',
                 ', tok')},
@@ -825,21 +830,15 @@ def q_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-from .functions.sqlhash import cms_table_ctes as _cms_ctes2  # noqa: E402
-from .functions.sqlhash import hll_estimate_select as _hll_est2  # noqa: E402
-from .functions.sqlhash import hll_rows_ctes as _hll_rows2  # noqa: E402
-from .functions.sqlhash import sm64_pair_ctes as _sm64_ctes  # noqa: E402
-
-
 def _hll_tokens_oracle() -> str:
     return (
         _SEQ_CTE
         + f""",
 tk AS (SELECT source, unnest(tokens) AS tok FROM sequences),
 dk AS (SELECT DISTINCT source, CAST(tok AS UBIGINT) AS k FROM tk),
-{_hll_rows2('hd', 'SELECT k, source FROM dk', 14, ', source')},
+{_hll_rows('hd', 'SELECT k, source FROM dk', 14, ', source')},
 rg AS (SELECT source, idx, max(rank) AS r FROM hdr GROUP BY source, idx),
-es AS ({_hll_est2('rg', 'source')}),
+es AS ({_hll_est('rg', 'source')}),
 ex AS (SELECT source, CAST(count(DISTINCT tok) AS BIGINT) AS distinct_exact
        FROM tk GROUP BY source)
 SELECT ex.source, ex.distinct_exact, round(es.est, 2) AS distinct_est,
@@ -905,7 +904,7 @@ def _cms_top_oracle() -> str:
 tk AS (SELECT unnest(tokens) AS tok FROM sequences),
 ex AS (SELECT tok, CAST(count(*) AS BIGINT) AS freq_exact FROM tk
        GROUP BY tok ORDER BY freq_exact DESC, tok LIMIT 20),
-{_cms_ctes2('ct', 'SELECT CAST(tok AS UBIGINT) AS k FROM tk', 5, 32768)},
+{_cms_ctes('ct', 'SELECT CAST(tok AS UBIGINT) AS k FROM tk', 5, 32768)},
 {_sm64_ctes('pt', 'SELECT CAST(tok AS UBIGINT) AS k, tok FROM ex', ', tok')},
 pcols AS (SELECT tok, t.r,
           (CAST(h1 % 32768 AS BIGINT) + t.r * CAST(h2 % 32768 AS BIGINT))
@@ -1241,7 +1240,6 @@ def q_source_overlap_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _overlap_bloom_oracle() -> str:
-    from .functions.sqlhash import sm64_pair_ctes
     from .sketch import Shape
 
     sh = Shape.for_np(n=200_000, p=1e-4)
@@ -1253,12 +1251,15 @@ def _overlap_bloom_oracle() -> str:
 tk AS (SELECT source, unnest(tokens) AS tok FROM sequences),
 dk AS (SELECT DISTINCT source, CAST(tok AS UBIGINT) AS k FROM tk
        WHERE source IS NOT NULL),
-{sm64_pair_ctes('ob', 'SELECT k, source FROM dk', ', source')},
+{_sm64_ctes('ob', 'SELECT k, source FROM dk', ', source')},
 bits AS (SELECT DISTINCT source,
          (CAST(h1 % {m} AS BIGINT) + t.i * CAST(h2 % {m} AS BIGINT)) % {m}
              AS bit
          FROM obh CROSS JOIN (SELECT unnest(range({k})) AS i) t),
-pc AS (SELECT source, CAST(count(*) AS BIGINT) AS c FROM bits GROUP BY source),
+pcx AS (SELECT source, CAST(count(*) AS BIGINT) AS c FROM bits GROUP BY source),
+srcs AS (SELECT DISTINCT source FROM sequences WHERE source IS NOT NULL),
+pc AS (SELECT s.source, COALESCE(p.c, 0) AS c
+       FROM srcs s LEFT JOIN pcx p ON p.source = s.source),
 pairs AS (SELECT a.source AS sa, b.source AS sb
           FROM pc a JOIN pc b ON a.source < b.source),
 inter AS (SELECT x.source AS sa, y.source AS sb,
@@ -1272,11 +1273,16 @@ cards AS (SELECT p.sa, p.sb, pa.c AS ca, pb.c AS cb,
           JOIN pc pb ON pb.source = p.sb
           LEFT JOIN inter i ON i.sa = p.sa AND i.sb = p.sb)
 SELECT sa AS source_a, sb AS source_b,
-       round({a} * ln(1.0 - ca / {m}), 2) AS est_distinct_a,
-       round({a} * ln(1.0 - cb / {m}), 2) AS est_distinct_b,
-       round({a} * ln(1.0 - cu / {m}), 2) AS est_union,
-       round({a} * ln(1.0 - ca / {m}) + {a} * ln(1.0 - cb / {m})
-             - {a} * ln(1.0 - cu / {m}), 2) AS est_intersection
+       CASE WHEN ca = 0 THEN 0.0
+            ELSE round({a} * ln(1.0 - ca / {m}), 2) END AS est_distinct_a,
+       CASE WHEN cb = 0 THEN 0.0
+            ELSE round({a} * ln(1.0 - cb / {m}), 2) END AS est_distinct_b,
+       CASE WHEN cu = 0 THEN 0.0
+            ELSE round({a} * ln(1.0 - cu / {m}), 2) END AS est_union,
+       round(CASE WHEN ca = 0 THEN 0.0 ELSE {a} * ln(1.0 - ca / {m}) END
+             + CASE WHEN cb = 0 THEN 0.0 ELSE {a} * ln(1.0 - cb / {m}) END
+             - CASE WHEN cu = 0 THEN 0.0 ELSE {a} * ln(1.0 - cu / {m}) END,
+             2) AS est_intersection
 FROM cards ORDER BY source_a, source_b LIMIT 50
 """
     )
@@ -1303,25 +1309,28 @@ def q_source_overlap_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _overlap_hll_oracle() -> str:
-    from .functions.sqlhash import hll_estimate_select, hll_rows_ctes
-
-    pair_est = hll_estimate_select("urg", "sa, sb", 14)
-    src_est = hll_estimate_select("rg", "source", 14)
+    pair_est = _hll_est("urg", "sa, sb", 14)
+    src_est = _hll_est("rg", "source", 14)
     return (
         _SEQ_CTE
         + f""",
 tk AS (SELECT source, unnest(tokens) AS tok FROM sequences),
 dk AS (SELECT DISTINCT source, CAST(tok AS UBIGINT) AS k FROM tk
        WHERE source IS NOT NULL),
-{hll_rows_ctes('oh', 'SELECT k, source FROM dk', 14, ', source')},
+{_hll_rows('oh', 'SELECT k, source FROM dk', 14, ', source')},
 rg AS (SELECT source, idx, max(rank) AS r FROM ohr GROUP BY source, idx),
-se AS ({src_est}),
+sex AS ({src_est}),
+srcs AS (SELECT DISTINCT source FROM sequences WHERE source IS NOT NULL),
+se AS (SELECT s.source, COALESCE(x.est, 0.0) AS est
+       FROM srcs s LEFT JOIN sex x ON x.source = s.source),
 pairs AS (SELECT a.source AS sa, b.source AS sb
           FROM se a JOIN se b ON a.source < b.source),
 urg AS (SELECT p.sa, p.sb, r.idx, max(r.r) AS r
         FROM pairs p JOIN rg r ON r.source = p.sa OR r.source = p.sb
         GROUP BY p.sa, p.sb, r.idx),
-ue AS ({pair_est})
+uex AS ({pair_est}),
+ue AS (SELECT p.sa, p.sb, COALESCE(x.est, 0.0) AS est
+       FROM pairs p LEFT JOIN uex x ON x.sa = p.sa AND x.sb = p.sb)
 SELECT p.sa AS source_a, p.sb AS source_b,
        round(ea.est, 2) AS est_distinct_a,
        round(eb.est, 2) AS est_distinct_b,
@@ -2905,8 +2914,6 @@ def q_bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-from .functions.sqlhash import cms_table_ctes as _cms_ctes  # noqa: E402
-
 _JS_EPS_FULL = repr(__import__("math").e / 65536)
 _JS_ORACLE = f"""
 WITH
@@ -3401,10 +3408,12 @@ def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 _USER_HLL_ORACLE = f"""
 WITH
 dk AS (SELECT DISTINCT user_id, CAST(event_id AS UBIGINT) AS k FROM events),
-{_hll_rows2('ud', 'SELECT k, user_id FROM dk', 14, ', user_id')},
+{_hll_rows('ud', 'SELECT k, user_id FROM dk', 14, ', user_id')},
 rg AS (SELECT user_id, idx, max(rank) AS r FROM udr GROUP BY user_id, idx),
-es AS ({_hll_est2('rg', 'user_id')}),
-nz AS (SELECT user_id, CAST(16 + 4 * count(*) AS BIGINT) AS wire_bytes
+es AS ({_hll_est('rg', 'user_id')}),
+nz AS (SELECT user_id,
+              CAST(CASE WHEN 4 * count(*) < 16384 THEN 16 + 4 * count(*)
+                        ELSE 16 + 16384 END AS BIGINT) AS wire_bytes
        FROM rg GROUP BY user_id),
 ex AS (SELECT user_id, CAST(count(DISTINCT event_id) AS BIGINT)
            AS distinct_exact FROM events GROUP BY user_id)
@@ -3583,9 +3592,6 @@ def q_user_novelty_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cum_distinct", F.sum("n_new").over(w).cast("bigint"))
     )
 
-
-from .functions.sqlhash import hll_estimate_select as _hll_est  # noqa: E402
-from .functions.sqlhash import hll_rows_ctes as _hll_rows  # noqa: E402
 
 _NOVELTY_HLL_ORACLE = f"""
 WITH

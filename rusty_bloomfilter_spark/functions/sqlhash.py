@@ -128,7 +128,13 @@ def hll_estimate_select(rel: str, grp: str, p: int = 14) -> str:
     numerator is folded HERE in Python with the same left-associated
     float ops numpy runs, so the doubles agree; summation order can
     differ in the last ulp, which is why every caller rounds estimates
-    (novelty_curve rounds to 2 dp)."""
+    (novelty_curve rounds to 2 dp). Known caveat: the branch test
+    ``raw <= 2.5m`` is evaluated on that ulp-sensitive sum, so a group
+    whose raw estimate lands within ~1e-12 relative of the boundary
+    could take different branches cross-engine — an O(%) jump no
+    rounding absorbs. Probability per group is ~float-ulp scale and
+    the fixtures are fixed, so a passing gate stays passing; flagged
+    here so a future flake has a named suspect."""
     m = 1 << p
     if m == 16:
         alpha = 0.673

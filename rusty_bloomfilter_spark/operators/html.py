@@ -37,21 +37,32 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # Boilerplate containers removed wholesale before segmentation.
+# (?i) + \b are RE2- and Java-common; real pages use <SCRIPT> too.
 _BLOCK_STRIP = [
     r"<!--[\s\S]*?-->",
-    r"<script[\s\S]*?</script>",
-    r"<style[\s\S]*?</style>",
-    r"<nav[\s\S]*?</nav>",
-    r"<header[\s\S]*?</header>",
-    r"<footer[\s\S]*?</footer>",
-    r"<aside[\s\S]*?</aside>",
+    r"(?i)<script\b[\s\S]*?</script[^>]*>",
+    r"(?i)<style\b[\s\S]*?</style[^>]*>",
+    r"(?i)<nav\b[\s\S]*?</nav[^>]*>",
+    r"(?i)<header\b[\s\S]*?</header[^>]*>",
+    r"(?i)<footer\b[\s\S]*?</footer[^>]*>",
+    r"(?i)<aside\b[\s\S]*?</aside[^>]*>",
 ]
 
-# Block-level boundaries that delimit candidate text segments.
-_SPLIT = r"</?(?:p|div|h1|h2|h3|ul|ol|li|br|section|article|table|tr|td)[^>]*>"
+# Block-level boundaries that delimit candidate text segments. After the
+# tag name either '>' follows directly or a NON-LETTER starts the
+# attribute tail — so <pre>/<param>/<picture> are NOT split points for
+# the p/table/... alternatives (RE2 has no lookarounds; this boundary
+# encoding works identically in both engines).
+_SPLIT = (
+    r"(?i)</?(?:p|div|h1|h2|h3|ul|ol|li|br|section|article|table|tr|td)"
+    r"(?:[^a-zA-Z>][^>]*)?>"
+)
 
 _INLINE_TAG = r"<[^>]+>"
-_WS = r"\s+"
+# Explicit class, NOT \s: Java's \s includes U+000B, RE2's does not —
+# a vertical tab in document text would silently diverge the collapse
+# step between the Spark query and its DuckDB oracle (r5 review catch).
+_WS = r"[ \t\n\r\f]+"
 
 # (entity, replacement) — amp last (standard unescape order).
 _ENTITIES = [
@@ -90,7 +101,7 @@ def clean_segment(seg: Column) -> Column:
 
 def link_count(seg: Column) -> Column:
     """Number of <a … anchors in the RAW segment (pre-strip)."""
-    return F.size(F.split(seg, "<a ", -1)) - F.lit(1)
+    return F.size(F.split(seg, "(?i)<a ", -1)) - F.lit(1)
 
 
 def extract_text(
@@ -169,4 +180,4 @@ def duckdb_clean_segment(expr: str) -> str:
 
 
 def duckdb_link_count(expr: str) -> str:
-    return f"(len(regexp_split_to_array({expr}, '<a ')) - 1)"
+    return f"(len(regexp_split_to_array({expr}, '(?i)<a ')) - 1)"

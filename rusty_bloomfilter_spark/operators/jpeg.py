@@ -532,6 +532,14 @@ def encode_jpeg(
 DECODE_BUDGET_BYTES = 4 << 20  # 4 MiB compressed ≈ tens of MP decoded
 
 
+class DecodeBudgetExceeded(ValueError):
+    """Stream exceeds the Python-decode byte budget. A DISTINCT type so
+    scan-level undecodable-media handlers (which legitimately swallow
+    ValueError for corrupt streams) cannot silently absorb a budget
+    refusal — budget hits must surface, not degrade output quality."""
+
+
+
 def decode_jpeg(payload: bytes, *, allow_large: bool = False) -> np.ndarray:
     """Baseline JFIF bytes -> (H, W, 3) RGB (or (H, W) grayscale) uint8.
 
@@ -545,7 +553,7 @@ def decode_jpeg(payload: bytes, *, allow_large: bool = False) -> np.ndarray:
     sit on a corpus-scale hot path (see budget note above).
     """
     if len(payload) > DECODE_BUDGET_BYTES and not allow_large:
-        raise ValueError(
+        raise DecodeBudgetExceeded(
             f"JPEG stream of {len(payload)} bytes exceeds the "
             f"{DECODE_BUDGET_BYTES}-byte Python-decode budget; this "
             "thumbnail-tier decoder walks Huffman symbols in Python — "

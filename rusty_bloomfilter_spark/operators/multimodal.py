@@ -545,8 +545,18 @@ def media_stats(media: DataFrame, *, media_batch_hint: int = 256) -> DataFrame:
                             row["mean_r"] = round(float(means[0]), 6)
                             row["mean_g"] = round(float(means[1]), 6)
                             row["mean_b"] = round(float(means[2]), 6)
-                    except (ValueError, NotImplementedError):
-                        pass  # undecodable: metadata-only row
+                    except NotImplementedError:
+                        pass  # unsupported format: metadata-only row
+                    except ValueError as e:
+                        from .jpeg import DecodeBudgetExceeded
+
+                        if isinstance(e, DecodeBudgetExceeded):
+                            # budget refusals must surface (jpeg.py
+                            # guard contract) — silently degrading to a
+                            # metadata-only row hides a data-quality
+                            # cliff at exactly corpus scale
+                            raise
+                        pass  # corrupt stream: metadata-only row
                 for k, v in row.items():
                     cols[k].append(v)
             types = {

@@ -57,3 +57,27 @@ def test_deterministic_under_repartition(pages):
     a = extract_text(pages).orderBy("doc_id").collect()
     b = extract_text(pages.repartition(7)).orderBy("doc_id").collect()
     assert a == b
+
+
+def test_uppercase_and_pre_boundaries(spark):
+    """<SCRIPT>/<NAV> strip case-insensitively; <pre>/<param> are NOT
+    split boundaries for the p/table alternatives (r5 review catch)."""
+    page = (
+        "<html><body>"
+        "<NAV><a href='/'>Home</a></NAV>"
+        "<SCRIPT>var secret=1;</SCRIPT>"
+        "<P>Mixed-case paragraph long enough to pass the keep rule fine.</P>"
+        "<pre>inline-pre should stay part of its surrounding segment "
+        "and not split</pre>"
+        "</body></html>"
+    )
+    df = spark.createDataFrame([("u1", page)], "doc_id string, html string")
+    from rusty_bloomfilter_spark.operators.html import extract_text
+
+    row = extract_text(df).collect()[0]
+    assert "secret" not in row["text"]
+    assert "Home" not in row["text"]
+    assert "Mixed-case paragraph" in row["text"]
+    # the <pre> element did not split: its text stays one segment with
+    # the surrounding body text and survives as one kept chunk
+    assert "inline-pre should stay part of its surrounding segment" in row["text"]

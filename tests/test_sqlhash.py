@@ -23,6 +23,13 @@ from rusty_bloomfilter_spark.sketch.hashing import hash_pair
 from rusty_bloomfilter_spark.sketch.hll import HyperLogLog, _clz_rank
 
 
+def _row_sorted(a, b):
+    """Stack two columns and sort ROWS (lexsort by (a, b)) — preserves
+    pairing, unlike an independent per-column sort."""
+    order = np.lexsort((b, a))
+    return np.stack([a[order], b[order]], axis=1)
+
+
 @pytest.fixture(scope="module")
 def con():
     return duckdb.connect()
@@ -46,15 +53,12 @@ def test_sm64_pair_bit_identical(con):
         + " SELECT h1, h2 FROM th"
     )
     got = con.execute(sql).fetchdf()
-    # DuckDB preserves input order for a pure projection chain, but do
-    # not rely on it: compare as sorted pairs
-    exp = np.sort(np.stack([h1, h2], axis=1), axis=0)
-    got_arr = np.sort(
-        np.stack(
-            [got["h1"].to_numpy(dtype=np.uint64), got["h2"].to_numpy(dtype=np.uint64)],
-            axis=1,
-        ),
-        axis=0,
+    # Order-insensitive but PAIR-preserving compare: sort whole rows
+    # (lexsort), never columns independently — a per-column sort would
+    # let a cross-row h1/h2 permutation bug pass (r5 review catch).
+    exp = _row_sorted(h1, h2)
+    got_arr = _row_sorted(
+        got["h1"].to_numpy(dtype=np.uint64), got["h2"].to_numpy(dtype=np.uint64)
     )
     assert np.array_equal(exp, got_arr)
 
@@ -72,13 +76,9 @@ def test_hll_rows_bit_identical(con):
         + " SELECT idx, rank FROM tr"
     )
     got = con.execute(sql).fetchdf()
-    exp = np.sort(np.stack([idx, rank], axis=1), axis=0)
-    gr = np.sort(
-        np.stack(
-            [got["idx"].to_numpy(dtype=np.int64), got["rank"].to_numpy(dtype=np.int64)],
-            axis=1,
-        ),
-        axis=0,
+    exp = _row_sorted(idx.astype(np.uint64), rank.astype(np.uint64))
+    gr = _row_sorted(
+        got["idx"].to_numpy(dtype=np.uint64), got["rank"].to_numpy(dtype=np.uint64)
     )
     assert np.array_equal(exp, gr)
 

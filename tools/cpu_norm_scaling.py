@@ -181,5 +181,46 @@ def main() -> None:
         fh.write(json.dumps(report) + "\n")
 
 
+CALM_TOLERANCE = 0.10  # both legs within 10% of the best calibration seen
+
+
+def summarize() -> None:
+    """Implement the pre-registered calm-run rule over the samples file:
+    a session is CALM iff both legs' single-core calibration probes are
+    within CALM_TOLERANCE of the fastest calibration in the whole file
+    (the probe moves only with host contention). Prints per-job medians
+    over ALL sessions and over CALM sessions — the number the headline
+    table reports, selected by calibration, never by outcome."""
+    import statistics
+
+    path = REPO / "BENCH" / "cpu_norm_samples.jsonl"
+    rows = [json.loads(line) for line in open(path)]
+    rows = [r for r in rows if r.get("calib_mops", {}).get("local2")]
+    if not rows:
+        print("no calibrated samples yet")
+        return
+    best = max(max(r["calib_mops"]["local2"], r["calib_mops"]["local8"]) for r in rows)
+    floor = best * (1.0 - CALM_TOLERANCE)
+    calm = [
+        r
+        for r in rows
+        if r["calib_mops"]["local2"] >= floor and r["calib_mops"]["local8"] >= floor
+    ]
+    out = {"n_sessions": len(rows), "n_calm": len(calm),
+           "best_calib_mops": best, "calm_floor_mops": round(floor, 1)}
+    for job in ("blocked", "classic", "sharded"):
+        allv = [r[job]["cpu_norm_efficiency_2_to_8"] for r in rows]
+        calmv = [r[job]["cpu_norm_efficiency_2_to_8"] for r in calm]
+        out[job] = {
+            "median_all": round(statistics.median(allv), 3),
+            "median_calm": round(statistics.median(calmv), 3) if calmv else None,
+            "calm_values": sorted(round(v, 3) for v in calmv),
+        }
+    print(json.dumps(out))
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--report":
+        summarize()
+    else:
+        main()
