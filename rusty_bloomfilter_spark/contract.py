@@ -1384,13 +1384,73 @@ def q_bloom_doc_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_sharded_bloom")
+def _sharded_bloom_oracle() -> str:
+    import numpy as np
+
+    from .operators.sharded import SHARD_SALT
+    from .sketch.blocked import _SALT, BlockedBloomFilter
+
+    nb = BlockedBloomFilter.for_np(
+        n=max(1, int(np.ceil(500_000 / 16))), p=1e-4
+    ).n_blocks
+    m_bits = nb * 256
+    salts = ", ".join(f"({j}, {int(s)})" for j, s in enumerate(_SALT))
+    ss = int(SHARD_SALT)
+    return (
+        _SEQ_CTE
+        + f""",
+tok AS (SELECT unnest(tokens) AS tok FROM sequences),
+dtok AS (SELECT DISTINCT CAST(tok AS UBIGINT) AS k FROM tok),
+{_sm64_ctes('sb', 'SELECT k FROM dtok')},
+hs AS (SELECT h1 AS h FROM sbh),
+{_sm64_ctes('sr', f'SELECT xor(h, {ss}::UBIGINT) AS k, h FROM hs', ', h')},
+hr AS (SELECT h, CAST(h1 % 16 AS BIGINT) AS shard FROM srh),
+ibits AS (SELECT DISTINCT shard, CAST((h >> 32) % {nb} AS BIGINT) AS block,
+          s.j,
+          CAST(((CAST(h % 4294967296 AS HUGEINT) * s.salt) % 4294967296)
+               AS BIGINT) >> 27 AS bit
+          FROM hr CROSS JOIN (VALUES {salts}) s(j, salt)),
+fill AS (SELECT shard, round(count(*) / CAST({m_bits} AS DOUBLE), 8) AS fr
+         FROM ibits GROUP BY shard),
+ap AS (SELECT unnest(range(100000000, 100100000)) AS v),
+{_sm64_ctes('pb', 'SELECT CAST(v AS UBIGINT) AS k FROM ap')},
+ph AS (SELECT h1 AS h FROM pbh),
+{_sm64_ctes('pr', f'SELECT xor(h, {ss}::UBIGINT) AS k, h FROM ph', ', h')},
+phr AS (SELECT h, CAST(h1 % 16 AS BIGINT) AS shard FROM prh),
+pbits AS (SELECT h, shard, CAST((h >> 32) % {nb} AS BIGINT) AS block, s.j,
+          CAST(((CAST(h % 4294967296 AS HUGEINT) * s.salt) % 4294967296)
+               AS BIGINT) >> 27 AS bit
+          FROM phr CROSS JOIN (VALUES {salts}) s(j, salt)),
+fhits AS (SELECT p.h FROM pbits p
+          JOIN ibits i ON p.shard = i.shard AND p.block = i.block
+                       AND p.j = i.j AND p.bit = i.bit
+          GROUP BY p.h HAVING count(*) = 8),
+ni AS (SELECT CAST(sum(len(tokens)) AS BIGINT) AS n FROM sequences),
+fh AS (SELECT CAST(count(*) AS BIGINT) AS false_hits FROM fhits)
+SELECT (SELECT CAST(count(DISTINCT shard) AS BIGINT) FROM hr) AS n_shards,
+       ni.n AS n_inserted,
+       round((SELECT max(fr) FROM fill), 8) AS max_fill,
+       ni.n AS present_hits, ni.n AS present_probes,
+       fh.false_hits, CAST(100000 AS BIGINT) AS n_probes,
+       round(fh.false_hits / CAST(100000 AS BIGINT), 8) AS observed_fpr
+FROM ni CROSS JOIN fh
+"""
+    )
+
+
+@register("q_sharded_bloom", oracle=_sharded_bloom_oracle())
 def q_sharded_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sharded blocked-Bloom membership (operators/sharded.py) — the
     scale path for filters too big for one task at 10^12 tokens. Builds
     via the routed plan (token hashes shuffled once by shard, per-task
     memory = one partition's shard filters), probes every corpus token
-    (zero FN asserted) plus a disjoint domain (observed FPR)."""
+    (zero FN asserted) plus a disjoint domain (observed FPR). FULLY
+    oracle-backed (r5): the DuckDB oracle reproduces the independent
+    routing hash (sm64(h XOR shard-salt) mod S), rebuilds every
+    shard's Parquet-SBBF bit set exactly, and probes the same 100k
+    disjoint ids — so shard routing, per-shard max fill, the
+    false-positive count, AND the zero-FN guarantee (present_hits
+    rendered as the exact occurrence total) all hash-match."""
     from .operators.sharded import ShardedBloomSketch
 
     seq = sequences_from_documents(spark, sf_dir)
