@@ -716,9 +716,59 @@ def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 
-@register("q_bloom_source_profile")
+def _bloom_profile_oracle() -> str:
+    from .sketch import Shape
+    from .sketch.bloom import _HEADER
+
+    sh = Shape.for_np(n=200_000, p=1e-4)
+    m, k = sh.m, sh.k
+    a = repr(-(sh.m / sh.k))
+    dense = sh.number_of_bytes()
+    hdr = _HEADER.size
+    return (
+        _SEQ_CTE
+        + f""",
+tk AS (SELECT source, unnest(tokens) AS tok FROM sequences),
+dk AS (SELECT DISTINCT source, CAST(tok AS UBIGINT) AS k FROM tk),
+{_sm64_ctes('bs', 'SELECT k, source FROM dk', ', source')},
+bits AS (SELECT DISTINCT source,
+         (CAST(h1 % {m} AS BIGINT) + t.i * CAST(h2 % {m} AS BIGINT)) % {m}
+             AS bit
+         FROM bsh CROSS JOIN (SELECT unnest(range({k})) AS i) t),
+pc AS (SELECT source, CAST(count(*) AS BIGINT) AS card
+       FROM bits GROUP BY source),
+{_hll_rows('bq', 'SELECT k, source FROM dk', 14, ', source')},
+rg AS (SELECT source, idx, max(rank) AS r FROM bqr GROUP BY source, idx),
+he AS ({_hll_est('rg', 'source')}),
+ex AS (SELECT source, CAST(count(*) AS BIGINT) AS n_seqs,
+              CAST(sum(len(tokens)) AS BIGINT) AS n_tokens
+       FROM sequences GROUP BY source)
+SELECT ex.source, ex.n_seqs, ex.n_tokens,
+       ex.n_tokens AS bloom_n_items,
+       pc.card AS bloom_bits,
+       CASE WHEN pc.card = 0 THEN 0.0
+            ELSE {a} * ln(1.0 - pc.card / {m}) END AS bloom_estimate_n,
+       pc.card / CAST({m} AS DOUBLE) AS bloom_fill_ratio,
+       CAST({hdr} + CASE WHEN 4 * pc.card < {dense} THEN 4 * pc.card
+                         ELSE {dense} END AS BIGINT) AS bloom_bytes,
+       he.est AS distinct_tokens_est
+FROM ex
+JOIN pc ON pc.source = ex.source
+JOIN he ON he.source = ex.source
+"""
+    )
+
+
+@register("q_bloom_source_profile", oracle=_bloom_profile_oracle())
 def q_bloom_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Flagship: per-source exact counts + Bloom/HLL sketch metrics."""
+    """Flagship: per-source exact counts + Bloom/HLL sketch metrics.
+    FULLY oracle-backed (r5): the DuckDB oracle rebuilds every
+    source's K-M bit set and HLL registers bit-for-bit
+    (functions/sqlhash.py), so the popcount, the Swamidass-Baldi
+    estimate, the fill ratio, the HLL distinct estimate AND the
+    canonical wire size (header + sparse 4*bits vs dense, the
+    corrected Shape.is_sparse rule) all hash-match cross-engine —
+    the entry() flagship's semantics, bit-verified."""
     from .plans import token_profile
 
     return token_profile(spark, sequences_from_documents(spark, sf_dir))
