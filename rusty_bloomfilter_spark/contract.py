@@ -999,22 +999,51 @@ def q_cms_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(out, "tok int, freq_exact bigint, freq_est bigint")
 
 
-@register("q_kll_quantiles")
-def q_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """KLL quantile estimates for events.value next to exact."""
-    from .operators.sketches import KllQuantiles
+_KLLQ_ORACLE = "\nUNION ALL\n".join(
+    f"SELECT CAST({q} AS DOUBLE) AS q,"
+    f" round(CAST(quantile_cont(value, {q}) AS DOUBLE), 6) AS exact,"
+    f" 1 AS kll_in_bound FROM events"
+    for q in (0.1, 0.5, 0.9, 0.99)
+)
 
+
+@register("q_kll_quantiles", oracle=_KLLQ_ORACLE)
+def q_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL quantile estimates for events.value, certified against
+    exact. Oracle-backed via the in-bound-flag pattern
+    (q_kll_ntok_by_source precedent): KLL payloads are merge-order-
+    dependent so raw estimates can't hash-match cross-engine; instead
+    the exact quantiles hash-match and each estimate must land between
+    the exact quantile values at q ± 3x the published rank-error bound
+    — the oracle emits literal 1s, so an accuracy regression under any
+    partitioning fails the driver's value hash."""
+    from .operators.sketches import KllQuantiles
+    from .sketch.kll import KLLSketch
+
+    eps3 = 3.0 * KLLSketch(200).rank_error()
     ev = load_table(spark, sf_dir, "events")
     qs = [0.1, 0.5, 0.9, 0.99]
     est = KllQuantiles(k=200, col="value").quantiles(ev, qs)
-    exact = ev.agg(
-        *[F.expr(f"percentile(value, {q})").alias(f"p{int(q*100)}") for q in qs]
+    bounds = ev.agg(
+        *[F.expr(f"percentile(value, {q})").alias(f"p{i}") for i, q in enumerate(qs)],
+        *[
+            F.expr(f"percentile(value, {max(q - eps3, 0.0)!r})").alias(f"lo{i}")
+            for i, q in enumerate(qs)
+        ],
+        *[
+            F.expr(f"percentile(value, {min(q + eps3, 1.0)!r})").alias(f"hi{i}")
+            for i, q in enumerate(qs)
+        ],
     ).collect()[0]
     rows = [
-        (q, round(float(exact[i]), 6), round(float(est[i]), 6))
+        (
+            q,
+            round(float(bounds[f"p{i}"]), 6),
+            1 if bounds[f"lo{i}"] <= est[i] <= bounds[f"hi{i}"] else 0,
+        )
         for i, q in enumerate(qs)
     ]
-    return spark.createDataFrame(rows, "q double, exact double, kll_est double")
+    return spark.createDataFrame(rows, "q double, exact double, kll_in_bound int")
 
 
 # ===========================================================================
@@ -2341,24 +2370,58 @@ def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_tdigest_quantiles")
-def q_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """t-digest quantiles of events.value next to exact + the KLL
-    estimates (both quantile sketches the north rule names)."""
-    from .operators.sketches import KllQuantiles, TDigestQuantiles
+_TDQ_ORACLE = "\nUNION ALL\n".join(
+    f"SELECT CAST({q} AS DOUBLE) AS q,"
+    f" round(CAST(quantile_cont(value, {q}) AS DOUBLE), 6) AS exact,"
+    f" 1 AS td_in_bound, 1 AS kll_in_bound FROM events"
+    for q in (0.01, 0.5, 0.99)
+)
 
+
+@register("q_tdigest_quantiles", oracle=_TDQ_ORACLE)
+def q_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-digest + KLL quantiles of events.value, certified against
+    exact (both quantile sketches the north rule names). Oracle-backed
+    via in-bound flags: both sketches are merge-order-dependent, so
+    the exact quantiles hash-match and each estimate must land between
+    the exact quantile values at q ± margin — 0.03 rank margin for the
+    t-digest (the bound tests/test_tdigest.py pins for the Spark
+    path) and 3x the published rank error for KLL. Oracle emits
+    literal 1s; a flipped flag fails the driver hash."""
+    from .operators.sketches import KllQuantiles, TDigestQuantiles
+    from .sketch.kll import KLLSketch
+
+    td_m = 0.03
+    kll_m = 3.0 * KLLSketch(200).rank_error()
     ev = load_table(spark, sf_dir, "events")
     qs = [0.01, 0.5, 0.99]
     td = TDigestQuantiles(compression=200, col="value").quantiles(ev, qs)
     kll = KllQuantiles(k=200, col="value").quantiles(ev, qs)
-    exact = ev.agg(
-        *[F.expr(f"percentile(value, {q})").alias(f"p{i}") for i, q in enumerate(qs)]
-    ).collect()[0]
+    aggs = [
+        F.expr(f"percentile(value, {q})").alias(f"p{i}") for i, q in enumerate(qs)
+    ]
+    for name, m in (("t", td_m), ("k", kll_m)):
+        aggs += [
+            F.expr(f"percentile(value, {max(q - m, 0.0)!r})").alias(f"{name}lo{i}")
+            for i, q in enumerate(qs)
+        ]
+        aggs += [
+            F.expr(f"percentile(value, {min(q + m, 1.0)!r})").alias(f"{name}hi{i}")
+            for i, q in enumerate(qs)
+        ]
+    b = ev.agg(*aggs).collect()[0]
     rows = [
-        (q, round(float(exact[i]), 6), round(float(td[i]), 6), round(float(kll[i]), 6))
+        (
+            q,
+            round(float(b[f"p{i}"]), 6),
+            1 if b[f"tlo{i}"] <= td[i] <= b[f"thi{i}"] else 0,
+            1 if b[f"klo{i}"] <= kll[i] <= b[f"khi{i}"] else 0,
+        )
         for i, q in enumerate(qs)
     ]
-    return spark.createDataFrame(rows, "q double, exact double, tdigest double, kll double")
+    return spark.createDataFrame(
+        rows, "q double, exact double, td_in_bound int, kll_in_bound int"
+    )
 
 
 @register(
