@@ -6527,7 +6527,24 @@ def q_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_value_quantiles_dd")  # estimate: rows-only + strict in-row audit
+_DDQ_ORACLE = """
+WITH ranked AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+SELECT event_type,
+       max(CASE WHEN rn = CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1
+                THEN value END) AS p50_exact,
+       max(CASE WHEN rn = CAST(floor(0.99 * (n - 1)) AS BIGINT) + 1
+                THEN value END) AS p99_exact,
+       1 AS p50_in_bound, 1 AS p99_in_bound
+FROM ranked GROUP BY event_type
+"""
+
+
+@register("q_value_quantiles_dd", oracle=_DDQ_ORACLE)
 def q_value_quantiles_dd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RELATIVE-error quantiles per event type via DDSketch
     (sketch/ddsketch.py, operators/sketches.DDQuantiles) — the
@@ -6542,7 +6559,12 @@ def q_value_quantiles_dd(spark: SparkSession, sf_dir: str) -> DataFrame:
     Bloom-merge bitwise contract, mod.rs:621-761, extended to
     quantiles) — so the distributed build equals a single-node build
     exactly. At 100 TB: one scan, O(buckets)-sized sketch rows are the
-    only shuffle for the estimate side."""
+    only shuffle for the estimate side. Oracle-backed (r5) via the
+    bound-flag pattern: exact rank-item values hash-match and the
+    strict rel_err <= alpha audit becomes the flag the oracle pins at
+    literal 1 (DDSketch bucket indexing rides float log, so rendering
+    the estimate itself cross-engine would be boundary-fragile —
+    flags are robust)."""
     from .operators.sketches import DDQuantiles
 
     alpha = 0.01
@@ -6595,8 +6617,13 @@ def q_value_quantiles_dd(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p99_rel_err",
             F.round(F.abs(F.col("p99_dd") - F.col("p99_exact")) / F.abs("p99_exact"), 6),
         )
-        .withColumn("p50_in_bound", F.col("p50_rel_err") <= alpha)
-        .withColumn("p99_in_bound", F.col("p99_rel_err") <= alpha)
+        .select(
+            "event_type",
+            "p50_exact",
+            "p99_exact",
+            (F.col("p50_rel_err") <= alpha).cast("int").alias("p50_in_bound"),
+            (F.col("p99_rel_err") <= alpha).cast("int").alias("p99_in_bound"),
+        )
         .orderBy("event_type")
     )
 
