@@ -1051,10 +1051,77 @@ def q_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 
-@register("q_minhash_near_dups")
+def _minhash_oracle() -> str:
+    from .operators.dedup import _MERSENNE, _perm_coeffs
+    from .sketch.hashing import _NGRAM_MULS
+
+    a, b = _perm_coeffs(128)
+    perms = ", ".join(
+        f"({i}, {int(a[i])}::UBIGINT, {int(b[i])}::UBIGINT)" for i in range(128)
+    )
+    m1, m2, m3 = (int(x) for x in _NGRAM_MULS[:3])
+    mod64 = 1 << 64
+    mers = _MERSENNE
+    acc = (
+        f"CAST((CAST(tokens[i+1] AS HUGEINT) * {m1}"
+        f" + CAST(tokens[i+2] AS HUGEINT) * {m2}"
+        f" + CAST(tokens[i+3] AS HUGEINT) * {m3}) % {mod64} AS UBIGINT)"
+    )
+    # v = ((h * a) mod 2^64 + b) mod 2^64, then mod the Mersenne prime —
+    # the numpy uint64 wrap order in minhash_signatures
+    ha = (
+        f"CAST(((CAST(h AS HUGEINT) % 4294967296) * p.a"
+        f" + (((CAST(h AS HUGEINT) // 4294967296) * p.a) % 4294967296)"
+        f" * 4294967296) % {mod64} AS UBIGINT)"
+    )
+    v = f"CAST((CAST({ha} AS HUGEINT) + p.b) % {mod64} AS UBIGINT) % {mers}"
+    return (
+        _SEQ_CTE
+        + f""",
+sh AS (SELECT doc_id,
+       unnest(list_transform(range(greatest(len(tokens) - 2, 0)),
+                             i -> {acc})) AS acc
+       FROM sequences),
+{_sm64_ctes('mq', 'SELECT acc AS k, doc_id FROM sh', ', doc_id')},
+hv AS (SELECT doc_id, h1 AS h FROM mqh),
+pv AS (SELECT doc_id, p.i, {v} AS v
+       FROM hv CROSS JOIN (VALUES {perms}) p(i, a, b)),
+sg AS (SELECT doc_id, i, min(v) AS s FROM pv GROUP BY doc_id, i),
+docs AS (SELECT doc_id FROM sequences),
+grid AS (SELECT d.doc_id, p.i FROM docs d
+         CROSS JOIN (SELECT unnest(range(128)) AS i) p),
+sigf AS (SELECT g.doc_id, g.i, COALESCE(s.s, {mers}::UBIGINT) AS s
+         FROM grid g LEFT JOIN sg s ON s.doc_id = g.doc_id AND s.i = g.i),
+bb AS (SELECT doc_id, i // 4 AS band,
+              string_agg(CAST(s AS VARCHAR), ',' ORDER BY i) AS key
+       FROM sigf GROUP BY doc_id, i // 4),
+cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+         FROM bb l JOIN bb r ON l.band = r.band AND l.key = r.key
+                            AND l.doc_id < r.doc_id),
+mt AS (SELECT c.doc_a, c.doc_b,
+              sum(CASE WHEN sa.s = sb.s THEN 1 ELSE 0 END) / 128.0 AS ej
+       FROM cand c
+       JOIN sigf sa ON sa.doc_id = c.doc_a
+       JOIN sigf sb ON sb.doc_id = c.doc_b AND sb.i = sa.i
+       GROUP BY c.doc_a, c.doc_b)
+SELECT doc_a, doc_b, ej AS est_jaccard FROM mt WHERE ej >= 0.35
+"""
+    )
+
+
+@register("q_minhash_near_dups", oracle=_minhash_oracle())
 def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidate pairs over the corpus (word
-    3-gram shingles, 128 perms, 32 bands)."""
+    3-gram shingles, 128 perms, 32 bands). FULLY oracle-backed (r5):
+    minhash is deterministic end-to-end — 3-gram positional-mix +
+    splitmix64 shingle hashes, affine perms mod the Mersenne prime in
+    the same uint64 wrap order, per-doc minima — so the DuckDB oracle
+    rebuilds every signature bit-for-bit; band membership is rendered
+    as band-SLICE equality (Spark buckets by xxhash64 of the slice,
+    which partitions docs identically to slice equality up to 2^-64
+    collisions), and est_jaccard = matching-perm fraction is exact
+    dyadic arithmetic. The LSH candidate SET and its scores
+    hash-match cross-engine."""
     from .operators.dedup import minhash_dedup
 
     seq = sequences_from_documents(spark, sf_dir)
