@@ -1128,8 +1128,50 @@ def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_dedup(seq, threshold=0.35).orderBy("doc_a", "doc_b")
 
 
-@register("q_simhash_near_dups")
+def _simhash_oracle() -> str:
+    bitw = ", ".join(f"({b}, {1 << b}::HUGEINT)" for b in range(64))
+    return (
+        _SEQ_CTE
+        + f""",
+tk AS (SELECT doc_id, unnest(tokens) AS tok FROM sequences),
+{_sm64_ctes('sx', 'SELECT CAST(tok AS UBIGINT) AS k, doc_id FROM tk', ', doc_id')},
+hb AS (SELECT doc_id, h1 AS h FROM sxh),
+bt AS (SELECT doc_id, b.b,
+              sum(CASE WHEN (h >> CAST(b.b AS INTEGER)) & 1 = 1
+                       THEN 1 ELSE -1 END) AS s
+       FROM hb CROSS JOIN (SELECT unnest(range(64)) AS b) b
+       GROUP BY doc_id, b.b),
+sigx AS (SELECT doc_id, sum(CASE WHEN s > 0 THEN p.w ELSE 0::HUGEINT END) AS x
+         FROM bt JOIN (VALUES {bitw}) p(b, w) ON p.b = bt.b
+         GROUP BY doc_id),
+sg AS (SELECT doc_id,
+              CASE WHEN x >= 9223372036854775808
+                   THEN CAST(x - 18446744073709551616 AS BIGINT)
+                   ELSE CAST(x AS BIGINT) END AS sh
+       FROM sigx),
+allsig AS (SELECT d.doc_id, COALESCE(s.sh, 0) AS sh
+           FROM (SELECT doc_id FROM sequences) d
+           LEFT JOIN sg s ON s.doc_id = d.doc_id)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.sh, b.sh)) AS hamming
+FROM allsig a JOIN allsig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sh, b.sh)) <= 3
+"""
+    )
+
+
+@register("q_simhash_near_dups", oracle=_simhash_oracle())
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming-ball near-dups. FULLY oracle-backed (r5): the
+    64-bit sign-sum signature is a pure function of the token-hash
+    multiset (splitmix64 bits, ±1 sums, sign per bit — the
+    unpack/pack byte-order gymnastics in simhash_signatures cancel,
+    leaving simhash bit b = sign of the bit-b sum), so the DuckDB
+    oracle rebuilds every signature bit-for-bit. The multi-block
+    pigeonhole guarantees the candidate join loses NO pair within the
+    radius, so the verified output equals the plain all-pairs
+    Hamming-<=3 set the oracle computes — LSH recall = 1 by
+    construction, now cross-engine verified."""
     from .operators.dedup import simhash_near_dups, simhash_signatures
 
     seq = sequences_from_documents(spark, sf_dir)
