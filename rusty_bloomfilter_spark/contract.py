@@ -1051,7 +1051,17 @@ def q_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 
-def _minhash_oracle() -> str:
+def _minhash_ctes(prefix: str, seq_rel: str) -> str:
+    """CTE chain rebuilding the MinHash LSH pipeline over a relation
+    ``seq_rel`` with (doc_id VARCHAR, tokens array<int>): 3-gram
+    positional-mix + splitmix64 shingle hashes, the 128 affine perms
+    mod the Mersenne prime in the same uint64 wrap order as
+    minhash_signatures, per-doc signature minima (empty docs -> all-M
+    signatures), banded candidates via band-slice equality (equivalent
+    to the xxhash64 bucket join up to 2^-64 collisions). Final CTE
+    ``<prefix>mt`` exposes (doc_a, doc_b, ej) — every band-sharing
+    pair with its exact matching-perm Jaccard estimate; callers apply
+    their own threshold."""
     from .operators.dedup import _MERSENNE, _perm_coeffs
     from .sketch.hashing import _NGRAM_MULS
 
@@ -1075,36 +1085,40 @@ def _minhash_oracle() -> str:
         f" * 4294967296) % {mod64} AS UBIGINT)"
     )
     v = f"CAST((CAST({ha} AS HUGEINT) + p.b) % {mod64} AS UBIGINT) % {mers}"
+    x = prefix
+    return f"""{x}sh AS (SELECT doc_id,
+       unnest(list_transform(range(greatest(len(tokens) - 2, 0)),
+                             i -> {acc})) AS acc
+       FROM {seq_rel}),
+{_sm64_ctes(x + 'q', f'SELECT acc AS k, doc_id FROM {x}sh', ', doc_id')},
+{x}hv AS (SELECT doc_id, h1 AS h FROM {x}qh),
+{x}pv AS (SELECT doc_id, p.i, {v} AS v
+       FROM {x}hv CROSS JOIN (VALUES {perms}) p(i, a, b)),
+{x}sg AS (SELECT doc_id, i, min(v) AS s FROM {x}pv GROUP BY doc_id, i),
+{x}grid AS (SELECT d.doc_id, p.i FROM (SELECT doc_id FROM {seq_rel}) d
+         CROSS JOIN (SELECT unnest(range(128)) AS i) p),
+{x}sigf AS (SELECT g.doc_id, g.i, COALESCE(s.s, {mers}::UBIGINT) AS s
+         FROM {x}grid g LEFT JOIN {x}sg s ON s.doc_id = g.doc_id AND s.i = g.i),
+{x}bb AS (SELECT doc_id, i // 4 AS band,
+              string_agg(CAST(s AS VARCHAR), ',' ORDER BY i) AS key
+       FROM {x}sigf GROUP BY doc_id, i // 4),
+{x}cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+         FROM {x}bb l JOIN {x}bb r ON l.band = r.band AND l.key = r.key
+                            AND l.doc_id < r.doc_id),
+{x}mt AS (SELECT c.doc_a, c.doc_b,
+              sum(CASE WHEN sa.s = sb.s THEN 1 ELSE 0 END) / 128.0 AS ej
+       FROM {x}cand c
+       JOIN {x}sigf sa ON sa.doc_id = c.doc_a
+       JOIN {x}sigf sb ON sb.doc_id = c.doc_b AND sb.i = sa.i
+       GROUP BY c.doc_a, c.doc_b)"""
+
+
+def _minhash_oracle() -> str:
     return (
         _SEQ_CTE
         + f""",
-sh AS (SELECT doc_id,
-       unnest(list_transform(range(greatest(len(tokens) - 2, 0)),
-                             i -> {acc})) AS acc
-       FROM sequences),
-{_sm64_ctes('mq', 'SELECT acc AS k, doc_id FROM sh', ', doc_id')},
-hv AS (SELECT doc_id, h1 AS h FROM mqh),
-pv AS (SELECT doc_id, p.i, {v} AS v
-       FROM hv CROSS JOIN (VALUES {perms}) p(i, a, b)),
-sg AS (SELECT doc_id, i, min(v) AS s FROM pv GROUP BY doc_id, i),
-docs AS (SELECT doc_id FROM sequences),
-grid AS (SELECT d.doc_id, p.i FROM docs d
-         CROSS JOIN (SELECT unnest(range(128)) AS i) p),
-sigf AS (SELECT g.doc_id, g.i, COALESCE(s.s, {mers}::UBIGINT) AS s
-         FROM grid g LEFT JOIN sg s ON s.doc_id = g.doc_id AND s.i = g.i),
-bb AS (SELECT doc_id, i // 4 AS band,
-              string_agg(CAST(s AS VARCHAR), ',' ORDER BY i) AS key
-       FROM sigf GROUP BY doc_id, i // 4),
-cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-         FROM bb l JOIN bb r ON l.band = r.band AND l.key = r.key
-                            AND l.doc_id < r.doc_id),
-mt AS (SELECT c.doc_a, c.doc_b,
-              sum(CASE WHEN sa.s = sb.s THEN 1 ELSE 0 END) / 128.0 AS ej
-       FROM cand c
-       JOIN sigf sa ON sa.doc_id = c.doc_a
-       JOIN sigf sb ON sb.doc_id = c.doc_b AND sb.i = sa.i
-       GROUP BY c.doc_a, c.doc_b)
-SELECT doc_a, doc_b, ej AS est_jaccard FROM mt WHERE ej >= 0.35
+{_minhash_ctes('m', 'sequences')}
+SELECT doc_a, doc_b, ej AS est_jaccard FROM mmt WHERE ej >= 0.35
 """
     )
 
@@ -2457,11 +2471,69 @@ def q_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_curate_corpus")
+def _curate_oracle() -> str:
+    import math
+
+    from .functions.text import DUCKDB_TOKENIZE
+    from .sketch.blocked import _HEADER as _BHEADER
+    from .sketch.blocked import _SALT, BlockedBloomFilter
+
+    nb = BlockedBloomFilter.for_np(n=500_000, p=1e-4).n_blocks
+    m_bits = nb * 256
+    wire = _BHEADER.size + nb * 32
+    lnfac = repr(math.log(1.0 - 1.0 / 32.0))
+    salts = ", ".join(f"({j}, {int(s)})" for j, s in enumerate(_SALT))
+    return f"""
+WITH gated AS (
+  SELECT doc_id, text FROM documents
+  WHERE len(list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '')) >= 8
+    AND round(CASE WHEN length(text) > 0
+                   THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                        * 1.0 / length(text)
+                   ELSE 0.0 END, 6) >= 0.3
+),
+keep AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY md5(text)),
+csequences AS (SELECT CAST(g.doc_id AS VARCHAR) AS doc_id,
+                      {DUCKDB_TOKENIZE('g.text')} AS tokens
+               FROM gated g JOIN keep k ON g.doc_id = k.doc_id),
+{_minhash_ctes('c', 'csequences')},
+dropped AS (SELECT DISTINCT doc_b AS doc_id FROM cmt WHERE ej >= 0.6),
+surv AS (SELECT s.doc_id, s.tokens FROM csequences s
+         LEFT JOIN dropped d ON s.doc_id = d.doc_id WHERE d.doc_id IS NULL),
+stok AS (SELECT unnest(tokens) AS tok FROM surv),
+sdt AS (SELECT DISTINCT CAST(tok AS UBIGINT) AS k FROM stok),
+{_sm64_ctes('cb', 'SELECT k FROM sdt')},
+cbits AS (SELECT DISTINCT CAST((h1 >> 32) % {nb} AS BIGINT) AS block, s.j,
+          CAST(((CAST(h1 % 4294967296 AS HUGEINT) * s.salt) % 4294967296)
+               AS BIGINT) >> 27 AS bit
+          FROM cbh CROSS JOIN (VALUES {salts}) s(j, salt)),
+card AS (SELECT CAST(count(*) AS BIGINT) AS c FROM cbits)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS docs_in,
+       (SELECT CAST(count(*) AS BIGINT) FROM gated) AS docs_after_quality,
+       (SELECT CAST(count(*) AS BIGINT) FROM keep) AS docs_after_exact_dedup,
+       (SELECT CAST(count(*) AS BIGINT) FROM surv) AS docs_out,
+       (SELECT CAST(COALESCE(sum(len(tokens)), 0) AS BIGINT) FROM surv)
+           AS tokens_out,
+       CASE WHEN c = 0 THEN 0.0
+            ELSE round({nb} * ln(1.0 - c / CAST({m_bits} AS DOUBLE))
+                       / {lnfac}, 1) END AS distinct_tokens_est,
+       round(c / CAST({m_bits} AS DOUBLE), 6) AS bloom_fill_ratio,
+       CAST({wire} AS BIGINT) AS bloom_bytes
+FROM card
+"""
+
+
+@register("q_curate_corpus", oracle=_curate_oracle())
 def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation pipeline stats (quality gate -> exact dedup
     -> MinHash near-dedup -> tokenize -> final Bloom); the capstone
-    composition of the library's operators."""
+    composition of the library's operators. FULLY oracle-backed (r5):
+    the DuckDB oracle replays the ENTIRE pipeline — whitespace/alpha
+    quality gate, md5 exact-dedup keep-min rule, the bit-exact MinHash
+    LSH drop set (_minhash_ctes) at threshold 0.6, tokenizer-parity
+    token counts, and the final split-block filter's fill/estimate/
+    wire size from an exactly rebuilt bit set — so every number in the
+    stats row hash-matches cross-engine."""
     from .plans import curate_corpus
 
     out = curate_corpus(
