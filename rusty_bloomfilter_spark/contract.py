@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from .functions.text import DEFAULT_VOCAB
 from .functions import (
     DUCKDB_TOKENIZE,
     duckdb_lang_id,
@@ -349,7 +350,12 @@ def oracle_sql() -> dict[str, str]:
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: two-key groupBy with decimal-exact money sums."""
     li = load_table(spark, sf_dir, "lineitem")
-    dec = lambda c: F.col(c).cast("decimal(38,4)")  # noqa: E731
+    # decimal(18,4) instead of (38,4) on the plain sums (r6): precision
+    # <= 18 keeps Spark's Decimal on the compact-long fast path instead
+    # of Int128. Exact for any realistic sum (overflow at 10^24); the
+    # per-row cast rounds identically (same HALF_UP at scale 4), so the
+    # double-cast results are bit-equal to the oracle's (38,4) sums.
+    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
         .groupBy("l_returnflag", "l_linestatus")
@@ -377,18 +383,27 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Broadcast join (customer is the small dim) + top-k."""
+    """Broadcast join (customer is the small dim) + top-k.
+
+    r6 shape: aggregate orders by the long custkey FIRST, then attach
+    c_name by broadcast join on the ~|customers| aggregated rows —
+    instead of joining every order row to its customer and hash-
+    aggregating on a (long, string) composite key. The inner join
+    filters identically before or after the aggregate (c_custkey is
+    unique), and decimal(18,4) keeps the money sum on the compact-long
+    path (exact; see q_pricing_summary).
+    """
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
+    agg = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("total_spent"),
+        F.count("*").alias("n_orders"),
+    )
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .groupBy(F.col("c_custkey").alias("custkey"), F.col("c_name").alias("name"))
-        .agg(
-            F.sum(F.col("o_totalprice").cast("decimal(38,4)"))
-            .cast("double")
-            .alias("total_spent"),
-            F.count("*").alias("n_orders"),
-        )
+        agg.join(F.broadcast(c), agg.custkey == c.c_custkey)
+        .select("custkey", F.col("c_name").alias("name"), "total_spent", "n_orders")
         .orderBy(F.desc("total_spent"), "custkey")
         .limit(20)
     )
@@ -479,12 +494,33 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_heavy_tokens_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact heavy hitters — the CMS top-k companion."""
-    seq = sequences_from_documents(spark, sf_dir)
+    """Exact heavy hitters — the CMS top-k companion.
+
+    r6 rewrite (same result, same oracle): count WORDS first, md5 only
+    the distinct words. The old explode(tokenize(text)) paid one md5
+    per occurrence — and 3x that, because the Generate's inferred
+    size/isnotnull filter re-evaluated the whole tokenize expression
+    twice more (plans/r06/q_heavy_tokens_exact_before.txt). Token
+    frequency = sum of word frequencies over words mapping to the id,
+    so aggregating words (cheap strings, map-side combined) and
+    hashing each distinct word once is value-identical: measured
+    4.53s -> 1.15s at sf1.0 before the tokenize fan-out landed.
+    """
+    from .sources import fan_out_small_scan
+
+    docs = fan_out_small_scan(spark, load_table(spark, sf_dir, "documents"))
+    words = F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != F.lit(""))
+    tok = (
+        F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long")
+        % DEFAULT_VOCAB
+    ).cast("int")
     return (
-        seq.select(F.explode("tokens").alias("tok"))
+        docs.select(F.explode(words).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .select(tok.alias("tok"), "c")
         .groupBy("tok")
-        .agg(F.count("*").alias("freq"))
+        .agg(F.sum("c").alias("freq"))
         .orderBy(F.desc("freq"), "tok")
         .limit(25)
     )

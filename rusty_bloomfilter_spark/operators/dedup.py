@@ -158,24 +158,41 @@ def minhash_candidate_pairs(
             lambda i: F.xxhash64(F.slice("sig", i * r + 1, r), i),
         )
     )
-    # the self-join references the bucket frame twice; without a persist
-    # Spark recomputes the full signature stage for each side
-    buckets = sig_df.select("doc_id", "sig", band_cols.alias("band", "bucket")).persist()
+    # Decide with small rows, move heavy rows once (optimization guide
+    # §2.3/§8, r6): the bucket self-join shuffles only (doc_id, band,
+    # bucket) — ~24 B/row — never the 128-long signature (which made the
+    # persisted+joined frame ~1 KB x bands per doc, measured 1.6 GB at
+    # sf1.0). Signatures attach AFTER candidate pairs are deduplicated,
+    # so the zip_with agreement verify also runs once per distinct pair
+    # instead of once per shared bucket (a near-dup pair shares up to
+    # `bands` buckets). Same output set: dedup-then-verify-then-filter
+    # ≡ verify-then-filter-then-dedup (est_jaccard is a pure function
+    # of the pair). sig_df is persisted: the bucket derivation reads it
+    # twice (self-join sides) and the attach joins read it twice more —
+    # without it the whole Python signature stage recomputes 4x.
+    sigs = sig_df.persist()
+    buckets = sigs.select("doc_id", band_cols.alias("band", "bucket"))
     left = buckets.alias("l")
     right = buckets.alias("r")
-    pairs = (
+    cand = (
         left.join(
             right,
             (F.col("l.band") == F.col("r.band"))
             & (F.col("l.bucket") == F.col("r.bucket"))
             & (F.col("l.doc_id") < F.col("r.doc_id")),
         )
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    pairs = (
+        cand.join(sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")), "doc_a")
+        .join(sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b")), "doc_b")
         .select(
-            F.col("l.doc_id").alias("doc_a"),
-            F.col("r.doc_id").alias("doc_b"),
+            "doc_a",
+            "doc_b",
             (
                 F.aggregate(
-                    F.zip_with("l.sig", "r.sig", lambda x, y: (x == y).cast("int")),
+                    F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
                     F.lit(0),
                     lambda acc, v: acc + v,
                 ).cast("double")
@@ -183,9 +200,8 @@ def minhash_candidate_pairs(
             ).alias("est_jaccard"),
         )
         .filter(F.col("est_jaccard") >= threshold)
-        .dropDuplicates(["doc_a", "doc_b"])
     )
-    return tie(pairs, buckets)
+    return tie(pairs, sigs)
 
 
 def lsh_plan(

@@ -59,11 +59,23 @@ def ann_bruteforce_topk(
 ) -> DataFrame:
     """Exact cosine top-k neighbors for each query id (excluding self).
     Deterministic tie-break: (cosine desc, neighbor_id asc)."""
+    # Precompute each side's norm ONCE (r6): _cosine_expr per pair runs
+    # 3 higher-order-function folds — ‖v‖ was recomputed for every
+    # (row, query) pair and ‖q‖ for every row. Factoring the norms out
+    # leaves 1 fold (the dot product) per pair. Value-identical: the
+    # norm folds are the same expressions evaluated once, and IEEE
+    # multiply/divide on the same doubles yields the same double.
+    sq_sum = lambda c: F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x * x), F.lit(0.0), lambda s, v: s + v
+    )
     base = embeddings.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
-    )
+    ).withColumn("nv", F.sqrt(sq_sum(F.col("v"))))
     queries = base.filter(F.col("id").isin(query_ids)).select(
-        F.col("id").alias("query_id"), F.col("v").alias("qv")
+        F.col("id").alias("query_id"), F.col("v").alias("qv"), F.col("nv").alias("nq")
+    )
+    dot = F.aggregate(
+        F.zip_with("qv", "v", lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v
     )
     scored = (
         base.crossJoin(F.broadcast(queries))
@@ -71,7 +83,7 @@ def ann_bruteforce_topk(
         .select(
             "query_id",
             F.col("id").alias("neighbor_id"),
-            F.round(_cosine_expr(F.col("qv"), F.col("v")), 6).alias("cosine"),
+            F.round(dot / (F.col("nq") * F.col("nv")), 6).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
