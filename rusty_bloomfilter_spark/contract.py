@@ -356,15 +356,20 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-row cast rounds identically (same HALF_UP at scale 4), so the
     # double-cast results are bit-equal to the oracle's (38,4) sums.
     dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    # the (18,4)x(18,4) product is decimal(37,8) (Int128); one row fits
+    # decimal(18,8) exactly (price*factor < 10^10), so casting it back
+    # down keeps the SUM buffer compact-long too — same scale, no
+    # rounding, value-identical (verified vs the (38,4) oracle).
+    disc_price = (dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).cast(
+        "decimal(18,8)"
+    )
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
             F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
-            F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
-            .cast("double")
-            .alias("sum_disc_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
             F.count("*").alias("count_order"),
         )
     )

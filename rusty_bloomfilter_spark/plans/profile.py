@@ -90,20 +90,86 @@ def token_profile(
     (measured 2.7x slower end-to-end) — so callers with larger vocabs
     should pass a shape sized ~4x their vocab, not "a big number".
     """
+    import numpy as np
+
     from ..operators.aggregate import build_multi_by_key
     from ..sketch import merge_payloads, merge_sketch_payloads
 
     shape = shape or Shape.for_np(n=200_000, p=1e-4)
     bloom = BloomSketch(shape)
     hll = HllSketch(hll_p)
+
+    # r6 restructure (guide §2.3 "aggregate before you shuffle", §4
+    # "shrink the Python boundary"): fold the corpus to (source, tok,
+    # cnt) with ONE JVM explode + map-side-combined aggregate — the
+    # group count is bounded by sources x vocabulary, not corpus size —
+    # and feed the sketches those counted rows instead of shipping
+    # every token occurrence through Arrow into Python. Bloom/HLL
+    # inserts are idempotent, so inserting each distinct (source, tok)
+    # once and correcting n_items by the occurrence count yields
+    # byte-identical payloads (the same invariant dedup_counts already
+    # relies on). posexplode_outer (not posexplode) keeps one row for
+    # empty/NULL-token docs — so doc counting stays exact — and avoids
+    # the inferred Generate filter that re-evaluates the upstream
+    # tokenize expression (plans/r06, q_heavy_tokens_exact finding).
+    ex = sequences.select("source", F.posexplode_outer("tokens").alias("pos", "tok"))
+    counts = ex.groupBy("source", "tok").agg(
+        F.count("*").alias("cnt"),
+        # first-token (or empty-doc) marker: sums to the doc count
+        F.sum(
+            F.when((F.col("pos") == 0) | F.col("pos").isNull(), 1).otherwise(0)
+        ).alias("n_first"),
+    )
+
+    def _counted_vals(batch):
+        import pyarrow.compute as pc
+
+        tok = batch.column("tok")
+        cnt = batch.column("cnt")
+        if tok.null_count:  # NULL tok = empty-doc marker rows, not tokens
+            keep = pc.is_valid(tok)
+            tok = tok.filter(keep)
+            cnt = cnt.filter(keep)
+        ids = tok.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        cs = cnt.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        return ids, cs
+
+    def bloom_upd(acc, batch):
+        ids, cs = _counted_vals(batch)
+        if ids.size:
+            acc.add_tokens(ids)
+            acc.n_items += int(cs.sum()) - ids.size
+
+    def hll_upd(acc, batch):
+        ids, cs = _counted_vals(batch)
+        if ids.size:
+            acc.add_tokens(ids)
+            acc.n_items += int(cs.sum()) - ids.size
+
+    class _DocCounter:
+        """Trivial spec accumulator: sums the n_first markers so the
+        per-source doc count rides the same keyed build row."""
+
+        def __init__(self) -> None:
+            self.n_items = 0
+
+        def to_bytes(self) -> bytes:
+            return b""
+
+    def docs_upd(acc, batch):
+        import pyarrow.compute as pc
+
+        acc.n_items += int(pc.sum(batch.column("n_first")).as_py() or 0)
+
     keyed = build_multi_by_key(
-        sequences,
+        counts,
         "source",
         [
-            ("bloom", bloom._empty, bloom._update, merge_payloads),
-            ("hll", hll._empty, hll._update, merge_sketch_payloads),
+            ("bloom", bloom._empty, bloom_upd, merge_payloads),
+            ("hll", hll._empty, hll_upd, merge_sketch_payloads),
+            ("docs", _DocCounter, docs_upd, lambda payloads: b""),
         ],
-        columns=["source", "tokens"],
+        columns=["source", "tok", "cnt", "n_first"],
         salt=salt,
     )
 
@@ -124,7 +190,7 @@ def token_profile(
                 bf = BloomFilter.from_bytes(bytes(row["payload_bloom"]))
                 card = bf.cardinality()
                 out["source"].append(row["key"])
-                out["n_seqs"].append(int(row["n_rows"]))
+                out["n_seqs"].append(int(row["n_docs"]))
                 out["n_tokens"].append(int(row["n_bloom"]))
                 out["bloom_n_items"].append(int(row["n_bloom"]))
                 out["bloom_bits"].append(card)

@@ -74,8 +74,13 @@ def test_semi_join_candidates_broadcast(spark):
 
 
 def test_tree_merge_shuffles_only_sketch_rows(spark):
-    """The only exchanges in the bloom pipeline move (payload, n_items)
-    rows — no exchange appears below the partition-build mapInArrow."""
+    """The only hash/key exchanges in the bloom pipeline move
+    (payload, n_items) rows — no KEYED exchange appears below the
+    partition-build mapInArrow. The one permitted non-sketch exchange
+    is the RoundRobin small-scan fan-out (sources.fan_out_small_scan,
+    r6): it fires only when the scan has fewer splits than cores, i.e.
+    never at 100 TB, and is asserted to be round-robin (a plain
+    compute spread, not a row shuffle keyed by data)."""
     from rusty_bloomfilter_spark.operators.sketches import BlockedBloomSketch
     from rusty_bloomfilter_spark.sources import sequences_from_documents
 
@@ -84,11 +89,17 @@ def test_tree_merge_shuffles_only_sketch_rows(spark):
 
     plan = plan_of(BlockedBloomSketch.for_np(n=100_000, p=1e-3).build(seq))
     assert "MapInArrow" in plan
-    # every Exchange in the plan carries only (payload, n_items) rows
-    exchanges = re.findall(r"\(\d+\) Exchange\s*\nInput \[\d+\]: \[([^\]]*)\]", plan)
+    exchanges = re.findall(
+        r"\(\d+\) Exchange\s*\nInput \[\d+\]: \[([^\]]*)\]\nArguments: ([^\n]*)", plan
+    )
     assert exchanges, plan
-    for inputs in exchanges:
-        assert "payload" in inputs and "n_items" in inputs, inputs
+    sketch_exchanges = 0
+    for inputs, args in exchanges:
+        if "RoundRobinPartitioning" in args:
+            continue  # scale-adaptive fan-out, no-op when splits >= cores
+        assert "payload" in inputs and "n_items" in inputs, (inputs, args)
+        sketch_exchanges += 1
+    assert sketch_exchanges, exchanges
     # and the parquet scan reads only the text column (pruned)
     assert "ReadSchema: struct<text:string>" in plan
 
