@@ -350,26 +350,40 @@ def oracle_sql() -> dict[str, str]:
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: two-key groupBy with decimal-exact money sums."""
     li = load_table(spark, sf_dir, "lineitem")
-    # decimal(18,4) instead of (38,4) on the plain sums (r6): precision
-    # <= 18 keeps Spark's Decimal on the compact-long fast path instead
-    # of Int128. Exact for any realistic sum (overflow at 10^24); the
-    # per-row cast rounds identically (same HALF_UP at scale 4), so the
-    # double-cast results are bit-equal to the oracle's (38,4) sums.
-    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
-    # the (18,4)x(18,4) product is decimal(37,8) (Int128); one row fits
-    # decimal(18,8) exactly (price*factor < 10^10), so casting it back
-    # down keeps the SUM buffer compact-long too — same scale, no
-    # rounding, value-identical (verified vs the (38,4) oracle).
-    disc_price = (dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).cast(
-        "decimal(18,8)"
-    )
+    # r6: money flows through 1e4-SCALED LONGS per row instead of
+    # double->decimal casts. Spark's double->decimal cast (and round())
+    # goes through BigDecimal(Double.toString) — a string parse and
+    # allocation per value, measured 3x the whole aggregate's cost at
+    # sf1.0 (dec sums 1.33s vs 0.43s scaled-long). floor(x*1e4 + 0.5)
+    # is HALF_UP in pure double math (the q_ann_sq codec precedent) and
+    # is row-for-row equal to CAST(x AS DECIMAL(38,4)) on this data
+    # domain (4-dp money values; audited 0 mismatches over every row of
+    # all four SFs, pinned in tests/test_money_scaling.py). The scaled
+    # sums are exact integers; dividing back as decimal(30,0)/10^4
+    # (scale-6 quotient, no precision-loss adjustment) and casting to
+    # double reproduces the oracle's decimal-sum-then-double bit-exactly.
+    sc4 = lambda c: F.floor(F.col(c) * 10000 + F.lit(0.5)).cast("long")  # noqa: E731
+    d5 = F.lit(10000).cast("decimal(5,0)")
+    d9 = F.lit(100000000).cast("decimal(9,0)")
+    # per-row product: (1e4*ep) * (1e4 - 1e4*disc) = 1e8 * ep*(1-disc),
+    # an exact integer <= ~1e13/row; summed in decimal(20,0) (compact
+    # per-partition partials, exact at any corpus size)
+    disc_scaled = (
+        sc4("l_extendedprice") * (F.lit(10000).cast("long") - sc4("l_discount"))
+    ).cast("decimal(20,0)")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
-            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
-            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            (F.sum(sc4("l_quantity")).cast("decimal(30,0)") / d5)
+            .cast("double")
+            .alias("sum_qty"),
+            (F.sum(sc4("l_extendedprice")).cast("decimal(30,0)") / d5)
+            .cast("double")
+            .alias("sum_base_price"),
+            (F.sum(disc_scaled).cast("decimal(28,0)") / d9)
+            .cast("double")
+            .alias("sum_disc_price"),
             F.count("*").alias("count_order"),
         )
     )
@@ -400,8 +414,12 @@ def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
+    # 1e4-scaled-long money sum (see q_pricing_summary: the per-row
+    # double->decimal cast is a BigDecimal string parse, 2.7x the whole
+    # aggregate; floor-scaling audited row-equal on all SFs)
+    sc4 = F.floor(F.col("o_totalprice") * 10000 + F.lit(0.5)).cast("long")
     agg = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
-        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        (F.sum(sc4).cast("decimal(30,0)") / F.lit(10000).cast("decimal(5,0)"))
         .cast("double")
         .alias("total_spent"),
         F.count("*").alias("n_orders"),
