@@ -98,59 +98,7 @@ def register(name: str, oracle: str | None = None):
 # additions still land inside the window. Remaining never-appeared queries
 # head _WINDOW_MIDDLE; r5 additions beyond 8 would evict them, so prefer
 # deepening oracles over widening the count this round.
-_WINDOW_FIRST = [  # 42 oracle-backed, zero driver rows ever (r5 rotation)
-    "q_heavy_tokens_mg",
-    "q_zone_pruned_read",
-    "q_range_layout_prune",
-    "q_zorder_pruned_read",
-    "q_event_funnel",
-    "q_rolling_revenue",
-    "q_compaction_plan",
-    "q_pagerank",
-    "q_value_outliers",
-    "q_similar_names",
-    "q_retention_cohorts",
-    "q_table_profile",
-    "q_join_advisor",
-    "q_hll_rollup",
-    "q_inverted_index",
-    "q_key_skew_exact",
-    "q_xor_pruned_read",
-    "q_source_token_drift",
-    "q_tfidf_top_terms",
-    "q_embedding_gram",
-    "q_collocations_pmi",
-    "q_sliding_distinct",
-    "q_token_shift_exact",
-    "q_ntok_percentile_exact",
-    "q_psi_drift",
-    "q_bloom_shape_plan",
-    "q_data_validation",
-    "q_streaming_sessionize",
-    "q_bloom_anti_join",
-    "q_mixture_replicate",
-    "q_bloom_inner_join",
-    "q_scd2_history",
-    "q_scd2_apply",
-    "q_event_transitions",
-    "q_triangle_count",
-    "q_distinctive_terms",
-    "q_debounce",
-    "q_cooccurrence_lift",
-    "q_cusum_changepoint",
-    "q_join_size_est",
-    "q_user_novelty_hll",
-    "q_kll_ntok_by_source",
-]
-
-_WINDOW_MIDDLE = [  # 63 remaining never-appeared, then stale-green (oldest green first)
-    "q_daily_trend",
-    "q_pseudonym_join",
-    "q_storage_profile",
-    "q_encoding_audit",
-    "q_data_diff",
-    "q_index_append",
-    "q_partitioned_scan",
+_WINDOW_FIRST = [  # r6 rotation (VERIFY_SCHEDULE.md): never driver-verified, registration order
     "q_streaming_attribution",
     "q_streaming_enrich",
     "q_regional_volume",
@@ -207,84 +155,20 @@ _WINDOW_MIDDLE = [  # 63 remaining never-appeared, then stale-green (oldest gree
     "q_streaming_late_audit",
     "q_compressibility",
     "q_lsh_recall_audit",
-    "q_embedding_near_dups_exact",
     "q_ann_ivf",
     "q_media_stats",
     "q_source_overlap_hll",
-    "q_incremental_dedup_exact",
     "q_incremental_dedup",
-    "q_anti_join",
-    "q_keep_latest",
-    "q_correlated_subquery",
-    "q_asof_join",
-    "q_range_join",
-    "q_ngram_jaccard",
-    "q_bottomk_sample",
-    "q_weighted_sample",
-    "q_salted_skew_build",
-    "q_mp4_frame_plan",
-    "q_container_stats",
-    "q_video_near_dups",
     "q_sharded_bloom",
-    "q_stratified_sample",
-    "q_kmv_distinct",
-    "q_kmv_overlap",
-    "q_bpe_merge_pairs",
-    "q_contamination_exact",
     "q_decontaminate",
-    "q_bigram_lm_scores",
     "q_bpe_learn",
-    "q_repetition_filters",
     "q_curate_corpus",
     "q_tdigest_quantiles",
-    "q_quantiles_exact",
-    "q_pivot_status",
-    "q_grouping_sets",
-    "q_cube_events",
-    "q_streaming_windowed_counts",
     "q_streaming_windowed_topk",
-    "q_catalog_scan",
     "q_checkpoint_resume",
-    "q_dup_clusters",
-    "q_pii_scrub",
-    "q_token_entropy",
-    "q_bloom_join_prune",
-    "q_domain_cap",
-    "q_pack_sequences",
-    "q_ntok_histogram",
-    "q_span_dedup",
-    "q_span_cut",
-    "q_temperature_mix",
-    "q_shard_manifest",
-    "q_split_manifest",
-    "q_epoch_shuffle",
-    "q_json_props",
     "q_user_distinct_hll",
-    "q_zipf_slope",
-    "q_user_novelty_exact",
-    "q_ntok_quantiles_by_source",
     "q_counting_bloom_revoke",
-    "q_bloom_pruned_read",
-    "q_streaming_dedup",
     "q_streaming_bloom_dedup",
-    "q_embedding_centroids",
-]
-
-_WINDOW_LAST = [  # 35 thrice-green
-    "q_pricing_summary",
-    "q_top_customers",
-    "q_events_by_type",
-    "q_distinct_users_exact",
-    "q_token_counts",
-    "q_heavy_tokens_exact",
-    "q_ngram_distinct",
-    "q_lang_distribution",
-    "q_quality_scores",
-    "q_lang_id",
-    "q_doc_fingerprints",
-    "q_exact_dedup",
-    "q_events_quantiles",
-    "q_ann_bruteforce",
     "q_bloom_source_profile",
     "q_bloom_probe",
     "q_hll_distinct_tokens",
@@ -295,17 +179,134 @@ _WINDOW_LAST = [  # 35 thrice-green
     "q_embedding_near_dups",
     "q_ann_lsh",
     "q_media_features",
-    "q_source_overlap_exact",
     "q_source_overlap_bloom",
     "q_bloom_doc_ids",
-    "q_topk_two_pass",
     "q_topk_cms",
-    "q_rollup_revenue",
-    "q_window_user_ranks",
-    "q_set_ops",
-    "q_sessionize",
-    "q_token_count_bpe",
-    "q_rolling_fingerprint",
+]
+
+_WINDOW_MIDDLE = [  # stale-first (last green round shown)
+    "q_embedding_near_dups_exact",  # r3
+    "q_incremental_dedup_exact",  # r3
+    "q_anti_join",  # r3
+    "q_keep_latest",  # r3
+    "q_correlated_subquery",  # r3
+    "q_asof_join",  # r3
+    "q_range_join",  # r3
+    "q_ngram_jaccard",  # r3
+    "q_bottomk_sample",  # r3
+    "q_weighted_sample",  # r3
+    "q_salted_skew_build",  # r4
+    "q_mp4_frame_plan",  # r4
+    "q_container_stats",  # r4
+    "q_video_near_dups",  # r4
+    "q_stratified_sample",  # r4
+    "q_kmv_distinct",  # r4
+    "q_kmv_overlap",  # r4
+    "q_bpe_merge_pairs",  # r4
+    "q_contamination_exact",  # r4
+    "q_bigram_lm_scores",  # r4
+    "q_repetition_filters",  # r4
+    "q_quantiles_exact",  # r4
+    "q_pivot_status",  # r4
+    "q_grouping_sets",  # r4
+    "q_cube_events",  # r4
+    "q_streaming_windowed_counts",  # r4
+    "q_catalog_scan",  # r4
+    "q_dup_clusters",  # r4
+    "q_pii_scrub",  # r4
+    "q_token_entropy",  # r4
+    "q_bloom_join_prune",  # r4
+    "q_domain_cap",  # r4
+    "q_pack_sequences",  # r4
+    "q_ntok_histogram",  # r4
+    "q_span_dedup",  # r4
+    "q_span_cut",  # r4
+    "q_temperature_mix",  # r4
+    "q_shard_manifest",  # r4
+    "q_split_manifest",  # r4
+    "q_epoch_shuffle",  # r4
+    "q_json_props",  # r4
+    "q_zipf_slope",  # r4
+    "q_user_novelty_exact",  # r4
+    "q_ntok_quantiles_by_source",  # r4
+    "q_bloom_pruned_read",  # r4
+    "q_streaming_dedup",  # r4
+    "q_embedding_centroids",  # r4
+    "q_heavy_tokens_mg",  # r5
+    "q_zone_pruned_read",  # r5
+    "q_range_layout_prune",  # r5
+    "q_zorder_pruned_read",  # r5
+    "q_event_funnel",  # r5
+    "q_rolling_revenue",  # r5
+    "q_compaction_plan",  # r5
+    "q_pagerank",  # r5
+    "q_value_outliers",  # r5
+    "q_similar_names",  # r5
+    "q_retention_cohorts",  # r5
+    "q_table_profile",  # r5
+    "q_join_advisor",  # r5
+    "q_hll_rollup",  # r5
+    "q_inverted_index",  # r5
+    "q_key_skew_exact",  # r5
+    "q_xor_pruned_read",  # r5
+    "q_source_token_drift",  # r5
+    "q_tfidf_top_terms",  # r5
+    "q_embedding_gram",  # r5
+    "q_collocations_pmi",  # r5
+    "q_sliding_distinct",  # r5
+    "q_token_shift_exact",  # r5
+    "q_ntok_percentile_exact",  # r5
+    "q_psi_drift",  # r5
+    "q_bloom_shape_plan",  # r5
+    "q_data_validation",  # r5
+    "q_streaming_sessionize",  # r5
+    "q_bloom_anti_join",  # r5
+    "q_mixture_replicate",  # r5
+    "q_bloom_inner_join",  # r5
+    "q_scd2_history",  # r5
+    "q_scd2_apply",  # r5
+    "q_event_transitions",  # r5
+    "q_triangle_count",  # r5
+    "q_distinctive_terms",  # r5
+    "q_debounce",  # r5
+    "q_cooccurrence_lift",  # r5
+    "q_cusum_changepoint",  # r5
+    "q_join_size_est",  # r5
+    "q_user_novelty_hll",  # r5
+    "q_kll_ntok_by_source",  # r5
+    "q_html_extract",  # r5
+    "q_daily_trend",  # r5
+    "q_pseudonym_join",  # r5
+    "q_storage_profile",  # r5
+    "q_encoding_audit",  # r5
+    "q_data_diff",  # r5
+    "q_index_append",  # r5
+    "q_partitioned_scan",  # r5
+]
+
+_WINDOW_LAST = [  # >=3 green rounds
+    "q_pricing_summary",  # [1, 2, 3]
+    "q_top_customers",  # [1, 2, 3]
+    "q_events_by_type",  # [1, 2, 3]
+    "q_distinct_users_exact",  # [1, 2, 3]
+    "q_token_counts",  # [1, 2, 3]
+    "q_heavy_tokens_exact",  # [1, 2, 3]
+    "q_ngram_distinct",  # [1, 2, 3]
+    "q_lang_distribution",  # [1, 2, 3]
+    "q_quality_scores",  # [1, 2, 3]
+    "q_lang_id",  # [1, 2, 3]
+    "q_doc_fingerprints",  # [1, 2, 3]
+    "q_exact_dedup",  # [1, 2, 3]
+    "q_events_quantiles",  # [1, 2, 3]
+    "q_ann_bruteforce",  # [1, 2, 3]
+    "q_source_overlap_exact",  # [1, 2, 3]
+    "q_topk_two_pass",  # [1, 2, 3]
+    "q_rollup_revenue",  # [1, 2, 3]
+    "q_window_user_ranks",  # [1, 2, 3]
+    "q_set_ops",  # [1, 2, 3]
+    "q_sessionize",  # [1, 2, 3]
+    "q_token_count_bpe",  # [1, 2, 3]
+    "q_rolling_fingerprint",  # [1, 2, 3]
 ]
 
 

@@ -529,11 +529,24 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
+def _dot_expr(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
+
+
+def _norm_expr(a):
+    """sqrt(sum of squares) — hoist onto each vector frame ONCE (r6):
+    _cosine_expr per pair re-folds both norms for every pair, tripling
+    the higher-order-function work. dot/(na*nb) on precomputed norm
+    columns is value-identical (same folds, IEEE mult/div of the same
+    doubles)."""
+    return F.sqrt(
+        F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, v: s + v)
+    )
+
+
 def _cosine_expr(a, b):
-    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
-    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, v: s + v))
-    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda s, v: s + v))
-    return dot / (na * nb)
+    dot = _dot_expr(a, b)
+    return dot / (_norm_expr(a) * _norm_expr(b))
 
 
 def embedding_near_dups(
@@ -602,11 +615,21 @@ def embedding_near_dups(
     )
     e = embeddings.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
-    )
+    ).withColumn("nv", _norm_expr(F.col("v")))  # norm once per vector (r6)
     out = (
-        cand.join(e.withColumnRenamed("id", "id_a").withColumnRenamed("v", "va"), "id_a")
-        .join(e.withColumnRenamed("id", "id_b").withColumnRenamed("v", "vb"), "id_b")
-        .select("id_a", "id_b", F.round(_cosine_expr(F.col("va"), F.col("vb")), 6).alias("cosine"))
+        cand.join(
+            e.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nv").alias("na")),
+            "id_a",
+        )
+        .join(
+            e.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nv").alias("nb")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.round(_dot_expr(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6).alias("cosine"),
+        )
         .filter(F.col("cosine") >= threshold)
     )
     return tie(out, b_df)

@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .cache import tie
-from .dedup import _cosine_expr
+from .dedup import _dot_expr, _norm_expr
 
 
 def _stack_rows(col, dim: int) -> tuple[np.ndarray, np.ndarray]:
@@ -167,16 +167,19 @@ def ann_lsh_topk(
         .select("query_id", F.col("id").alias("neighbor_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    qv = base.filter(F.col("id").isin(query_ids)).select(
-        F.col("id").alias("query_id"), F.col("v").alias("qv")
+    based = base.withColumn("nv", _norm_expr(F.col("v")))  # norm once/vector (r6)
+    qv = based.filter(F.col("id").isin(query_ids)).select(
+        F.col("id").alias("query_id"), F.col("v").alias("qv"), F.col("nv").alias("nq")
     )
     scored = (
         cand.join(F.broadcast(qv), "query_id")
-        .join(base.withColumnRenamed("id", "neighbor_id"), "neighbor_id")
+        .join(based.withColumnRenamed("id", "neighbor_id"), "neighbor_id")
         .select(
             "query_id",
             "neighbor_id",
-            F.round(_cosine_expr(F.col("qv"), F.col("v")), 6).alias("cosine"),
+            F.round(
+                _dot_expr(F.col("qv"), F.col("v")) / (F.col("nq") * F.col("nv")), 6
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -457,16 +460,19 @@ def _ivf_probe(
         .select("query_id", F.col("id").alias("neighbor_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    qv_df = base.filter(F.col("id").isin(query_ids)).select(
-        F.col("id").alias("query_id"), F.col("v").alias("qv")
+    based = base.withColumn("nv", _norm_expr(F.col("v")))  # norm once/vector (r6)
+    qv_df = based.filter(F.col("id").isin(query_ids)).select(
+        F.col("id").alias("query_id"), F.col("v").alias("qv"), F.col("nv").alias("nq")
     )
     scored = (
         cand.join(F.broadcast(qv_df), "query_id")
-        .join(base.withColumnRenamed("id", "neighbor_id"), "neighbor_id")
+        .join(based.withColumnRenamed("id", "neighbor_id"), "neighbor_id")
         .select(
             "query_id",
             "neighbor_id",
-            F.round(_cosine_expr(F.col("qv"), F.col("v")), 6).alias("cosine"),
+            F.round(
+                _dot_expr(F.col("qv"), F.col("v")) / (F.col("nq") * F.col("nv")), 6
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -526,16 +532,16 @@ def ann_sq_topk(
     exact integers (|q| <= 127, dim-bounded), so the ranking is
     bitwise-reproducible across engines and partitionings.
     """
-    from .dedup import _cosine_expr
-
     base = embeddings.select(
         F.col(id_col).alias("id"),
         quantize_sq8_expr(F.col(vec_col).cast("array<double>"))
         .cast("array<double>")
         .alias("q"),
-    ).filter(F.col("q").isNotNull())
+    ).filter(F.col("q").isNotNull()).withColumn(
+        "nv", _norm_expr(F.col("q"))  # norm once/vector (r6)
+    )
     queries = base.filter(F.col("id").isin(query_ids)).select(
-        F.col("id").alias("query_id"), F.col("q").alias("qq")
+        F.col("id").alias("query_id"), F.col("q").alias("qq"), F.col("nv").alias("nq")
     )
     scored = (
         base.crossJoin(F.broadcast(queries))
@@ -543,7 +549,9 @@ def ann_sq_topk(
         .select(
             "query_id",
             F.col("id").alias("neighbor_id"),
-            F.round(_cosine_expr(F.col("qq"), F.col("q")), 6).alias("cosine_sq"),
+            F.round(
+                _dot_expr(F.col("qq"), F.col("q")) / (F.col("nq") * F.col("nv")), 6
+            ).alias("cosine_sq"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sq"), F.asc("neighbor_id"))
