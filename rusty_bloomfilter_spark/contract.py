@@ -532,7 +532,11 @@ def q_heavy_tokens_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from .sources import fan_out_small_scan
 
-    docs = fan_out_small_scan(spark, load_table(spark, sf_dir, "documents"))
+    docs = fan_out_small_scan(
+        spark,
+        load_table(spark, sf_dir, "documents"),
+        path=f"{sf_dir}/documents.parquet",
+    )
     words = F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != F.lit(""))
     tok = (
         F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long")

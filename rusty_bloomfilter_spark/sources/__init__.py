@@ -68,19 +68,69 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def fan_out_small_scan(spark: SparkSession, df: DataFrame) -> DataFrame:
+def _scan_bytes_under(path: str, cap: int) -> int | None:
+    """Total bytes of a local file/dir, early-exiting once >= cap.
+    None when the path isn't statable (remote FS -> caller falls back
+    to the plan probe)."""
+    from pathlib import Path as _P
+
+    try:
+        p = _P(path)
+        if p.is_file():
+            return p.stat().st_size
+        if not p.is_dir():
+            return None
+        total = 0
+        for f in p.rglob("*"):
+            if f.is_file():
+                total += f.stat().st_size
+                if total >= cap:
+                    return total
+        return total
+    except OSError:
+        return None
+
+
+def fan_out_small_scan(
+    spark: SparkSession, df: DataFrame, *, path: str | None = None
+) -> DataFrame:
     """Scale-adaptive compute fan-out (optimization guide §2, r6): a
     small corpus arrives as 1-2 parquet splits, which pins every
     CPU-bound stage built on it (md5 tokenize, word aggregation) to
     1-2 cores. Repartition up to the session's default parallelism
-    ONLY when the scan has fewer splits; at real scale the scan
+    ONLY when the scan would have fewer splits; at real scale the scan
     already has >= cores splits and this returns the input unchanged
     (no Exchange added). Results are partitioning-independent (repo
     invariant), so the rewrite is value-neutral.
+
+    The splits-below-cores test mirrors Spark's own file-split sizing:
+    with openCostInBytes-floored splits, a scan lands below `cores`
+    splits iff total bytes < cores * openCost. For a local ``path``
+    that is a couple of stat() calls (early-exit walk); the plan-probe
+    fallback (safe_partition_count, ~0.2s of driver work per call —
+    measured) only runs for non-statable sources.
     """
     from ..operators.aggregate import safe_partition_count
 
     target = spark.sparkContext.defaultParallelism
+    if path is not None:
+        try:
+            open_cost = int(
+                "".join(
+                    c
+                    for c in spark.conf.get(
+                        "spark.sql.files.openCostInBytes", "4194304"
+                    )
+                    if c.isdigit()
+                )
+                or "4194304"
+            )
+        except Exception:
+            open_cost = 4194304
+        cap = target * open_cost
+        got = _scan_bytes_under(path, cap)
+        if got is not None:
+            return df.repartition(target) if got < cap else df
     if safe_partition_count(df, default=target) < target:
         return df.repartition(target)
     return df
@@ -94,7 +144,11 @@ def sequences_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     out to the session cores first (measured r6: the sf1.0 tokenize
     pass alone went 2.7s -> ~0.5s; see fan_out_small_scan).
     """
-    docs = fan_out_small_scan(spark, load_table(spark, sf_dir, "documents"))
+    docs = fan_out_small_scan(
+        spark,
+        load_table(spark, sf_dir, "documents"),
+        path=f"{sf_dir}/documents.parquet",
+    )
     tokens = tokenize_md5(F.col("text"))
     return docs.select(
         F.col("doc_id").cast("string").alias("doc_id"),
