@@ -197,9 +197,16 @@ def _build_codes(bits: list[int], huffval: list[int]) -> dict[int, tuple[int, in
 
 
 class _HuffDecoder:
-    """Canonical Huffman decode tables (F.2.2.3 DECODE procedure)."""
+    """Canonical Huffman decode tables (F.2.2.3 DECODE procedure),
+    plus a 16-bit-peek lookup table (r6): ``lut[prefix16]`` packs
+    ``(code_length << 8) | symbol`` for every 16-bit prefix whose head
+    is a valid code; 0 marks prefixes no <=16-bit code matches (the
+    same condition the bit-at-a-time DECODE loop rejected). This turns
+    the per-symbol decode from one Python call + numpy scalar index
+    PER BIT into one list index per SYMBOL (measured ~15x on the
+    budget corpus, bit-identical output — see OPTIMIZATION_r06.md)."""
 
-    __slots__ = ("mincode", "maxcode", "valptr", "huffval")
+    __slots__ = ("mincode", "maxcode", "valptr", "huffval", "lut")
 
     def __init__(self, bits: list[int], huffval: list[int]):
         self.huffval = huffval
@@ -208,51 +215,94 @@ class _HuffDecoder:
         self.valptr = [0] * 17
         code = 0
         k = 0
+        lut = np.zeros(1 << 16, dtype=np.int32)
         for length in range(1, 17):
             if bits[length - 1]:
                 self.valptr[length] = k
                 self.mincode[length] = code
-                code += bits[length - 1]
-                k += bits[length - 1]
+                for _ in range(bits[length - 1]):
+                    base = code << (16 - length)
+                    lut[base : base + (1 << (16 - length))] = (length << 8) | huffval[k]
+                    code += 1
+                    k += 1
                 self.maxcode[length] = code - 1
             code <<= 1
+        self.lut = lut.tolist()
 
 
 class _BitReader:
-    """MSB-first bit reader over destuffed entropy bytes."""
+    """MSB-first bit reader over destuffed entropy bytes.
 
-    __slots__ = ("bits", "pos")
+    r6 rewrite: a bit accumulator refilled a byte at a time from the
+    (zero-padded) buffer replaces the per-bit ``np.unpackbits`` walk;
+    Huffman symbols resolve with one 16-bit peek against the table's
+    LUT. ``pos`` keeps the absolute-bit-index semantics the restart
+    handling relies on. Consuming past the true stream end raises
+    IndexError exactly like the old reader (decode_jpeg maps it to the
+    ValueError truncation path); peeks may touch the zero padding, but
+    only a *consume* beyond ``nbits`` errors, so valid streams whose
+    last code ends mid-byte are unaffected."""
+
+    __slots__ = ("buf", "nbits", "acc", "navail", "bytepos")
 
     def __init__(self, data: np.ndarray):
-        self.bits = np.unpackbits(data)
-        self.pos = 0
+        b = np.asarray(data, dtype=np.uint8)
+        self.nbits = int(b.size) * 8
+        self.buf = b.tobytes() + b"\x00\x00\x00\x00"
+        self.acc = 0
+        self.navail = 0
+        self.bytepos = 0
 
-    def read_bit(self) -> int:
-        b = int(self.bits[self.pos])
-        self.pos += 1
-        return b
+    @property
+    def pos(self) -> int:
+        return self.bytepos * 8 - self.navail
+
+    @pos.setter
+    def pos(self, p: int) -> None:
+        self.bytepos = p >> 3
+        self.acc = 0
+        self.navail = 0
+        if p & 7:
+            self.read_bits(p & 7)
 
     def read_bits(self, n: int) -> int:
         if n == 0:
             return 0
-        v = 0
-        bits = self.bits
-        p = self.pos
-        for _ in range(n):
-            v = (v << 1) | int(bits[p])
-            p += 1
-        self.pos = p
-        return v
+        navail = self.navail
+        while navail < n:
+            # mask to 24 bits: without it the consumed high bits pile
+            # into an ever-growing bignum and every shift goes O(len)
+            self.acc = ((self.acc << 8) | self.buf[self.bytepos]) & 0xFFFFFF
+            self.bytepos += 1
+            navail += 8
+        navail -= n
+        self.navail = navail
+        if self.bytepos * 8 - navail > self.nbits:
+            raise IndexError("entropy stream exhausted")
+        return (self.acc >> navail) & ((1 << n) - 1)
+
+    def receive_extend(self, t: int) -> int:
+        """F.2.2.1 RECEIVE+EXTEND fused: t raw bits -> signed coeff."""
+        if t == 0:
+            return 0
+        v = self.read_bits(t)
+        return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
 
     def decode(self, table: _HuffDecoder) -> int:
-        code = self.read_bit()
-        length = 1
-        while code > table.maxcode[length]:
-            code = (code << 1) | self.read_bit()
-            length += 1
-            if length > 16:
-                raise ValueError("corrupt JPEG: huffman code longer than 16 bits")
-        return table.huffval[table.valptr[length] + code - table.mincode[length]]
+        navail = self.navail
+        while navail < 16:
+            self.acc = ((self.acc << 8) | self.buf[self.bytepos]) & 0xFFFFFF
+            self.bytepos += 1
+            navail += 8
+        v = table.lut[(self.acc >> (navail - 16)) & 0xFFFF]
+        length = v >> 8
+        if length == 0:
+            raise ValueError("corrupt JPEG: huffman code longer than 16 bits")
+        navail -= length
+        self.navail = navail
+        if self.bytepos * 8 - navail > self.nbits:
+            raise IndexError("entropy stream exhausted")
+        return v & 0xFF
 
 
 def _extend(v: int, t: int) -> int:
@@ -650,33 +700,41 @@ def decode_jpeg(payload: bytes, *, allow_large: bool = False) -> np.ndarray:
             "components in first scan; only one interleaved scan supported)"
         )
 
-    # entropy-coded bytes: destuff FF00, stop collecting at a non-RST marker
+    # entropy-coded bytes: destuff FF00, stop collecting at a non-RST
+    # marker. r6: walk only the 0xFF positions (vectorized flatnonzero)
+    # instead of stepping every byte in Python — stuffing/marker events
+    # are ~1/200 bytes at typical qualities, so this removes ~99% of
+    # the loop iterations (measured 0.16s -> ~0 per 140 KB image).
+    # Event semantics identical to the per-byte walk: FF00 keeps the FF
+    # and skips the 00, RSTn records a bit boundary and resumes after,
+    # any other FFxx (including FFFF) terminates the scan, and a lone
+    # trailing FF (no next byte) falls through to the tail append.
     raw = np.frombuffer(payload, dtype=np.uint8)
     ent_chunks: list[np.ndarray] = []
     rst_positions: list[int] = []  # bit offsets where RST boundaries land
-    i = pos
     start = pos
     collected = 0
-    while i < len(raw) - 1:
-        if raw[i] == 0xFF:
-            nxt = raw[i + 1]
-            if nxt == 0x00:
-                ent_chunks.append(raw[start : i + 1])
-                collected += i + 1 - start
-                i += 2
-                start = i
-                continue
-            if 0xD0 <= nxt <= 0xD7:  # RSTn: boundary, resume after
-                ent_chunks.append(raw[start:i])
-                collected += i - start
-                rst_positions.append(collected * 8)
-                i += 2
-                start = i
-                continue
-            ent_chunks.append(raw[start:i])
-            break
-        i += 1
-    else:
+    ended = False
+    i_next = pos
+    for fi in (np.flatnonzero(raw[pos : len(raw) - 1] == 0xFF) + pos).tolist():
+        if fi < i_next:  # second byte of an already-consumed event
+            continue
+        nxt = raw[fi + 1]
+        if nxt == 0x00:
+            ent_chunks.append(raw[start : fi + 1])
+            collected += fi + 1 - start
+            start = i_next = fi + 2
+            continue
+        if 0xD0 <= nxt <= 0xD7:  # RSTn: boundary, resume after
+            ent_chunks.append(raw[start:fi])
+            collected += fi - start
+            rst_positions.append(collected * 8)
+            start = i_next = fi + 2
+            continue
+        ent_chunks.append(raw[start:fi])
+        ended = True
+        break
+    if not ended:
         ent_chunks.append(raw[start : len(raw)])
     entropy = np.concatenate(ent_chunks) if ent_chunks else np.empty(0, dtype=np.uint8)
 
@@ -751,38 +809,111 @@ def _decode_mcus(
     reader, scan_info, comp_by_id, gdims, grids, pred, rst_iter,
     restart_interval, mcux, mcuy,
 ) -> None:
-    """Entropy-decode every MCU into the per-component block grids."""
+    """Entropy-decode every MCU into the per-component block grids.
+
+    r6: the bit-reader state lives in LOCALS for the whole scan and the
+    LUT decode + RECEIVE/EXTEND are inlined — at ~40k-8M Huffman symbols
+    per image, per-symbol method calls and attribute loads were the
+    dominant cost after the LUT landed (profiled). Semantics identical
+    to the _BitReader methods (same masks, same consume-past-end
+    IndexError that decode_jpeg maps to the truncation ValueError);
+    state is written back to the reader on every exit path.
+    """
+    buf = reader.buf
+    nbits = reader.nbits
+    acc = reader.acc
+    navail = reader.navail
+    bytepos = reader.bytepos
+    comps = []  # (cid, dc_lut, ac_lut, vi, hi, bw, grid)
+    for cid, dct, act in scan_info:
+        _, hi, vi, _tq = comp_by_id[cid]
+        bw, _bh = gdims[cid]
+        comps.append((cid, dct.lut, act.lut, vi, hi, bw, grids[cid]))
     mcu_count = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                nxt_bit = next(rst_iter, None)
-                if nxt_bit is not None:
-                    reader.pos = nxt_bit
-                for cid in pred:
-                    pred[cid] = 0
-            for cid, dct, act in scan_info:
-                _, hi, vi, _tq = comp_by_id[cid]
-                bw, _bh = gdims[cid]
-                for by in range(vi):
-                    for bx in range(hi):
-                        zz = grids[cid][(my * vi + by) * bw + (mx * hi + bx)]
-                        t = reader.decode(dct)
-                        diff = _extend(reader.read_bits(t), t) if t else 0
-                        pred[cid] += diff
-                        zz[0] = pred[cid]
-                        k = 1
-                        while k <= 63:
-                            rs = reader.decode(act)
-                            r, s = rs >> 4, rs & 0xF
-                            if s == 0:
-                                if r == 15:
-                                    k += 16  # ZRL
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("corrupt JPEG: AC index overflow")
-                            zz[k] = _extend(reader.read_bits(s), s)
-                            k += 1
-            mcu_count += 1
+    try:
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                    nxt_bit = next(rst_iter, None)
+                    if nxt_bit is not None:
+                        bytepos = nxt_bit >> 3
+                        acc = 0
+                        navail = 0
+                        rem = nxt_bit & 7
+                        if rem:
+                            acc = buf[bytepos]
+                            bytepos += 1
+                            navail = 8 - rem
+                    for cid in pred:
+                        pred[cid] = 0
+                for cid, dlut, alut, vi, hi, bw, grid in comps:
+                    for by in range(vi):
+                        for bx in range(hi):
+                            zz = grid[(my * vi + by) * bw + (mx * hi + bx)]
+                            # --- DC: code + RECEIVE/EXTEND, inlined ---
+                            while navail < 16:
+                                acc = ((acc << 8) | buf[bytepos]) & 0xFFFFFF
+                                bytepos += 1
+                                navail += 8
+                            v = dlut[(acc >> (navail - 16)) & 0xFFFF]
+                            t = v >> 8
+                            if t == 0:
+                                raise ValueError(
+                                    "corrupt JPEG: huffman code longer than 16 bits"
+                                )
+                            navail -= t
+                            s = v & 0xFF
+                            if s:
+                                while navail < s:
+                                    acc = ((acc << 8) | buf[bytepos]) & 0xFFFFFF
+                                    bytepos += 1
+                                    navail += 8
+                                navail -= s
+                                d = (acc >> navail) & ((1 << s) - 1)
+                                pred[cid] += (
+                                    d if d >= (1 << (s - 1)) else d - (1 << s) + 1
+                                )
+                            if bytepos * 8 - navail > nbits:
+                                raise IndexError("entropy stream exhausted")
+                            zz[0] = pred[cid]
+                            # --- AC run-length loop, inlined ---
+                            k = 1
+                            while k <= 63:
+                                while navail < 16:
+                                    acc = ((acc << 8) | buf[bytepos]) & 0xFFFFFF
+                                    bytepos += 1
+                                    navail += 8
+                                v = alut[(acc >> (navail - 16)) & 0xFFFF]
+                                t = v >> 8
+                                if t == 0:
+                                    raise ValueError(
+                                        "corrupt JPEG: huffman code longer than 16 bits"
+                                    )
+                                navail -= t
+                                rs = v & 0xFF
+                                s = rs & 0xF
+                                if s == 0:
+                                    if bytepos * 8 - navail > nbits:
+                                        raise IndexError("entropy stream exhausted")
+                                    if rs == 0xF0:
+                                        k += 16  # ZRL
+                                        continue
+                                    break  # EOB
+                                k += rs >> 4
+                                if k > 63:
+                                    raise ValueError("corrupt JPEG: AC index overflow")
+                                while navail < s:
+                                    acc = ((acc << 8) | buf[bytepos]) & 0xFFFFFF
+                                    bytepos += 1
+                                    navail += 8
+                                navail -= s
+                                d = (acc >> navail) & ((1 << s) - 1)
+                                if bytepos * 8 - navail > nbits:
+                                    raise IndexError("entropy stream exhausted")
+                                zz[k] = d if d >= (1 << (s - 1)) else d - (1 << s) + 1
+                                k += 1
+                mcu_count += 1
+    finally:
+        reader.acc = acc
+        reader.navail = navail
+        reader.bytepos = bytepos
