@@ -252,3 +252,56 @@ def test_decode_budget_guard():
     # explicit opt-in still decodes (trailing pad after EOI is ignored)
     assert decode_jpeg(big, allow_large=True).shape == (16, 16, 3)
     assert decode_jpeg(small).shape == (16, 16, 3)
+
+
+# ---------------------------------------------------------------------------
+# r6: table-driven entropy decoder pins (LUT + inlined bit loop)
+# ---------------------------------------------------------------------------
+
+
+def test_r6_decoder_golden_pixels():
+    """Deterministic encode->decode pin for the r6 table-driven entropy
+    decoder (LUT + locals-inlined MCU loop, restart markers + 4:2:0):
+    the goldens were computed from a decode verified bit-identical to
+    the pre-r6 per-bit reader over a 149-image corpus."""
+    import hashlib
+
+    rng = np.random.default_rng(20260821)
+    h, w = 120, 88
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = (xx * 1.1 + yy * 0.9) % 256
+    px = np.clip(base[..., None] + rng.normal(0, 20, (h, w, 3)), 0, 255).astype(
+        np.uint8
+    )
+    data = encode_jpeg(px, quality=77, subsample="420", restart_interval=4)
+    assert hashlib.md5(data).hexdigest() == "f991231103d33842805a470da691e56f"
+    out = decode_jpeg(data)
+    assert out.shape == (120, 88, 3) and out.dtype == np.uint8
+    assert hashlib.md5(out.tobytes()).hexdigest() == "34d3d33a4fa87f44257657720a6dd8f0"
+
+
+def test_r6_bitreader_lut_matches_canonical_walk():
+    """The 16-bit-peek LUT must resolve every symbol exactly like the
+    canonical mincode/maxcode/valptr walk it replaced (F.2.2.3)."""
+    from rusty_bloomfilter_spark.operators.jpeg import (
+        HT_AC_LUM,
+        HT_DC_LUM,
+        _HuffDecoder,
+    )
+
+    for bits, vals in (HT_DC_LUM, HT_AC_LUM):
+        table = _HuffDecoder(list(bits), list(vals))
+        # reconstruct each canonical code, place it at the head of a
+        # 16-bit prefix, and check the LUT returns (length, symbol)
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                for tail in (0, (1 << (16 - length)) - 1):  # both paddings
+                    idx = (code << (16 - length)) | tail
+                    v = table.lut[idx]
+                    assert v >> 8 == length
+                    assert v & 0xFF == vals[k]
+                code += 1
+                k += 1
+            code <<= 1
